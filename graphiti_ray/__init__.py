@@ -1,0 +1,23 @@
+"""graphiti_ray — a Ray-Data-native temporal knowledge-graph construction engine.
+
+A from-scratch rebuild of the *capabilities* of graphiti (reference:
+/root/reference, graphiti-core v0.11.6) as an offline, dataset-parallel
+pipeline: ``ray.data.read_parquet`` over Common-Crawl-style pages →
+zero-copy Arrow ``map_batches`` for deterministic HTML→text extraction →
+actor-pool NER / relation extraction → groupby-shuffle entity linking +
+union-find canonicalization → sorted per-partition temporal invalidation
+sweep → Parquet node/edge tables.
+
+The reference is an online per-episode system (LLM + Neo4j); this engine
+re-expresses the same semantics (bi-temporal edges, group-scoped entity
+resolution, provenance) as streaming batch transforms over Arrow blocks.
+Nothing here is a port: extraction is deterministic (regex/gazetteer), state
+lives in Parquet tables, and every wide step is an explicit keyed shuffle.
+"""
+
+__version__ = "0.1.0"
+
+# Pinned stage versions: bump on any behavior change (resumability contract).
+TEXT_EXTRACT_VERSION = "tx1"
+PAGEGEN_VERSION = "pg1"
+EMBED_VERSION = "he1"

@@ -1,0 +1,104 @@
+"""Pages source: synthesize the Common-Crawl-style input table from the
+driver's ``documents`` parquet, and read it back as a Ray Dataset.
+
+Input schema produced (BASELINE.json input_hint):
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+The generator is a *stateless vectorized map_batches stage* over
+``documents.parquet`` (doc_id,text,lang,source) — deterministic (version
+pg1, see synth_spec) so goldens and the DuckDB oracle can re-derive
+everything from doc_id. ``text`` carries the ground-truth extracted text;
+the pipeline re-extracts from ``html`` and the invariant is byte identity.
+
+At 100 TB scale the equivalent of this module is ``read_parquet`` over real
+WARC-derived parquet; everything downstream is agnostic to which.
+"""
+
+from __future__ import annotations
+
+import html as _html
+from datetime import timedelta
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from graphiti_ray.functions.text import clean_text
+from graphiti_ray.sources.synth_spec import (
+    TS0,
+    fact_sentences,
+    page_host,
+    page_url,
+)
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+_HTML_TMPL = (
+    "<html><head><title>Doc {doc_id} - {host}</title>"
+    '<script type="text/javascript">var t={doc_id};</script></head>'
+    '<body><header><h1 class="sitename">{host}</h1></header>'
+    '<nav><a href="/">home</a> | <a href="/about">about</a></nav>'
+    '<div id="main">{paragraphs}</div>'
+    "<footer>&copy; {host}</footer></body></html>"
+)
+
+
+def render_page(doc_id: int, text: str, source: str) -> tuple[str, bytes, str]:
+    """(url, html_bytes, golden_text) for one document. Pure."""
+    host = page_host(source)
+    fact1, fact2 = fact_sentences(doc_id)
+    paras = [fact1, fact2, clean_text(text).strip()]
+    golden = "\n".join(paras)
+    body = "".join(f"<p>{_html.escape(p, quote=False)}</p>" for p in paras)
+    html_doc = _HTML_TMPL.format(doc_id=doc_id, host=host, paragraphs=body)
+    return page_url(source, doc_id), html_doc.encode("utf-8"), golden
+
+
+def documents_to_pages(batch: pa.Table) -> pa.Table:
+    """map_batches stage: documents batch → pages batch (Arrow in/out)."""
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pylist()
+    sources = batch.column("source").to_pylist()
+    langs = batch.column("lang")
+
+    urls, htmls, goldens = [], [], []
+    for doc_id, text, source in zip(doc_ids, texts, sources):
+        u, h, g = render_page(int(doc_id), text, source)
+        urls.append(u)
+        htmls.append(h)
+        goldens.append(g)
+    # warc_ts = TS0 + doc_id hours, computed vectorized as int64 microseconds
+    base_us = np.datetime64(TS0, "us").astype("int64")
+    warc_us = base_us + doc_ids.astype("int64") * int(timedelta(hours=1).total_seconds() * 1e6)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(warc_us, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(goldens, pa.string()),
+            "lang": batch.column("lang"),
+        }
+    )
+
+
+def read_documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=columns or ["doc_id", "text", "lang", "source"],
+    )
+
+
+def pages_dataset(sf_dir: str) -> rd.Dataset:
+    """The synthetic pages input as a streaming Dataset (no materialization)."""
+    return read_documents(sf_dir).map_batches(
+        documents_to_pages, batch_format="pyarrow", zero_copy_batch=True
+    )

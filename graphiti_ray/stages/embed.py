@@ -1,0 +1,73 @@
+"""Embedding stage: deterministic hashing-trick text encoder (actor pool).
+
+Reference parity: ``EmbedderClient`` (embedder/client.py:29-37) batches
+name/fact strings through an embedding API and stores ``list<float>``
+vectors on nodes/edges (nodes.py:647-668, edges.py:524-547). Here the
+embedder is a *local deterministic* model — a char-3-gram hashing trick into
+``EMBED_DIM`` dims, L2-normalized (helpers.py:82-85) — the canonical
+actor-pool citizen: construction cost once per actor, vectorized batch work
+per call. Swap the class for a sentence-transformers wrapper on a real
+cluster; the pipeline shape is identical (ST2 in SURVEY §2.3).
+
+Determinism: crc32-based hashing (process-stable), so embeddings are
+identical across runs/workers — required for reproducible cosine dedup.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+EMBED_DIM = 64
+
+
+def embed_texts(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
+    """Vector per text: char 3-gram hashing trick, signed, L2-normalized."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        s = f"^{t.lower()}$"
+        row = out[i]
+        for j in range(len(s) - 2):
+            h = zlib.crc32(s[j : j + 3].encode("utf-8"))
+            row[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
+class HashingEmbedder:
+    """Actor-pool stage: append ``<out_col>`` FixedSizeList<float32>[dim]
+    embedding of ``<text_col>`` to each batch."""
+
+    def __init__(self, text_col: str, out_col: str, dim: int = EMBED_DIM):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        vecs = embed_texts(texts, self.dim)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.ravel(), pa.float32()), self.dim
+        )
+        return batch.append_column(self.out_col, arr)
+
+
+def with_embedding(
+    ds: rd.Dataset,
+    text_col: str,
+    out_col: str,
+    dim: int = EMBED_DIM,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    return ds.map_batches(
+        HashingEmbedder,
+        fn_constructor_kwargs={"text_col": text_col, "out_col": out_col, "dim": dim},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,276 @@
+"""Stage 3: entity linking + canonicalization (the shuffles).
+
+Reference parity:
+- exact-name dedup (D1) ← ``node_name_match`` (utils/bulk_utils.py:278-288):
+  first the exact normalized-name fast path;
+- candidate generation (J1) ← ``get_relevant_nodes``
+  (search_utils.py:662-750): group-scoped candidates; here alias rules
+  (first-token / initial matching) are the deterministic stand-in for the
+  cosine>0.6 ∪ BM25 candidate set + LLM resolution (node_operations.py:
+  271-380), with an optional MinHash-LSH + embedding-cosine scale path;
+- uuid-map path compression (A6) ← ``compress_uuid_map``
+  (utils/bulk_utils.py:387-396): distributed pointer jumping;
+- pointer rewrite (M13) ← ``resolve_edge_pointers`` (bulk_utils.py:402-426).
+
+Scale shape (two-phase, hub-safe):
+  1. mentions → per-batch partial counts → groupby(group_id, name): the
+     shuffle moves one row per distinct (host, surface), not per mention;
+  2. groupby(group_id).map_groups(resolve): per-host *vocabulary* (distinct
+     surfaces), bounded even for hub hosts with millions of mentions;
+  3. canonical map joins back to mentions/triples via a hash-partitioned
+     ``Dataset.join`` on (group_id, name).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from graphiti_ray.functions.text import entity_uuid
+
+LINK_VERSION = "link1"
+
+
+def default_join_partitions() -> int:
+    """Join/aggregator parallelism sized to the session: one hash-shuffle
+    aggregator actor per partition, so never ask for more than the CPUs we
+    have (a 32-partition join on an 8-cpu session deadlocks on actor
+    allocation)."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(16, cpus // 2))
+
+_INITIAL_RE = re.compile(r"^[A-Z]\. ")
+
+_LABEL_PRIORITY = {"Person": 0, "Organization": 1, "Place": 2, "Entity": 3}
+
+
+def is_initial_form(name: str) -> bool:
+    return bool(_INITIAL_RE.match(name))
+
+
+def is_full_form(name: str) -> bool:
+    return " " in name and not is_initial_form(name)
+
+
+def mention_partials(mentions: rd.Dataset) -> rd.Dataset:
+    """Per-batch partial aggregation: (group_id, name, label_hint) → cnt.
+
+    Combiner before the wide groupby — the shuffle then carries one row per
+    distinct key per batch instead of one per mention (guide: pre-aggregate
+    inside map_batches).
+    """
+
+    def agg(batch: pa.Table) -> pa.Table:
+        df = batch.select(["group_id", "name", "label_hint"]).to_pandas()
+        out = (
+            df.groupby(["group_id", "name", "label_hint"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return mentions.map_batches(agg, batch_format="pyarrow")
+
+
+def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
+    """Alias resolution over one group's distinct surfaces (link1 rules).
+
+    Rules (deterministic stand-in for node_operations.py:271-380 resolution):
+    - a full form (contains a space, not "X. Last") is its own canonical;
+    - "X. Last" merges into the unique in-group full form with the same
+      first initial and last token, if exactly one exists;
+    - a single token merges into the unique in-group full form whose first
+      token equals it, if exactly one exists;
+    - otherwise the surface stays its own canonical ("do NOT merge if
+      related but distinct", prompts/dedupe_nodes.py:107).
+    Output rows: group_id, name, canonical, entity_uuid, label, mention_count.
+    """
+    group_id = g["group_id"].iloc[0]
+    # per-surface totals and label vote (max count; tie → priority order)
+    totals = g.groupby("name")["cnt"].sum()
+    label_votes = g.groupby(["name", "label_hint"])["cnt"].sum().reset_index()
+
+    def pick_label(name: str) -> str:
+        sub = label_votes[label_votes["name"] == name]
+        best = sorted(
+            sub.itertuples(index=False),
+            key=lambda r: (-r.cnt, _LABEL_PRIORITY.get(r.label_hint, 9), r.label_hint),
+        )[0]
+        return best.label_hint
+
+    names = sorted(totals.index)
+    fulls = [n for n in names if is_full_form(n)]
+    by_first_tok: dict[str, list[str]] = {}
+    by_init_last: dict[tuple[str, str], list[str]] = {}
+    for f in fulls:
+        toks = f.split(" ")
+        by_first_tok.setdefault(toks[0], []).append(f)
+        by_init_last.setdefault((f[0], toks[-1]), []).append(f)
+
+    canonicals = []
+    for n in names:
+        if is_full_form(n):
+            canonicals.append(n)
+        elif is_initial_form(n):
+            cands = by_init_last.get((n[0], n.split(" ")[-1]), [])
+            canonicals.append(cands[0] if len(cands) == 1 else n)
+        else:
+            cands = by_first_tok.get(n, [])
+            canonicals.append(cands[0] if len(cands) == 1 else n)
+
+    return pd.DataFrame(
+        {
+            "group_id": group_id,
+            "name": names,
+            "canonical": canonicals,
+            "entity_uuid": [entity_uuid(group_id, c) for c in canonicals],
+            "label": [pick_label(n) for n in names],
+            "mention_count": [int(totals[n]) for n in names],
+        }
+    )
+
+
+def canonical_map(mentions: rd.Dataset) -> rd.Dataset:
+    """mentions → (group_id, name) → canonical/entity_uuid mapping table."""
+    partials = mention_partials(mentions)
+    return partials.groupby("group_id").map_groups(
+        resolve_group, batch_format="pandas"
+    )
+
+
+def nodes_from_canonical(canon: rd.Dataset) -> rd.Dataset:
+    """canonical map → entity nodes table (EntityNode parity,
+    nodes.py:297-302): uuid, name, group_id, labels, summary, mention_count.
+    """
+
+    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
+        canonical = g["canonical"].iloc[0]
+        labels = sorted(set(g["label"]))
+        if len(labels) > 1 and "Entity" in labels:
+            labels.remove("Entity")
+        return pd.DataFrame(
+            {
+                "uuid": [g["entity_uuid"].iloc[0]],
+                "name": [canonical],
+                "group_id": [g["group_id"].iloc[0]],
+                "labels": [["Entity"] + [l for l in labels if l != "Entity"]],
+                "summary": [f"Entity {canonical} ({', '.join(labels)})"],
+                "mention_count": [int(g["mention_count"].sum())],
+            }
+        )
+
+    return canon.groupby(["group_id", "entity_uuid"]).map_groups(
+        per_entity, batch_format="pandas"
+    )
+
+
+def _with_key(ds: rd.Dataset, out_col: str, name_col: str) -> rd.Dataset:
+    def add(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            batch.column("group_id"), batch.column(name_col), "|"
+        )
+        return batch.append_column(out_col, key)
+
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def apply_canonical(
+    triples: rd.Dataset, canon: rd.Dataset, num_partitions: int | None = None
+) -> rd.Dataset:
+    """M13: rewrite triple endpoints through the canonical map.
+
+    Hash-partitioned joins on (group_id|name) — both sides shuffled once per
+    endpoint. Triples with an endpoint missing from the map are dropped,
+    mirroring resolve_edge_pointers' unmapped-endpoint drop
+    (bulk_utils.py:402-426) — with NER-derived endpoints the map always
+    covers them, so this is a safety net, not a data path.
+    """
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    cmap = canon.select_columns(["group_id", "name", "canonical", "entity_uuid"])
+    cmap_s = _with_key(cmap, "subj_key", "name").drop_columns(["group_id", "name"])
+    cmap_o = _with_key(cmap, "obj_key", "name").drop_columns(["group_id", "name"])
+
+    t = _with_key(triples, "subj_key", "subj_name")
+    t = _with_key(t, "obj_key", "obj_name")
+
+    t = t.join(
+        cmap_s,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("subj_key",),
+        right_suffix="_subj",
+    ).rename_columns(
+        {"canonical": "subj_canonical", "entity_uuid": "subj_uuid"}
+    )
+    t = t.join(
+        cmap_o,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("obj_key",),
+        right_suffix="_obj",
+    ).rename_columns({"canonical": "obj_canonical", "entity_uuid": "obj_uuid"})
+    return t.drop_columns(["subj_key", "obj_key"])
+
+
+# --- distributed union-find (A6 / G5) --------------------------------------
+
+
+def compress_mapping(
+    mapping: rd.Dataset, max_rounds: int = 16, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Path compression of a uuid→parent mapping by pointer jumping.
+
+    ``compress_uuid_map`` (bulk_utils.py:387-396) walks chains recursively on
+    the driver; at scale the mapping is a Dataset of (uuid, parent) edges and
+    each round does parent := parent.parent via a hash join — O(log chain)
+    rounds (GraphX / BTS-style connected components, PAPERS.md).
+
+    Converges when a round changes nothing (checked with a cheap count of
+    rows whose parent changed).
+    """
+    if num_partitions is None:
+        num_partitions = default_join_partitions()
+    m = mapping.select_columns(["uuid", "parent"])
+    for _ in range(max_rounds):
+        parents = m.rename_columns({"uuid": "p_uuid", "parent": "grandparent"})
+        joined = m.join(
+            parents,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=("parent",),
+            right_on=("p_uuid",),
+        )
+
+        def jump(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            gp = batch.column("grandparent")
+            parent = batch.column("parent")
+            new_parent = pc.if_else(pc.is_valid(gp), gp, parent)
+            changed = pc.cast(pc.not_equal(new_parent, parent), pa.int64())
+            return pa.table(
+                {
+                    "uuid": batch.column("uuid"),
+                    "parent": new_parent,
+                    "changed": changed,
+                }
+            )
+
+        jumped = joined.map_batches(jump, batch_format="pyarrow").materialize()
+        n_changed = jumped.sum("changed")
+        m = jumped.drop_columns(["changed"])
+        if not n_changed:
+            break
+    return m

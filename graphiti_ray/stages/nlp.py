@@ -1,0 +1,220 @@
+"""Stage 2: episodic NLP — entity mentions (NER) and relation triples.
+
+Reference parity (deterministic stand-ins for LLM prompts):
+- ``MentionExtractor`` ← ``extract_nodes`` (node_operations.py:73-218,
+  prompts/extract_nodes.py): speaker/entity mention spotting over episode
+  content, labels from type rules (Person/Organization/Place/Entity).
+- ``TripleExtractor`` ← ``extract_edges`` (edge_operations.py:83-224,
+  prompts/extract_edges.py:25-41): SCREAMING_SNAKE predicates, a natural
+  language ``fact`` per edge, endpoints restricted to extracted mentions
+  (edge_operations.py:186-203 drops unmapped endpoints).
+- date attachment ← ``extract_edge_dates`` (temporal_operations.py:33-71):
+  ``valid_at`` defaults to the episode's event time (warc_ts) and an explicit
+  in-text date ("since 2023", "in March 2021") overrides it — resolved
+  against the episode reference time like the reference's prompt does.
+
+Execution shape: actor-pool ``map_batches`` (patterns compiled once per
+actor in ``__init__``), Arrow in / Arrow out, one pass per output table.
+The regex work is C-level per row; batch loops only assemble list columns.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+import ray.data as rd
+
+# A proper-name token: an initial ("A.") or a capitalized word; an entity is
+# 1+ tokens separated by single spaces. RE2-compatible (works in DuckDB too).
+ENT = r"(?:[A-Z]\.|[A-Z][A-Za-z]+)(?: (?:[A-Z]\.|[A-Z][A-Za-z]+))*"
+
+# (pattern template, predicate). Applied with finditer over full content.
+RELATION_TEMPLATES: list[tuple[str, str]] = [
+    (rf"({ENT}) works at ({ENT})", "WORKS_AT"),
+    (rf"({ENT}) is the CEO of ({ENT})", "CEO_OF"),
+    (rf"({ENT}) likes ({ENT})", "LIKES"),
+    (rf"({ENT}) dislikes ({ENT})", "DISLIKES"),
+    (rf"({ENT}) is located in ({ENT})", "LOCATED_IN"),
+    (rf"({ENT}) acquired ({ENT})", "ACQUIRED"),
+    (rf"({ENT}) is married to ({ENT})", "MARRIED_TO"),
+]
+
+# Words the bare NER pattern would match but that are never entities.
+NER_STOPWORDS = frozenset({"CEO", "The", "A", "I", "He", "She", "It", "They"})
+
+ORG_SUFFIXES = frozenset(
+    {"Corp", "Inc", "LLC", "Labs", "Industries", "Enterprises", "Software", "Ltd", "Company"}
+)
+
+# role → label vote (used at canonicalization to pick node labels)
+SUBJ_LABEL = {
+    "WORKS_AT": "Person",
+    "CEO_OF": "Person",
+    "LIKES": "Person",
+    "DISLIKES": "Person",
+    "MARRIED_TO": "Person",
+    "LOCATED_IN": "Organization",
+    "ACQUIRED": "Organization",
+}
+OBJ_LABEL = {
+    "WORKS_AT": "Organization",
+    "CEO_OF": "Organization",
+    "LIKES": "Person",
+    "DISLIKES": "Person",
+    "MARRIED_TO": "Person",
+    "LOCATED_IN": "Place",
+    "ACQUIRED": "Organization",
+}
+
+# Explicit in-text date patterns (M4 stand-in). Year-only → Jan 1.
+_MONTHS = (
+    "January|February|March|April|May|June|July|"
+    "August|September|October|November|December"
+)
+_DATE_RES = [
+    (re.compile(rf"since ({_MONTHS}) (\d{{4}})"), "month_year"),
+    (re.compile(r"since (\d{4})"), "year"),
+    (re.compile(rf"in ({_MONTHS}) (\d{{4}})"), "month_year"),
+]
+_MONTH_IDX = {m: i + 1 for i, m in enumerate(_MONTHS.split("|"))}
+
+
+def parse_explicit_date(sentence: str):
+    """Return a naive datetime from an explicit textual date, else None."""
+    from datetime import datetime
+
+    for rx, kind in _DATE_RES:
+        m = rx.search(sentence)
+        if m:
+            if kind == "year":
+                return datetime(int(m.group(1)), 1, 1)
+            return datetime(int(m.group(2)), _MONTH_IDX[m.group(1)], 1)
+    return None
+
+
+def label_for_name(name: str) -> str:
+    """Fallback label from surface shape (suffix gazetteer)."""
+    last = name.rsplit(" ", 1)[-1]
+    return "Organization" if last in ORG_SUFFIXES else "Entity"
+
+
+class MentionExtractor:
+    """episodes batch → mention rows (M1 parity).
+
+    Output: episode_uuid, group_id, name, label_hint, valid_at.
+    """
+
+    def __init__(self):
+        self.ent_re = re.compile(ENT)
+        self.rel_res = [(re.compile(p), pred) for p, pred in RELATION_TEMPLATES]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ep_uuids = batch.column("uuid").to_pylist()
+        groups = batch.column("group_id").to_pylist()
+        contents = batch.column("content").to_pylist()
+        valid_ats = batch.column("valid_at").to_pylist()
+
+        out_ep, out_g, out_name, out_label, out_ts = [], [], [], [], []
+        for ep, g, content, ts in zip(ep_uuids, groups, contents, valid_ats):
+            # role-based labels from relation matches take priority
+            role_label: dict[str, str] = {}
+            for rx, pred in self.rel_res:
+                for m in rx.finditer(content):
+                    role_label.setdefault(m.group(1), SUBJ_LABEL[pred])
+                    role_label.setdefault(m.group(2), OBJ_LABEL[pred])
+            seen: set[str] = set()
+            for m in self.ent_re.finditer(content):
+                name = m.group(0)
+                if name in NER_STOPWORDS or name in seen:
+                    continue
+                seen.add(name)
+                out_ep.append(ep)
+                out_g.append(g)
+                out_name.append(name)
+                out_label.append(role_label.get(name) or label_for_name(name))
+                out_ts.append(ts)
+        return pa.table(
+            {
+                "episode_uuid": pa.array(out_ep, pa.string()),
+                "group_id": pa.array(out_g, pa.string()),
+                "name": pa.array(out_name, pa.string()),
+                "label_hint": pa.array(out_label, pa.string()),
+                "valid_at": pa.array(out_ts, pa.timestamp("us")),
+            }
+        )
+
+
+class TripleExtractor:
+    """episodes batch → raw triple rows (M3+M4 parity).
+
+    Output: episode_uuid, group_id, subj_name, pred, obj_name, fact, valid_at.
+    Endpoints are by construction entity surfaces (the patterns only match
+    ENT), mirroring the reference's "drop edges whose endpoints aren't
+    extracted nodes" rule. ``fact`` is the matched sentence text.
+    """
+
+    def __init__(self):
+        self.rel_res = [(re.compile(p), pred) for p, pred in RELATION_TEMPLATES]
+        self.ent_re = re.compile(ENT)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ep_uuids = batch.column("uuid").to_pylist()
+        groups = batch.column("group_id").to_pylist()
+        contents = batch.column("content").to_pylist()
+        valid_ats = batch.column("valid_at").to_pylist()
+
+        o_ep, o_g, o_s, o_p, o_o, o_f, o_ts = [], [], [], [], [], [], []
+        for ep, g, content, ts in zip(ep_uuids, groups, contents, valid_ats):
+            for rx, pred in self.rel_res:
+                for m in rx.finditer(content):
+                    fact = m.group(0) + "."  # sentence-final period
+                    o_ep.append(ep)
+                    o_g.append(g)
+                    o_s.append(m.group(1))
+                    o_p.append(pred)
+                    o_o.append(m.group(2))
+                    o_f.append(fact)
+                    # explicit dates trail the matched clause ("... since
+                    # March 2021."); scan a short window, same paragraph only
+                    tail = content[m.end() : m.end() + 40].split("\n", 1)[0]
+                    explicit = parse_explicit_date(tail)
+                    o_ts.append(explicit if explicit is not None else ts)
+        return pa.table(
+            {
+                "episode_uuid": pa.array(o_ep, pa.string()),
+                "group_id": pa.array(o_g, pa.string()),
+                "subj_name": pa.array(o_s, pa.string()),
+                "pred": pa.array(o_p, pa.string()),
+                "obj_name": pa.array(o_o, pa.string()),
+                "fact": pa.array(o_f, pa.string()),
+                "valid_at": pa.array(o_ts, pa.timestamp("us")),
+            }
+        )
+
+
+_NLP_COLS = ["uuid", "group_id", "content", "valid_at"]
+
+
+# Actor pools autoscale (min, max); max sized so extraction doesn't starve
+# the read/shuffle stages on a 32-cpu node.
+DEFAULT_POOL = (1, 8)
+
+
+def mentions_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Dataset:
+    return episodes.select_columns(_NLP_COLS).map_batches(
+        MentionExtractor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def triples_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Dataset:
+    return episodes.select_columns(_NLP_COLS).map_batches(
+        TripleExtractor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,233 @@
+"""Stage 4: edge dedup/merge + bi-temporal invalidation sweep.
+
+Reference parity:
+- duplicate-fact merge (D3/D5) ← ``dedupe_edges_bulk`` /
+  ``resolve_extracted_edge`` (utils/bulk_utils.py:249-275,
+  edge_operations.py:397-497): duplicates keyed by the unordered/ordered
+  node pair; a duplicate unions its provenance ``episodes`` list
+  (edge_operations.py:263);
+- contradiction + invalidation (T1) ← ``resolve_edge_contradictions``
+  (edge_operations.py:364-394): for an older edge e and a newer edge r,
+  skip if intervals are provably disjoint; else set ``e.invalid_at =
+  r.valid_at`` and stamp ``e.expired_at = now``. The reference decides
+  *which* facts contradict with an LLM (prompts/invalidate_edges.py:73-95);
+  here a deterministic predicate-class table (synth_spec.EXCLUSION_CLASSES)
+  plays that role: predicates in a 'pair' class contradict on the same
+  (subj, obj); 'subj' classes contradict on the same subj with a different
+  obj (e.g. a new employer supersedes the old one).
+
+Order semantics: the reference processes episodes strictly sequentially
+(graphiti.py:320-323); we recover identical semantics at full parallelism by
+sorting each partition by event time with a total tie-break
+(valid_at, uuid) — see SURVEY.md §2.7 T4/T5.
+
+Scale shape: merge pre-aggregates per batch (combiner) before the keyed
+shuffle; the sweep shuffles once on a composed partition key that already
+includes subj (and obj for pair classes), so hub *entities* split across
+their predicate classes and pair partners — the skew note in SURVEY §4 —
+rather than landing on one reducer.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from graphiti_ray.functions.text import edge_uuid
+from graphiti_ray.sources.synth_spec import EXCLUSION_CLASSES
+from graphiti_ray.stages.extract import DEFAULT_RUN_TS
+
+EDGE_KEY = ["group_id", "subj_uuid", "pred", "obj_uuid"]
+
+
+def _combine_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch combiner: one row per edge key with (min valid_at, the fact
+    asserted earliest — tie-break on episode uuid — and the episode list).
+
+    Emits ``first_episode`` as an explicit tie-break column so partials from
+    different batches merge deterministically in the finalizer.
+    """
+    df = df.sort_values(["valid_at", "episode_uuid"], kind="mergesort")
+    grouped = df.groupby(EDGE_KEY, sort=False)
+    out = grouped.head(1).copy()
+    out = out.rename(columns={"episode_uuid": "first_episode"})
+    # provenance as a ','-joined string internally: ragged list columns do
+    # not survive pandas<->arrow round-trips inside groupby blocks; the
+    # final edges table splits this into list<string>.
+    episodes = grouped["episode_uuid"].agg(lambda s: ",".join(sorted(set(s))))
+    out["episodes"] = episodes.reindex(
+        pd.MultiIndex.from_frame(out[EDGE_KEY])
+    ).to_numpy()
+    return out
+
+
+def merged_edges(
+    resolved: rd.Dataset, run_ts: datetime = DEFAULT_RUN_TS
+) -> rd.Dataset:
+    """resolved triples → one edge per (group, subj, pred, obj).
+
+    valid_at = earliest assertion; fact = fact text of the earliest
+    assertion (deterministic tie-break on episode uuid); episodes =
+    sorted provenance union (EntityEdge.episodes, edges.py:209).
+    """
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            _combine_partial(df), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["valid_at", "first_episode"], kind="mergesort")
+        first = g.iloc[0]
+        episodes = sorted(set(x for joined in g["episodes"] for x in joined.split(",")))
+        return pd.DataFrame(
+            {
+                "uuid": [
+                    edge_uuid(
+                        first["group_id"],
+                        first["subj_uuid"],
+                        first["pred"],
+                        first["obj_uuid"],
+                    )
+                ],
+                "group_id": [first["group_id"]],
+                "subj_uuid": [first["subj_uuid"]],
+                "pred": [first["pred"]],
+                "obj_uuid": [first["obj_uuid"]],
+                "subj_canonical": [first["subj_canonical"]],
+                "obj_canonical": [first["obj_canonical"]],
+                "fact": [first["fact"]],
+                "valid_at": [first["valid_at"]],
+                "episodes": [",".join(episodes)],
+                "episode_count": [len(episodes)],
+                "created_at": [pd.Timestamp(run_ts)],
+            }
+        )
+
+    partial = resolved.map_batches(combiner, batch_format="pyarrow")
+    return partial.groupby(EDGE_KEY).map_groups(finalize, batch_format="pandas")
+
+
+def _sweep_frame(g: pd.DataFrame, run_ts: datetime) -> pd.DataFrame:
+    """Sorted per-partition sweep: newer contradicting facts invalidate older.
+
+    Within a partition, rows are sorted by (valid_at, uuid); each edge's
+    invalid_at is the valid_at of the first later edge that contradicts it
+    (pair class → different predicate; subj class → different obj). With
+    edges pre-merged per (s,p,o), every later row in a partition contradicts,
+    so this equals lead(valid_at) — which is exactly what the DuckDB oracle
+    computes, keeping both sides honest.
+    """
+    g = g.sort_values(["valid_at", "uuid"], kind="mergesort").reset_index(drop=True)
+    n = len(g)
+    invalid = [pd.NaT] * n
+    expired = [pd.NaT] * n
+    mode = g["inval_mode"].iloc[0]
+    for i in range(n):
+        for j in range(i + 1, n):
+            contradicts = (
+                g["pred"].iloc[j] != g["pred"].iloc[i]
+                if mode == "pair"
+                else g["obj_uuid"].iloc[j] != g["obj_uuid"].iloc[i]
+            )
+            if contradicts:
+                invalid[i] = g["valid_at"].iloc[j]
+                expired[i] = pd.Timestamp(run_ts)
+                break
+    g["invalid_at"] = pd.Series(invalid, dtype="datetime64[us]")
+    g["expired_at"] = pd.Series(expired, dtype="datetime64[us]")
+    return g
+
+
+def invalidation_sweep(
+    edges: rd.Dataset, run_ts: datetime = DEFAULT_RUN_TS
+) -> rd.Dataset:
+    """T1 over the merged edge table; non-exclusive predicates pass through
+    with null invalid_at/expired_at."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys, modes = [], []
+        for r in df.itertuples(index=False):
+            cls = EXCLUSION_CLASSES.get(r.pred)
+            if cls is None:
+                keys.append(f"none|{r.uuid}")  # singleton partition → no-op
+                modes.append("none")
+            elif cls[0] == "pair":
+                keys.append(
+                    f"pair|{r.group_id}|{r.subj_uuid}|{r.obj_uuid}|{'|'.join(sorted(cls[1]))}"
+                )
+                modes.append("pair")
+            else:
+                keys.append(f"subj|{r.group_id}|{r.subj_uuid}|{r.pred}")
+                modes.append("subj")
+        df["inval_key"] = keys
+        df["inval_mode"] = modes
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if g["inval_mode"].iloc[0] == "none":
+            g = g.copy()
+            g["invalid_at"] = pd.Series([pd.NaT] * len(g), dtype="datetime64[us]")
+            g["expired_at"] = pd.Series([pd.NaT] * len(g), dtype="datetime64[us]")
+            return g
+        return _sweep_frame(g, run_ts)
+
+    keyed = edges.map_batches(add_key, batch_format="pyarrow")
+    out = keyed.groupby("inval_key").map_groups(sweep, batch_format="pandas")
+    return out.drop_columns(["inval_key", "inval_mode"])
+
+
+def resolve_edge_contradictions(
+    resolved_edge: dict, invalidation_candidates: list[dict], now: datetime
+) -> list[dict]:
+    """Pure per-pair kernel with verbatim reference semantics
+    (edge_operations.py:364-394): given a new fact and candidate existing
+    edges, return the candidates it invalidates, mutated in place.
+
+    - skip candidates whose validity interval is provably disjoint from the
+      new edge's (``e.invalid_at <= r.valid_at`` or
+      ``r.invalid_at <= e.valid_at``);
+    - an older candidate (``e.valid_at < r.valid_at``) gets
+      ``invalid_at = r.valid_at`` and ``expired_at = now``.
+
+    The dataset-level ``invalidation_sweep`` is the batch application of
+    this kernel under event-time order; this function exists for parity
+    tests (FIXTURES.md F3) and for incremental (per-new-edge) use.
+    """
+    invalidated = []
+    r_valid = resolved_edge.get("valid_at")
+    r_invalid = resolved_edge.get("invalid_at")
+    for edge in invalidation_candidates:
+        e_valid = edge.get("valid_at")
+        e_invalid = edge.get("invalid_at")
+        if (e_invalid is not None and r_valid is not None and e_invalid <= r_valid) or (
+            r_invalid is not None and e_valid is not None and r_invalid <= e_valid
+        ):
+            continue  # disjoint intervals: no interaction
+        if e_valid is not None and r_valid is not None and e_valid < r_valid:
+            edge["invalid_at"] = r_valid
+            edge["expired_at"] = now
+            invalidated.append(edge)
+    return invalidated
+
+
+def episodes_to_list(edges: rd.Dataset) -> rd.Dataset:
+    """Final schema fix-up: provenance ','-string → list<string> (the
+    EntityEdge.episodes shape, edges.py:209). Vectorized Arrow kernel."""
+
+    def split(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = batch.column_names.index("episodes")
+        lists = pc.split_pattern(batch.column("episodes"), ",")
+        return batch.set_column(idx, "episodes", lists)
+
+    return edges.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)

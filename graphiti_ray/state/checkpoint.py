@@ -1,0 +1,91 @@
+"""Resumable output layout: per-table checkpoints with lineage + metrics.
+
+The reference's only resume mechanism is an LLM response diskcache
+(llm_client/client.py:123-167). For a batch pipeline the equivalent is a
+deterministic output layout (ray_guide: "one output directory per stage,
+written atomically, plus a manifest"):
+
+    <root>/<table>/            part-*.parquet (written by Ray workers)
+    <root>/<table>/MANIFEST.json   lineage: inputs, stage versions, metrics
+    <root>/<table>/_SUCCESS        atomic completion marker (written last)
+
+A rerun calls ``checkpointed_write`` again: tables with a valid _SUCCESS are
+skipped (their row counts are re-read from parquet footers, not recomputed),
+so a killed run resumes at the first incomplete table. Within a table Ray
+restarts failed write tasks; the marker only lands after the whole dataset
+is flushed, so partially-written tables are re-written from scratch —
+idempotent because filenames are regenerated and the directory is cleared
+first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+SUCCESS = "_SUCCESS"
+MANIFEST = "MANIFEST.json"
+
+
+def table_dir(root: str, name: str) -> str:
+    return os.path.join(root, name)
+
+
+def is_complete(root: str, name: str) -> bool:
+    return os.path.exists(os.path.join(table_dir(root, name), SUCCESS))
+
+
+def parquet_row_count(path: str) -> int:
+    total = 0
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            total += pq.read_metadata(os.path.join(path, f)).num_rows
+    return total
+
+
+def checkpointed_write(
+    ds: rd.Dataset,
+    root: str,
+    name: str,
+    lineage: dict[str, Any] | None = None,
+    partition_cols: list[str] | None = None,
+) -> dict[str, Any]:
+    """Write one logical table; skip if already complete. Returns metrics."""
+    out = table_dir(root, name)
+    if is_complete(root, name):
+        return {"table": name, "skipped": True, "rows": parquet_row_count(out)}
+
+    if os.path.exists(out):  # partial previous attempt → start clean
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+
+    t0 = time.perf_counter()
+    kwargs = {"partition_cols": partition_cols} if partition_cols else {}
+    ds.write_parquet(out, **kwargs)
+    wall = time.perf_counter() - t0
+
+    rows = parquet_row_count(out) if not partition_cols else None
+    manifest = {
+        "table": name,
+        "rows": rows,
+        "wall_sec": round(wall, 3),
+        "lineage": lineage or {},
+        "written_at": time.time(),
+    }
+    with open(os.path.join(out, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    # marker written last: presence ⇒ the parquet + manifest are complete
+    with open(os.path.join(out, SUCCESS), "w") as f:
+        f.write("")
+    return {"table": name, "skipped": False, "rows": rows, "wall_sec": wall}
+
+
+def read_table(root: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(table_dir(root, name), columns=columns)

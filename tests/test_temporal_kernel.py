@@ -1,0 +1,88 @@
+"""Unit tests: the T1 contradiction kernel — verbatim reference semantics
+(edge_operations.py:364-394) over the FIXTURES.md F3 scenarios."""
+
+from datetime import datetime
+
+import pandas as pd
+
+from graphiti_ray.stages.temporal import _sweep_frame, resolve_edge_contradictions
+
+T1 = datetime(2024, 1, 1)
+T2 = datetime(2024, 2, 1)
+T3 = datetime(2024, 3, 1)
+NOW = datetime(2024, 7, 1)
+
+
+def test_kernel_supersede():
+    old = {"uuid": "e1", "valid_at": T1, "invalid_at": None}
+    new = {"uuid": "e2", "valid_at": T2, "invalid_at": None}
+    out = resolve_edge_contradictions(new, [old], NOW)
+    assert out == [old]
+    assert old["invalid_at"] == T2 and old["expired_at"] == NOW
+
+
+def test_kernel_disjoint_skipped():
+    # e.invalid_at <= r.valid_at → provably disjoint, untouched
+    old = {"uuid": "e1", "valid_at": T1, "invalid_at": T2}
+    new = {"uuid": "e2", "valid_at": T2, "invalid_at": None}
+    assert resolve_edge_contradictions(new, [old], NOW) == []
+    assert old["invalid_at"] == T2 and "expired_at" not in old
+    # r.invalid_at <= e.valid_at → also disjoint
+    old2 = {"uuid": "e3", "valid_at": T3, "invalid_at": None}
+    new2 = {"uuid": "e4", "valid_at": T1, "invalid_at": T3}
+    assert resolve_edge_contradictions(new2, [old2], NOW) == []
+
+
+def test_kernel_newer_candidate_not_invalidated():
+    newer = {"uuid": "e1", "valid_at": T3, "invalid_at": None}
+    new = {"uuid": "e2", "valid_at": T2, "invalid_at": None}
+    assert resolve_edge_contradictions(new, [newer], NOW) == []
+
+
+def _sweep(rows, mode):
+    df = pd.DataFrame(rows, columns=["uuid", "pred", "obj_uuid", "valid_at"])
+    df["inval_mode"] = mode
+    out = _sweep_frame(df, NOW)
+    return out.set_index("uuid")
+
+
+def test_sweep_pair_likes_dislikes():
+    out = _sweep(
+        [("a", "LIKES", "o", T1), ("b", "DISLIKES", "o", T2)], "pair"
+    )
+    assert out.loc["a", "invalid_at"] == T2
+    assert out.loc["a", "expired_at"] == pd.Timestamp(NOW)
+    assert pd.isna(out.loc["b", "invalid_at"])
+
+
+def test_sweep_pair_same_pred_no_contradiction():
+    out = _sweep([("a", "LIKES", "o", T1), ("b", "LIKES", "o", T2)], "pair")
+    assert pd.isna(out.loc["a", "invalid_at"])
+
+
+def test_sweep_subj_mode_new_object_supersedes():
+    out = _sweep(
+        [
+            ("a", "WORKS_AT", "acme", T1),
+            ("b", "WORKS_AT", "globex", T2),
+            ("c", "WORKS_AT", "initech", T3),
+        ],
+        "subj",
+    )
+    assert out.loc["a", "invalid_at"] == T2
+    assert out.loc["b", "invalid_at"] == T3
+    assert pd.isna(out.loc["c", "invalid_at"])
+
+
+def test_sweep_out_of_order_input_same_result():
+    rows = [("b", "DISLIKES", "o", T2), ("a", "LIKES", "o", T1)]
+    out = _sweep(rows, "pair")
+    assert out.loc["a", "invalid_at"] == T2
+    assert pd.isna(out.loc["b", "invalid_at"])
+
+
+def test_sweep_tiebreak_on_uuid():
+    # same valid_at: deterministic order by uuid; later-by-uuid invalidates
+    out = _sweep([("b", "DISLIKES", "o", T1), ("a", "LIKES", "o", T1)], "pair")
+    assert out.loc["a", "invalid_at"] == T1
+    assert pd.isna(out.loc["b", "invalid_at"])
