@@ -1,0 +1,163 @@
+"""Benchmark harness (driver contract).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) in one fresh Ray session with
+num_cpus=$RAY_GRAFT_CPUS (default 32) and print ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "docs_per_sec": ..., "triples_per_sec": ...}
+
+--scaling: run the headline pipeline twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and report both plus
+efficiency = (t8/t32)/4 (the sandbox proxy for the N vs 4N cluster
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _headline(sf_dir: str) -> dict:
+    """Full KG build: read documents → pages → ... → parquet tables."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    from graphiti_ray.pipelines.kg import run_kg
+    from graphiti_ray.state.checkpoint import parquet_row_count, table_dir
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    # warm the OS page cache so we measure compute+shuffle, not first IO
+    pq.read_table(f"{sf_dir}/documents.parquet")
+
+    out_root = "/tmp/graphiti_ray_bench/kg"
+    shutil.rmtree(out_root, ignore_errors=True)
+
+    timings: dict[str, float] = {}
+    t0 = time.perf_counter()
+    run_kg(sf_dir, out_root)
+    timings["kg_build"] = round(time.perf_counter() - t0, 3)
+
+    n_edges = parquet_row_count(table_dir(out_root, "edges"))
+    n_triples = 2 * n_docs  # raw extracted triples (2 facts per page)
+
+    return {
+        "timings": timings,
+        "n_docs": n_docs,
+        "n_edges": n_edges,
+        "n_triples": n_triples,
+    }
+
+
+def _extras(sf_dir: str) -> dict[str, float]:
+    """Secondary pipelines, timed individually (each consumes its dataset)."""
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    try:
+        from graphiti_ray.stages.dedup import exact_dedup_documents, minhash_near_dup
+        import ray.data as rd
+
+        docs = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        timed("dedup_exact", lambda: exact_dedup_documents(docs).count())
+        docs2 = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        timed("dedup_minhash", lambda: minhash_near_dup(docs2).count())
+    except ImportError:
+        pass
+
+    try:
+        from graphiti_ray.stages.similarity import knn_brute_force
+        import ray.data as rd
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        timed("knn_topk", lambda: knn_brute_force(emb, n_queries=32, k=10).count())
+    except ImportError:
+        pass
+    return timings
+
+
+def run_once() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    head = _headline(sf_dir)
+    queries = dict(head["timings"])
+    queries.update(_extras(sf_dir))
+
+    total = head["timings"]["kg_build"]
+    result = {
+        "metric": "kg_build_wall_sec_sf",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs_per_sec": round(head["n_docs"] / total, 2),
+        "triples_per_sec": round(head["n_triples"] / total, 2),
+        "n_edges": head["n_edges"],
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r8, r32 = run(8), run(32)
+    t8, t32 = r8["value"], r32["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": t8,
+        "sec_32": t32,
+        "throughput_docs_sec_8": r8["docs_per_sec"],
+        "throughput_docs_sec_32": r32["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r32["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -224,6 +224,143 @@ def apply_canonical(
     return t.drop_columns(["subj_key", "obj_key"])
 
 
+BROADCAST_LIMIT = 2_000_000  # canon rows; above this use the hash join
+
+
+def canon_lookup_ref(canon: rd.Dataset):
+    """Materialize the canonical map as one broadcast dict in the object
+    store: {"group|name": (canonical, entity_uuid)}.
+
+    The small-side broadcast pattern (ray_guide "Joins and lookups"): put
+    once on the driver, read zero-copy-ish in every task — no shuffle of the
+    large mentions/triples side at all. The map holds one entry per distinct
+    (host, surface), which is vocabulary-sized, not corpus-sized; above
+    BROADCAST_LIMIT fall back to ``apply_canonical`` (hash join).
+    """
+    import ray
+
+    df = canon.select_columns(
+        ["group_id", "name", "canonical", "entity_uuid"]
+    ).to_pandas()
+    lut = {
+        f"{g}|{n}": (c, u)
+        for g, n, c, u in zip(
+            df["group_id"], df["name"], df["canonical"], df["entity_uuid"]
+        )
+    }
+    return ray.put(lut)
+
+
+class _CanonApply:
+    """map_batches task: rewrite subj/obj through the broadcast lookup,
+    dropping rows with unmapped endpoints (resolve_edge_pointers drop
+    semantics, bulk_utils.py:402-426)."""
+
+    def __init__(self, lut_ref):
+        import ray
+
+        self.lut = ray.get(lut_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        groups = batch.column("group_id").to_pylist()
+        subjs = batch.column("subj_name").to_pylist()
+        objs = batch.column("obj_name").to_pylist()
+        lut = self.lut
+        sc, su, oc, ou, keep = [], [], [], [], []
+        for i, (g, s, o) in enumerate(zip(groups, subjs, objs)):
+            a = lut.get(f"{g}|{s}")
+            b = lut.get(f"{g}|{o}")
+            if a is None or b is None:
+                continue
+            keep.append(i)
+            sc.append(a[0])
+            su.append(a[1])
+            oc.append(b[0])
+            ou.append(b[1])
+        out = batch.take(pa.array(keep, pa.int64()))
+        out = out.append_column("subj_canonical", pa.array(sc, pa.string()))
+        out = out.append_column("subj_uuid", pa.array(su, pa.string()))
+        out = out.append_column("obj_canonical", pa.array(oc, pa.string()))
+        out = out.append_column("obj_uuid", pa.array(ou, pa.string()))
+        return out
+
+
+def apply_canonical_broadcast(triples: rd.Dataset, lut_ref) -> rd.Dataset:
+    return triples.map_batches(
+        _CanonApply,
+        fn_constructor_args=(lut_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+class _MentionApply:
+    """map_batches task: mention rows → MENTIONS edge rows via broadcast
+    lookup + per-batch distinct on (episode, entity)."""
+
+    def __init__(self, lut_ref):
+        import ray
+
+        self.lut = ray.get(lut_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from graphiti_ray.functions.text import md5_hex
+
+        groups = batch.column("group_id").to_pylist()
+        names = batch.column("name").to_pylist()
+        eps = batch.column("episode_uuid").to_pylist()
+        seen = set()
+        o_ep, o_ent, o_g, o_uuid = [], [], [], []
+        for g, n, ep in zip(groups, names, eps):
+            hit = self.lut.get(f"{g}|{n}")
+            if hit is None:
+                continue
+            key = (ep, hit[1])
+            if key in seen:
+                continue
+            seen.add(key)
+            o_ep.append(ep)
+            o_ent.append(hit[1])
+            o_g.append(g)
+            o_uuid.append(md5_hex(f"{ep}|{hit[1]}"))
+        return pa.table(
+            {
+                "uuid": pa.array(o_uuid, pa.string()),
+                "group_id": pa.array(o_g, pa.string()),
+                "episode_uuid": pa.array(o_ep, pa.string()),
+                "entity_uuid": pa.array(o_ent, pa.string()),
+            }
+        )
+
+
+def mention_edges_broadcast(mentions: rd.Dataset, lut_ref) -> rd.Dataset:
+    """MENTIONS edges via broadcast map + exact distinct.
+
+    The per-batch seen-set removes almost all duplicates; an episode whose
+    rows straddle a batch boundary can still emit the same (episode, entity)
+    twice when two aliases map to one entity, so an exact distinct follows —
+    a vectorized hash aggregate keyed on the deterministic uuid (every other
+    column is a function of it), NOT a per-group Python loop.
+    """
+    from ray.data.aggregate import Min
+
+    mapped = mentions.select_columns(
+        ["episode_uuid", "group_id", "name"]
+    ).map_batches(
+        _MentionApply,
+        fn_constructor_args=(lut_ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return mapped.groupby("uuid").aggregate(
+        Min("group_id", alias_name="group_id"),
+        Min("episode_uuid", alias_name="episode_uuid"),
+        Min("entity_uuid", alias_name="entity_uuid"),
+    )
+
+
 # --- distributed union-find (A6 / G5) --------------------------------------
 
 

@@ -197,9 +197,104 @@ class TripleExtractor:
 _NLP_COLS = ["uuid", "group_id", "content", "valid_at"]
 
 
+class CombinedExtractor:
+    """One-pass extraction: mention rows AND triple rows in a single scan of
+    episode content (row_kind 'm' / 't', union schema with nulls).
+
+    The production path: scanning content is the heaviest map in the
+    pipeline, so mentions and triples must not each re-read it. Downstream
+    splits with a cheap vectorized filter on ``row_kind``.
+    """
+
+    def __init__(self):
+        self.mentions = MentionExtractor()
+        self.triples = TripleExtractor()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = self.mentions(batch)
+        t = self.triples(batch)
+        n_m, n_t = len(m), len(t)
+        out = pa.table(
+            {
+                "row_kind": pa.array(["m"] * n_m + ["t"] * n_t, pa.string()),
+                "episode_uuid": pa.concat_arrays(
+                    [m.column("episode_uuid").combine_chunks(),
+                     t.column("episode_uuid").combine_chunks()]
+                ),
+                "group_id": pa.concat_arrays(
+                    [m.column("group_id").combine_chunks(),
+                     t.column("group_id").combine_chunks()]
+                ),
+                "valid_at": pa.concat_arrays(
+                    [m.column("valid_at").combine_chunks(),
+                     t.column("valid_at").combine_chunks()]
+                ),
+                "name": pa.concat_arrays(
+                    [m.column("name").combine_chunks(),
+                     pa.nulls(n_t, pa.string())]
+                ),
+                "label_hint": pa.concat_arrays(
+                    [m.column("label_hint").combine_chunks(),
+                     pa.nulls(n_t, pa.string())]
+                ),
+                "subj_name": pa.concat_arrays(
+                    [pa.nulls(n_m, pa.string()),
+                     t.column("subj_name").combine_chunks()]
+                ),
+                "pred": pa.concat_arrays(
+                    [pa.nulls(n_m, pa.string()), t.column("pred").combine_chunks()]
+                ),
+                "obj_name": pa.concat_arrays(
+                    [pa.nulls(n_m, pa.string()),
+                     t.column("obj_name").combine_chunks()]
+                ),
+                "fact": pa.concat_arrays(
+                    [pa.nulls(n_m, pa.string()), t.column("fact").combine_chunks()]
+                ),
+            }
+        )
+        return out
+
+
+def split_extracted(extracted: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
+    """(mentions, triples) views of a combined extraction table."""
+    import pyarrow.compute as pc
+
+    def keep(kind, cols):
+        def f(batch: pa.Table) -> pa.Table:
+            sel = batch.filter(pc.equal(batch.column("row_kind"), kind))
+            return sel.select(cols)
+
+        return f
+
+    mentions = extracted.map_batches(
+        keep("m", ["episode_uuid", "group_id", "name", "label_hint", "valid_at"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    triples = extracted.map_batches(
+        keep(
+            "t",
+            ["episode_uuid", "group_id", "subj_name", "pred", "obj_name", "fact", "valid_at"],
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return mentions, triples
+
+
 # Actor pools autoscale (min, max); max sized so extraction doesn't starve
 # the read/shuffle stages on a 32-cpu node.
 DEFAULT_POOL = (1, 8)
+
+
+def extracted_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Dataset:
+    return episodes.select_columns(_NLP_COLS).map_batches(
+        CombinedExtractor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
 
 
 def mentions_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Dataset:

@@ -88,4 +88,9 @@ def checkpointed_write(
 
 
 def read_table(root: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(table_dir(root, name), columns=columns)
+    # explicit file list: the directory also holds MANIFEST.json + _SUCCESS
+    d = table_dir(root, name)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    return rd.read_parquet(files, columns=columns)
