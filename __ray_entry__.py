@@ -23,6 +23,16 @@ from typing import Any
 
 from graphiti_ray.sources import synth_spec as spec
 
+
+def _sql_str_list(items) -> str:
+    return "[" + ",".join("'" + i + "'" for i in sorted(items)) + "]"
+
+
+_TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+from graphiti_ray.stages.textstats import STOPWORDS as _SW
+
+_STOPWORDS_SQL = _sql_str_list(_SW["en"])
+
 # ---------------------------------------------------------------------------
 # shared oracle CTEs (documents → derived pages/mentions/canonical entities)
 # ---------------------------------------------------------------------------
@@ -207,6 +217,132 @@ def _q_kg_edges(sf_dir: str):
     )
 
 
+# --- training-data ops -----------------------------------------------------
+
+
+def _q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import exact_dedup_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup_documents(docs)
+
+
+def _q_dedup_minhash(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import minhash_near_dup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_near_dup(docs)
+
+
+def _q_dedup_simhash(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import simhash_near_dup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dup(docs)
+
+
+def _q_dedup_embedding(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import embedding_near_dup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup(emb, threshold=0.9)
+
+
+def _q_text_tokens(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import token_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_stats(docs)
+
+
+def _q_text_quality(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import quality_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return quality_counts(docs)
+
+
+def _q_text_langid(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import language_id
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return language_id(docs)
+
+
+def _q_knn(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import knn_brute_force
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_brute_force(emb, n_queries=32, k=10)
+
+
+def _q_events_tumbling(sf_dir: str):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from graphiti_ray.stages.windows import tumbling_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "value": pc.cast(
+                    pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ev = ev.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = tumbling_window(ev, size_s=600)
+    return out.rename_columns(
+        {
+            "sum_value": "sum_value_cents",
+            "min_value": "min_value_cents",
+            "max_value": "max_value_cents",
+        }
+    )
+
+
+def _q_pricing_summary(sf_dir: str):
+    from graphiti_ray.pipelines.relational import pricing_summary
+
+    return pricing_summary(sf_dir)
+
+
+def _q_top_customers(sf_dir: str):
+    from graphiti_ray.pipelines.relational import top_customers
+
+    return top_customers(sf_dir)
+
+
+def _q_lang_doc_stats(sf_dir: str):
+    from graphiti_ray.pipelines.relational import lang_doc_stats
+
+    return lang_doc_stats(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_episodes": _q_kg_episodes,
@@ -214,6 +350,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "knn_bruteforce": _q_knn,
+        "events_tumbling": _q_events_tumbling,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "lang_doc_stats": _q_lang_doc_stats,
     }
 
 
@@ -265,5 +413,92 @@ SELECT m.uuid, m.group_id, m.subj_canonical, m.pred, m.obj_canonical,
 FROM merged_id m
 LEFT JOIN pair_inv p USING (uuid)
 LEFT JOIN subj_inv s USING (uuid)
+""",
+        "dedup_exact": """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY md5(text)
+""",
+        "text_tokens": rf"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+         AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars
+FROM documents
+""",
+        "text_quality": rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(words)::BIGINT AS n_words,
+       coalesce(list_aggregate(list_transform(words, x -> length(x)), 'sum'), 0)::BIGINT
+         AS n_word_chars,
+       len(list_filter(words, x -> list_contains({_STOPWORDS_SQL}, lower(x))))::BIGINT
+         AS n_stopwords,
+       len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct,
+       len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper
+FROM w
+""",
+        "knn_bruteforce": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 32
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+""",
+        "events_tumbling": """
+WITH ev AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+)
+SELECT user_id,
+       make_timestamp((epoch_us(ts) // 600000000) * 600000000) AS window_start,
+       sum(v)::BIGINT AS sum_value_cents,
+       min(v)::BIGINT AS min_value_cents,
+       max(v)::BIGINT AS max_value_cents,
+       count(*)::BIGINT AS n_events
+FROM ev GROUP BY 1, 2
+""",
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))::BIGINT AS sum_qty_cents,
+       sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_price_cents,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_revenue_cents,
+       count(*)::BIGINT AS n_rows
+FROM lineitem GROUP BY 1, 2
+""",
+        "top_customers": """
+SELECT o.o_custkey, c.c_name, c.c_mktsegment,
+       sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+         AS sum_total_cents,
+       count(*)::BIGINT AS n_orders
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2, 3
+ORDER BY sum_total_cents DESC, o.o_custkey ASC
+LIMIT 10
+""",
+        "lang_doc_stats": """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id)::BIGINT AS min_doc_id,
+       max(doc_id)::BIGINT AS max_doc_id
+FROM documents GROUP BY lang
 """,
     }

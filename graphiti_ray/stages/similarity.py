@@ -1,0 +1,165 @@
+"""Similarity search over an embedding column (list<float>).
+
+- ``knn_brute_force``  exact cosine top-k: broadcast query matrix
+  (ray.put once), per-batch numpy matmul emits batch-local top-k
+  candidates, then a tiny per-query reduction — the corpus is streamed,
+  never gathered.
+- ``knn_lsh``          IVF-style scale path: random-hyperplane buckets
+  (same family as dedup.embedding_near_dup); queries only search their own
+  bucket — approximate, documented.
+
+The exact variant is the oracle-checked baseline (DuckDB
+list_cosine_similarity + row_number window); the LSH variant is rows-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1
+    return mat / n
+
+
+def query_matrix_from_first(
+    emb: rd.Dataset, n_queries: int, vec_col="embedding", id_col="vec_id"
+):
+    """Deterministic query workload: the first n_queries vectors by id."""
+    head = emb.sort(id_col).limit(n_queries).to_pandas()
+    ids = head[id_col].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float32) for v in head[vec_col]])
+    return ids, mat
+
+
+class _BatchTopK:
+    """Per-batch exact cosine: emits (query_id, vec_id, cosine) for the
+    batch-local top-k of every query. Query matrix fetched from the object
+    store once per actor."""
+
+    def __init__(self, qref, k: int, vec_col: str, id_col: str):
+        import ray
+
+        self.q_ids, qmat = ray.get(qref)
+        self.qmat = _normalize(qmat.astype(np.float64)).T  # (dim, nq)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        # float64 throughout + round(6) BEFORE selection: keeps the total
+        # order (cosine desc, vec_id asc) identical to the SQL oracle even
+        # at tie boundaries
+        mat = np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        sims = np.round(_normalize(mat) @ self.qmat, 6)  # (n, nq)
+        k = min(self.k, len(ids))
+        o_q, o_v, o_s = [], [], []
+        for qi in range(sims.shape[1]):
+            order = np.lexsort((ids, -sims[:, qi]))[:k]
+            o_q.extend([int(self.q_ids[qi])] * len(order))
+            o_v.extend(int(ids[r]) for r in order)
+            o_s.extend(float(sims[r, qi]) for r in order)
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "vec_id": pa.array(o_v, pa.int64()),
+                "cosine": pa.array(o_s, pa.float64()),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort").head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return f
+
+
+def knn_brute_force(
+    emb: rd.Dataset,
+    n_queries: int = 32,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Exact top-k cosine neighbours of the first ``n_queries`` vectors.
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k per query; ties
+    broken by vec_id ascending (same total order as the SQL oracle).
+    """
+    import ray
+
+    qref = ray.put(query_matrix_from_first(emb, n_queries, vec_col, id_col))
+    candidates = emb.map_batches(
+        _BatchTopK,
+        fn_constructor_args=(qref, k, vec_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    # candidates: ≤ k per (query, batch) — the reduction input is tiny
+    return candidates.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
+def knn_lsh(
+    emb: rd.Dataset,
+    n_queries: int = 32,
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Approximate top-k: hyperplane-sign bucketing; each query searches only
+    its own bucket (IVF-style probe=1). Output as knn_brute_force (may have
+    fewer than k rows per query — that is the approximation)."""
+    import ray
+
+    q_ids, qmat = query_matrix_from_first(emb, n_queries, vec_col, id_col)
+
+    def run(batch: pa.Table, planes, qbuckets, qn) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        buckets = ((mat @ planes) > 0) @ (1 << np.arange(planes.shape[1]))
+        o_q, o_v, o_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = buckets == qbuckets[qi]
+            if not mask.any():
+                continue
+            sims = _normalize(mat[mask]) @ qn[qi]
+            sel = np.argsort(-sims)[:k]
+            sub_ids = ids[mask]
+            o_q.extend([int(q_ids[qi])] * len(sel))
+            o_v.extend(int(sub_ids[s]) for s in sel)
+            o_s.extend(float(round(sims[s], 6)) for s in sel)
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "vec_id": pa.array(o_v, pa.int64()),
+                "cosine": pa.array(o_s, pa.float64()),
+            }
+        )
+
+    planes = np.random.RandomState(seed).randn(qmat.shape[1], n_planes)
+    qn = _normalize(qmat.astype(np.float32))
+    qbuckets = ((qmat @ planes) > 0) @ (1 << np.arange(n_planes))
+    import functools
+
+    candidates = emb.map_batches(
+        functools.partial(run, planes=planes, qbuckets=qbuckets, qn=qn),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return candidates.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )

@@ -1,0 +1,224 @@
+"""Text-analysis operators over the documents table (training-data prep).
+
+- ``token_stats``       whitespace + BPE-ish regex token counts, char stats
+- ``quality_scores``    length / stopword-ratio / punct-ratio heuristics
+- ``language_id``       stopword-profile n-gram heuristic language guess
+- ``fingerprints``      winnowing document fingerprint (rolling hash window
+                        minima) for plagiarism-style containment detection
+
+All stateless vectorized ``map_batches`` stages (regexes compiled once per
+actor); token/quality outputs are oracle-checked against DuckDB SQL twins
+(__ray_entry__), language-id and fingerprints are pytest-covered (their
+SQL is not expressible).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+# BPE-ish tokenization: words, numbers, or single non-space symbols.
+# RE2-compatible so the DuckDB oracle can run the same pattern.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": frozenset("the a an and of to in is are was were for with on at by".split()),
+    "de": frozenset("der die das und von zu in ist sind für mit auf bei".split()),
+    "fr": frozenset("le la les et de du dans est sont pour avec sur".split()),
+    "es": frozenset("el la los las y de del en es son para con sobre".split()),
+}
+
+WINNOW_K = 5  # shingle size for fingerprints
+WINNOW_W = 4  # window of consecutive shingle hashes; min per window kept
+
+
+class TokenStats:
+    """→ doc_id, n_ws_tokens (whitespace), n_tokens (regex), n_chars."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.rx = re.compile(TOKEN_RE)
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "n_ws_tokens": pa.array(
+                    [len(t.split()) for t in texts], pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    [len(self.rx.findall(t)) for t in texts], pa.int64()
+                ),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        )
+
+
+class QualityScores:
+    """→ doc_id, n_chars, mean_word_len, stopword_ratio, punct_ratio,
+    upper_ratio. Heuristic quality features (C4/Gopher-style filters)."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop = STOPWORDS["en"]
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        mwl, sr, pr, ur = [], [], [], []
+        for t in texts:
+            words = t.split()
+            n = max(1, len(words))
+            mwl.append(round(sum(len(w) for w in words) / n, 6))
+            sr.append(round(sum(1 for w in words if w.lower() in self.stop) / n, 6))
+            nc = max(1, len(t))
+            pr.append(round(len(self.punct.findall(t)) / nc, 6))
+            ur.append(round(sum(1 for c in t if c.isupper()) / nc, 6))
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                "mean_word_len": pa.array(mwl, pa.float64()),
+                "stopword_ratio": pa.array(sr, pa.float64()),
+                "punct_ratio": pa.array(pr, pa.float64()),
+                "upper_ratio": pa.array(ur, pa.float64()),
+            }
+        )
+
+
+class QualityCounts:
+    """Integer-count variant of QualityScores for exact oracle comparison
+    (float ratios are hash-hostile across engines): doc_id, n_chars,
+    n_words, n_word_chars, n_stopwords, n_punct, n_upper."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.punct = re.compile(r"[^\w\s]")
+        self.stop = STOPWORDS["en"]
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        nw, nwc, ns, np_, nu = [], [], [], [], []
+        for t in texts:
+            words = t.split()
+            nw.append(len(words))
+            nwc.append(sum(len(w) for w in words))
+            ns.append(sum(1 for w in words if w.lower() in self.stop))
+            np_.append(len(self.punct.findall(t)))
+            nu.append(sum(1 for c in t if c.isupper()))
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "n_word_chars": pa.array(nwc, pa.int64()),
+                "n_stopwords": pa.array(ns, pa.int64()),
+                "n_punct": pa.array(np_, pa.int64()),
+                "n_upper": pa.array(nu, pa.int64()),
+            }
+        )
+
+
+class LanguageId:
+    """→ doc_id, lang_pred, lang_score: argmax stopword-hit-rate across
+    language profiles ('und' if no profile hits)."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.profiles = STOPWORDS
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        langs, scores = [], []
+        for t in texts:
+            words = [w.lower() for w in t.split()]
+            n = max(1, len(words))
+            best_lang, best = "und", 0.0
+            for lang in sorted(self.profiles):
+                s = sum(1 for w in words if w in self.profiles[lang]) / n
+                if s > best:
+                    best_lang, best = lang, s
+            langs.append(best_lang)
+            scores.append(round(best, 6))
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "lang_pred": pa.array(langs, pa.string()),
+                "lang_score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def winnow_fingerprint(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
+    """Winnowing (Schleimer et al.): min shingle-hash per sliding window,
+    deduped in order — a compact position-robust document fingerprint."""
+    t = text.lower().encode("utf-8", "ignore")
+    if len(t) < k:
+        return [zlib.crc32(t)]
+    hashes = np.fromiter(
+        (zlib.crc32(t[i : i + k]) for i in range(len(t) - k + 1)), dtype=np.int64
+    )
+    if len(hashes) <= w:
+        return [int(hashes.min())]
+    out: list[int] = []
+    last = -1
+    for i in range(len(hashes) - w + 1):
+        m = int(hashes[i : i + w].min())
+        if m != last:
+            out.append(m)
+            last = m
+    return out
+
+
+class Fingerprints:
+    """→ doc_id, fp (list<int64>), fp_size."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        fps = [winnow_fingerprint(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "fp": pa.array(fps, pa.list_(pa.int64())),
+                "fp_size": pa.array([len(f) for f in fps], pa.int64()),
+            }
+        )
+
+
+def _stage(cls, docs: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Dataset:
+    return docs.map_batches(
+        cls,
+        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def token_stats(docs, **kw):
+    return _stage(TokenStats, docs, **kw)
+
+
+def quality_scores(docs, **kw):
+    return _stage(QualityScores, docs, **kw)
+
+
+def quality_counts(docs, **kw):
+    return _stage(QualityCounts, docs, **kw)
+
+
+def language_id(docs, **kw):
+    return _stage(LanguageId, docs, **kw)
+
+
+def fingerprints(docs, **kw):
+    return _stage(Fingerprints, docs, **kw)

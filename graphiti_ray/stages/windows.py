@@ -1,0 +1,158 @@
+"""Event-time windowed aggregates over stream-shaped tables (events).
+
+Ray Data is a batch engine; stream semantics are recovered by treating the
+input as an ordered, partitioned log (ray_guide "Streaming-shaped
+workloads"): partition by key, order by event time within partition.
+
+- ``tumbling_window``  fixed-size buckets: vectorized bucket column +
+                       per-batch partial aggregate + small final groupby
+                       (combiner pattern — the shuffle carries partials)
+- ``sliding_window``   overlapping buckets via explode (size/slide)
+- ``session_window``   gap-based sessions per key (sorted map_groups)
+
+Ordering assumption: none for tumbling/sliding (bucket is a pure function
+of ts); session windows sort within each key group, so late rows are
+handled correctly as long as all rows of a key are present (batch
+semantics, T5 in SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+US = 1_000_000
+
+
+def _bucket_col(batch: pa.Table, ts_col: str, size_s: int, offset_s: int = 0) -> pa.Array:
+    import pyarrow.compute as pc
+
+    # normalize unit first: inputs may be timestamp[s]/[ms]/[us]/[ns]
+    us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
+    size_us = size_s * US
+    start = pc.multiply(
+        pc.floor(pc.divide(pc.subtract(us, offset_s * US), size_us)), size_us
+    )
+    return pc.cast(
+        pc.add(pc.cast(start, pa.int64()), offset_s * US), pa.timestamp("us")
+    )
+
+
+def tumbling_window(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    size_s: int = 600,
+) -> rd.Dataset:
+    """(key, window_start) → n_events, sum/min/max(value).
+
+    Pre-aggregates inside map_batches (one partial row per key×window per
+    batch) before the keyed shuffle — the wide step moves partials, not
+    events."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.append_column("window_start", _bucket_col(batch, ts_col, size_s))
+        t = b.group_by([key_col, "window_start"]).aggregate(
+            [(value_col, "sum"), (value_col, "min"), (value_col, "max"), ([], "count_all")]
+        )
+        return t.rename_columns(
+            [key_col, "window_start", "p_sum", "p_min", "p_max", "p_n"]
+        )
+
+    partials = events.select_columns([key_col, ts_col, value_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = partials.groupby([key_col, "window_start"]).aggregate(
+        Sum("p_sum", alias_name="sum_value"),
+        Min("p_min", alias_name="min_value"),
+        Max("p_max", alias_name="max_value"),
+        Sum("p_n", alias_name="n_events"),
+    )
+    return out
+
+
+def sliding_window(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    size_s: int = 600,
+    slide_s: int = 300,
+) -> rd.Dataset:
+    """Overlapping windows: each event explodes into size/slide buckets."""
+    assert size_s % slide_s == 0, "size must be a multiple of slide"
+    n_over = size_s // slide_s
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        slide_us = slide_s * US
+        last = (us // slide_us) * slide_us  # last slide boundary ≤ ts
+        o_k, o_w, o_v = [], [], []
+        for i in range(n_over):
+            start = last - i * slide_us
+            o_k.append(keys)
+            o_w.append(start)
+            o_v.append(vals)
+        return pa.table(
+            {
+                key_col: pa.array(np.concatenate(o_k)),
+                "window_start": pa.array(
+                    np.concatenate(o_w), pa.timestamp("us")
+                ),
+                value_col: pa.array(np.concatenate(o_v)),
+            }
+        )
+
+    exploded = events.select_columns([key_col, ts_col, value_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return exploded.groupby([key_col, "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum(value_col, alias_name="sum_value")
+    )
+
+
+def session_window(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> rd.Dataset:
+    """Gap-based sessions: per key, sorted by ts; a gap > gap_s starts a new
+    session. → (key, session_start, session_end, n_events)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col].to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[us]").astype("int64")
+        new_session = np.concatenate([[True], gaps > gap_s * US])
+        sess = np.cumsum(new_session)
+        out = (
+            pd.DataFrame({"sess": sess, ts_col: ts})
+            .groupby("sess")[ts_col]
+            .agg(["min", "max", "count"])
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                key_col: g[key_col].iloc[0],
+                "session_start": out["min"],
+                "session_end": out["max"],
+                "n_events": out["count"].astype("int64"),
+            }
+        )
+
+    return events.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
+        per_key, batch_format="pandas"
+    )

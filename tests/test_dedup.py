@@ -1,0 +1,96 @@
+"""Dedup family: exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from graphiti_ray.stages.dedup import (
+    connected_components,
+    embedding_near_dup,
+    est_jaccard,
+    exact_dedup_documents,
+    hamming64,
+    minhash_near_dup,
+    minhash_sig,
+    ngram_jaccard,
+    simhash64,
+    simhash_near_dup,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "on the warm windowsill in the afternoon sun near the garden"
+)
+
+
+def _docs(texts):
+    return rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+
+def test_minhash_sig_deterministic():
+    a = minhash_sig(BASE)
+    b = minhash_sig(BASE)
+    assert np.array_equal(a, b)
+    assert len(a) == 64
+
+
+def test_est_jaccard_tracks_exact():
+    near = BASE.replace("lazy", "sleepy")
+    far = "completely different words with nothing shared at all whatsoever"
+    exact_near = ngram_jaccard(BASE, near)
+    exact_far = ngram_jaccard(BASE, far)
+    assert exact_near > 0.7 and exact_far < 0.2
+    assert abs(est_jaccard(minhash_sig(BASE), minhash_sig(near)) - exact_near) < 0.25
+    assert est_jaccard(minhash_sig(BASE), minhash_sig(far)) < 0.3
+
+
+def test_exact_dedup(ray_session):
+    out = exact_dedup_documents(_docs([BASE, BASE, "other text", BASE])).to_pandas()
+    row = out[out.dup_count == 3].iloc[0]
+    assert row.keep_id == 0
+    assert len(out) == 2
+
+
+def test_minhash_near_dup_clusters(ray_session):
+    near = BASE.replace("lazy", "sleepy")
+    texts = [BASE, near, "unrelated totally different content here entirely", BASE]
+    out = minhash_near_dup(_docs(texts), threshold=0.7).to_pandas()
+    comp = dict(zip(out.doc_id, out.component))
+    assert comp[0] == comp[1] == comp[3] == 0
+    assert 2 not in comp  # the unrelated doc joins no cluster
+
+
+def test_connected_components_chain(ray_session):
+    pairs = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 10, "b": 11}])
+    out = connected_components(pairs).to_pandas()
+    comp = dict(zip(out.doc_id, out.component))
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_simhash_hamming():
+    a = simhash64(BASE)
+    b = simhash64(BASE.replace("lazy", "sleepy"))
+    c = simhash64("entirely different material with other topics")
+    assert hamming64(a, a) == 0
+    assert hamming64(a, b) < hamming64(a, c)
+
+
+def test_simhash_near_dup(ray_session):
+    texts = [BASE, BASE, "wholly different content"]
+    out = simhash_near_dup(_docs(texts), max_hamming=3).to_pandas()
+    assert {(0, 1)} == set(zip(out.a, out.b))
+    assert (out.hamming == 0).all()
+
+
+def test_embedding_near_dup(ray_session):
+    rng = np.random.RandomState(0)
+    v = rng.randn(8).astype(np.float32)
+    rows = [
+        {"vec_id": 0, "embedding": list(map(float, v))},
+        {"vec_id": 1, "embedding": list(map(float, v * 2.0))},  # same direction
+        {"vec_id": 2, "embedding": list(map(float, rng.randn(8)))},
+    ]
+    out = embedding_near_dup(rd.from_items(rows), threshold=0.95).to_pandas()
+    assert (0, 1) in set(zip(out.a, out.b))

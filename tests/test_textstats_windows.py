@@ -1,0 +1,167 @@
+"""Text analysis + windowed aggregates + similarity + multimodal stubs."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from graphiti_ray.stages.multimodal import (
+    MediaFeatureExtractor,
+    media_features,
+    synth_media_dataset,
+)
+from graphiti_ray.stages.similarity import knn_brute_force, knn_lsh
+from graphiti_ray.stages.textstats import (
+    language_id,
+    fingerprints,
+    quality_counts,
+    token_stats,
+    winnow_fingerprint,
+)
+from graphiti_ray.stages.windows import session_window, sliding_window, tumbling_window
+
+
+def _docs(texts):
+    return rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+
+
+def test_token_stats(ray_session):
+    out = token_stats(_docs(["a b  c", "hello, world! 42"])).to_pandas()
+    assert out.n_ws_tokens.tolist() == [3, 3]
+    # hello , world ! 42 → 5 regex tokens
+    assert out.n_tokens.tolist() == [3, 5]
+
+
+def test_quality_counts(ray_session):
+    out = quality_counts(_docs(["The cat, the DOG!"])).to_pandas().iloc[0]
+    assert out.n_words == 4
+    assert out.n_stopwords == 2  # 'The' + 'the'
+    assert out.n_punct == 2
+    assert out.n_upper == 4  # T, D, O, G
+
+
+def test_language_id(ray_session):
+    out = language_id(
+        _docs(
+            [
+                "the cat is on the mat and it is warm",
+                "der hund ist mit der katze auf dem sofa und die sonne",
+                "le chat est dans la maison avec les enfants et le chien",
+                "zzz qqq xxx",
+            ]
+        )
+    ).to_pandas()
+    assert out.lang_pred.tolist()[:3] == ["en", "de", "fr"]
+    assert out.lang_pred.tolist()[3] == "und"
+
+
+def test_winnow_fingerprint_properties():
+    fp1 = winnow_fingerprint("the quick brown fox jumps over the lazy dog")
+    fp2 = winnow_fingerprint("the quick brown fox jumps over the lazy dog")
+    assert fp1 == fp2 and len(fp1) > 0
+    # containment: a doc embedded in a larger doc shares most fingerprints
+    small = "some very specific phrase appears here"
+    big = "prefix words then " + small + " and suffix content follows"
+    f_small, f_big = set(winnow_fingerprint(small)), set(winnow_fingerprint(big))
+    assert len(f_small & f_big) / len(f_small) > 0.5
+
+
+def test_fingerprints_stage(ray_session):
+    out = fingerprints(_docs(["abcdefghij", "abcdefghij"])).to_pandas()
+    assert list(out.fp[0]) == list(out.fp[1])
+
+
+def _emb_ds(n=50, dim=8, seed=3):
+    rng = np.random.RandomState(seed)
+    return rd.from_items(
+        [
+            {"vec_id": i, "embedding": list(map(float, rng.randn(dim)))}
+            for i in range(n)
+        ]
+    )
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    ds = _emb_ds()
+    out = knn_brute_force(ds, n_queries=3, k=5).to_pandas()
+    # reference computation
+    df = ds.to_pandas()
+    mat = np.stack(df.embedding.map(np.array))
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat[:3].T, 6)
+    for q in range(3):
+        order = np.lexsort((df.vec_id.to_numpy(), -sims[:, q]))[:5]
+        want = [int(df.vec_id.iloc[i]) for i in order]
+        got = out[out.query_id == q].sort_values("rank").vec_id.tolist()
+        assert got == want
+    # self always rank 1 with cosine 1.0
+    self_rows = out[(out.query_id == out.vec_id)]
+    assert (self_rows["rank"] == 1).all()
+
+
+def test_knn_lsh_subset_quality(ray_session):
+    ds = _emb_ds(n=100)
+    out = knn_lsh(ds, n_queries=5, k=5).to_pandas()
+    # self-match must survive bucketing (query is in its own bucket)
+    for q in out.query_id.unique():
+        sub = out[out.query_id == q]
+        assert int(sub[sub["rank"] == 1].vec_id.iloc[0]) == q
+
+
+def test_tumbling_window(ray_session):
+    t0 = datetime(2024, 1, 1)
+    ev = rd.from_items(
+        [
+            {"user_id": 1, "ts": t0 + timedelta(seconds=s), "value": v}
+            for s, v in [(0, 1), (599, 2), (600, 10), (1800, 5)]
+        ]
+    )
+    out = tumbling_window(ev, size_s=600).to_pandas().sort_values("window_start")
+    assert out.n_events.tolist() == [2, 1, 1]
+    assert out.sum_value.tolist() == [3, 10, 5]
+
+
+def test_sliding_window(ray_session):
+    t0 = datetime(2024, 1, 1)
+    ev = rd.from_items([{"user_id": 1, "ts": t0 + timedelta(seconds=650), "value": 7}])
+    out = sliding_window(ev, size_s=600, slide_s=300).to_pandas()
+    # event at 650s belongs to windows starting at 600 and 300
+    starts = sorted((out.window_start - np.datetime64(t0)).dt.total_seconds())
+    assert starts == [300.0, 600.0]
+
+
+def test_session_window(ray_session):
+    t0 = datetime(2024, 1, 1)
+    ev = rd.from_items(
+        [
+            {"user_id": 1, "ts": t0 + timedelta(seconds=s)}
+            for s in [0, 100, 200, 5000, 5100]
+        ]
+    )
+    out = session_window(ev, gap_s=1800).to_pandas().sort_values("session_start")
+    assert len(out) == 2
+    assert out.n_events.tolist() == [3, 2]
+
+
+def test_media_features_stub(ray_session):
+    media = synth_media_dataset(n=16)
+    out = media_features(media, batch_size=4).to_pandas()
+    assert len(out) == 16
+    v = np.asarray(out.feature.iloc[0], dtype="float64")
+    assert len(v) == 32 and abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # deterministic across runs
+    out2 = media_features(synth_media_dataset(n=16), batch_size=4).to_pandas()
+    assert np.allclose(
+        np.stack(out.sort_values("media_id").feature.map(np.asarray)),
+        np.stack(out2.sort_values("media_id").feature.map(np.asarray)),
+    )
+
+
+def test_media_decode_not_implemented():
+    import pytest as _pytest
+
+    ex = MediaFeatureExtractor(decode_stub=False)
+    with _pytest.raises(NotImplementedError):
+        ex._decode(b"payload")
