@@ -343,6 +343,82 @@ def _q_lang_doc_stats(sf_dir: str):
     return lang_doc_stats(sf_dir)
 
 
+def _q_graph_degree(sf_dir: str):
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.stages.graph import node_degrees
+
+    tables = build_kg(_pages(sf_dir), embeddings=False)
+    return node_degrees(tables["edges"])
+
+
+def _q_episode_windows(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+
+    from graphiti_ray.stages.extract import episodes_dataset, retrieve_episode_windows
+
+    w = retrieve_episode_windows(episodes_dataset(_pages(sf_dir)), window=3)
+
+    def fmt(df: pd.DataFrame) -> pa.Table:
+        return pa.table(
+            {
+                "uuid": pa.array(df["uuid"], pa.string()),
+                "group_id": pa.array(df["group_id"], pa.string()),
+                "prev_count": pa.array(
+                    [len(p) for p in df["prev_episode_uuids"]], pa.int64()
+                ),
+                "prev_concat": pa.array(
+                    [",".join(p) for p in df["prev_episode_uuids"]], pa.string()
+                ),
+            }
+        )
+
+    return w.map_batches(fmt, batch_format="pandas")
+
+
+def _q_rrf_fusion(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.similarity import knn_brute_force
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ranked = knn_brute_force(emb, n_queries=2, k=50)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = pc.divide(1.0, pc.add(pc.cast(batch.column("rank"), pa.float64()), 1.0))
+        return pa.table({"vec_id": batch.column("vec_id"), "s": s})
+
+    return (
+        ranked.map_batches(score, batch_format="pyarrow")
+        .groupby("vec_id")
+        .aggregate(Sum("s", alias_name="rrf_score"))
+    )
+
+
+def _q_kg_communities(sf_dir: str):
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.stages.graph import build_communities
+
+    tables = build_kg(_pages(sf_dir), embeddings=False)
+    out = build_communities(tables["nodes"], tables["edges"])
+    return out["communities"].select_columns(["uuid", "group_id", "n_members"])
+
+
+def _q_search_hybrid(sf_dir: str):
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.pipelines.search import COMBINED_HYBRID_SEARCH_RRF, KGSearcher
+
+    tables = build_kg(_pages(sf_dir))
+    searcher = KGSearcher.from_tables(tables)
+    res = searcher.search("Alice Smith works at", COMBINED_HYBRID_SEARCH_RRF)
+    return res.edges[["uuid", "group_id", "pred", "fact"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_episodes": _q_kg_episodes,
@@ -362,6 +438,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "lang_doc_stats": _q_lang_doc_stats,
+        "graph_degree": _q_graph_degree,
+        "episode_windows": _q_episode_windows,
+        "rrf_fusion": _q_rrf_fusion,
+        "kg_communities": _q_kg_communities,
+        "search_hybrid": _q_search_hybrid,
     }
 
 
@@ -500,5 +581,47 @@ SELECT lang,
        min(doc_id)::BIGINT AS min_doc_id,
        max(doc_id)::BIGINT AS max_doc_id
 FROM documents GROUP BY lang
+""",
+        "graph_degree": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()}
+SELECT entity_uuid, count(*)::BIGINT AS degree FROM (
+  SELECT subj_uuid AS entity_uuid FROM merged_id
+  UNION ALL
+  SELECT obj_uuid FROM merged_id
+) GROUP BY 1
+""",
+        "episode_windows": f"""
+WITH {_BASE_CTE.lstrip()},
+eps AS (SELECT md5(url) AS uuid, group_id, valid_at FROM base)
+SELECT uuid, group_id,
+       (CASE WHEN lag(uuid, 1) OVER w IS NULL THEN 0
+             WHEN lag(uuid, 2) OVER w IS NULL THEN 1
+             WHEN lag(uuid, 3) OVER w IS NULL THEN 2 ELSE 3 END)::BIGINT
+         AS prev_count,
+       concat_ws(',', lag(uuid, 3) OVER w, lag(uuid, 2) OVER w,
+                 lag(uuid, 1) OVER w) AS prev_concat
+FROM eps
+WINDOW w AS (PARTITION BY group_id ORDER BY valid_at, uuid)
+""",
+        "rrf_fusion": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 2
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT vec_id, sum(1.0 / (rank + 1)) AS rrf_score
+FROM ranked WHERE rank <= 50 GROUP BY vec_id
 """,
     }

@@ -25,8 +25,10 @@ def mention_edges_join(
     m = _with_key(
         mentions.select_columns(["episode_uuid", "group_id", "name"]), "mkey", "name"
     )
-    joined = m.join(
-        cmap, join_type="inner", num_partitions=num_partitions, on=("mkey",)
+    from graphiti_ray.stages.link import safe_join
+
+    joined = safe_join(
+        m, cmap, join_type="inner", num_partitions=num_partitions, on=("mkey",)
     ).drop_columns(["mkey", "name"])
 
     def dedup_batch(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,510 @@
+"""Hybrid search layer over the materialized KG tables (SURVEY §2.9).
+
+Reproduces graphiti's search surface (search/search.py:67-159) without a
+DB: each sub-search (edges / nodes / episodes / communities) is a union of
+methods {bm25, cosine, bfs} → a reranker {rrf, mmr, cross_encoder,
+node_distance, episode_mentions} → limit. Score computation is a
+vectorized pass over the table; candidate sets are over-fetched 2× then
+reranked to limit, like search.py:178-260.
+
+- BM25 ← the Lucene fulltext queries (search_utils.py:144-243): a sidecar
+  index (doc freq + avg len) built in one pass and broadcast (S9 parity:
+  "index build stage").
+- cosine ← the *_similarity_search Cypher (search_utils.py:246-269 etc.),
+  here a numpy dot against the hashing-trick embedding column.
+- RRF (search_utils.py:887-898), MMR (:976-1012), episode-mentions
+  (:946-973), node-distance (:901-943) rerankers are pure kernels; the
+  cross-encoder hook accepts any callable (ST3/ST4 stand-in).
+- Bi-temporal SearchFilters (search_filters.py:41-169): CNF over
+  valid_at/invalid_at/created_at/expired_at + label filter.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+
+from graphiti_ray.stages.embed import embed_texts
+
+DEFAULT_SEARCH_LIMIT = 10  # search_config.py DEFAULT_SEARCH_LIMIT
+RRF_K = 1  # rank offset k in 1/(rank+k), search_utils.py:889 (rank_const)
+MMR_LAMBDA = 0.5
+
+_TOKEN = re.compile(r"\w+")
+
+
+def _tokens(s: str) -> list[str]:
+    return _TOKEN.findall(s.lower())
+
+
+# --- BM25 sidecar index (S9) ----------------------------------------------
+
+
+class BM25Index:
+    """Corpus stats for one text column, built in a single Dataset pass."""
+
+    def __init__(self, n_docs: int, avg_len: float, df: dict[str, int]):
+        self.n = max(1, n_docs)
+        self.avg_len = avg_len or 1.0
+        self.df = df
+
+    def idf(self, term: str) -> float:
+        d = self.df.get(term, 0)
+        return math.log(1.0 + (self.n - d + 0.5) / (d + 0.5))
+
+    def score(self, query_terms: list[str], text: str, k1=1.2, b=0.75) -> float:
+        toks = _tokens(text)
+        if not toks:
+            return 0.0
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        s = 0.0
+        norm = k1 * (1 - b + b * len(toks) / self.avg_len)
+        for q in query_terms:
+            f = tf.get(q, 0)
+            if f:
+                s += self.idf(q) * f * (k1 + 1) / (f + norm)
+        return s
+
+
+def build_bm25_index(ds: rd.Dataset, text_col: str) -> BM25Index:
+    """One combiner pass: per-batch partial (df, n, len) → tiny reduce."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        df: dict[str, int] = {}
+        total_len = 0
+        for t in texts:
+            toks = _tokens(t)
+            total_len += len(toks)
+            for term in set(toks):
+                df[term] = df.get(term, 0) + 1
+        terms = sorted(df)
+        return pa.table(
+            {
+                "term": pa.array(terms + ["\x00n_docs", "\x00total_len"]),
+                "cnt": pa.array(
+                    [df[t] for t in terms] + [len(texts), total_len], pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    stats = dict(zip(agg["term"], agg["cnt"]))
+    n = int(stats.pop("\x00n_docs", 0))
+    total = int(stats.pop("\x00total_len", 0))
+    return BM25Index(n, total / n if n else 1.0, {k: int(v) for k, v in stats.items()})
+
+
+# --- filters (search_filters.py parity) ------------------------------------
+
+
+@dataclass
+class DateFilter:
+    """One comparison; CNF = list-of-lists ORed inside, ANDed outside
+    (search_filters.py:41-169)."""
+
+    date: datetime
+    op: str  # '>', '<', '>=', '<=', '=', '<>', 'is_null', 'is_not_null'
+
+    def apply(self, col: pd.Series) -> pd.Series:
+        if self.op == "is_null":
+            return col.isna()
+        if self.op == "is_not_null":
+            return col.notna()
+        ops = {
+            ">": col > self.date,
+            "<": col < self.date,
+            ">=": col >= self.date,
+            "<=": col <= self.date,
+            "=": col == self.date,
+            "<>": col != self.date,
+        }
+        return ops[self.op]
+
+
+@dataclass
+class SearchFilters:
+    node_labels: list[str] | None = None
+    edge_types: list[str] | None = None
+    valid_at: list[list[DateFilter]] | None = None
+    invalid_at: list[list[DateFilter]] | None = None
+    created_at: list[list[DateFilter]] | None = None
+    expired_at: list[list[DateFilter]] | None = None
+
+    def mask(self, df: pd.DataFrame, kind: str) -> pd.Series:
+        m = pd.Series(True, index=df.index)
+        if kind == "node" and self.node_labels and "labels" in df:
+            want = set(self.node_labels)
+            m &= df["labels"].map(lambda ls: bool(want & set(ls)))
+        if kind == "edge" and self.edge_types and "pred" in df:
+            m &= df["pred"].isin(self.edge_types)
+        for col, cnf in [
+            ("valid_at", self.valid_at),
+            ("invalid_at", self.invalid_at),
+            ("created_at", self.created_at),
+            ("expired_at", self.expired_at),
+        ]:
+            if cnf and col in df:
+                for clause in cnf:  # AND of clauses
+                    ors = pd.Series(False, index=df.index)
+                    for f in clause:  # OR within clause
+                        ors |= f.apply(df[col])
+                    m &= ors
+        return m
+
+
+# --- rerank kernels --------------------------------------------------------
+
+
+def rrf(result_lists: list[list[str]], k: int = RRF_K, min_score: float = 0) -> list[str]:
+    """Reciprocal-rank fusion (search_utils.py:887-898)."""
+    scores: dict[str, float] = {}
+    for lst in result_lists:
+        for rank, uuid in enumerate(lst):
+            scores[uuid] = scores.get(uuid, 0.0) + 1.0 / (rank + k)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [u for u, s in ranked if s >= min_score]
+
+
+def maximal_marginal_relevance(
+    query_vec: np.ndarray,
+    candidates: dict[str, np.ndarray],
+    lambda_param: float = MMR_LAMBDA,
+    min_score: float = -2.0,
+) -> list[str]:
+    """One-shot MMR (search_utils.py:976-1012): score = λ·sim(q,c) −
+    (1−λ)·max_sim(c, already-picked is approximated by *all* others in the
+    reference's one-shot variant)."""
+    uuids = sorted(candidates)
+    if not uuids:
+        return []
+    mat = np.stack([candidates[u] for u in uuids]).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    mat = mat / norms
+    q = query_vec.astype(np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    rel = mat @ (q / qn)
+    sim = mat @ mat.T
+    np.fill_diagonal(sim, -np.inf)
+    max_sim = sim.max(axis=1) if len(uuids) > 1 else np.zeros(len(uuids))
+    mmr = lambda_param * rel - (1 - lambda_param) * max_sim
+    order = sorted(zip(uuids, mmr), key=lambda kv: (-kv[1], kv[0]))
+    return [u for u, s in order if s >= min_score]
+
+
+def episode_mentions_rerank(uuids: list[str], mention_counts: dict[str, int]) -> list[str]:
+    """Most-mentioned-first (search_utils.py:946-973); stable on ties."""
+    return sorted(uuids, key=lambda u: (-mention_counts.get(u, 0), u))
+
+
+def node_distance_rerank(
+    uuids: list[str], distances: dict[str, int], center_uuid: str
+) -> list[str]:
+    """Distance-to-center rerank (search_utils.py:901-943): center scores
+    0.1, unreachable = ∞."""
+
+    def key(u):
+        if u == center_uuid:
+            return 0.1
+        d = distances.get(u)
+        return float(d) if d is not None else float("inf")
+
+    return sorted(uuids, key=lambda u: (key(u), u))
+
+
+# --- search config / entry (search_config.py shapes) ------------------------
+
+
+@dataclass
+class MethodConfig:
+    methods: list[str] = field(default_factory=lambda: ["bm25", "cosine"])
+    reranker: str = "rrf"
+    mmr_lambda: float = MMR_LAMBDA
+    bfs_origin_uuids: list[str] | None = None
+
+
+@dataclass
+class SearchConfig:
+    edge_config: MethodConfig | None = field(default_factory=MethodConfig)
+    node_config: MethodConfig | None = field(default_factory=MethodConfig)
+    episode_config: MethodConfig | None = field(
+        default_factory=lambda: MethodConfig(methods=["bm25"])
+    )
+    community_config: MethodConfig | None = None
+    limit: int = DEFAULT_SEARCH_LIMIT
+    reranker_min_score: float = 0.0
+
+
+# canned recipes (search_config_recipes.py subset)
+COMBINED_HYBRID_SEARCH_RRF = SearchConfig()
+COMBINED_HYBRID_SEARCH_MMR = SearchConfig(
+    edge_config=MethodConfig(reranker="mmr"),
+    node_config=MethodConfig(reranker="mmr"),
+)
+EDGE_HYBRID_SEARCH_RRF = SearchConfig(node_config=None, episode_config=None)
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
+    edge_config=MethodConfig(reranker="node_distance"),
+    node_config=None,
+    episode_config=None,
+)
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
+    edge_config=MethodConfig(reranker="episode_mentions"),
+    node_config=None,
+    episode_config=None,
+)
+NODE_HYBRID_SEARCH_RRF = SearchConfig(edge_config=None, episode_config=None)
+
+
+@dataclass
+class SearchResults:
+    """search_config.py:121-125 shape."""
+
+    edges: pd.DataFrame
+    nodes: pd.DataFrame
+    episodes: pd.DataFrame
+    communities: pd.DataFrame
+
+
+class KGSearcher:
+    """In-memory hybrid searcher over materialized KG tables.
+
+    Tables arrive as Datasets (or DataFrames); score passes are vectorized.
+    Sized for the *output* side of the pipeline (nodes/edges tables are
+    entity-sized, not corpus-sized); the corpus-side search path is the
+    BM25 sidecar + embedding ANN stages (stages/similarity.py).
+    """
+
+    def __init__(
+        self,
+        nodes: pd.DataFrame,
+        edges: pd.DataFrame,
+        episodes: pd.DataFrame,
+        communities: pd.DataFrame | None = None,
+        cross_encoder: Callable[[str, list[str]], list[float]] | None = None,
+    ):
+        self.nodes = nodes
+        self.edges = edges
+        self.episodes = episodes
+        self.communities = (
+            communities if communities is not None else pd.DataFrame()
+        )
+        self.cross_encoder = cross_encoder
+        self._bm25: dict[str, BM25Index] = {}
+
+    @classmethod
+    def from_tables(cls, tables: dict[str, rd.Dataset], **kw) -> "KGSearcher":
+        return cls(
+            nodes=tables["nodes"].to_pandas(),
+            edges=tables["edges"].to_pandas(),
+            episodes=tables["episodes"].to_pandas(),
+            communities=(
+                tables["communities"].to_pandas() if "communities" in tables else None
+            ),
+            **kw,
+        )
+
+    # -- scoring ------------------------------------------------------------
+
+    def _index_for(self, kind: str, df: pd.DataFrame, col: str) -> BM25Index:
+        if kind not in self._bm25:
+            texts = df[col].fillna("").tolist()
+            dfreq: dict[str, int] = {}
+            total = 0
+            for t in texts:
+                toks = _tokens(t)
+                total += len(toks)
+                for term in set(toks):
+                    dfreq[term] = dfreq.get(term, 0) + 1
+            self._bm25[kind] = BM25Index(
+                len(texts), total / len(texts) if texts else 1.0, dfreq
+            )
+        return self._bm25[kind]
+
+    def _bm25_rank(self, df, kind, col, query, group_ids, flt, f_kind, limit):
+        idx = self._index_for(kind, df, col)
+        q = _tokens(query)
+        sub = df
+        if group_ids:
+            sub = sub[sub["group_id"].isin(group_ids)]
+        if flt is not None:
+            sub = sub[flt.mask(sub, f_kind)]
+        scores = sub[col].fillna("").map(lambda t: idx.score(q, t))
+        sub = sub.assign(_score=scores)
+        sub = sub[sub._score > 0].sort_values(
+            ["_score", "uuid"], ascending=[False, True], kind="mergesort"
+        )
+        return sub["uuid"].head(limit).tolist()
+
+    def _cosine_rank(self, df, col, query_vec, group_ids, flt, f_kind, limit, min_sim=0.0):
+        sub = df
+        if group_ids:
+            sub = sub[sub["group_id"].isin(group_ids)]
+        if flt is not None:
+            sub = sub[flt.mask(sub, f_kind)]
+        sub = sub[sub[col].notna()]
+        if sub.empty:
+            return []
+        mat = np.stack(sub[col].map(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1
+        q = query_vec.astype(np.float64)
+        qn = np.linalg.norm(q) or 1.0
+        sims = (mat / norms) @ (q / qn)
+        sub = sub.assign(_score=np.round(sims, 9))
+        sub = sub[sub._score >= min_sim].sort_values(
+            ["_score", "uuid"], ascending=[False, True], kind="mergesort"
+        )
+        return sub["uuid"].head(limit).tolist()
+
+    # -- sub-searches (union of methods → rerank → limit) -------------------
+
+    def _run(
+        self,
+        kind: str,
+        df: pd.DataFrame,
+        text_col: str,
+        emb_col: str | None,
+        cfg: MethodConfig,
+        query: str,
+        query_vec: np.ndarray,
+        group_ids,
+        flt,
+        limit: int,
+        center_uuid: str | None,
+    ) -> pd.DataFrame:
+        if df.empty:
+            return df
+        over = 2 * limit  # over-fetch then rerank (search.py:178)
+        lists = []
+        if "bm25" in cfg.methods:
+            lists.append(
+                self._bm25_rank(df, kind, text_col, query, group_ids, flt, kind, over)
+            )
+        if "cosine" in cfg.methods and emb_col and emb_col in df:
+            lists.append(
+                self._cosine_rank(df, emb_col, query_vec, group_ids, flt, kind, over)
+            )
+        if "bfs" in cfg.methods and cfg.bfs_origin_uuids and kind == "edge":
+            origin = set(cfg.bfs_origin_uuids)
+            hit = df[df["subj_uuid"].isin(origin) | df["obj_uuid"].isin(origin)]
+            lists.append(hit["uuid"].head(over).tolist())
+
+        if cfg.reranker == "rrf":
+            ranked = rrf(lists)
+        elif cfg.reranker == "mmr":
+            cand = set().union(*map(set, lists)) if lists else set()
+            sub = df[df["uuid"].isin(cand)]
+            vecs = {
+                r.uuid: np.asarray(getattr(r, emb_col), dtype=np.float64)
+                for r in sub.itertuples(index=False)
+            } if emb_col and emb_col in df else {}
+            ranked = maximal_marginal_relevance(query_vec, vecs, cfg.mmr_lambda)
+        elif cfg.reranker == "episode_mentions":
+            cand = rrf(lists)
+            counts = (
+                dict(zip(df["uuid"], df["episode_count"]))
+                if "episode_count" in df
+                else dict(zip(df["uuid"], df.get("mention_count", 0)))
+            )
+            ranked = episode_mentions_rerank(cand, counts)
+        elif cfg.reranker == "node_distance":
+            assert center_uuid, "node_distance reranker needs center_node_uuid"
+            cand = rrf(lists)
+            dist = self._distances(center_uuid)
+            if kind == "edge":
+                edge_d = {
+                    r.uuid: min(
+                        dist.get(r.subj_uuid, float("inf")),
+                        dist.get(r.obj_uuid, float("inf")),
+                    )
+                    for r in df[df["uuid"].isin(cand)].itertuples(index=False)
+                }
+                ranked = sorted(cand, key=lambda u: (edge_d.get(u, float("inf")), u))
+            else:
+                ranked = node_distance_rerank(cand, dist, center_uuid)
+        elif cfg.reranker == "cross_encoder" and self.cross_encoder is not None:
+            cand = rrf(lists)
+            sub = df[df["uuid"].isin(cand)]
+            passages = sub[text_col].fillna("").tolist()
+            scores = self.cross_encoder(query, passages)
+            order = sorted(
+                zip(sub["uuid"], scores), key=lambda kv: (-kv[1], kv[0])
+            )
+            ranked = [u for u, _ in order]
+        else:
+            ranked = rrf(lists)
+
+        ranked = ranked[:limit]
+        out = df[df["uuid"].isin(ranked)].copy()
+        pos = {u: i for i, u in enumerate(ranked)}
+        out["_rank"] = out["uuid"].map(pos)
+        return out.sort_values("_rank").drop(columns=["_rank"]).reset_index(drop=True)
+
+    def _distances(self, center_uuid: str) -> dict[str, int]:
+        # in-memory BFS over the edge frame (bounded MAX_SEARCH_DEPTH=3)
+        adj: dict[str, set[str]] = {}
+        for r in self.edges.itertuples(index=False):
+            adj.setdefault(r.subj_uuid, set()).add(r.obj_uuid)
+            adj.setdefault(r.obj_uuid, set()).add(r.subj_uuid)
+        dist = {center_uuid: 0}
+        frontier = [center_uuid]
+        for d in range(1, 4):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    def search(
+        self,
+        query: str,
+        config: SearchConfig = COMBINED_HYBRID_SEARCH_RRF,
+        group_ids: list[str] | None = None,
+        center_node_uuid: str | None = None,
+        search_filter: SearchFilters | None = None,
+    ) -> SearchResults:
+        """The 4-way fan-out entry (graphiti.py:624-681 / search.py:67-159)."""
+        qv = embed_texts([query])[0]
+        limit = config.limit
+        empty = pd.DataFrame()
+
+        def run(kind, df, text_col, emb_col, cfg):
+            if cfg is None or df is None or len(df) == 0:
+                return empty
+            return self._run(
+                kind, df, text_col, emb_col, cfg, query, qv, group_ids,
+                search_filter, limit, center_node_uuid,
+            )
+
+        return SearchResults(
+            edges=run("edge", self.edges, "fact", "fact_embedding", config.edge_config),
+            nodes=run("node", self.nodes, "name", "name_embedding", config.node_config),
+            episodes=run(
+                "episode", self.episodes, "content", None, config.episode_config
+            ),
+            communities=run(
+                "community", self.communities, "summary", None, config.community_config
+            ),
+        )

@@ -260,9 +260,11 @@ def connected_components(
         batch_format="pyarrow",
     ).materialize()
     for _ in range(max_rounds):
-        lab2 = labels.rename_columns({"x": "y2", "lbl": "nlbl"})
-        prop = sym.join(
-            lab2, join_type="inner", num_partitions=8, on=("y",), right_on=("y2",)
+        from graphiti_ray.stages.link import safe_join
+
+        lab2 = labels.rename_columns({"x": "y", "lbl": "nlbl"})
+        prop = safe_join(
+            sym, lab2, join_type="inner", num_partitions=8, on=("y",)
         ).select_columns(["x", "nlbl"])
         merged = (
             labels.rename_columns({"lbl": "nlbl"})

@@ -1,0 +1,270 @@
+"""Graph-structural operators over the materialized edge table (SURVEY §2.8).
+
+- ``node_degrees``        per-entity incident-edge counts (G3 shape)
+- ``bfs_frontier``        depth-bounded BFS via iterative hash joins (G1,
+                          edge_bfs_search/node_bfs_search
+                          search_utils.py:272-324,427-463, MAX_DEPTH=3)
+- ``node_distances``      shortest-path hops from a center node (G2,
+                          search_utils.py:912-916) — bounded BFS rounds
+- ``label_propagation``   community detection (A4,
+                          community_operations.py:79-125): each node adopts
+                          the plurality community among neighbors
+                          (edge-count weighted, ties → larger id) until
+                          fixpoint
+- ``build_communities``   communities + HAS_MEMBER edges + deterministic
+                          tree-reduced summaries (A5,
+                          community_operations.py:154-193 — pairwise merge,
+                          here a deterministic concat-merge instead of LLM)
+
+Iteration is driver-orchestrated bounded rounds (Ray Data has no native
+loops); each round is one keyed shuffle. Edge lists are symmetrized once
+up front.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Min, Sum
+
+from graphiti_ray.functions.text import md5_hex
+
+
+def ensure_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Coerce every block to an explicit Arrow schema.
+
+    pandas ``map_groups`` outputs can contain schema-less empty blocks;
+    feeding those into ``Dataset.join`` makes the per-partition pyarrow
+    join fail with "No match for key field". This pass rebuilds each batch
+    (including empties) with the pinned schema."""
+
+    def coerce(df: pd.DataFrame) -> pa.Table:
+        cols = {}
+        for f in schema:
+            if f.name in df.columns:
+                cols[f.name] = pa.array(df[f.name], f.type)
+            else:
+                cols[f.name] = pa.array([None] * len(df), f.type)
+        return pa.table(cols)
+
+    return ds.map_batches(coerce, batch_format="pandas")
+
+
+def _symmetric(edges: rd.Dataset, src="subj_uuid", dst="obj_uuid") -> rd.Dataset:
+    def sym(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": pa.concat_arrays(
+                    [batch.column(src).combine_chunks(), batch.column(dst).combine_chunks()]
+                ),
+                "y": pa.concat_arrays(
+                    [batch.column(dst).combine_chunks(), batch.column(src).combine_chunks()]
+                ),
+            }
+        )
+
+    return edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def node_degrees(edges: rd.Dataset, src="subj_uuid", dst="obj_uuid") -> rd.Dataset:
+    """(entity_uuid, degree): incident edge count, both directions.
+    Pre-aggregated per batch before the keyed shuffle."""
+    sym = _symmetric(edges, src, dst)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["x"]).aggregate([([], "count_all")])
+        return t.rename_columns(["entity_uuid", "p_n"])
+
+    return (
+        sym.map_batches(partial, batch_format="pyarrow")
+        .groupby("entity_uuid")
+        .aggregate(Sum("p_n", alias_name="degree"))
+    )
+
+
+def bfs_frontier(
+    edges: rd.Dataset,
+    origin_uuids: list[str],
+    max_depth: int = 3,
+    src="subj_uuid",
+    dst="obj_uuid",
+) -> pd.DataFrame:
+    """Nodes reachable within max_depth hops: (entity_uuid, depth).
+
+    Frontier expansion via broadcast membership filter per round — the
+    frontier is small relative to the edge table, so each round is one
+    streaming pass over edges, no all-to-all. Returns a pandas frame
+    (result is frontier-sized)."""
+    sym = _symmetric(edges, src, dst).materialize()
+    dist: dict[str, int] = {u: 0 for u in origin_uuids}
+    frontier = set(origin_uuids)
+    for depth in range(1, max_depth + 1):
+        if not frontier:
+            break
+        import ray
+
+        fref = ray.put(frontier)
+
+        class Step:
+            def __init__(self, ref):
+                import ray as _r
+
+                self.frontier = _r.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                xs = batch.column("x").to_pylist()
+                ys = batch.column("y").to_pylist()
+                nxt = sorted({y for x, y in zip(xs, ys) if x in self.frontier})
+                return pa.table({"y": pa.array(nxt, pa.string())})
+
+        reached = sym.map_batches(
+            Step, fn_constructor_args=(fref,), batch_format="pyarrow",
+            concurrency=(1, 4),
+        ).to_pandas()
+        nxt = {y for y in reached["y"] if y not in dist}
+        for y in nxt:
+            dist[y] = depth
+        frontier = nxt
+    return pd.DataFrame(
+        sorted(dist.items()), columns=["entity_uuid", "depth"]
+    )
+
+
+def node_distances(
+    edges: rd.Dataset, center_uuid: str, max_depth: int = 3
+) -> pd.DataFrame:
+    """Hop distance from a center node (node_distance reranker input)."""
+    return bfs_frontier(edges, [center_uuid], max_depth)
+
+
+def label_propagation(
+    edges: rd.Dataset,
+    max_rounds: int = 10,
+    src="subj_uuid",
+    dst="obj_uuid",
+) -> rd.Dataset:
+    """(entity_uuid, community): plurality-neighbor label propagation.
+
+    Reference semantics (community_operations.py:79-125): each node adopts
+    the most frequent community among its neighbors, weighted by edge
+    count; ties break to the LARGER community id; iterate to fixpoint.
+    Labels are the md5 uuids; initial community = own uuid.
+    """
+    sym = _symmetric(edges, src, dst)
+    # neighbor multiplicity: (x, y, w)
+    weights = (
+        sym.groupby(["x", "y"]).aggregate(Count(alias_name="w")).materialize()
+    )
+    labels = weights.groupby("x").aggregate(Min("y", alias_name="_drop")).map_batches(
+        lambda t: pa.table(
+            {"node": t.column("x"), "community": t.column("x")}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_rounds):
+        # NOTE: same-name join keys on both sides — ray 2.49's hash-shuffle
+        # join mis-resolves differing right_on names at finalize
+        from graphiti_ray.stages.link import safe_join
+
+        lab = labels.rename_columns({"node": "y", "community": "nbr_comm"})
+        msgs = safe_join(
+            weights, lab, join_type="inner", num_partitions=8, on=("y",)
+        ).select_columns(["x", "nbr_comm", "w"])
+
+        def vote(g: pd.DataFrame) -> pd.DataFrame:
+            tally = g.groupby("nbr_comm")["w"].sum()
+            best = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))
+            # ties → larger id: sort by (-count, id) takes smaller id; the
+            # reference picks the larger community on ties
+            top_count = best[0][1]
+            winner = max(c for c, n in best if n == top_count)
+            return pd.DataFrame({"node": [g["x"].iloc[0]], "community": [winner]})
+
+        new_labels = ensure_schema(
+            msgs.groupby("x").map_groups(vote, batch_format="pandas"),
+            pa.schema([("node", pa.string()), ("community", pa.string())]),
+        ).materialize()
+        old = dict(
+            zip(*(lambda d: (d["node"], d["community"]))(labels.to_pandas()))
+        )
+        new = dict(
+            zip(*(lambda d: (d["node"], d["community"]))(new_labels.to_pandas()))
+        )
+        labels = new_labels
+        if old == new:
+            break
+    return labels
+
+
+def build_communities(
+    nodes: rd.Dataset, edges: rd.Dataset, max_rounds: int = 10
+) -> dict[str, rd.Dataset]:
+    """CommunityNode + HAS_MEMBER tables (community_operations.py:128-193).
+
+    Summaries are deterministic tree-reductions: member summaries are
+    pairwise concat-merged in sorted order, halving until one remains —
+    the same reduction shape as the reference's LLM summarizer (A5), with
+    a pure merge function.
+    """
+    comm = label_propagation(edges, max_rounds=max_rounds)
+    members = comm.rename_columns({"node": "entity_uuid"})
+
+    # rename via an arrow map: ray 2.49's Project rename fails on pandas
+    # blocks ('DataFrame' has no attribute 'rename_columns')
+    node_info = nodes.select_columns(
+        ["uuid", "name", "group_id", "summary"]
+    ).map_batches(
+        lambda t: t.rename_columns(["entity_uuid", "name", "group_id", "summary"]),
+        batch_format="pyarrow",
+    )
+    from graphiti_ray.stages.link import safe_join
+
+    joined = safe_join(
+        members, node_info, join_type="inner", num_partitions=8, on=("entity_uuid",)
+    )
+
+    def to_community(g: pd.DataFrame) -> pd.DataFrame:
+        cid = g["community"].iloc[0]
+        names = sorted(g["name"])
+        # pairwise tree reduction of member summaries (A5 shape)
+        level = sorted(g["summary"])
+        while len(level) > 1:
+            nxt = [
+                level[i] if i + 1 >= len(level) else f"{level[i]} | {level[i+1]}"
+                for i in range(0, len(level), 2)
+            ]
+            level = nxt
+        return pd.DataFrame(
+            {
+                "uuid": [md5_hex(f"community|{cid}")],
+                "name": [f"Community of {names[0]}" if names else "Community"],
+                "group_id": [g["group_id"].iloc[0]],
+                "summary": [level[0] if level else ""],
+                "n_members": [len(g)],
+            }
+        )
+
+    communities = joined.groupby("community").map_groups(
+        to_community, batch_format="pandas"
+    )
+
+    def member_edges(batch: pa.Table) -> pa.Table:
+        comms = batch.column("community").to_pylist()
+        ents = batch.column("entity_uuid").to_pylist()
+        return pa.table(
+            {
+                "uuid": pa.array(
+                    [md5_hex(f"hm|{c}|{e}") for c, e in zip(comms, ents)], pa.string()
+                ),
+                "community_uuid": pa.array(
+                    [md5_hex(f"community|{c}") for c in comms], pa.string()
+                ),
+                "entity_uuid": pa.array(ents, pa.string()),
+            }
+        )
+
+    has_member = members.map_batches(member_edges, batch_format="pyarrow")
+    return {"communities": communities, "community_edges": has_member}

@@ -48,6 +48,50 @@ def default_join_partitions() -> int:
         cpus = 4
     return max(2, min(16, cpus // 2))
 
+def _drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Remove zero-row blocks (which carry NO schema in ray 2.49).
+
+    Aggregates emit an empty block per empty hash partition; ``map_batches``
+    SKIPS empty blocks (so they can't be coerced), and ``Dataset.join``'s
+    per-partition pyarrow join dies on a schema-less table with "No match
+    for key field … on right side". Materializes and rebuilds from the
+    non-empty block refs (cheap: metadata-only filter)."""
+    mat = ds.materialize()
+    refs = []
+    try:
+        for bundle in mat.iter_internal_ref_bundles():
+            for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+                if meta.num_rows:
+                    refs.append(block_ref)
+    except Exception:
+        return mat
+    if not refs:
+        return mat
+    return rd.from_arrow_refs(refs)
+
+
+def safe_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    *,
+    join_type: str,
+    num_partitions: int,
+    on: tuple,
+    **kw,
+) -> rd.Dataset:
+    """Dataset.join with both 2.49 landmines defused: empty schema-less
+    blocks dropped from both sides, and identical key names required on
+    both sides (right_on name resolution is broken upstream)."""
+    assert "right_on" not in kw, "rename the right key to match `on` instead"
+    return _drop_empty_blocks(left).join(
+        _drop_empty_blocks(right),
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        **kw,
+    )
+
+
 _INITIAL_RE = re.compile(r"^[A-Z]\. ")
 
 _LABEL_PRIORITY = {"Person": 0, "Organization": 1, "Place": 2, "Entity": 3}
@@ -205,7 +249,8 @@ def apply_canonical(
     t = _with_key(triples, "subj_key", "subj_name")
     t = _with_key(t, "obj_key", "obj_name")
 
-    t = t.join(
+    t = safe_join(
+        t,
         cmap_s,
         join_type="inner",
         num_partitions=num_partitions,
@@ -214,7 +259,8 @@ def apply_canonical(
     ).rename_columns(
         {"canonical": "subj_canonical", "entity_uuid": "subj_uuid"}
     )
-    t = t.join(
+    t = safe_join(
+        t,
         cmap_o,
         join_type="inner",
         num_partitions=num_partitions,
@@ -381,13 +427,16 @@ def compress_mapping(
         num_partitions = default_join_partitions()
     m = mapping.select_columns(["uuid", "parent"])
     for _ in range(max_rounds):
-        parents = m.rename_columns({"uuid": "p_uuid", "parent": "grandparent"})
-        joined = m.join(
+        # same-name key join (ray 2.49 right_on name resolution is buggy)
+        parents = m.rename_columns({"parent": "grandparent"}).rename_columns(
+            {"uuid": "parent"}
+        )
+        joined = safe_join(
+            m,
             parents,
             join_type="left_outer",
             num_partitions=num_partitions,
             on=("parent",),
-            right_on=("p_uuid",),
         )
 
         def jump(batch: pa.Table) -> pa.Table:

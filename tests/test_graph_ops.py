@@ -1,0 +1,69 @@
+"""Graph-structural operators: degrees, BFS, label propagation, communities."""
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from graphiti_ray.stages.graph import (
+    bfs_frontier,
+    build_communities,
+    label_propagation,
+    node_degrees,
+    node_distances,
+)
+
+
+def _edges(pairs):
+    return rd.from_items([{"subj_uuid": a, "obj_uuid": b} for a, b in pairs])
+
+
+def test_node_degrees(ray_session):
+    out = node_degrees(_edges([("a", "b"), ("a", "c"), ("b", "c")])).to_pandas()
+    deg = dict(zip(out.entity_uuid, out.degree))
+    assert deg == {"a": 2, "b": 2, "c": 2}
+
+
+def test_bfs_frontier_depths(ray_session):
+    # chain a-b-c-d-e: from a, depth 3 reaches d but not e
+    out = bfs_frontier(
+        _edges([("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]), ["a"], max_depth=3
+    )
+    d = dict(zip(out.entity_uuid, out.depth))
+    assert d == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_node_distances_center(ray_session):
+    out = node_distances(_edges([("x", "y"), ("y", "z")]), "x")
+    d = dict(zip(out.entity_uuid, out.depth))
+    assert d["x"] == 0 and d["y"] == 1 and d["z"] == 2
+
+
+def test_label_propagation_two_cliques(ray_session):
+    # two triangles joined by nothing → two communities
+    pairs = [("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"), ("y", "z"), ("x", "z")]
+    out = label_propagation(_edges(pairs)).to_pandas()
+    comm = dict(zip(out.node, out.community))
+    assert comm["a"] == comm["b"] == comm["c"]
+    assert comm["x"] == comm["y"] == comm["z"]
+    assert comm["a"] != comm["x"]
+
+
+def test_build_communities(ray_session):
+    nodes = rd.from_items(
+        [
+            {"uuid": u, "name": f"N{u}", "group_id": "g", "summary": f"S{u}"}
+            for u in ["a", "b", "c"]
+        ]
+    )
+    edges = _edges([("a", "b"), ("b", "c"), ("a", "c")])
+    out = build_communities(nodes, edges)
+    comms = out["communities"].to_pandas()
+    members = out["community_edges"].to_pandas()
+    assert len(comms) == 1
+    assert comms.iloc[0].n_members == 3
+    assert len(members) == 3
+    assert set(members.entity_uuid) == {"a", "b", "c"}
+    # deterministic tree-reduced summary contains every member summary
+    for s in ["Sa", "Sb", "Sc"]:
+        assert s in comms.iloc[0].summary

@@ -1,0 +1,154 @@
+"""Search layer: RRF/MMR/rerankers kernels (FIXTURES F6) + hybrid search
+end-to-end over a small built graph."""
+
+from datetime import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from graphiti_ray.pipelines.search import (
+    BM25Index,
+    COMBINED_HYBRID_SEARCH_MMR,
+    COMBINED_HYBRID_SEARCH_RRF,
+    DateFilter,
+    EDGE_HYBRID_SEARCH_EPISODE_MENTIONS,
+    KGSearcher,
+    SearchFilters,
+    episode_mentions_rerank,
+    maximal_marginal_relevance,
+    node_distance_rerank,
+    rrf,
+)
+
+
+def test_rrf_hand_computed():
+    # uuid b: ranks 0 and 1 → 1/1 + 1/2 = 1.5 ; a: 1/1 = 1.0 ; c: 1/2 = 0.5
+    out = rrf([["b", "c"], ["a", "b"]])
+    assert out == ["b", "a", "c"]
+
+
+def test_rrf_deterministic_tiebreak():
+    out = rrf([["a"], ["b"]])
+    assert out == ["a", "b"]  # equal scores → uuid order
+
+
+def test_mmr_lambda_extremes():
+    q = np.array([1.0, 0.0])
+    cands = {
+        "dup1": np.array([1.0, 0.0]),
+        "dup2": np.array([1.0, 0.001]),
+        "diverse": np.array([0.6, 0.8]),
+    }
+    # λ=1 → pure relevance: exact match first
+    rel_first = maximal_marginal_relevance(q, cands, lambda_param=1.0)
+    assert rel_first[0] in ("dup1", "dup2")
+    # λ=0 → pure anti-redundancy: the diverse vector wins (one-shot MMR,
+    # score = -max pairwise sim; dups score ≈ -1, diverse ≈ -0.6)
+    div_first = maximal_marginal_relevance(q, cands, lambda_param=0.0)
+    assert div_first[0] == "diverse"
+
+
+def test_episode_mentions_rerank():
+    assert episode_mentions_rerank(["a", "b", "c"], {"a": 1, "b": 5}) == ["b", "a", "c"]
+
+
+def test_node_distance_rerank():
+    out = node_distance_rerank(["x", "y", "center"], {"x": 2, "y": 1}, "center")
+    assert out == ["center", "y", "x"]
+
+
+def test_bm25_index_ranks_rarer_terms_higher():
+    idx = BM25Index(
+        n_docs=10, avg_len=5, df={"common": 9, "rare": 1}
+    )
+    assert idx.idf("rare") > idx.idf("common")
+    assert idx.score(["rare"], "rare words here") > idx.score(
+        ["common"], "common words here"
+    )
+
+
+def test_date_filter_ops():
+    s = pd.Series([datetime(2024, 1, 1), datetime(2024, 6, 1), pd.NaT])
+    assert DateFilter(datetime(2024, 3, 1), ">").apply(s).tolist() == [
+        False,
+        True,
+        False,
+    ]
+    assert DateFilter(None, "is_null").apply(s).tolist() == [False, False, True]
+
+
+@pytest.fixture(scope="module")
+def searcher(ray_session):
+    from graphiti_ray.pipelines.kg import build_kg
+    from tests.test_pipeline_e2e import _pages_table
+
+    T = [datetime(2024, 1, d + 1) for d in range(6)]
+    pages = rd.from_arrow(
+        _pages_table(
+            [
+                ("Alice Smith works at Acme Corp.", "g1", T[0]),
+                ("Alice Smith likes Bob Jones.", "g1", T[1]),
+                ("Bob Jones works at Globex Inc.", "g1", T[2]),
+                ("Acme Corp is located in Paris.", "g1", T[3]),
+                ("Alice Smith likes Bob Jones.", "g1", T[4]),
+            ]
+        )
+    )
+    tables = build_kg(pages, num_partitions=2, nlp_concurrency=(1, 2))
+    return KGSearcher.from_tables(tables)
+
+
+def test_hybrid_node_search(searcher):
+    res = searcher.search("Alice Smith", COMBINED_HYBRID_SEARCH_RRF)
+    assert res.nodes.iloc[0]["name"] == "Alice Smith"
+
+
+def test_hybrid_edge_search_finds_fact(searcher):
+    res = searcher.search("works at Acme", COMBINED_HYBRID_SEARCH_RRF)
+    assert any("works at" in f for f in res.edges["fact"])
+
+
+def test_episode_mentions_reranker_prefers_repeated_fact(searcher):
+    res = searcher.search("likes", EDGE_HYBRID_SEARCH_EPISODE_MENTIONS)
+    top = res.edges.iloc[0]
+    assert top["pred"] == "LIKES" and top["episode_count"] == 2
+
+
+def test_mmr_recipe_runs(searcher):
+    res = searcher.search("Alice", COMBINED_HYBRID_SEARCH_MMR)
+    assert len(res.nodes) >= 1
+
+
+def test_group_scope(searcher):
+    res = searcher.search(
+        "Alice Smith", COMBINED_HYBRID_SEARCH_RRF, group_ids=["nope.example.com"]
+    )
+    assert res.nodes.empty and res.edges.empty
+
+
+def test_temporal_filter(searcher):
+    flt = SearchFilters(
+        valid_at=[[DateFilter(datetime(2024, 1, 3), ">=")]]
+    )
+    res = searcher.search("works at", COMBINED_HYBRID_SEARCH_RRF, search_filter=flt)
+    assert (res.edges["valid_at"] >= datetime(2024, 1, 3)).all()
+
+
+def test_cross_encoder_hook(searcher):
+    def fake_ce(query, passages):
+        return [float(query.split()[0] in p) for p in passages]
+
+    searcher.cross_encoder = fake_ce
+    from graphiti_ray.pipelines.search import MethodConfig, SearchConfig
+
+    cfg = SearchConfig(
+        edge_config=MethodConfig(reranker="cross_encoder"),
+        node_config=None,
+        episode_config=None,
+    )
+    res = searcher.search("Paris located", cfg)
+    if len(res.edges):
+        assert "Paris" in res.edges.iloc[0]["fact"]
