@@ -63,7 +63,7 @@ def build_kg(
     pages: rd.Dataset,
     run_ts: datetime = DEFAULT_RUN_TS,
     num_partitions: int | None = None,
-    nlp_concurrency=(1, 8),
+    nlp_concurrency=None,
     embeddings: bool = True,
 ) -> dict[str, rd.Dataset]:
     """All KG tables as datasets from an in-memory pages input.
@@ -111,8 +111,11 @@ def run_kg(
     out_root: str,
     run_ts: datetime = DEFAULT_RUN_TS,
     num_partitions: int | None = None,
-    nlp_concurrency=(1, 8),
+    nlp_concurrency=None,
     embeddings: bool = True,
+    replicate: int = 1,
+    num_blocks: int | None = None,
+    concurrent_stages: bool = False,
 ) -> list[dict]:
     """Checkpointed staged run: every stage boundary is a parquet table with
     lineage + metrics; a rerun skips completed tables (resumability
@@ -121,6 +124,7 @@ def run_kg(
         checkpointed_write,
         is_complete,
         read_table,
+        table_rows,
     )
 
     lineage = {
@@ -139,7 +143,13 @@ def run_kg(
         else:
             metrics.append(checkpointed_write(make(), out_root, name, lineage, **kw))
 
-    stage("episodes", lambda: episodes_dataset(pages_dataset(sf_dir), run_ts=run_ts))
+    stage(
+        "episodes",
+        lambda: episodes_dataset(
+            pages_dataset(sf_dir, replicate=replicate, num_blocks=num_blocks),
+            run_ts=run_ts,
+        ),
+    )
     episodes = read_table(out_root, "episodes")
 
     stage(
@@ -156,9 +166,8 @@ def run_kg(
         nodes = nodes_from_canonical(canon)
         return with_embedding(nodes, "name", "name_embedding") if embeddings else nodes
 
-    stage("nodes", make_nodes)
-
-    use_broadcast = canon.count() <= BROADCAST_LIMIT
+    n_canon = table_rows(out_root, "canonical_map")
+    use_broadcast = (n_canon or 0) <= BROADCAST_LIMIT
     lut = canon_lookup_ref(canon) if use_broadcast else None
 
     def make_mention_edges():
@@ -167,8 +176,6 @@ def run_kg(
         from graphiti_ray.pipelines._joins import mention_edges_join
 
         return mention_edges_join(mentions, canon, num_partitions)
-
-    stage("mention_edges", make_mention_edges)
 
     def make_edges():
         if use_broadcast:
@@ -180,5 +187,24 @@ def run_kg(
             edges = with_embedding(edges, "fact", "fact_embedding")
         return episodes_to_list(edges)
 
-    stage("edges", make_edges)
+    # nodes / mention_edges / edges only depend on (extracted, canon); they
+    # can run concurrently (one thread per checkpointed write) — measured to
+    # help under-provisioned sessions but to HURT a fully-provisioned one
+    # (competing streaming executors thrash the object store), so default
+    # sequential.
+    if concurrent_stages:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(stage, "nodes", make_nodes),
+                pool.submit(stage, "mention_edges", make_mention_edges),
+                pool.submit(stage, "edges", make_edges),
+            ]
+            for f in futs:
+                f.result()
+    else:
+        stage("nodes", make_nodes)
+        stage("mention_edges", make_mention_edges)
+        stage("edges", make_edges)
     return metrics

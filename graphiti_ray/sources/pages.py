@@ -90,15 +90,51 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_documents(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+def read_documents(
+    sf_dir: str,
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+) -> rd.Dataset:
+    kw = {"override_num_blocks": num_blocks} if num_blocks else {}
     return rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=columns or ["doc_id", "text", "lang", "source"],
+        **kw,
     )
 
 
-def pages_dataset(sf_dir: str) -> rd.Dataset:
+def replicate_documents(docs: rd.Dataset, factor: int) -> rd.Dataset:
+    """Deterministic ×factor corpus scale-up for benchmarking: replica r of
+    doc d gets doc_id d + r·100_000 — the pg1 arithmetic then derives
+    *different* facts/aliases per replica (modular), and warc_ts shifts by
+    ~11 years per replica. Correctness queries never replicate; this is the
+    bench path only (documents.parquet is a single small file, so compute
+    must be scaled to measure scheduling, not constant overheads)."""
+    if factor <= 1:
+        return docs
+
+    def rep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = []
+        for r in range(factor):
+            t = batch.set_column(
+                batch.column_names.index("doc_id"),
+                "doc_id",
+                pc.add(batch.column("doc_id"), r * 100_000),
+            )
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    return docs.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pages_dataset(
+    sf_dir: str, replicate: int = 1, num_blocks: int | None = None
+) -> rd.Dataset:
     """The synthetic pages input as a streaming Dataset (no materialization)."""
-    return read_documents(sf_dir).map_batches(
+    docs = read_documents(sf_dir, num_blocks=num_blocks)
+    docs = replicate_documents(docs, replicate)
+    return docs.map_batches(
         documents_to_pages, batch_format="pyarrow", zero_copy_batch=True
     )

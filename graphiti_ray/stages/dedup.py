@@ -185,8 +185,48 @@ def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
 
 def candidate_pairs(sig_rows: rd.Dataset, threshold: float = 0.8) -> rd.Dataset:
     """LSH banding: same (band, band_hash) bucket → pairwise candidates,
-    kept if estimated jaccard ≥ threshold; distinct across bands."""
-    pairs = sig_rows.groupby(["band", "band_hash"]).map_groups(
+    kept if estimated jaccard ≥ threshold; distinct across bands.
+
+    Buckets are overwhelmingly singletons (no collision); running a Python
+    map_groups call per singleton dominates wall time, so colliding bucket
+    keys are found first with a vectorized count aggregate and the rows are
+    pre-filtered to them (broadcast membership set — collisions are rare, so
+    the set is small)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    sig_rows = sig_rows.materialize()
+    counts = (
+        sig_rows.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+    )
+    hot = counts[counts["c"] >= 2]
+    hot_keys = frozenset(zip(hot["band"].astype(int), hot["band_hash"].astype(int)))
+    if not hot_keys:
+        return rd.from_items([]).map_batches(
+            lambda t: t, batch_format="pandas"
+        )  # empty
+    ref = ray.put(hot_keys)
+
+    class KeepHot:
+        def __init__(self, r):
+            self.keys = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            bands = batch.column("band").to_numpy(zero_copy_only=False)
+            hashes = batch.column("band_hash").to_numpy(zero_copy_only=False)
+            mask = pa.array(
+                [(int(b), int(h)) in self.keys for b, h in zip(bands, hashes)],
+                pa.bool_(),
+            )
+            return batch.filter(mask)
+
+    colliding = sig_rows.map_batches(
+        KeepHot, fn_constructor_args=(ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=(1, 4),
+    )
+    pairs = colliding.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
     )
 

@@ -57,13 +57,32 @@ class HashingEmbedder:
         return batch.append_column(self.out_col, arr)
 
 
+def _embed_fn(batch: pa.Table, text_col=None, out_col=None, dim=EMBED_DIM) -> pa.Table:
+    # stateless task mode: HashingEmbedder holds no heavy state, so tasks
+    # (warm default workers, no pool spin-up) beat an actor pool locally
+    return HashingEmbedder(text_col, out_col, dim)(batch)
+
+
 def with_embedding(
     ds: rd.Dataset,
     text_col: str,
     out_col: str,
     dim: int = EMBED_DIM,
-    concurrency=(1, 4),
+    concurrency=None,
+    compute: str = "tasks",
 ) -> rd.Dataset:
+    if compute == "tasks":
+        import functools
+
+        return ds.map_batches(
+            functools.partial(_embed_fn, text_col=text_col, out_col=out_col, dim=dim),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    if concurrency is None:
+        from graphiti_ray.stages.link import auto_pool
+
+        concurrency = auto_pool(0.25)
     return ds.map_batches(
         HashingEmbedder,
         fn_constructor_kwargs={"text_col": text_col, "out_col": out_col, "dim": dim},

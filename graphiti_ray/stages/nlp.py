@@ -284,16 +284,46 @@ def split_extracted(extracted: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
 
 
 # Actor pools autoscale (min, max); max sized so extraction doesn't starve
-# the read/shuffle stages on a 32-cpu node.
-DEFAULT_POOL = (1, 8)
+# the read/shuffle stages on a 32-cpu node. None → sized to session CPUs.
+DEFAULT_POOL = None
 
 
-def extracted_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Dataset:
+def _pool(concurrency):
+    if concurrency is not None:
+        return concurrency
+    from graphiti_ray.stages.link import auto_pool
+
+    return auto_pool(0.75, min_actors=2)
+
+
+# Task-mode extraction: state (compiled regexes) is cached once per WORKER
+# PROCESS in a module global — same amortization as an actor pool, but the
+# default worker pool is already warm, so chained executions pay zero
+# actor spin-up. Use the actor-pool mode (compute="actors") when the per-
+# worker state is heavyweight (a real NER model) and needs num_gpus/memory
+# placement.
+_WORKER_EXTRACTOR = None
+
+
+def _combined_extract_fn(batch: pa.Table) -> pa.Table:
+    global _WORKER_EXTRACTOR
+    if _WORKER_EXTRACTOR is None:
+        _WORKER_EXTRACTOR = CombinedExtractor()
+    return _WORKER_EXTRACTOR(batch)
+
+
+def extracted_dataset(
+    episodes: rd.Dataset, concurrency=DEFAULT_POOL, compute: str = "tasks"
+) -> rd.Dataset:
+    if compute == "tasks":
+        return episodes.select_columns(_NLP_COLS).map_batches(
+            _combined_extract_fn, batch_format="pyarrow", zero_copy_batch=True
+        )
     return episodes.select_columns(_NLP_COLS).map_batches(
         CombinedExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=_pool(concurrency),
     )
 
 
@@ -302,7 +332,7 @@ def mentions_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Datas
         MentionExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=_pool(concurrency),
     )
 
 
@@ -311,5 +341,5 @@ def triples_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Datase
         TripleExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
+        concurrency=_pool(concurrency),
     )

@@ -87,6 +87,21 @@ def checkpointed_write(
     return {"table": name, "skipped": False, "rows": rows, "wall_sec": wall}
 
 
+def table_rows(root: str, name: str) -> int | None:
+    """Row count from the manifest (falls back to parquet footers) — avoids
+    a full Dataset.count() execution on the driver's critical path."""
+    mpath = os.path.join(table_dir(root, name), MANIFEST)
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            rows = json.load(f).get("rows")
+        if rows is not None:
+            return int(rows)
+    try:
+        return parquet_row_count(table_dir(root, name))
+    except OSError:
+        return None
+
+
 def read_table(root: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
     # explicit file list: the directory also holds MANIFEST.json + _SUCCESS
     d = table_dir(root, name)

@@ -1,0 +1,134 @@
+"""Maintenance CRUD ops + checkpoint/resume + union-find pointer jumping."""
+
+import json
+import os
+from datetime import datetime
+
+import pytest
+
+import ray.data as rd
+
+from graphiti_ray.pipelines.maintenance import (
+    add_triplet,
+    get_by_group_ids,
+    get_by_uuids,
+    remove_episode,
+)
+from graphiti_ray.stages.link import compress_mapping
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    from graphiti_ray.pipelines.kg import build_kg
+    from tests.test_pipeline_e2e import _pages_table
+
+    T = [datetime(2024, 1, d + 1) for d in range(4)]
+    pages = rd.from_arrow(
+        _pages_table(
+            [
+                ("Alice Smith works at Acme Corp.", "g1", T[0]),
+                ("Alice Smith likes Bob Jones.", "g1", T[1]),
+                ("Alice Smith likes Bob Jones.", "g1", T[2]),
+                ("Carol White works at Globex Inc.", "g2", T[3]),
+            ]
+        )
+    )
+    return build_kg(pages, num_partitions=2, nlp_concurrency=(1, 2))
+
+
+def test_get_by_uuids(ray_session, graph):
+    nodes = graph["nodes"].to_pandas()
+    want = sorted(nodes.uuid)[:2]
+    out = get_by_uuids(graph["nodes"], want).to_pandas()
+    assert sorted(out.uuid) == want
+
+
+def test_get_by_group_ids_cursored(ray_session, graph):
+    out = get_by_group_ids(graph["nodes"], ["g1.example.com"], limit=2).to_pandas()
+    assert len(out) == 2
+    assert list(out.uuid) == sorted(out.uuid, reverse=True)
+    # paginate past the first page
+    page2 = get_by_group_ids(
+        graph["nodes"], ["g1.example.com"], limit=2, uuid_cursor=out.uuid.iloc[-1]
+    ).to_pandas()
+    assert set(page2.uuid).isdisjoint(set(out.uuid))
+
+
+def test_add_triplet(ray_session, graph):
+    import pandas as pd
+
+    out = add_triplet(
+        graph, "g1.example.com", "Zara Quinn", "WORKS_AT", "Acme Corp"
+    )
+    # take_all: to_pandas on a unioned list-column table trips ray's tensor
+    # extension; row materialization is fine at test scale
+    edges = pd.DataFrame(out["edges"].take_all())
+    assert (edges.pred == "WORKS_AT").sum() >= 2
+    nodes = pd.DataFrame(out["nodes"].take_all())
+    assert "Zara Quinn" in set(nodes.name)
+    # existing entity not duplicated
+    assert (nodes.name == "Acme Corp").sum() == 1
+
+
+def test_remove_episode_cascade(ray_session, graph):
+    eps = graph["episodes"].to_pandas().sort_values("valid_at")
+    target = eps.iloc[3]  # the only g2 episode (Carol/Globex)
+    out = remove_episode(graph, target.uuid)
+    assert target.uuid not in set(out["episodes"].to_pandas().uuid)
+    nodes = out["nodes"].to_pandas()
+    # Carol White & Globex Inc were mentioned only there → gone
+    assert "Carol White" not in set(nodes.name)
+    edges = out["edges"].to_pandas()
+    assert "g2.example.com" not in set(edges.group_id)
+    # the duplicated LIKES edge loses one provenance but survives elsewhere
+    likes = edges[edges.pred == "LIKES"]
+    assert len(likes) == 1
+
+
+def test_remove_episode_keeps_shared_provenance(ray_session, graph):
+    eps = graph["episodes"].to_pandas().sort_values("valid_at")
+    # remove ONE of the two LIKES assertions: edge must survive with count 1
+    out = remove_episode(graph, eps.iloc[1].uuid)
+    likes = out["edges"].to_pandas()
+    likes = likes[likes.pred == "LIKES"]
+    assert len(likes) == 1 and likes.iloc[0].episode_count == 1
+
+
+def test_compress_mapping_pointer_jumping(ray_session):
+    # chain a→b→c→d and e→e: compress to roots in O(log n) rounds
+    m = rd.from_items(
+        [
+            {"uuid": "a", "parent": "b"},
+            {"uuid": "b", "parent": "c"},
+            {"uuid": "c", "parent": "d"},
+            {"uuid": "d", "parent": "d"},
+            {"uuid": "e", "parent": "e"},
+        ]
+    )
+    out = compress_mapping(m, num_partitions=2).to_pandas()
+    parent = dict(zip(out.uuid, out.parent))
+    assert parent == {"a": "d", "b": "d", "c": "d", "d": "d", "e": "e"}
+
+
+def test_run_kg_checkpoint_resume(ray_session, tmp_path):
+    from graphiti_ray.pipelines.kg import run_kg
+
+    out_root = str(tmp_path / "kg")
+    m1 = run_kg("/root/testdata/sf0.001", out_root, nlp_concurrency=(1, 2))
+    assert all(not m.get("skipped") for m in m1)
+    edges_dir = os.path.join(out_root, "edges")
+    rows1 = sum(1 for _ in open(os.path.join(edges_dir, "MANIFEST.json")))
+
+    # simulate a crash after 'nodes': drop completion of edges + mention_edges
+    os.remove(os.path.join(edges_dir, "_SUCCESS"))
+    m2 = run_kg("/root/testdata/sf0.001", out_root, nlp_concurrency=(1, 2))
+    by_table = {m["table"]: m for m in m2}
+    assert by_table["episodes"]["skipped"]
+    assert by_table["extracted"]["skipped"]
+    assert by_table["canonical_map"]["skipped"]
+    assert by_table["nodes"]["skipped"]
+    assert not by_table["edges"]["skipped"]  # recomputed from checkpoints
+
+    manifest = json.load(open(os.path.join(edges_dir, "MANIFEST.json")))
+    assert manifest["lineage"]["input"] == "/root/testdata/sf0.001"
+    assert manifest["rows"] == 380
