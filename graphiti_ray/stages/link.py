@@ -447,6 +447,125 @@ def mention_edges_broadcast(mentions: rd.Dataset, lut_ref) -> rd.Dataset:
     return distinct_by_key(mapped, "uuid")
 
 
+# --- fuzzy merge path (J1 cosine re-rank / D2 semantic dedup) ---------------
+
+
+def fuzzy_merge_pairs(
+    canon: rd.Dataset, threshold: float = 0.85, max_group: int = 2048
+) -> rd.Dataset:
+    """Near-duplicate canonical names within each group: char-3gram hashing
+    embeddings + cosine ≥ threshold (the deterministic stand-in for the
+    reference's name_embedding cosine > 0.6 candidate generation,
+    search_utils.py:662-750). Groups larger than ``max_group`` are blocked
+    by MinHash band first (dedup.MinHashStage machinery) instead of
+    all-pairs. Output: (group_id, a, b, cosine) with a < b."""
+    import numpy as np
+
+    from graphiti_ray.stages.dedup import minhash_sig, BANDS, ROWS_PER_BAND
+    from graphiti_ray.stages.embed import embed_texts
+
+    ents = canon.map_batches(
+        lambda t: t.select(["group_id", "canonical"])
+        .group_by(["group_id", "canonical"])
+        .aggregate([]),
+        batch_format="pyarrow",
+    )
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        names = sorted(set(g["canonical"]))
+        group_id = g["group_id"].iloc[0]
+        if len(names) < 2:
+            return pd.DataFrame(columns=["group_id", "a", "b", "cosine"])
+        # block to keep candidate sets sub-quadratic on big vocabularies
+        if len(names) > max_group:
+            buckets: dict[int, list[str]] = {}
+            for n in names:
+                sig = minhash_sig(n.lower())
+                sb = sig.astype("<i8").tobytes()
+                for b in range(BANDS):
+                    chunk = sb[b * ROWS_PER_BAND * 8 : (b + 1) * ROWS_PER_BAND * 8]
+                    buckets.setdefault(zlib.crc32(chunk) ^ (b << 28), []).append(n)
+            cand_sets = [sorted(set(v)) for v in buckets.values() if len(v) > 1]
+        else:
+            cand_sets = [names]
+        rows = []
+        seen = set()
+        for cset in cand_sets:
+            vecs = embed_texts([n.lower() for n in cset]).astype(np.float64)
+            sims = vecs @ vecs.T
+            for x in range(len(cset)):
+                for y in range(x + 1, len(cset)):
+                    if sims[x, y] >= threshold and (cset[x], cset[y]) not in seen:
+                        seen.add((cset[x], cset[y]))
+                        rows.append(
+                            (group_id, cset[x], cset[y], float(round(sims[x, y], 6)))
+                        )
+        return pd.DataFrame(rows, columns=["group_id", "a", "b", "cosine"])
+
+    return ents.groupby("group_id").map_groups(per_group, batch_format="pandas")
+
+
+def apply_fuzzy_merges(canon: rd.Dataset, pairs: rd.Dataset) -> rd.Dataset:
+    """Collapse fuzzy-merge pairs into the canonical map: union-find over
+    (group, name) pairs (winner = lexicographically smaller canonical, the
+    reference's deterministic 'first occurrence wins' analogue), then
+    rewrite canonical + entity_uuid. Pair sets are vocabulary-sized, so
+    union-find runs on the driver (guide: small candidate sets)."""
+    import ray
+
+    pdf = pairs.select_columns(["group_id", "a", "b"]).to_pandas()
+    parent: dict[tuple, tuple] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pdf.itertuples(index=False):
+        ra, rb = find((r.group_id, r.a)), find((r.group_id, r.b))
+        if ra != rb:
+            win, lose = (ra, rb) if ra[1] <= rb[1] else (rb, ra)
+            parent[lose] = win
+
+    merge_map = {
+        f"{k[0]}|{k[1]}": find(k)[1] for k in list(parent) if find(k) != k
+    }
+    if not merge_map:
+        return canon
+    ref = ray.put(merge_map)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        m = _cached_lut(ref)
+        groups = batch.column("group_id").to_pylist()
+        canonicals = batch.column("canonical").to_pylist()
+        new_canon, new_uuid = [], []
+        for g, c in zip(groups, canonicals):
+            w = m.get(f"{g}|{c}", c)
+            new_canon.append(w)
+            new_uuid.append(entity_uuid(g, w))
+        i = batch.column_names.index("canonical")
+        batch = batch.set_column(i, "canonical", pa.array(new_canon, pa.string()))
+        i = batch.column_names.index("entity_uuid")
+        return batch.set_column(i, "entity_uuid", pa.array(new_uuid, pa.string()))
+
+    return canon.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_canonical_map(
+    mentions: rd.Dataset, threshold: float = 0.85
+) -> rd.Dataset:
+    """Full linking with the fuzzy pass stacked on the rule pass: exact +
+    alias rules (canonical_map) → cosine near-dup merge (D2 semantic dedup
+    scale path). OFF in the default pipeline: the correctness oracle pins
+    the rule-only behavior; enable for noisy real-world corpora."""
+    canon = canonical_map(mentions).materialize()
+    pairs = fuzzy_merge_pairs(canon, threshold=threshold)
+    return apply_fuzzy_merges(canon, pairs)
+
+
 # --- distributed union-find (A6 / G5) --------------------------------------
 
 

@@ -22,6 +22,78 @@ import ray.data as rd
 
 
 @ray.remote
+def _block_head(block: pa.Table, cols: list[str]):
+    """First row's values for ``cols`` (None if empty) — boundary exchange."""
+    if block.num_rows == 0:
+        return None
+    return {c: block.column(c)[0].as_py() for c in cols}
+
+
+@ray.remote
+def _lead_block(
+    block: pa.Table,
+    part_cols: list[str],
+    value_col: str,
+    out_col: str,
+    out_type: pa.DataType,
+    next_head: dict | None,
+) -> pa.Table:
+    """Within-block lead(value_col) over partitions defined by part_cols,
+    with the following block's first row patched in at the boundary.
+    Requires a prior global sort by (part_cols..., order_cols...)."""
+    n = block.num_rows
+    if n == 0:
+        return block.append_column(out_col, pa.array([], out_type))
+    values = block.column(value_col).to_pylist()
+    parts = list(zip(*(block.column(c).to_pylist() for c in part_cols)))
+    lead = [None] * n
+    for i in range(n - 1):
+        if parts[i + 1] == parts[i]:
+            lead[i] = values[i + 1]
+    if next_head is not None:
+        head_part = tuple(next_head[c] for c in part_cols)
+        if parts[-1] == head_part:
+            lead[-1] = next_head[value_col]
+    return block.append_column(out_col, pa.array(lead, out_type))
+
+
+def sorted_lead(
+    ds: rd.Dataset,
+    part_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "lead_value",
+    out_type: pa.DataType = pa.timestamp("us"),
+) -> rd.Dataset:
+    """Distributed ``lead(value_col) OVER (PARTITION BY part_cols ORDER BY
+    order_cols)`` with NO per-partition grouping: one global range sort,
+    then a per-block pass with one boundary row exchanged between
+    neighbouring blocks. A partition larger than any single block (a hub
+    key) costs nothing extra — this is the answer to the invalidation
+    sweep's hub-entity skew (SURVEY §4) without salted keys."""
+    mat = ds.sort(part_cols + order_cols).materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return mat
+    heads = ray.get(
+        [_block_head.remote(r, part_cols + [value_col]) for r in refs]
+    )
+    out_refs = []
+    for i, r in enumerate(refs):
+        nxt = None
+        for j in range(i + 1, len(refs)):
+            if heads[j] is not None:
+                nxt = heads[j]
+                break
+        out_refs.append(
+            _lead_block.remote(r, part_cols, value_col, out_col, out_type, nxt)
+        )
+    return rd.from_arrow_refs(out_refs)
+
+
+@ray.remote
 def _block_edge_keys(block: pa.Table, key: str):
     if block.num_rows == 0:
         return None, None

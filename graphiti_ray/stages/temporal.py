@@ -185,6 +185,63 @@ def invalidation_sweep(
     return out.drop_columns(["inval_key", "inval_mode"])
 
 
+def invalidation_sweep_scalable(
+    edges: rd.Dataset, run_ts: datetime = DEFAULT_RUN_TS
+) -> rd.Dataset:
+    """Hub-safe variant of :func:`invalidation_sweep`.
+
+    Precondition: ``edges`` is the *merged* table (one row per
+    (group, subj, pred, obj)); then every later row within an invalidation
+    partition contradicts every earlier one, so the sweep reduces to
+    ``lead(valid_at) OVER (PARTITION BY inval_key ORDER BY valid_at,
+    uuid)`` — computed by ``ops.sorted_lead`` as one global range sort plus
+    a block-boundary exchange. No per-key grouping exists anywhere, so a
+    hub entity whose partition exceeds a block costs nothing extra
+    (the skew answer for SURVEY §4's "salted keys" row).
+
+    Equivalent to ``invalidation_sweep`` on merged inputs (asserted by
+    tests); prefer it when entity partitions can be huge.
+    """
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import sorted_lead
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = []
+        for r in df.itertuples(index=False):
+            cls = EXCLUSION_CLASSES.get(r.pred)
+            if cls is None:
+                keys.append(f"none|{r.uuid}")
+            elif cls[0] == "pair":
+                keys.append(
+                    f"pair|{r.group_id}|{r.subj_uuid}|{r.obj_uuid}|{'|'.join(sorted(cls[1]))}"
+                )
+            else:
+                keys.append(f"subj|{r.group_id}|{r.subj_uuid}|{r.pred}")
+        df["inval_key"] = keys
+        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
+            None
+        )
+
+    keyed = edges.map_batches(add_key, batch_format="pyarrow")
+    led = sorted_lead(
+        keyed, ["inval_key"], ["valid_at", "uuid"], "valid_at", out_col="invalid_at"
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inval = batch.column("invalid_at")
+        expired = pc.if_else(
+            pc.is_valid(inval),
+            pa.scalar(run_ts, pa.timestamp("us")),
+            pa.scalar(None, pa.timestamp("us")),
+        )
+        out = batch.append_column("expired_at", expired)
+        return out.drop_columns(["inval_key"])
+
+    return led.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def resolve_edge_contradictions(
     resolved_edge: dict, invalidation_candidates: list[dict], now: datetime
 ) -> list[dict]:

@@ -1,0 +1,120 @@
+"""Fuzzy linking path + scalable sorted-lead invalidation sweep."""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from graphiti_ray.stages.link import (
+    apply_fuzzy_merges,
+    fuzzy_canonical_map,
+    fuzzy_merge_pairs,
+)
+from graphiti_ray.stages.ops import distinct_by_key, sorted_lead
+
+
+def _mentions(rows):
+    return rd.from_items(
+        [
+            {
+                "episode_uuid": f"ep{i}",
+                "group_id": g,
+                "name": n,
+                "label_hint": "Entity",
+                "valid_at": datetime(2024, 1, 1),
+            }
+            for i, (g, n) in enumerate(rows)
+        ]
+    )
+
+
+def test_fuzzy_merges_typo_variant(ray_session):
+    m = _mentions(
+        [
+            ("g", "Acme Corp"),
+            ("g", "Acme Corp"),
+            ("g", "Acme Corpp"),  # typo variant: cosine-close 3-gram profile
+            ("g", "Globex Inc"),
+        ]
+    )
+    canon = fuzzy_canonical_map(m, threshold=0.8).to_pandas()
+    by_name = dict(zip(canon.name, canon.canonical))
+    assert by_name["Acme Corpp"] == "Acme Corp"
+    assert by_name["Globex Inc"] == "Globex Inc"
+    # uuids rewritten consistently
+    uuids = dict(zip(canon.name, canon.entity_uuid))
+    assert uuids["Acme Corpp"] == uuids["Acme Corp"]
+
+
+def test_fuzzy_does_not_merge_distinct_names(ray_session):
+    m = _mentions([("g", "Acme Corp"), ("g", "Wayne Enterprises")])
+    pairs = fuzzy_merge_pairs(
+        m.map_batches(
+            lambda t: t.append_column("canonical", t.column("name")),
+            batch_format="pyarrow",
+        ),
+        threshold=0.8,
+    ).to_pandas()
+    assert pairs.empty
+
+
+def test_fuzzy_cross_group_isolated(ray_session):
+    m = _mentions([("g1", "Acme Corp"), ("g2", "Acme Corpp")])
+    canon = fuzzy_canonical_map(m, threshold=0.8).to_pandas()
+    # different groups: no merge
+    assert set(canon.canonical) == {"Acme Corp", "Acme Corpp"}
+
+
+def test_sorted_lead_basic(ray_session):
+    T = [datetime(2024, 1, d + 1) for d in range(5)]
+    ds = rd.from_items(
+        [
+            {"k": "a", "ts": T[0], "uuid": "1"},
+            {"k": "a", "ts": T[2], "uuid": "2"},
+            {"k": "a", "ts": T[4], "uuid": "3"},
+            {"k": "b", "ts": T[1], "uuid": "4"},
+        ]
+    ).repartition(3)
+    out = sorted_lead(ds, ["k"], ["ts", "uuid"], "ts", out_col="nxt").to_pandas()
+    out = out.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert list(out.nxt[:2]) == [T[2], T[4]]
+    assert pd.isna(out.nxt[2]) and pd.isna(out.nxt[3])
+
+
+def test_scalable_sweep_equals_grouped_sweep(ray_session):
+    """On merged inputs the sorted-lead sweep must equal the per-partition
+    grouped sweep exactly (same invalid_at/expired_at)."""
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.sources.pages import pages_dataset
+    from graphiti_ray.stages.link import apply_canonical_broadcast, canon_lookup_ref, canonical_map
+    from graphiti_ray.stages.nlp import extracted_dataset, split_extracted
+    from graphiti_ray.stages.extract import episodes_dataset
+    from graphiti_ray.stages.temporal import (
+        invalidation_sweep,
+        invalidation_sweep_scalable,
+        merged_edges,
+    )
+
+    eps = episodes_dataset(pages_dataset("/root/testdata/sf0.001")).materialize()
+    extracted = extracted_dataset(eps).materialize()
+    mentions, triples = split_extracted(extracted)
+    canon = canonical_map(mentions).materialize()
+    lut = canon_lookup_ref(canon)
+    merged = merged_edges(apply_canonical_broadcast(triples, lut)).materialize()
+
+    a = invalidation_sweep(merged).to_pandas()
+    b = invalidation_sweep_scalable(merged).to_pandas()
+    cols = ["uuid", "valid_at", "invalid_at", "expired_at"]
+    a = a[cols].sort_values("uuid").reset_index(drop=True)
+    b = b[cols].sort_values("uuid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_distinct_by_key_cross_block(ray_session):
+    rows = [{"k": f"key{i:03d}", "v": i} for i in range(50) for _ in range(3)]
+    ds = rd.from_items(rows).repartition(7)
+    out = distinct_by_key(ds, "k").to_pandas()
+    assert len(out) == 50
+    assert out.k.is_unique
