@@ -325,6 +325,72 @@ def _q_events_tumbling(sf_dir: str):
     )
 
 
+def _q_events_sliding(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import sliding_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "value": pc.cast(
+                    pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    ev = ev.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = sliding_window(ev, size_s=600, slide_s=300)
+    return out.rename_columns({"sum_value": "sum_value_cents"})
+
+
+def _q_events_session(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import session_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_window(ev, gap_s=1800)
+
+
+def _q_docs_quality_filter(sf_dir: str):
+    """C4/Gopher-style quality gate: keep docs inside heuristic bounds
+    (vectorized filter inside map_batches; predicate pushdown shape)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_words = pc.list_value_length(
+            pc.split_pattern_regex(batch.column("text"), r"\s+")
+        )
+        mask = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch.column("n_chars"), 150),
+                pc.less_equal(batch.column("n_chars"), 450),
+            ),
+            pc.greater_equal(n_words, 30),
+        )
+        return batch.filter(mask).select(["doc_id", "n_chars"])
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_pricing_summary(sf_dir: str):
     from graphiti_ray.pipelines.relational import pricing_summary
 
@@ -435,6 +501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q_text_langid,
         "knn_bruteforce": _q_knn,
         "events_tumbling": _q_events_tumbling,
+        "events_sliding": _q_events_sliding,
+        "events_session": _q_events_session,
+        "docs_quality_filter": _q_docs_quality_filter,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "lang_doc_stats": _q_lang_doc_stats,
@@ -554,6 +623,34 @@ SELECT user_id,
        max(v)::BIGINT AS max_value_cents,
        count(*)::BIGINT AS n_events
 FROM ev GROUP BY 1, 2
+""",
+        "events_sliding": """
+WITH ev AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+),
+exploded AS (
+  SELECT user_id,
+         make_timestamp((epoch_us(ts) // 300000000) * 300000000) AS window_start,
+         v
+  FROM ev
+  UNION ALL
+  SELECT user_id,
+         make_timestamp((epoch_us(ts) // 300000000) * 300000000
+                        - 300000000) AS window_start,
+         v
+  FROM ev
+)
+SELECT user_id, window_start,
+       count(*)::BIGINT AS n_events,
+       sum(v)::BIGINT AS sum_value_cents
+FROM exploded GROUP BY 1, 2
+""",
+        "docs_quality_filter": r"""
+SELECT doc_id, n_chars
+FROM documents
+WHERE n_chars BETWEEN 150 AND 450
+  AND len(string_split_regex(text, '\s+')) >= 30
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

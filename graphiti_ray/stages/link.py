@@ -153,17 +153,23 @@ def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
     Output rows: group_id, name, canonical, entity_uuid, label, mention_count.
     """
     group_id = g["group_id"].iloc[0]
-    # per-surface totals and label vote (max count; tie → priority order)
+    # per-surface totals and label vote (max count; tie → priority order).
+    # Vectorized: sort votes once and take the head per name — the naive
+    # per-name filter is O(V²) and hurts on big host vocabularies.
     totals = g.groupby("name")["cnt"].sum()
-    label_votes = g.groupby(["name", "label_hint"])["cnt"].sum().reset_index()
+    votes = g.groupby(["name", "label_hint"])["cnt"].sum().reset_index()
+    votes["prio"] = votes["label_hint"].map(lambda l: _LABEL_PRIORITY.get(l, 9))
+    votes = votes.sort_values(
+        ["name", "cnt", "prio", "label_hint"],
+        ascending=[True, False, True, True],
+        kind="mergesort",
+    )
+    best_label = dict(
+        zip(votes.drop_duplicates("name")["name"], votes.drop_duplicates("name")["label_hint"])
+    )
 
     def pick_label(name: str) -> str:
-        sub = label_votes[label_votes["name"] == name]
-        best = sorted(
-            sub.itertuples(index=False),
-            key=lambda r: (-r.cnt, _LABEL_PRIORITY.get(r.label_hint, 9), r.label_hint),
-        )[0]
-        return best.label_hint
+        return best_label[name]
 
     names = sorted(totals.index)
     fulls = [n for n in names if is_full_form(n)]
