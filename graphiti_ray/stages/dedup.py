@@ -158,13 +158,14 @@ class MinHashStage:
 
 
 def minhash_signatures(docs: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Dataset:
-    return docs.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    # task mode: the stage state is just column names; plain tasks skip the
+    # actor-pool spin-up each execution
+    import functools
+
+    def fn(batch, text_col=text_col, id_col=id_col):
+        return MinHashStage(text_col, id_col)(batch)
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -209,22 +210,20 @@ def candidate_pairs(sig_rows: rd.Dataset, threshold: float = 0.8) -> rd.Dataset:
         )  # empty
     ref = ray.put(hot_keys)
 
-    class KeepHot:
-        def __init__(self, r):
-            self.keys = ray.get(r)
+    def keep_hot(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            bands = batch.column("band").to_numpy(zero_copy_only=False)
-            hashes = batch.column("band_hash").to_numpy(zero_copy_only=False)
-            mask = pa.array(
-                [(int(b), int(h)) in self.keys for b, h in zip(bands, hashes)],
-                pa.bool_(),
-            )
-            return batch.filter(mask)
+        keys = _cached_lut(_ref)
+        bands = batch.column("band").to_numpy(zero_copy_only=False)
+        hashes = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        mask = pa.array(
+            [(int(b), int(h)) in keys for b, h in zip(bands, hashes)],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
 
     colliding = sig_rows.map_batches(
-        KeepHot, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=(1, 4),
+        keep_hot, batch_format="pyarrow", zero_copy_batch=True
     )
     pairs = colliding.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
@@ -251,11 +250,12 @@ def connected_components(
     the driver with union-find; large ones run distributed min-label
     propagation rounds (GraphX-style CC; PAPERS.md BTS/GraphX).
     """
-    n_pairs = pairs.count()
+    # one execution decides both emptiness and the small-path data
+    df = pairs.select_columns(["a", "b"]).to_pandas(limit=SMALL_CC_LIMIT + 1)
+    n_pairs = len(df)
     if n_pairs == 0:
         return rd.from_items([])
     if n_pairs <= SMALL_CC_LIMIT:
-        df = pairs.select_columns(["a", "b"]).to_pandas()
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -378,13 +378,10 @@ class SimHashStage:
 
 
 def simhash_signatures(docs: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Dataset:
-    return docs.map_batches(
-        SimHashStage,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    def fn(batch, text_col=text_col, id_col=id_col):
+        return SimHashStage(text_col, id_col)(batch)
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def simhash_near_dup(
