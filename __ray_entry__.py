@@ -466,6 +466,38 @@ def _q_rrf_fusion(sf_dir: str):
     )
 
 
+def _q_docs_bm25(sf_dir: str):
+    """Corpus-side BM25 search over documents: sidecar index build pass +
+    vectorized scoring (S9 parity; no SQL twin — DuckDB has no BM25)."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.search import build_bm25_index, _tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    idx = build_bm25_index(docs, "text")
+    iref = ray.put(idx)
+    q = _tokens("spark stream window merge")
+
+    def score(batch: pa.Table, _ref=iref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        index = _cached_lut(_ref)
+        texts = batch.column("text").to_pylist()
+        scores = [round(index.score(q, t), 6) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bm25": pa.array(scores, pa.float64()),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["bm25", "doc_id"], descending=[True, False]).limit(20)
+
+
 def _q_kg_communities(sf_dir: str):
     from graphiti_ray.pipelines.kg import build_kg
     from graphiti_ray.stages.graph import build_communities
@@ -512,6 +544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "kg_communities": _q_kg_communities,
         "search_hybrid": _q_search_hybrid,
+        "docs_bm25": _q_docs_bm25,
     }
 
 

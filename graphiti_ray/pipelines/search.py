@@ -254,24 +254,62 @@ class SearchConfig:
     reranker_min_score: float = 0.0
 
 
-# canned recipes (search_config_recipes.py subset)
+# canned recipes — the full search_config_recipes.py:34-223 set
+def _edge_only(reranker: str) -> "SearchConfig":
+    return SearchConfig(
+        edge_config=MethodConfig(reranker=reranker),
+        node_config=None,
+        episode_config=None,
+    )
+
+
+def _node_only(reranker: str) -> "SearchConfig":
+    return SearchConfig(
+        edge_config=None,
+        node_config=MethodConfig(reranker=reranker),
+        episode_config=None,
+    )
+
+
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig()
 COMBINED_HYBRID_SEARCH_MMR = SearchConfig(
     edge_config=MethodConfig(reranker="mmr"),
     node_config=MethodConfig(reranker="mmr"),
 )
-EDGE_HYBRID_SEARCH_RRF = SearchConfig(node_config=None, episode_config=None)
-EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig(
-    edge_config=MethodConfig(reranker="node_distance"),
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    edge_config=MethodConfig(reranker="cross_encoder"),
+    node_config=MethodConfig(reranker="cross_encoder"),
+    episode_config=MethodConfig(methods=["bm25"], reranker="cross_encoder"),
+    community_config=MethodConfig(reranker="cross_encoder"),
+)
+EDGE_HYBRID_SEARCH_RRF = _edge_only("rrf")
+EDGE_HYBRID_SEARCH_MMR = _edge_only("mmr")
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = _edge_only("node_distance")
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = _edge_only("episode_mentions")
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = _edge_only("cross_encoder")
+NODE_HYBRID_SEARCH_RRF = _node_only("rrf")
+NODE_HYBRID_SEARCH_MMR = _node_only("mmr")
+NODE_HYBRID_SEARCH_NODE_DISTANCE = _node_only("node_distance")
+NODE_HYBRID_SEARCH_EPISODE_MENTIONS = _node_only("episode_mentions")
+NODE_HYBRID_SEARCH_CROSS_ENCODER = _node_only("cross_encoder")
+COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig(
+    edge_config=None,
     node_config=None,
     episode_config=None,
+    community_config=MethodConfig(),
 )
-EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig(
-    edge_config=MethodConfig(reranker="episode_mentions"),
+COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig(
+    edge_config=None,
     node_config=None,
     episode_config=None,
+    community_config=MethodConfig(reranker="mmr"),
 )
-NODE_HYBRID_SEARCH_RRF = SearchConfig(edge_config=None, episode_config=None)
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig(
+    edge_config=None,
+    node_config=None,
+    episode_config=None,
+    community_config=MethodConfig(reranker="cross_encoder"),
+)
 
 
 @dataclass

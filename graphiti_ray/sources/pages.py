@@ -129,6 +129,26 @@ def replicate_documents(docs: rd.Dataset, factor: int) -> rd.Dataset:
     return docs.map_batches(rep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def read_pages(
+    paths: str | list[str],
+    columns: list[str] | None = None,
+    lang_filter: str | None = None,
+    num_blocks: int | None = None,
+) -> rd.Dataset:
+    """Read REAL Common-Crawl-style pages parquet (the production input
+    path — the synthetic generator below exists only because this sandbox
+    has no external data). Prunes columns at the read and pushes the lang
+    filter into row-group selection."""
+    import pyarrow.compute as pc
+
+    kw: dict = {"columns": columns or ["url", "warc_ts", "html", "text", "lang"]}
+    if lang_filter:
+        kw["filter"] = pc.field("lang") == lang_filter
+    if num_blocks:
+        kw["override_num_blocks"] = num_blocks
+    return rd.read_parquet(paths, **kw)
+
+
 def pages_dataset(
     sf_dir: str, replicate: int = 1, num_blocks: int | None = None
 ) -> rd.Dataset:
