@@ -1,0 +1,126 @@
+"""Incremental ingestion: add new pages to an existing KG (T6 semantics).
+
+The reference's core usage is online: each new episode re-resolves against
+the accumulated graph (graphiti.py:267-484). The batch-world equivalent —
+with the same outcome — is a **group-granular incremental update**:
+
+1. extract the new pages; the *affected partitions* are exactly the
+   group_ids (hosts) they touch — everything else is provably unchanged
+   (all linking/merging/invalidation is group-scoped, SURVEY §1.1);
+2. append the new episodes/extracted rows to their tables (append-only,
+   no rewrite of history — T6's "expired_at never deletes");
+3. recompute canonical_map / nodes / mention_edges / edges ONLY for the
+   affected groups from the (now appended) extracted table, keep the
+   untouched groups' rows verbatim, and atomically swap the tables.
+
+At 10^12-document scale the affected-group set per increment is tiny
+relative to the graph, so an update costs O(affected groups), not O(graph).
+Late/out-of-order data is handled for free: the sweep re-sorts by event
+time, so a late contradicting page retro-invalidates exactly as the
+reference's interval kernel would (FIXTURES.md F3 "out-of-order arrival").
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from graphiti_ray.stages.extract import DEFAULT_RUN_TS, episodes_dataset
+from graphiti_ray.stages.embed import with_embedding
+from graphiti_ray.stages.link import (
+    apply_canonical_broadcast,
+    canon_lookup_ref,
+    canonical_map,
+    mention_edges_broadcast,
+    nodes_from_canonical,
+)
+from graphiti_ray.stages.nlp import extracted_dataset, split_extracted
+from graphiti_ray.stages.temporal import (
+    episodes_to_list,
+    invalidation_sweep,
+    merged_edges,
+)
+from graphiti_ray.state.checkpoint import (
+    append_table,
+    read_table,
+    replace_table,
+)
+
+
+def _filter_groups(ds: rd.Dataset, groups: frozenset, keep: bool) -> rd.Dataset:
+    import ray
+
+    ref = ray.put(groups)
+
+    def f(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        gs = _cached_lut(_ref)
+        col = batch.column("group_id").to_pylist()
+        mask = pa.array([(g in gs) == keep for g in col], pa.bool_())
+        return batch.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_pages(
+    out_root: str,
+    new_pages: rd.Dataset,
+    run_ts: datetime = DEFAULT_RUN_TS,
+    embeddings: bool = True,
+) -> dict:
+    """Ingest new pages into the KG at ``out_root``; returns update stats."""
+    new_eps = episodes_dataset(new_pages, run_ts=run_ts).materialize()
+    affected = frozenset(
+        r["group_id"] for r in new_eps.select_columns(["group_id"]).take_all()
+    )
+    new_extracted = extracted_dataset(new_eps).materialize()
+
+    n_eps = append_table(out_root, "episodes", new_eps, note="add_pages")
+    append_table(out_root, "extracted", new_extracted, note="add_pages")
+
+    # full extracted rows for the affected groups (old + just-appended)
+    extracted_aff = _filter_groups(
+        read_table(out_root, "extracted"), affected, keep=True
+    ).materialize()
+    mentions_aff, triples_aff = split_extracted(extracted_aff)
+
+    # canonical map: untouched groups verbatim + fresh resolution for touched
+    canon_old = read_table(out_root, "canonical_map")
+    canon_keep = _filter_groups(canon_old, affected, keep=False)
+    # arrow-normalize: map_groups emits pandas blocks, and a later sort over
+    # a mixed arrow+pandas union trips ray's block-type assertion
+    canon_new = (
+        canonical_map(mentions_aff)
+        .map_batches(lambda t: t, batch_format="pyarrow")
+        .materialize()
+    )
+    canon = canon_keep.union(canon_new).materialize()
+    replace_table(out_root, "canonical_map", canon)
+
+    nodes = nodes_from_canonical(canon)
+    if embeddings:
+        nodes = with_embedding(nodes, "name", "name_embedding")
+    replace_table(out_root, "nodes", nodes)
+
+    lut = canon_lookup_ref(canon_new)
+
+    m_keep = _filter_groups(read_table(out_root, "mention_edges"), affected, keep=False)
+    m_new = mention_edges_broadcast(mentions_aff, lut)
+    replace_table(out_root, "mention_edges", m_keep.union(m_new))
+
+    e_keep = _filter_groups(read_table(out_root, "edges"), affected, keep=False)
+    resolved = apply_canonical_broadcast(triples_aff, lut)
+    e_new = invalidation_sweep(merged_edges(resolved, run_ts), run_ts)
+    if embeddings:
+        e_new = with_embedding(e_new, "fact", "fact_embedding")
+    e_new = episodes_to_list(e_new)
+    replace_table(out_root, "edges", e_keep.union(e_new))
+
+    return {
+        "episodes_added": n_eps,
+        "affected_groups": sorted(affected),
+    }

@@ -87,6 +87,57 @@ def checkpointed_write(
     return {"table": name, "skipped": False, "rows": rows, "wall_sec": wall}
 
 
+def append_table(root: str, name: str, ds: rd.Dataset, note: str = "") -> int:
+    """Append rows to an existing completed table: new part files land under
+    a unique subprefix (no collision with prior parts), the manifest gains
+    an update record, and _SUCCESS is re-stamped last. Returns rows added.
+    """
+    out = table_dir(root, name)
+    assert is_complete(root, name), f"append target {name} not complete"
+    tmp = out + ".append_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    marker = os.path.join(out, SUCCESS)
+    os.remove(marker)  # table incomplete while we move files in
+    added = 0
+    stamp = str(int(time.time() * 1000))
+    for i, f in enumerate(sorted(os.listdir(tmp))):
+        if not f.endswith(".parquet"):
+            continue
+        added += pq.read_metadata(os.path.join(tmp, f)).num_rows
+        os.rename(os.path.join(tmp, f), os.path.join(out, f"append-{stamp}-{i}.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    mpath = os.path.join(out, MANIFEST)
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    manifest["rows"] = (manifest.get("rows") or 0) + added
+    manifest.setdefault("updates", []).append(
+        {"rows_added": added, "at": time.time(), "note": note}
+    )
+    with open(mpath, "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    with open(marker, "w") as fh:
+        fh.write("")
+    return added
+
+
+def replace_table(
+    root: str, name: str, ds: rd.Dataset, lineage: dict | None = None
+) -> dict:
+    """Atomically replace a table: build in a temp dir, swap directories."""
+    out = table_dir(root, name)
+    tmp = out + ".replace_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    metrics = checkpointed_write(ds, os.path.dirname(tmp), os.path.basename(tmp), lineage)
+    old = out + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out):
+        os.rename(out, old)
+    os.rename(tmp, out)
+    shutil.rmtree(old, ignore_errors=True)
+    return metrics
+
+
 def table_rows(root: str, name: str) -> int | None:
     """Row count from the manifest (falls back to parquet footers) — avoids
     a full Dataset.count() execution on the driver's critical path."""

@@ -1,0 +1,95 @@
+"""Incremental ingestion: group-granular updates with temporal re-sweep."""
+
+from datetime import datetime
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from graphiti_ray.pipelines.incremental import add_pages
+from graphiti_ray.pipelines.kg import run_kg
+from graphiti_ray.state.checkpoint import read_table, table_rows
+from tests.test_pipeline_e2e import _pages_table
+
+T = [datetime(2024, 1, d + 1) for d in range(10)]
+
+
+@pytest.fixture()
+def kg_root(ray_session, tmp_path):
+    """Initial KG: g1 has a LIKES fact; g2 is an unrelated group."""
+    root = str(tmp_path / "kg")
+    import graphiti_ray.pipelines.kg as kgmod
+    from graphiti_ray.sources import pages as pages_mod
+
+    pages = rd.from_arrow(
+        _pages_table(
+            [
+                ("Alice Smith likes Bob Jones.", "g1", T[0]),
+                ("Carol White works at Globex Inc.", "g2", T[1]),
+            ]
+        )
+    )
+    # run_kg reads from sf_dir; write pages through the episodes stage manually
+    from graphiti_ray.stages.extract import episodes_dataset
+    from graphiti_ray.state.checkpoint import checkpointed_write
+
+    checkpointed_write(episodes_dataset(pages), root, "episodes", {})
+    run_kg("unused", root)  # episodes checkpoint present → resumes after it
+    return root
+
+
+def test_add_contradicting_page_retro_invalidates(ray_session, kg_root):
+    edges0 = read_table(kg_root, "edges").to_pandas()
+    likes0 = edges0[edges0.pred == "LIKES"].iloc[0]
+    assert pd.isna(likes0.invalid_at)
+    g2_edges_before = edges0[edges0.group_id == "g2.example.com"]
+
+    stats = add_pages(
+        kg_root,
+        rd.from_arrow(_pages_table([("Alice dislikes Bob Jones.", "g1", T[3])], start=10)),
+    )
+    assert stats["affected_groups"] == ["g1.example.com"]
+
+    edges1 = read_table(kg_root, "edges").to_pandas()
+    likes1 = edges1[edges1.pred == "LIKES"].iloc[0]
+    dislikes = edges1[edges1.pred == "DISLIKES"].iloc[0]
+    # the new DISLIKES retro-invalidates the stored LIKES edge
+    assert likes1.invalid_at == T[3]
+    assert pd.isna(dislikes.invalid_at)
+    # untouched group's edges unchanged
+    g2_after = edges1[edges1.group_id == "g2.example.com"]
+    pd.testing.assert_frame_equal(
+        g2_edges_before.reset_index(drop=True).drop(columns=["fact_embedding"]),
+        g2_after.reset_index(drop=True).drop(columns=["fact_embedding"]),
+        check_dtype=False,  # us/ns timestamp unit may differ across round-trips
+    )
+
+
+def test_add_alias_page_merges_entity(ray_session, kg_root):
+    nodes0 = read_table(kg_root, "nodes").to_pandas()
+    n_alice0 = (nodes0.name == "Alice Smith").sum()
+    assert n_alice0 == 1
+
+    add_pages(
+        kg_root,
+        rd.from_arrow(_pages_table([("A. Smith works at Acme Corp.", "g1", T[4])], start=20)),
+    )
+    nodes1 = read_table(kg_root, "nodes").to_pandas()
+    # the alias resolves into the existing entity; Acme Corp appears new
+    assert (nodes1.name == "Alice Smith").sum() == 1
+    assert "A. Smith" not in set(nodes1.name)
+    assert "Acme Corp" in set(nodes1.name)
+    # episodes table is append-only
+    assert table_rows(kg_root, "episodes") == 3
+
+
+def test_duplicate_fact_append_merges_provenance(ray_session, kg_root):
+    add_pages(
+        kg_root,
+        rd.from_arrow(_pages_table([("Alice Smith likes Bob Jones.", "g1", T[5])], start=30)),
+    )
+    edges = read_table(kg_root, "edges").to_pandas()
+    likes = edges[edges.pred == "LIKES"].iloc[0]
+    assert likes.episode_count == 2  # original + appended assertion
+    assert likes.valid_at == T[0]  # earliest assertion kept

@@ -19,12 +19,13 @@ from graphiti_ray.sources.pages import render_page
 T = [datetime(2024, 1, d + 1) for d in range(10)]
 
 
-def _pages_table(rows):
+def _pages_table(rows, start: int = 0):
     """rows: list of (doc_like_text, source, ts). Builds a pages table whose
     html wraps the text (render_page injects the pg1 facts — avoid that here
-    by wrapping manually)."""
+    by wrapping manually). ``start`` offsets the url index (distinct urls
+    across incremental batches)."""
     urls, htmls, texts, tss = [], [], [], []
-    for i, (text, source, ts) in enumerate(rows):
+    for i, (text, source, ts) in enumerate(rows, start=start):
         url = f"https://{source}.example.com/p/{i}"
         body = "".join(f"<p>{p}</p>" for p in text.split("\n"))
         html = (
