@@ -47,13 +47,23 @@ def _lead_block(
     values = block.column(value_col).to_pylist()
     parts = list(zip(*(block.column(c).to_pylist() for c in part_cols)))
     lead = [None] * n
+    # strict lead: the next row in the partition with a STRICTLY greater
+    # value (equal-value runs are skipped — reference kernel semantics)
     for i in range(n - 1):
-        if parts[i + 1] == parts[i]:
-            lead[i] = values[i + 1]
+        j = i + 1
+        while j < n and parts[j] == parts[i] and values[j] == values[i]:
+            j += 1
+        if j < n and parts[j] == parts[i]:
+            lead[i] = values[j]
     if next_head is not None:
         head_part = tuple(next_head[c] for c in part_cols)
-        if parts[-1] == head_part:
-            lead[-1] = next_head[value_col]
+        for i in range(n - 1, -1, -1):
+            if lead[i] is not None:
+                break
+            if parts[i] == head_part and next_head[value_col] > values[i]:
+                lead[i] = next_head[value_col]
+            elif parts[i] != head_part:
+                break
     return block.append_column(out_col, pa.array(lead, out_type))
 
 
@@ -70,7 +80,13 @@ def sorted_lead(
     then a per-block pass with one boundary row exchanged between
     neighbouring blocks. A partition larger than any single block (a hub
     key) costs nothing extra — this is the answer to the invalidation
-    sweep's hub-entity skew (SURVEY §4) without salted keys."""
+    sweep's hub-entity skew (SURVEY §4) without salted keys.
+
+    Lead is STRICT (next strictly-greater value; equal-value runs skipped).
+    Precondition: an equal-value run must not span a block boundary AND be
+    followed by a greater value only in a later block (the boundary
+    exchange passes one row); guaranteed when (part, value) pairs are
+    unique — true for merged edges with per-document event times."""
     mat = ds.sort(part_cols + order_cols).materialize()
     refs = []
     for bundle in mat.iter_internal_ref_bundles():

@@ -130,6 +130,11 @@ def _sweep_frame(g: pd.DataFrame, run_ts: datetime) -> pd.DataFrame:
     mode = g["inval_mode"].iloc[0]
     for i in range(n):
         for j in range(i + 1, n):
+            # strict inequality: the reference kernel only invalidates when
+            # e.valid_at < r.valid_at (edge_operations.py:385) — equal-time
+            # facts never invalidate each other
+            if g["valid_at"].iloc[j] <= g["valid_at"].iloc[i]:
+                continue
             contradicts = (
                 g["pred"].iloc[j] != g["pred"].iloc[i]
                 if mode == "pair"

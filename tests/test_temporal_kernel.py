@@ -81,8 +81,20 @@ def test_sweep_out_of_order_input_same_result():
     assert pd.isna(out.loc["b", "invalid_at"])
 
 
-def test_sweep_tiebreak_on_uuid():
-    # same valid_at: deterministic order by uuid; later-by-uuid invalidates
+def test_sweep_equal_timestamps_never_invalidate():
+    # strict kernel semantics (edge_operations.py:385): equal valid_at facts
+    # do not invalidate each other, regardless of uuid order
     out = _sweep([("b", "DISLIKES", "o", T1), ("a", "LIKES", "o", T1)], "pair")
-    assert out.loc["a", "invalid_at"] == T1
+    assert pd.isna(out.loc["a", "invalid_at"])
     assert pd.isna(out.loc["b", "invalid_at"])
+
+
+def test_sweep_equal_then_later_still_invalidates():
+    out = _sweep(
+        [("a", "DISLIKES", "o", T1), ("b", "LIKES", "o", T1), ("c", "LIKES", "o", T2)],
+        "pair",
+    )
+    # a (DISLIKES@T1) is invalidated by the strictly later LIKES@T2,
+    # skipping the equal-time LIKES@T1
+    assert out.loc["a", "invalid_at"] == T2
+    assert pd.isna(out.loc["b", "invalid_at"]) and pd.isna(out.loc["c", "invalid_at"])
