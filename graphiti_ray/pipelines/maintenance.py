@@ -149,6 +149,21 @@ def add_triplet(
     return out
 
 
+def clear_groups(
+    tables: dict[str, rd.Dataset], group_ids: list[str]
+) -> dict[str, rd.Dataset]:
+    """Wipe whole graph partitions (clear_data with group_ids,
+    graph_data_operations.py:97-112): drop every row of the given groups
+    from every table — a streaming anti-filter, no shuffle."""
+    gs = set(group_ids)
+    return {
+        name: _broadcast_filter(ds, "group_id", gs, negate=True)
+        if "group_id" in ds.schema().names
+        else ds
+        for name, ds in tables.items()
+    }
+
+
 def remove_episode(
     tables: dict[str, rd.Dataset], episode_uuid: str
 ) -> dict[str, rd.Dataset]:

@@ -94,6 +94,18 @@ def test_remove_episode_keeps_shared_provenance(ray_session, graph):
     assert len(likes) == 1 and likes.iloc[0].episode_count == 1
 
 
+def test_clear_groups(ray_session, graph):
+    from graphiti_ray.pipelines.maintenance import clear_groups
+
+    out = clear_groups(graph, ["g1.example.com"])
+    for name in ["episodes", "nodes", "edges", "mentions"]:
+        df = out[name].to_pandas()
+        if "group_id" in df.columns:
+            assert "g1.example.com" not in set(df.group_id)
+    # g2 survives
+    assert "g2.example.com" in set(out["nodes"].to_pandas().group_id)
+
+
 def test_compress_mapping_pointer_jumping(ray_session):
     # chain a→b→c→d and e→e: compress to roots in O(log n) rounds
     m = rd.from_items(
