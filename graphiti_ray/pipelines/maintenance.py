@@ -149,6 +149,45 @@ def add_triplet(
     return out
 
 
+def episode_entity_edges(edges: rd.Dataset) -> rd.Dataset:
+    """(episode_uuid, entity_edges): the fact-edge uuids each episode
+    produced (EpisodicNode.entity_edges, nodes.py:156; filled at
+    graphiti.py:421) — explode edge provenance, group by episode.
+    Combiner-first: explode emits (episode, edge) pairs per batch, the
+    groupby collects the (small) per-episode lists."""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        eps_lists = batch.column("episodes").to_pylist()
+        uuids = batch.column("uuid").to_pylist()
+        o_ep, o_edge = [], []
+        for u, lst in zip(uuids, eps_lists):
+            for ep in lst or []:
+                o_ep.append(ep)
+                o_edge.append(u)
+        return pa.table(
+            {
+                "episode_uuid": pa.array(o_ep, pa.string()),
+                "edge_uuid": pa.array(o_edge, pa.string()),
+            }
+        )
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "episode_uuid": [g["episode_uuid"].iloc[0]],
+                "entity_edges": [",".join(sorted(g["edge_uuid"]))],
+            }
+        )
+
+    return (
+        edges.select_columns(["uuid", "episodes"])
+        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("episode_uuid")
+        .map_groups(collect, batch_format="pandas")
+    )
+
+
 def clear_groups(
     tables: dict[str, rd.Dataset], group_ids: list[str]
 ) -> dict[str, rd.Dataset]:

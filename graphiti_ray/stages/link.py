@@ -211,16 +211,29 @@ def canonical_map(mentions: rd.Dataset) -> rd.Dataset:
     )
 
 
-def nodes_from_canonical(canon: rd.Dataset) -> rd.Dataset:
+def nodes_from_canonical(
+    canon: rd.Dataset, attribute_extractors: dict | None = None
+) -> rd.Dataset:
     """canonical map → entity nodes table (EntityNode parity,
-    nodes.py:297-302): uuid, name, group_id, labels, summary, mention_count.
-    """
+    nodes.py:297-302): uuid, name, group_id, labels, summary,
+    mention_count, attributes (map<string,string>, JSON-encoded values —
+    the open bag of §1.3; filled by per-label extractors from
+    functions/ontology.py when supplied, M5 stand-in)."""
+    import json as _json
 
     def per_entity(g: pd.DataFrame) -> pd.DataFrame:
         canonical = g["canonical"].iloc[0]
         labels = sorted(set(g["label"]))
         if len(labels) > 1 and "Entity" in labels:
             labels.remove("Entity")
+        primary = labels[0] if labels else "Entity"
+        attrs: dict[str, str] = {}
+        if attribute_extractors and primary in attribute_extractors:
+            from graphiti_ray.functions.ontology import encode_attributes
+
+            attrs = encode_attributes(
+                attribute_extractors[primary](canonical, primary) or {}
+            )
         return pd.DataFrame(
             {
                 "uuid": [g["entity_uuid"].iloc[0]],
@@ -229,6 +242,7 @@ def nodes_from_canonical(canon: rd.Dataset) -> rd.Dataset:
                 "labels": [["Entity"] + [l for l in labels if l != "Entity"]],
                 "summary": [f"Entity {canonical} ({', '.join(labels)})"],
                 "mention_count": [int(g["mention_count"].sum())],
+                "attributes": [_json.dumps(attrs, sort_keys=True)],
             }
         )
 

@@ -94,6 +94,50 @@ def test_remove_episode_keeps_shared_provenance(ray_session, graph):
     assert len(likes) == 1 and likes.iloc[0].episode_count == 1
 
 
+def test_episode_entity_edges(ray_session, graph):
+    from graphiti_ray.pipelines.maintenance import episode_entity_edges
+
+    out = episode_entity_edges(graph["edges"]).to_pandas()
+    eps = graph["episodes"].to_pandas()
+    edges = graph["edges"].to_pandas()
+    assert set(out.episode_uuid) <= set(eps.uuid)
+    # every edge uuid appears under each of its provenance episodes
+    for r in edges.itertuples(index=False):
+        for ep in r.episodes:
+            row = out[out.episode_uuid == ep]
+            assert r.uuid in row.iloc[0].entity_edges
+
+
+def test_node_attributes_extractor(ray_session):
+    import ray.data as rd
+
+    from graphiti_ray.stages.link import canonical_map, nodes_from_canonical
+
+    m = rd.from_items(
+        [
+            {
+                "episode_uuid": "e1",
+                "group_id": "g",
+                "name": "Acme Corp",
+                "label_hint": "Organization",
+                "valid_at": None,
+            }
+        ]
+    )
+    canon = canonical_map(m)
+    nodes = nodes_from_canonical(
+        canon,
+        attribute_extractors={
+            "Organization": lambda name, label: {"industry": "unknown", "len": len(name)}
+        },
+    ).to_pandas()
+    import json
+
+    attrs = json.loads(nodes.iloc[0].attributes)
+    assert json.loads(attrs["industry"]) == "unknown"
+    assert json.loads(attrs["len"]) == 9
+
+
 def test_clear_groups(ray_session, graph):
     from graphiti_ray.pipelines.maintenance import clear_groups
 
