@@ -143,3 +143,22 @@ def retrieve_episode_windows(episodes: rd.Dataset, window: int = 3) -> rd.Datase
     return episodes.select_columns(["uuid", "group_id", "valid_at"]).groupby(
         "group_id"
     ).map_groups(per_group, batch_format="pandas")
+
+
+def retrieve_episode_windows_scalable(
+    episodes: rd.Dataset, window: int = 3
+) -> rd.Dataset:
+    """Hub-safe T3: same result as :func:`retrieve_episode_windows` but via
+    ``ops.sorted_lag_list`` (global sort + ≤window-row boundary exchange) —
+    no per-group grouping, so a hub host spanning many blocks is free."""
+    from graphiti_ray.stages.ops import sorted_lag_list
+
+    out = sorted_lag_list(
+        episodes.select_columns(["uuid", "group_id", "valid_at"]),
+        part_cols=["group_id"],
+        order_cols=["valid_at", "uuid"],
+        value_col="uuid",
+        k=window,
+        out_col="prev_episode_uuids",
+    )
+    return out

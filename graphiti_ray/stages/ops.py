@@ -110,6 +110,93 @@ def sorted_lead(
 
 
 @ray.remote
+def _block_tail(block: pa.Table, part_cols: list[str], value_col: str, k: int):
+    """Last ≤k (part_tuple, value) pairs of a block — lag boundary exchange."""
+    n = block.num_rows
+    if n == 0:
+        return []
+    lo = max(0, n - k)
+    parts = list(zip(*(block.column(c).to_pylist()[lo:] for c in part_cols)))
+    values = block.column(value_col).to_pylist()[lo:]
+    return list(zip(parts, values))
+
+
+@ray.remote
+def _lag_list_block(
+    block: pa.Table,
+    part_cols: list[str],
+    value_col: str,
+    out_col: str,
+    k: int,
+    prev_tail: list,
+) -> pa.Table:
+    """Per row: the previous ≤k values within its partition, in order —
+    seeded at the block boundary with the previous block's tail."""
+    n = block.num_rows
+    if n == 0:
+        return block.append_column(out_col, pa.array([], pa.list_(pa.string())))
+    parts = list(zip(*(block.column(c).to_pylist() for c in part_cols)))
+    values = block.column(value_col).to_pylist()
+    out = []
+    buf_part = None
+    buf: list = []
+    # seed from previous block's tail (only entries of the first partition
+    # in this block can matter)
+    if prev_tail:
+        first_part = parts[0]
+        seed = [v for p, v in prev_tail if p == first_part]
+        if seed:
+            buf_part, buf = first_part, seed[-k:]
+    for i in range(n):
+        if parts[i] != buf_part:
+            buf_part, buf = parts[i], []
+        out.append(list(buf[-k:]))
+        buf.append(values[i])
+    return block.append_column(out_col, pa.array(out, pa.list_(pa.string())))
+
+
+def sorted_lag_list(
+    ds: rd.Dataset,
+    part_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    k: int,
+    out_col: str = "prev_values",
+) -> rd.Dataset:
+    """Per row: the previous ≤k ``value_col`` values within its partition in
+    (order_cols) order — the trailing-context-window primitive (T3,
+    EPISODE_WINDOW_LEN) without per-partition grouping: global range sort +
+    a ≤k-row tail exchanged between neighbouring blocks. A hub partition
+    spanning many blocks costs nothing extra. Precondition: a partition's
+    rows within one block are contiguous (guaranteed by the sort); a
+    partition spanning >2 blocks is fine because each block seeds from its
+    immediate predecessor's tail, which already accumulated the carry."""
+    mat = ds.sort(part_cols + order_cols).materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return mat
+    tails = ray.get([_block_tail.remote(r, part_cols, value_col, k) for r in refs])
+    out_refs = []
+    carry: list = []
+    for r, tail in zip(refs, tails):
+        out_refs.append(
+            _lag_list_block.remote(r, part_cols, value_col, out_col, k, carry)
+        )
+        if tail:
+            # only the LAST partition of this block can continue into the
+            # next block (range sort), so the carry is the last ≤k entries
+            # of that partition, accumulated across consecutive short blocks
+            last_part = tail[-1][0]
+            merged = [e for e in carry if e[0] == last_part] + [
+                e for e in tail if e[0] == last_part
+            ]
+            carry = merged[-k:]
+    return rd.from_arrow_refs(out_refs)
+
+
+@ray.remote
 def _block_edge_keys(block: pa.Table, key: str):
     if block.num_rows == 0:
         return None, None

@@ -112,6 +112,44 @@ def test_scalable_sweep_equals_grouped_sweep(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_sorted_lag_list_matches_grouped_windows(ray_session):
+    """Scalable T3 equals the grouped implementation on real data, across
+    many small blocks (boundary carries exercised)."""
+    from graphiti_ray.sources.pages import pages_dataset
+    from graphiti_ray.stages.extract import (
+        episodes_dataset,
+        retrieve_episode_windows,
+        retrieve_episode_windows_scalable,
+    )
+
+    eps = episodes_dataset(pages_dataset("/root/testdata/sf0.001")).materialize()
+    a = retrieve_episode_windows(eps).to_pandas()
+    b = retrieve_episode_windows_scalable(
+        eps.repartition(17)  # force many boundary exchanges
+    ).to_pandas()
+    am = {r.uuid: list(r.prev_episode_uuids) for r in a.itertuples(index=False)}
+    bm = {r.uuid: list(r.prev_episode_uuids) for r in b.itertuples(index=False)}
+    assert am == bm
+
+
+def test_sorted_lag_list_tiny_blocks(ray_session):
+    from graphiti_ray.stages.ops import sorted_lag_list
+
+    rows = [
+        {"g": "a", "ts": i, "v": f"v{i}"} for i in range(8)
+    ] + [{"g": "b", "ts": i, "v": f"w{i}"} for i in range(3)]
+    ds = rd.from_items(rows).repartition(9)  # ~1 row per block
+    out = sorted_lag_list(ds, ["g"], ["ts"], "v", k=3, out_col="prev").to_pandas()
+    got = {
+        (r.g, r.ts): list(r.prev) for r in out.itertuples(index=False)
+    }
+    assert got[("a", 0)] == []
+    assert got[("a", 3)] == ["v0", "v1", "v2"]
+    assert got[("a", 7)] == ["v4", "v5", "v6"]
+    assert got[("b", 0)] == []
+    assert got[("b", 2)] == ["w0", "w1"]
+
+
 def test_distinct_by_key_cross_block(ray_session):
     rows = [{"k": f"key{i:03d}", "v": i} for i in range(50) for _ in range(3)]
     ds = rd.from_items(rows).repartition(7)
