@@ -21,9 +21,22 @@ import ray
 import ray.data as rd
 
 
+def _as_arrow(block) -> pa.Table:
+    """Blocks may be pandas (from_pandas / map_groups lineages; empty blocks
+    skip map_batches conversion passes) — normalize inside the remote fns."""
+    if isinstance(block, pa.Table):
+        return block
+    import pandas as pd
+
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return pa.table(block)
+
+
 @ray.remote
-def _block_head(block: pa.Table, cols: list[str]):
+def _block_head(block, cols: list[str]):
     """First row's values for ``cols`` (None if empty) — boundary exchange."""
+    block = _as_arrow(block)
     if block.num_rows == 0:
         return None
     return {c: block.column(c)[0].as_py() for c in cols}
@@ -31,7 +44,7 @@ def _block_head(block: pa.Table, cols: list[str]):
 
 @ray.remote
 def _lead_block(
-    block: pa.Table,
+    block,
     part_cols: list[str],
     value_col: str,
     out_col: str,
@@ -41,6 +54,7 @@ def _lead_block(
     """Within-block lead(value_col) over partitions defined by part_cols,
     with the following block's first row patched in at the boundary.
     Requires a prior global sort by (part_cols..., order_cols...)."""
+    block = _as_arrow(block)
     n = block.num_rows
     if n == 0:
         return block.append_column(out_col, pa.array([], out_type))
@@ -87,6 +101,9 @@ def sorted_lead(
     followed by a greater value only in a later block (the boundary
     exchange passes one row); guaranteed when (part, value) pairs are
     unique — true for merged edges with per-document event times."""
+    # arrow-normalize first: from_pandas/map_groups lineages carry pandas
+    # blocks, and the remote block fns operate on arrow tables
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
     mat = ds.sort(part_cols + order_cols).materialize()
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
@@ -110,8 +127,9 @@ def sorted_lead(
 
 
 @ray.remote
-def _block_tail(block: pa.Table, part_cols: list[str], value_col: str, k: int):
+def _block_tail(block, part_cols: list[str], value_col: str, k: int):
     """Last ≤k (part_tuple, value) pairs of a block — lag boundary exchange."""
+    block = _as_arrow(block)
     n = block.num_rows
     if n == 0:
         return []
@@ -123,7 +141,7 @@ def _block_tail(block: pa.Table, part_cols: list[str], value_col: str, k: int):
 
 @ray.remote
 def _lag_list_block(
-    block: pa.Table,
+    block,
     part_cols: list[str],
     value_col: str,
     out_col: str,
@@ -132,6 +150,7 @@ def _lag_list_block(
 ) -> pa.Table:
     """Per row: the previous ≤k values within its partition, in order —
     seeded at the block boundary with the previous block's tail."""
+    block = _as_arrow(block)
     n = block.num_rows
     if n == 0:
         return block.append_column(out_col, pa.array([], pa.list_(pa.string())))
@@ -171,6 +190,7 @@ def sorted_lag_list(
     rows within one block are contiguous (guaranteed by the sort); a
     partition spanning >2 blocks is fine because each block seeds from its
     immediate predecessor's tail, which already accumulated the carry."""
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
     mat = ds.sort(part_cols + order_cols).materialize()
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
@@ -197,7 +217,8 @@ def sorted_lag_list(
 
 
 @ray.remote
-def _block_edge_keys(block: pa.Table, key: str):
+def _block_edge_keys(block, key: str):
+    block = _as_arrow(block)
     if block.num_rows == 0:
         return None, None
     col = block.column(key)
@@ -205,10 +226,10 @@ def _block_edge_keys(block: pa.Table, key: str):
 
 
 @ray.remote
-def _dedup_block(block: pa.Table, key: str, drop_leading: object) -> pa.Table:
+def _dedup_block(block, key: str, drop_leading: object) -> pa.Table:
     import numpy as np
-    import pyarrow.compute as pc
 
+    block = _as_arrow(block)
     if block.num_rows == 0:
         return block
     col = block.column(key).combine_chunks()
@@ -225,6 +246,7 @@ def _dedup_block(block: pa.Table, key: str, drop_leading: object) -> pa.Table:
 
 def distinct_by_key(ds: rd.Dataset, key: str) -> rd.Dataset:
     """Exact one-row-per-key distinct via range sort + adjacent dedup."""
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
     mat = ds.sort(key).materialize()
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
