@@ -21,3 +21,24 @@ __version__ = "0.1.0"
 TEXT_EXTRACT_VERSION = "tx1"
 PAGEGEN_VERSION = "pg1"
 EMBED_VERSION = "he1"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keep `import graphiti_ray` cheap — no ray
+    import at module load)."""
+    lazy = {
+        "build_kg": ("graphiti_ray.pipelines.kg", "build_kg"),
+        "run_kg": ("graphiti_ray.pipelines.kg", "run_kg"),
+        "add_pages": ("graphiti_ray.pipelines.incremental", "add_pages"),
+        "KGSearcher": ("graphiti_ray.pipelines.search", "KGSearcher"),
+        "SearchConfig": ("graphiti_ray.pipelines.search", "SearchConfig"),
+        "SearchFilters": ("graphiti_ray.pipelines.search", "SearchFilters"),
+        "read_pages": ("graphiti_ray.sources.pages", "read_pages"),
+        "pages_dataset": ("graphiti_ray.sources.pages", "pages_dataset"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)
