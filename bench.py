@@ -101,7 +101,9 @@ def _extras(sf_dir: str) -> dict[str, float]:
         from graphiti_ray.stages.similarity import knn_brute_force
         import ray.data as rd
 
-        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        emb = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
         timed("knn_topk", lambda: knn_brute_force(emb, n_queries=32, k=10).count())
     except ImportError:
         pass

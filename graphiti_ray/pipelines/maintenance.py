@@ -25,7 +25,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from graphiti_ray.functions.text import edge_uuid, entity_uuid, md5_hex
+from graphiti_ray.functions.text import edge_uuid, entity_uuid
 from graphiti_ray.stages.extract import DEFAULT_RUN_TS
 
 

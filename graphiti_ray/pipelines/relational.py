@@ -10,7 +10,6 @@ values (float sum order is engine-dependent; integer sums are not).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 import ray.data as rd

@@ -160,8 +160,6 @@ class MinHashStage:
 def minhash_signatures(docs: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Dataset:
     # task mode: the stage state is just column names; plain tasks skip the
     # actor-pool spin-up each execution
-    import functools
-
     def fn(batch, text_col=text_col, id_col=id_col):
         return MinHashStage(text_col, id_col)(batch)
 
