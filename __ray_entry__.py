@@ -432,9 +432,12 @@ def _q_episode_windows(sf_dir: str):
     import pandas as pd
     import pyarrow as pa
 
-    from graphiti_ray.stages.extract import episodes_dataset, retrieve_episode_windows
+    from graphiti_ray.stages.extract import (
+        episodes_dataset,
+        retrieve_episode_windows_scalable,
+    )
 
-    w = retrieve_episode_windows(episodes_dataset(_pages(sf_dir)), window=3)
+    w = retrieve_episode_windows_scalable(episodes_dataset(_pages(sf_dir)), window=3)
 
     def fmt(df: pd.DataFrame) -> pa.Table:
         return pa.table(

@@ -40,7 +40,7 @@ from graphiti_ray.stages.link import (
 from graphiti_ray.stages.nlp import extracted_dataset, split_extracted
 from graphiti_ray.stages.temporal import (
     episodes_to_list,
-    invalidation_sweep,
+    invalidation_sweep_scalable,
     merged_edges,
 )
 from graphiti_ray.state.checkpoint import (
@@ -114,7 +114,7 @@ def add_pages(
 
     e_keep = _filter_groups(read_table(out_root, "edges"), affected, keep=False)
     resolved = apply_canonical_broadcast(triples_aff, lut)
-    e_new = invalidation_sweep(merged_edges(resolved, run_ts), run_ts)
+    e_new = invalidation_sweep_scalable(merged_edges(resolved, run_ts), run_ts)
     if embeddings:
         e_new = with_embedding(e_new, "fact", "fact_embedding")
     e_new = episodes_to_list(e_new)

@@ -54,7 +54,7 @@ from graphiti_ray.stages.link import (
 from graphiti_ray.stages.nlp import extracted_dataset, split_extracted
 from graphiti_ray.stages.temporal import (
     episodes_to_list,
-    invalidation_sweep,
+    invalidation_sweep_scalable,
     merged_edges,
 )
 
@@ -92,7 +92,7 @@ def build_kg(
 
         m_edges = mention_edges_join(mentions, canon, num_partitions)
 
-    edges = invalidation_sweep(merged_edges(resolved, run_ts), run_ts)
+    edges = invalidation_sweep_scalable(merged_edges(resolved, run_ts), run_ts)
     if embeddings:
         edges = with_embedding(edges, "fact", "fact_embedding")
     edges = episodes_to_list(edges)
@@ -182,7 +182,7 @@ def run_kg(
             resolved = apply_canonical_broadcast(triples, lut)
         else:
             resolved = apply_canonical(triples, canon, num_partitions=num_partitions)
-        edges = invalidation_sweep(merged_edges(resolved, run_ts), run_ts)
+        edges = invalidation_sweep_scalable(merged_edges(resolved, run_ts), run_ts)
         if embeddings:
             edges = with_embedding(edges, "fact", "fact_embedding")
         return episodes_to_list(edges)

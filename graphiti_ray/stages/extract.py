@@ -112,16 +112,36 @@ def episodes_dataset(
     )
 
 
-def retrieve_episode_windows(episodes: rd.Dataset, window: int = 3) -> rd.Dataset:
+def _filter_source(episodes: rd.Dataset, source: str | None) -> rd.Dataset:
+    """S5 ``source`` filter parity (graph_data_operations.py:115-188 filters
+    by EpisodeType when given): keep only episodes of one source kind."""
+    if source is None:
+        return episodes
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("source"), source))
+
+    return episodes.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def retrieve_episode_windows(
+    episodes: rd.Dataset, window: int = 3, source: str | None = None
+) -> rd.Dataset:
     """T3 parity (graph_data_operations.py:115-188, EPISODE_WINDOW_LEN=3):
     for each episode, the uuids of the previous `window` episodes of the same
-    group with valid_at <= this one's, in chronological order.
+    group with valid_at <= this one's, in chronological order; ``source``
+    restricts to one EpisodeType like the reference's optional filter.
 
     Wide step: groupby(group_id) shuffle, then an in-group sort + sliding
     window — groups are per-host, bounded; skew note: a hub host only affects
-    its own group block.
+    its own group block. Prefer :func:`retrieve_episode_windows_scalable`
+    (the default path) when a single host can dominate the corpus.
     """
     import pandas as pd
+
+    episodes = _filter_source(episodes, source)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["valid_at", "uuid"], kind="mergesort")
@@ -145,7 +165,7 @@ def retrieve_episode_windows(episodes: rd.Dataset, window: int = 3) -> rd.Datase
 
 
 def retrieve_episode_windows_scalable(
-    episodes: rd.Dataset, window: int = 3
+    episodes: rd.Dataset, window: int = 3, source: str | None = None
 ) -> rd.Dataset:
     """Hub-safe T3: same result as :func:`retrieve_episode_windows` but via
     ``ops.sorted_lag_list`` (global sort + ≤window-row boundary exchange) —
@@ -153,7 +173,9 @@ def retrieve_episode_windows_scalable(
     from graphiti_ray.stages.ops import sorted_lag_list
 
     out = sorted_lag_list(
-        episodes.select_columns(["uuid", "group_id", "valid_at"]),
+        _filter_source(episodes, source).select_columns(
+            ["uuid", "group_id", "valid_at"]
+        ),
         part_cols=["group_id"],
         order_cols=["valid_at", "uuid"],
         value_col="uuid",

@@ -34,12 +34,41 @@ def _as_arrow(block) -> pa.Table:
 
 
 @ray.remote
-def _block_head(block, cols: list[str]):
-    """First row's values for ``cols`` (None if empty) — boundary exchange."""
+def _block_run_info(block, part_cols: list[str], value_col: str):
+    """Boundary-exchange summary: ``(head, tail)`` where ``head = (part0,
+    value0, next_distinct_value_or_None, run_is_whole_block)`` describes the
+    block's leading (part, value) run and ``tail = (part_last, value_last)``
+    its trailing run key. None for an empty block.
+
+    ``next_distinct_value`` is the first value after the leading run when
+    that row is still in ``part0`` (strictly greater under the sort);
+    ``run_is_whole_block`` is True when the entire block is one
+    (part, value) run — the case where the search must continue into the
+    block after it.
+    """
+    import pyarrow.compute as pc
+
     block = _as_arrow(block)
-    if block.num_rows == 0:
+    n = block.num_rows
+    if n == 0:
         return None
-    return {c: block.column(c)[0].as_py() for c in cols}
+    same = pc.equal(block.column(value_col), block.column(value_col)[0])
+    same_part = None
+    for c in part_cols:
+        eq = pc.equal(block.column(c), block.column(c)[0])
+        same_part = eq if same_part is None else pc.and_kleene(same_part, eq)
+        same = pc.and_kleene(same, eq)
+    run_len = n if pc.all(same).as_py() else pc.index(same, False).as_py()
+    p0 = tuple(block.column(c)[0].as_py() for c in part_cols)
+    v0 = block.column(value_col)[0].as_py()
+    nv = None
+    if run_len < n and same_part[run_len].as_py():
+        nv = block.column(value_col)[run_len].as_py()
+    tail = (
+        tuple(block.column(c)[-1].as_py() for c in part_cols),
+        block.column(value_col)[-1].as_py(),
+    )
+    return (p0, v0, nv, run_len == n), tail
 
 
 @ray.remote
@@ -49,11 +78,15 @@ def _lead_block(
     value_col: str,
     out_col: str,
     out_type: pa.DataType,
-    next_head: dict | None,
+    boundary_lead,
 ) -> pa.Table:
-    """Within-block lead(value_col) over partitions defined by part_cols,
-    with the following block's first row patched in at the boundary.
-    Requires a prior global sort by (part_cols..., order_cols...)."""
+    """Within-block lead(value_col) over partitions defined by part_cols.
+    ``boundary_lead`` is the pre-resolved next strictly-greater value for
+    this block's trailing (part, value) run (None if the partition ends or
+    has no greater value) — computed driver-side from every later block's
+    run summary, so an equal-value run straddling any number of block
+    boundaries still finds its lead. Requires a prior global sort by
+    (part_cols..., order_cols...)."""
     block = _as_arrow(block)
     n = block.num_rows
     if n == 0:
@@ -69,16 +102,37 @@ def _lead_block(
             j += 1
         if j < n and parts[j] == parts[i]:
             lead[i] = values[j]
-    if next_head is not None:
-        head_part = tuple(next_head[c] for c in part_cols)
+    if boundary_lead is not None:
+        # patch exactly the trailing (part, value) run
+        tp, tv = parts[-1], values[-1]
         for i in range(n - 1, -1, -1):
-            if lead[i] is not None:
+            if parts[i] != tp or values[i] != tv:
                 break
-            if parts[i] == head_part and next_head[value_col] > values[i]:
-                lead[i] = next_head[value_col]
-            elif parts[i] != head_part:
-                break
+            lead[i] = boundary_lead
     return block.append_column(out_col, pa.array(lead, out_type))
+
+
+def _resolve_boundary_lead(i: int, infos: list) -> object:
+    """Next strictly-greater value for block i's trailing run, found by
+    scanning later blocks' run summaries (handles runs spanning any number
+    of blocks)."""
+    if infos[i] is None:
+        return None
+    tp, tv = infos[i][1]
+    for j in range(i + 1, len(infos)):
+        if infos[j] is None:
+            continue  # empty block
+        (p0, v0, nv, whole), _ = infos[j]
+        if p0 != tp:
+            return None  # partition ended at the boundary
+        if v0 != tv:
+            return v0  # sorted ⇒ strictly greater
+        if nv is not None:
+            return nv  # run ends inside block j with a greater value
+        if whole:
+            continue  # block j is entirely the same run — keep looking
+        return None  # run ends inside block j at a different partition
+    return None
 
 
 def sorted_lead(
@@ -97,10 +151,12 @@ def sorted_lead(
     sweep's hub-entity skew (SURVEY §4) without salted keys.
 
     Lead is STRICT (next strictly-greater value; equal-value runs skipped).
-    Precondition: an equal-value run must not span a block boundary AND be
-    followed by a greater value only in a later block (the boundary
-    exchange passes one row); guaranteed when (part, value) pairs are
-    unique — true for merged edges with per-document event times."""
+    The boundary exchange ships one run summary per block and resolves each
+    block's trailing-run lead driver-side, so an equal-value run straddling
+    any number of block boundaries is handled (no uniqueness precondition
+    on (part, value)). Precondition: ``value_col`` must be ordered by the
+    sort (i.e. aligned with ``order_cols``) so values are non-decreasing
+    within a partition."""
     # arrow-normalize first: from_pandas/map_groups lineages carry pandas
     # blocks, and the remote block fns operate on arrow tables
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
@@ -110,18 +166,18 @@ def sorted_lead(
         refs.extend(bundle.block_refs)
     if not refs:
         return mat
-    heads = ray.get(
-        [_block_head.remote(r, part_cols + [value_col]) for r in refs]
-    )
+    infos = ray.get([_block_run_info.remote(r, part_cols, value_col) for r in refs])
     out_refs = []
     for i, r in enumerate(refs):
-        nxt = None
-        for j in range(i + 1, len(refs)):
-            if heads[j] is not None:
-                nxt = heads[j]
-                break
         out_refs.append(
-            _lead_block.remote(r, part_cols, value_col, out_col, out_type, nxt)
+            _lead_block.remote(
+                r,
+                part_cols,
+                value_col,
+                out_col,
+                out_type,
+                _resolve_boundary_lead(i, infos),
+            )
         )
     return rd.from_arrow_refs(out_refs)
 

@@ -43,6 +43,35 @@ from graphiti_ray.stages.extract import DEFAULT_RUN_TS
 
 EDGE_KEY = ["group_id", "subj_uuid", "pred", "obj_uuid"]
 
+# Flattened views of the exclusion table for vectorized key derivation.
+_PRED_MODE = {p: c[0] for p, c in EXCLUSION_CLASSES.items()}
+_PRED_TAG = {
+    p: "|".join(sorted(c[1])) for p, c in EXCLUSION_CLASSES.items() if c[0] == "pair"
+}
+
+
+def _add_inval_key(batch: pa.Table, with_mode: bool) -> pa.Table:
+    """Vectorized invalidation-partition key: pair classes key on
+    (group, subj, obj, class); subj classes on (group, subj, pred);
+    non-exclusive predicates get a singleton key (no-op partition).
+    Pandas string kernels throughout — no per-row Python loop."""
+    import numpy as np
+
+    df = batch.to_pandas()
+    mode = df["pred"].map(_PRED_MODE).fillna("none")
+    pair_key = (
+        "pair|" + df["group_id"] + "|" + df["subj_uuid"] + "|" + df["obj_uuid"]
+        + "|" + df["pred"].map(_PRED_TAG).fillna("")
+    )
+    subj_key = "subj|" + df["group_id"] + "|" + df["subj_uuid"] + "|" + df["pred"]
+    none_key = "none|" + df["uuid"]
+    df["inval_key"] = np.select(
+        [mode.eq("pair"), mode.eq("subj")], [pair_key, subj_key], default=none_key
+    )
+    if with_mode:
+        df["inval_mode"] = mode
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
 
 def _combine_partial(df: pd.DataFrame) -> pd.DataFrame:
     """Per-batch combiner: one row per edge key with (min valid_at, the fact
@@ -153,29 +182,9 @@ def invalidation_sweep(
     edges: rd.Dataset, run_ts: datetime = DEFAULT_RUN_TS
 ) -> rd.Dataset:
     """T1 over the merged edge table; non-exclusive predicates pass through
-    with null invalid_at/expired_at."""
-
-    def add_key(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        keys, modes = [], []
-        for r in df.itertuples(index=False):
-            cls = EXCLUSION_CLASSES.get(r.pred)
-            if cls is None:
-                keys.append(f"none|{r.uuid}")  # singleton partition → no-op
-                modes.append("none")
-            elif cls[0] == "pair":
-                keys.append(
-                    f"pair|{r.group_id}|{r.subj_uuid}|{r.obj_uuid}|{'|'.join(sorted(cls[1]))}"
-                )
-                modes.append("pair")
-            else:
-                keys.append(f"subj|{r.group_id}|{r.subj_uuid}|{r.pred}")
-                modes.append("subj")
-        df["inval_key"] = keys
-        df["inval_mode"] = modes
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
-            None
-        )
+    with null invalid_at/expired_at. Per-key groupby shape — prefer
+    :func:`invalidation_sweep_scalable` (the default KG path), keeping this
+    as the independently-implemented equivalence witness."""
 
     def sweep(g: pd.DataFrame) -> pd.DataFrame:
         if g["inval_mode"].iloc[0] == "none":
@@ -185,7 +194,9 @@ def invalidation_sweep(
             return g
         return _sweep_frame(g, run_ts)
 
-    keyed = edges.map_batches(add_key, batch_format="pyarrow")
+    keyed = edges.map_batches(
+        lambda b: _add_inval_key(b, with_mode=True), batch_format="pyarrow"
+    )
     out = keyed.groupby("inval_key").map_groups(sweep, batch_format="pandas")
     return out.drop_columns(["inval_key", "inval_mode"])
 
@@ -205,31 +216,15 @@ def invalidation_sweep_scalable(
     (the skew answer for SURVEY §4's "salted keys" row).
 
     Equivalent to ``invalidation_sweep`` on merged inputs (asserted by
-    tests); prefer it when entity partitions can be huge.
+    tests); the DEFAULT sweep on the KG hot path (kg.py / incremental.py).
     """
     import pyarrow.compute as pc
 
     from graphiti_ray.stages.ops import sorted_lead
 
-    def add_key(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        keys = []
-        for r in df.itertuples(index=False):
-            cls = EXCLUSION_CLASSES.get(r.pred)
-            if cls is None:
-                keys.append(f"none|{r.uuid}")
-            elif cls[0] == "pair":
-                keys.append(
-                    f"pair|{r.group_id}|{r.subj_uuid}|{r.obj_uuid}|{'|'.join(sorted(cls[1]))}"
-                )
-            else:
-                keys.append(f"subj|{r.group_id}|{r.subj_uuid}|{r.pred}")
-        df["inval_key"] = keys
-        return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(
-            None
-        )
-
-    keyed = edges.map_batches(add_key, batch_format="pyarrow")
+    keyed = edges.map_batches(
+        lambda b: _add_inval_key(b, with_mode=False), batch_format="pyarrow"
+    )
     led = sorted_lead(
         keyed, ["inval_key"], ["valid_at", "uuid"], "valid_at", out_col="invalid_at"
     )
@@ -276,7 +271,9 @@ def resolve_edge_contradictions(
             continue  # disjoint intervals: no interaction
         if e_valid is not None and r_valid is not None and e_valid < r_valid:
             edge["invalid_at"] = r_valid
-            edge["expired_at"] = now
+            # preserve an existing transaction-time expiry; only stamp `now`
+            # when unset (edge_operations.py:389 keeps the first expired_at)
+            edge["expired_at"] = edge.get("expired_at") or now
             invalidated.append(edge)
     return invalidated
 

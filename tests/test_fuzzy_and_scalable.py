@@ -150,6 +150,33 @@ def test_sorted_lag_list_tiny_blocks(ray_session):
     assert got[("b", 2)] == ["w0", "w1"]
 
 
+def test_episode_windows_source_filter(ray_session):
+    """S5 source filter (graph_data_operations.py:115-188): only episodes of
+    the requested EpisodeType participate in the window."""
+    from datetime import datetime as dt
+
+    from graphiti_ray.stages.extract import (
+        retrieve_episode_windows,
+        retrieve_episode_windows_scalable,
+    )
+
+    rows = [
+        {
+            "uuid": f"e{i}",
+            "group_id": "g",
+            "valid_at": dt(2024, 1, 1 + i),
+            "source": "text" if i % 2 == 0 else "message",
+        }
+        for i in range(6)
+    ]
+    eps = rd.from_items(rows)
+    for fn in (retrieve_episode_windows, retrieve_episode_windows_scalable):
+        out = fn(eps, window=2, source="text").to_pandas()
+        got = {r.uuid: list(r.prev_episode_uuids) for r in out.itertuples(index=False)}
+        # only e0, e2, e4 remain and window over them alone
+        assert got == {"e0": [], "e2": ["e0"], "e4": ["e0", "e2"]}
+
+
 def test_distinct_by_key_cross_block(ray_session):
     rows = [{"k": f"key{i:03d}", "v": i} for i in range(50) for _ in range(3)]
     ds = rd.from_items(rows).repartition(7)

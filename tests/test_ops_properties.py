@@ -22,25 +22,69 @@ rows_strategy = st.lists(
 
 
 @given(rows_strategy, st.integers(1, 6))
-@settings(max_examples=10, deadline=None)
+@settings(max_examples=15, deadline=None)
 def test_sorted_lead_matches_pandas(ray_session, rows, nblocks):
-    # unique (part, value) precondition for strict lead (documented)
-    uniq = sorted(set(rows))
-    df = pd.DataFrame(uniq, columns=["p", "v"])
+    # duplicate (part, value) pairs ALLOWED — equal-value runs may straddle
+    # block boundaries (regression for the one-row boundary exchange)
+    df = pd.DataFrame(rows, columns=["p", "v"])
     df["uuid"] = [f"u{i}" for i in range(len(df))]
     ds = rd.from_pandas(df).repartition(nblocks)
     out = sorted_lead(
-        ds, ["p"], ["v"], "v", out_col="nxt", out_type=None or __import__("pyarrow").int64()
+        ds, ["p"], ["v", "uuid"], "v", out_col="nxt",
+        out_type=__import__("pyarrow").int64(),
     ).to_pandas()
-    ref = df.sort_values(["p", "v"]).copy()
-    ref["nxt"] = ref.groupby("p")["v"].shift(-1)
-    got = dict(zip(zip(out.p, out.v), out.nxt))
-    want = dict(zip(zip(ref.p, ref.v), ref.nxt))
-    for k in want:
-        if pd.isna(want[k]):
-            assert pd.isna(got[k]), k
+    # strict lead: the smallest strictly-greater value in the partition
+    want = {}
+    for p, grp in df.groupby("p"):
+        vals = sorted(grp["v"].unique())
+        for i, v in enumerate(vals):
+            want[(p, v)] = vals[i + 1] if i + 1 < len(vals) else None
+    assert len(out) == len(df)
+    for r in out.itertuples(index=False):
+        w = want[(r.p, r.v)]
+        if w is None:
+            assert pd.isna(r.nxt), (r.p, r.v)
         else:
-            assert got[k] == want[k], k
+            assert r.nxt == w, (r.p, r.v)
+
+
+def test_sorted_lead_straddling_run_blocks(ray_session):
+    """Deterministic regression: an equal-value run spanning 3 blocks whose
+    strictly-greater successor lives 2 blocks later must still get a lead.
+    Drives the block-level kernels directly so the block layout is exact."""
+    import pyarrow as pa
+    import ray
+
+    from graphiti_ray.stages.ops import (
+        _block_run_info,
+        _lead_block,
+        _resolve_boundary_lead,
+    )
+
+    def blk(pairs):
+        return pa.table(
+            {"p": [p for p, _ in pairs], "v": pa.array([v for _, v in pairs], pa.int64())}
+        )
+
+    blocks = [
+        blk([("a", 1), ("a", 5), ("a", 5)]),   # trailing run (a,5)...
+        blk([("a", 5), ("a", 5)]),             # ...entirely (a,5)...
+        blk([("a", 5), ("a", 9), ("b", 2)]),   # ...ends here; lead must be 9
+        blk([("b", 2), ("c", 4)]),             # (b,2) run ends at partition change
+    ]
+    infos = ray.get(
+        [_block_run_info.remote(b, ["p"], "v") for b in blocks]
+    )
+    leads = [_resolve_boundary_lead(i, infos) for i in range(len(blocks))]
+    assert leads == [9, 9, None, None]
+    out = ray.get(
+        [
+            _lead_block.remote(b, ["p"], "v", "nxt", pa.int64(), leads[i])
+            for i, b in enumerate(blocks)
+        ]
+    )
+    got = [t.column("nxt").to_pylist() for t in out]
+    assert got == [[5, 9, 9], [9, 9], [9, None, None], [None, None]]
 
 
 @given(rows_strategy, st.integers(1, 6), st.integers(1, 4))
