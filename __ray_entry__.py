@@ -32,6 +32,7 @@ _TOKEN_RE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 from graphiti_ray.stages.textstats import STOPWORDS as _SW
 
 _STOPWORDS_SQL = _sql_str_list(_SW["en"])
+_LANG_LISTS_SQL = {lang: _sql_str_list(ws) for lang, ws in _SW.items()}
 
 # ---------------------------------------------------------------------------
 # shared oracle CTEs (documents → derived pages/mentions/canonical entities)
@@ -260,12 +261,16 @@ def _q_dedup_simhash(sf_dir: str):
 
 
 def _q_dedup_embedding(sf_dir: str):
+    """Exact all-pairs cosine near-dup (oracle-checked); the LSH variant
+    (embedding_near_dup) is the approximate scale path, pytest-covered.
+    τ=0.45 because the synthetic embeddings have no high-cosine dups —
+    a vacuous 0-row query proves nothing."""
     import ray.data as rd
 
-    from graphiti_ray.stages.dedup import embedding_near_dup
+    from graphiti_ray.stages.dedup import embedding_near_dup_exact
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return embedding_near_dup(emb, threshold=0.9)
+    return embedding_near_dup_exact(emb, threshold=0.45)
 
 
 def _q_text_tokens(sf_dir: str):
@@ -482,7 +487,9 @@ def _q_rrf_fusion(sf_dir: str):
 
 def _q_docs_bm25(sf_dir: str):
     """Corpus-side BM25 search over documents: sidecar index build pass +
-    vectorized scoring (S9 parity; no SQL twin — DuckDB has no BM25)."""
+    vectorized scoring (S9 parity). The SQL twin spells out the Okapi
+    formula with the 4 query terms pivoted as columns so the floating-point
+    summation order matches the Python kernel term-for-term."""
     import pyarrow as pa
 
     import ray
@@ -521,10 +528,15 @@ def _q_kg_communities(sf_dir: str):
 
 
 def _q_search_hybrid(sf_dir: str):
-    from graphiti_ray.pipelines.search import COMBINED_HYBRID_SEARCH_RRF, KGSearcher
+    """Dataset-mode RRF hybrid search: scoring passes stream over the edge
+    table (map_batches → sort/limit), no to_pandas of full tables; the
+    pandas KGSearcher is the small-graph convenience twin (equality
+    asserted in tests/test_dataset_search.py)."""
+    from graphiti_ray.pipelines.dataset_search import KGDatasetSearcher
+    from graphiti_ray.pipelines.search import COMBINED_HYBRID_SEARCH_RRF
 
     tables = _kg_tables(sf_dir, embeddings=True)
-    searcher = KGSearcher.from_tables(tables)
+    searcher = KGDatasetSearcher(tables)
     res = searcher.search("Alice Smith works at", COMBINED_HYBRID_SEARCH_RRF)
     return res.edges[["uuid", "group_id", "pred", "fact"]]
 
@@ -691,6 +703,58 @@ SELECT user_id, window_start,
        sum(v)::BIGINT AS sum_value_cents
 FROM exploded GROUP BY 1, 2
 """,
+        "dedup_embedding": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.45
+""",
+        "text_langid": rf"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS words
+  FROM documents
+),
+s AS (
+  SELECT doc_id, len(words)::BIGINT AS n_words,
+         len(list_filter(words, x -> list_contains({_LANG_LISTS_SQL['de']}, x)))::BIGINT AS de_h,
+         len(list_filter(words, x -> list_contains({_LANG_LISTS_SQL['en']}, x)))::BIGINT AS en_h,
+         len(list_filter(words, x -> list_contains({_LANG_LISTS_SQL['es']}, x)))::BIGINT AS es_h,
+         len(list_filter(words, x -> list_contains({_LANG_LISTS_SQL['fr']}, x)))::BIGINT AS fr_h
+  FROM w
+)
+SELECT doc_id,
+       CASE WHEN greatest(de_h, en_h, es_h, fr_h) = 0 THEN 'und'
+            WHEN de_h >= en_h AND de_h >= es_h AND de_h >= fr_h THEN 'de'
+            WHEN en_h >= es_h AND en_h >= fr_h THEN 'en'
+            WHEN es_h >= fr_h THEN 'es'
+            ELSE 'fr' END AS lang_pred,
+       greatest(de_h, en_h, es_h, fr_h)::BIGINT AS lang_hits,
+       n_words
+FROM s
+""",
+        "events_session": """
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sid
+""",
         "docs_quality_filter": r"""
 SELECT doc_id, n_chars
 FROM documents
@@ -747,6 +811,40 @@ SELECT uuid, group_id,
                  lag(uuid, 1) OVER w) AS prev_concat
 FROM eps
 WINDOW w AS (PARTITION BY group_id ORDER BY valid_at, uuid)
+""",
+        "docs_bm25": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM documents
+),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(len(tk))::DOUBLE / count(*) AS avgdl
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, len(tk)::DOUBLE AS dl,
+         len(list_filter(tk, x -> x = 'spark'))::DOUBLE AS f1,
+         len(list_filter(tk, x -> x = 'stream'))::DOUBLE AS f2,
+         len(list_filter(tk, x -> x = 'window'))::DOUBLE AS f3,
+         len(list_filter(tk, x -> x = 'merge'))::DOUBLE AS f4
+  FROM toks
+),
+dfs AS (
+  SELECT sum((f1 > 0)::INT)::DOUBLE AS d1, sum((f2 > 0)::INT)::DOUBLE AS d2,
+         sum((f3 > 0)::INT)::DOUBLE AS d3, sum((f4 > 0)::INT)::DOUBLE AS d4
+  FROM tf
+)
+SELECT doc_id, round(
+    (CASE WHEN f1 > 0 THEN ln(1 + (n - d1 + 0.5) / (d1 + 0.5)) * f1 * (1.2 + 1)
+          / (f1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)
+  + (CASE WHEN f2 > 0 THEN ln(1 + (n - d2 + 0.5) / (d2 + 0.5)) * f2 * (1.2 + 1)
+          / (f2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)
+  + (CASE WHEN f3 > 0 THEN ln(1 + (n - d3 + 0.5) / (d3 + 0.5)) * f3 * (1.2 + 1)
+          / (f3 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)
+  + (CASE WHEN f4 > 0 THEN ln(1 + (n - d4 + 0.5) / (d4 + 0.5)) * f4 * (1.2 + 1)
+          / (f4 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END), 6) AS bm25
+FROM tf, stats, dfs
+ORDER BY bm25 DESC, doc_id LIMIT 20
 """,
         "rrf_fusion": """
 WITH q AS (

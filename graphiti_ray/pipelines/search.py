@@ -217,18 +217,36 @@ def episode_mentions_rerank(uuids: list[str], mention_counts: dict[str, int]) ->
 
 
 def node_distance_rerank(
-    uuids: list[str], distances: dict[str, int], center_uuid: str
+    uuids: list[str],
+    distances: dict[str, int],
+    center_uuid: str,
+    min_score: float = 0.0,
 ) -> list[str]:
     """Distance-to-center rerank (search_utils.py:901-943): center scores
-    0.1, unreachable = ∞."""
+    distance 0.1 (→ score 10), unreachable = ∞ (→ score 0); candidates with
+    ``1/distance < min_score`` are dropped (the reference's min_score
+    filter on the inverse-distance score)."""
 
     def key(u):
         if u == center_uuid:
             return 0.1
         d = distances.get(u)
-        return float(d) if d is not None else float("inf")
+        return float(d) if d is not None and d > 0 else (0.1 if d == 0 else float("inf"))
 
-    return sorted(uuids, key=lambda u: (key(u), u))
+    kept = [u for u in uuids if (1.0 / key(u) if key(u) != float("inf") else 0.0) >= min_score]
+    return sorted(kept, key=lambda u: (key(u), u))
+
+
+def default_cross_encoder(query: str, passages: list[str]) -> list[float]:
+    """Deterministic stand-in for a cross-encoder model: cosine between
+    hashing-trick embeddings of query and passage. The real-model seam is
+    the same callable signature (ST3/ST4,
+    cross_encoder/bge_reranker_client.py:46-64 rank(query, passages))."""
+    if not passages:
+        return []
+    qv = embed_texts([query])[0].astype(np.float64)
+    pv = embed_texts(passages).astype(np.float64)
+    return [float(round(s, 9)) for s in pv @ qv]
 
 
 # --- search config / entry (search_config.py shapes) ------------------------
@@ -320,6 +338,53 @@ class SearchResults:
     nodes: pd.DataFrame
     episodes: pd.DataFrame
     communities: pd.DataFrame
+
+
+class CrossEncoderStage:
+    """ST3/ST4 parity: the reranker as a stateful ACTOR-POOL map_batches
+    class. The reference loads its CrossEncoder model once in ``__init__``
+    (cross_encoder/bge_reranker_client.py:24-44) and scores (query, passage)
+    pairs per call (:46-64); here the model loads once per actor via
+    ``model_loader`` (default: the deterministic hashing-trick scorer — no
+    model weights ship in this environment) and each batch gets a
+    ``ce_score`` column."""
+
+    def __init__(self, query: str, text_col: str, model_loader=None):
+        self.query = query
+        self.text_col = text_col
+        # once-per-actor model construction — the load-once contract
+        self.score_fn = model_loader() if model_loader else default_cross_encoder
+
+    def __call__(self, batch):
+        import pyarrow as pa
+
+        texts = [t or "" for t in batch.column(self.text_col).to_pylist()]
+        scores = self.score_fn(self.query, texts)
+        return batch.append_column("ce_score", pa.array(scores, pa.float64()))
+
+
+def cross_encoder_rerank(
+    ds: rd.Dataset,
+    query: str,
+    text_col: str,
+    limit: int = DEFAULT_SEARCH_LIMIT,
+    min_score: float = 0.0,
+    model_loader=None,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Dataset-mode cross-encoder rerank: actor-pool scoring pass → global
+    (score desc, uuid) sort → limit. The whole candidate set streams
+    through the pool; nothing materializes on the driver."""
+    scored = ds.map_batches(
+        CrossEncoderStage,
+        fn_constructor_args=(query, text_col, model_loader),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    if min_score > 0:
+        scored = scored.filter(expr=f"ce_score >= {min_score!r}")
+    return scored.sort(["ce_score", "uuid"], descending=[True, False]).limit(limit)
 
 
 class KGSearcher:
@@ -428,6 +493,7 @@ class KGSearcher:
         flt,
         limit: int,
         center_uuid: str | None,
+        min_score: float = 0.0,
     ) -> pd.DataFrame:
         if df.empty:
             return df
@@ -447,7 +513,7 @@ class KGSearcher:
             lists.append(hit["uuid"].head(over).tolist())
 
         if cfg.reranker == "rrf":
-            ranked = rrf(lists)
+            ranked = rrf(lists, min_score=min_score)
         elif cfg.reranker == "mmr":
             cand = set().union(*map(set, lists)) if lists else set()
             sub = df[df["uuid"].isin(cand)]
@@ -455,7 +521,9 @@ class KGSearcher:
                 r.uuid: np.asarray(getattr(r, emb_col), dtype=np.float64)
                 for r in sub.itertuples(index=False)
             } if emb_col and emb_col in df else {}
-            ranked = maximal_marginal_relevance(query_vec, vecs, cfg.mmr_lambda)
+            ranked = maximal_marginal_relevance(
+                query_vec, vecs, cfg.mmr_lambda, min_score
+            )
         elif cfg.reranker == "episode_mentions":
             cand = rrf(lists)
             counts = (
@@ -476,18 +544,27 @@ class KGSearcher:
                     )
                     for r in df[df["uuid"].isin(cand)].itertuples(index=False)
                 }
-                ranked = sorted(cand, key=lambda u: (edge_d.get(u, float("inf")), u))
+
+                def edge_score(u):
+                    d = edge_d.get(u, float("inf"))
+                    return 1.0 / max(d, 0.1) if d != float("inf") else 0.0
+
+                ranked = sorted(
+                    (u for u in cand if edge_score(u) >= min_score),
+                    key=lambda u: (edge_d.get(u, float("inf")), u),
+                )
             else:
-                ranked = node_distance_rerank(cand, dist, center_uuid)
-        elif cfg.reranker == "cross_encoder" and self.cross_encoder is not None:
+                ranked = node_distance_rerank(cand, dist, center_uuid, min_score)
+        elif cfg.reranker == "cross_encoder":
             cand = rrf(lists)
             sub = df[df["uuid"].isin(cand)]
             passages = sub[text_col].fillna("").tolist()
-            scores = self.cross_encoder(query, passages)
+            scores = (self.cross_encoder or default_cross_encoder)(query, passages)
             order = sorted(
                 zip(sub["uuid"], scores), key=lambda kv: (-kv[1], kv[0])
             )
-            ranked = [u for u, _ in order]
+            # reference filters reranked results by min_score (search.py:228)
+            ranked = [u for u, s in order if s >= min_score]
         else:
             ranked = rrf(lists)
 
@@ -534,6 +611,7 @@ class KGSearcher:
             return self._run(
                 kind, df, text_col, emb_col, cfg, query, qv, group_ids,
                 search_filter, limit, center_node_uuid,
+                min_score=config.reranker_min_score,
             )
 
         return SearchResults(

@@ -8,33 +8,44 @@ machinery here is the same one backing entity-linking candidate generation
 Operators
 - ``exact_dedup_documents``      hash-partition + per-group winner (D1 shape)
 - ``minhash_signatures``         char-shingle MinHash, vectorized numpy
+                                 (one row per doc: signature + band hashes)
 - ``minhash_near_dup``           LSH banding → candidate pairs → verify →
                                  connected components → cluster table
-- ``simhash_signatures``         64-bit SimHash over tokens
+- ``simhash_signatures``         64-bit SimHash over tokens (vectorized)
 - ``simhash_near_dup``           band-bucketed Hamming candidates
 - ``ngram_jaccard``              exact n-gram Jaccard verification kernel
 - ``embedding_near_dup``         cosine near-dup over an embedding column
-                                 (random-hyperplane LSH buckets)
+                                 (random-hyperplane LSH, data-scaled plane
+                                 count, multi-table probing)
+- ``embedding_near_dup_exact``   exact all-pairs variant: streamed batches ×
+                                 broadcast corpus matrix (oracle baseline)
 - ``connected_components``       min-label propagation over a pair list
-                                 (driver union-find under SMALL_CC_LIMIT)
+                                 (driver union-find under SMALL_CC_LIMIT;
+                                 distributed rounds with a DATASET-side
+                                 changed-count convergence test above it)
 
-Scale notes: signatures are computed per batch (stateless, vectorized);
-the only shuffles are the band-bucket groupby (balanced by construction —
-bucket id is a hash) and the final component propagation. Oversized LSH
-buckets (hot shingles) are truncated at ``MAX_BUCKET`` with a logged drop,
-never silently.
+Scale shape: signatures are computed per batch (stateless, vectorized
+numpy — no per-character Python); collision detection runs over NARROW
+(doc_id, band, band_hash) rows so signatures are never shipped through the
+counting shuffle; only docs in colliding buckets re-attach their signature.
+Oversized LSH buckets (hot shingles) are truncated at ``MAX_BUCKET``; every
+truncation is counted driver-side (the bucket-size aggregate is already on
+the driver) and logged via ``logging`` + ``TRUNCATION_STATS`` so recall
+loss is observable, never silent.
 """
 
 from __future__ import annotations
 
-import zlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
+
+logger = logging.getLogger("graphiti_ray.dedup")
 
 # MinHash parameters (pinned)
 NUM_PERM = 64
@@ -44,6 +55,29 @@ SHINGLE_K = 5
 _MERSENNE = (1 << 61) - 1
 MAX_BUCKET = 64  # pairs per LSH bucket cap: 64*63/2 candidates max
 SMALL_CC_LIMIT = 1_000_000  # pairs; below → driver union-find
+
+# last-run truncation observability (per driver process): operator name →
+# {"hot_buckets": n buckets over cap, "truncated_docs": doc slots dropped}
+TRUNCATION_STATS: dict[str, dict[str, int]] = {}
+
+
+def _record_truncation(op: str, counts: pd.Series) -> None:
+    """Log + record bucket-cap drops from a driver-side bucket-size series."""
+    over = counts[counts > MAX_BUCKET]
+    stats = {
+        "hot_buckets": int(len(over)),
+        "truncated_docs": int((over - MAX_BUCKET).sum()),
+    }
+    TRUNCATION_STATS[op] = stats
+    if stats["hot_buckets"]:
+        logger.warning(
+            "%s: %d LSH bucket(s) over MAX_BUCKET=%d; %d doc slot(s) truncated "
+            "(recall loss — raise MAX_BUCKET or add bands/planes)",
+            op,
+            stats["hot_buckets"],
+            MAX_BUCKET,
+            stats["truncated_docs"],
+        )
 
 
 def _perm_params(num_perm: int = NUM_PERM, seed: int = 42):
@@ -55,24 +89,31 @@ def _perm_params(num_perm: int = NUM_PERM, seed: int = 42):
 
 _A, _B = _perm_params()
 
+# rolling polynomial hash multiplier (odd → bijective modulo 2^64)
+_POLY = np.uint64(1099511628211)
+_BAND_MIX = (np.arange(ROWS_PER_BAND, dtype=np.uint64) * np.uint64(2) + np.uint64(1))
+
 
 def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """crc32 of each k-char shingle (process-stable)."""
-    t = text.lower()
+    """Distinct hashes of every k-byte shingle — a k-step vectorized
+    polynomial hash over the whole byte array (no per-position Python
+    call; the former per-shingle ``zlib.crc32`` loop was the measured
+    pipeline hotspot)."""
+    t = text.lower().encode("utf-8", "ignore")
     if len(t) < k:
-        return np.array([zlib.crc32(t.encode())], dtype=np.int64)
-    enc = t.encode("utf-8", "ignore")
-    return np.unique(
-        np.fromiter(
-            (zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)),
-            dtype=np.int64,
-        )
-    )
+        t = t + b"\x00" * (k - len(t))
+    b = np.frombuffer(t, dtype=np.uint8).astype(np.uint64)
+    m = len(b) - k + 1
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(k):  # k tiny (5): 5 vectorized passes
+        h = h * _POLY + b[j : j + m]
+    return np.unique((h & np.uint64(_MERSENNE)).astype(np.int64))
 
 
 def minhash_sig(text: str, num_perm: int = NUM_PERM) -> np.ndarray:
     h = shingle_hashes(text)
-    # (num_perm, n_shingles) broadcast; min over shingles
+    # (num_perm, n_shingles) broadcast; min over shingles. int64 wraparound
+    # is deterministic — this is a mixing function, not true modular hashing.
     vals = (_A[:num_perm, None] * h[None, :] + _B[:num_perm, None]) % _MERSENNE
     return vals.min(axis=1)
 
@@ -87,6 +128,14 @@ def ngram_jaccard(a: str, b: str, k: int = SHINGLE_K) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _band_hashes(sig_mat: np.ndarray) -> np.ndarray:
+    """(n_docs, NUM_PERM) signatures → (n_docs, BANDS) int64 band hashes,
+    fully vectorized (odd-multiplier mix per band row + wraparound sum)."""
+    u = sig_mat.astype(np.uint64).reshape(-1, BANDS, ROWS_PER_BAND)
+    mixed = (u * _POLY + _BAND_MIX[None, None, :]) * _BAND_MIX[None, None, :]
+    return (mixed.sum(axis=2) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -112,8 +161,6 @@ def exact_dedup_documents(
             }
         )
 
-    from ray.data.aggregate import Count
-
     return (
         docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("text_hash")
@@ -128,31 +175,29 @@ def exact_dedup_documents(
 
 
 class MinHashStage:
-    """docs batch → (doc_id, band, band_hash) rows + signature payload."""
+    """docs batch → ONE row per doc: (doc_id, sig bytes, band_hashes[16]).
+
+    Signatures ride a single row per doc; the banding explode used for
+    collision counting is a separate narrow pass (no 16× signature
+    duplication through the shuffle)."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        o_id, o_band, o_bh, o_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_sig(t)
-            sb = sig.astype("<i8").tobytes()
-            for b in range(BANDS):
-                chunk = sb[b * ROWS_PER_BAND * 8 : (b + 1) * ROWS_PER_BAND * 8]
-                o_id.append(i)
-                o_band.append(b)
-                o_bh.append(zlib.crc32(chunk))
-                o_sig.append(sb)
+        sigs = np.stack([minhash_sig(t) for t in texts]) if texts else np.zeros(
+            (0, NUM_PERM), dtype=np.int64
+        )
+        bh = _band_hashes(sigs)
         return pa.table(
             {
-                "doc_id": pa.array(o_id, pa.int64()),
-                "band": pa.array(o_band, pa.int32()),
-                "band_hash": pa.array(o_bh, pa.int64()),
-                "sig": pa.array(o_sig, pa.binary()),
+                "doc_id": batch.column(self.id_col),
+                "sig": pa.array(
+                    [s.astype("<i8").tobytes() for s in sigs], pa.binary()
+                ),
+                "band_hashes": pa.array(bh.tolist(), pa.list_(pa.int64())),
             }
         )
 
@@ -166,77 +211,193 @@ def minhash_signatures(docs: rd.Dataset, text_col="text", id_col="doc_id") -> rd
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-    """One LSH bucket → candidate pairs with estimated jaccard."""
-    if len(g) < 2:
-        return pd.DataFrame(columns=["a", "b", "est_jaccard"])
-    g = g.drop_duplicates("doc_id").sort_values("doc_id")
-    if len(g) > MAX_BUCKET:  # hot bucket: cap with a visible marker row
-        g = g.head(MAX_BUCKET)
-    ids = g["doc_id"].to_numpy()
-    sigs = [np.frombuffer(s, dtype="<i8") for s in g["sig"]]
-    rows = []
-    for x in range(len(ids)):
-        for y in range(x + 1, len(ids)):
-            rows.append((int(ids[x]), int(ids[y]), est_jaccard(sigs[x], sigs[y])))
-    return pd.DataFrame(rows, columns=["a", "b", "est_jaccard"])
+def _explode_bands(sig_rows: rd.Dataset) -> rd.Dataset:
+    """Per-doc signature rows → NARROW (doc_id, band, band_hash) rows for
+    collision counting (signatures stay behind)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bh = np.asarray(batch.column("band_hashes").to_pylist(), dtype=np.int64)
+        if n == 0:
+            bh = bh.reshape(0, BANDS)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, BANDS), pa.int64()),
+                "band": pa.array(np.tile(np.arange(BANDS), n), pa.int32()),
+                "band_hash": pa.array(bh.reshape(-1), pa.int64()),
+            }
+        )
+
+    return sig_rows.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _triu(n: int) -> tuple[np.ndarray, np.ndarray]:
+    if n not in _TRIU_CACHE:
+        _TRIU_CACHE[n] = np.triu_indices(n, k=1)
+    return _TRIU_CACHE[n]
+
+
+def _run_starts(*cols: np.ndarray) -> np.ndarray:
+    """Start offsets of adjacent equal-key runs (plus final sentinel)."""
+    n = len(cols[0])
+    change = np.zeros(max(0, n - 1), dtype=bool)
+    for c in cols:
+        change |= c[1:] != c[:-1]
+    return np.concatenate([[0], np.nonzero(change)[0] + 1, [n]])
+
+
+def _run_pair_indices(starts: np.ndarray, cap: int = MAX_BUCKET):
+    """Concatenated upper-triangle pair indices for every run (≥2 rows),
+    each run capped at ``cap`` members."""
+    px_l, py_l = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        m = min(e - s, cap)
+        if m < 2:
+            continue
+        x, y = _triu(m)
+        px_l.append(x + s)
+        py_l.append(y + s)
+    if not px_l:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    return np.concatenate(px_l), np.concatenate(py_l)
+
+
+_PAIRS_SCHEMA = {"est_jaccard": pa.float64()}
+
+
+def _minhash_block_pairs(tbl: pa.Table, threshold: float) -> pa.Table:
+    """Vectorized pair kernel over ALL (band, band_hash) runs in a sorted
+    block (sorted_run_map contract: runs are complete). Hot buckets are
+    capped at MAX_BUCKET (drop counted + logged driver-side in
+    candidate_pairs, which sees every bucket size).
+
+    Cross-band dedup happens HERE, not in a later shuffle: a pair colliding
+    in several bands is emitted only by its earliest colliding band (both
+    docs' band-hash rows ride along), so the output is already globally
+    distinct — one fewer all-to-all."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    n = tbl.num_rows
+    if n < 2:
+        return empty
+    band = tbl.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+    bhash = tbl.column("band_hash").to_numpy(zero_copy_only=False)
+    doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    px, py = _run_pair_indices(_run_starts(band, bhash))
+    if len(px) == 0:
+        return empty
+    sig = np.frombuffer(
+        b"".join(tbl.column("sig").to_pylist()), dtype="<i8"
+    ).reshape(n, NUM_PERM)
+    bh_mat = np.asarray(tbl.column("band_hashes").to_pylist(), dtype=np.int64)
+    eq = bh_mat[px] == bh_mat[py]
+    mine = eq.argmax(axis=1) == band[px]
+    px, py = px[mine], py[mine]
+    if len(px) == 0:
+        return empty
+    est = (sig[px] == sig[py]).mean(axis=1)
+    keep = est >= threshold
+    return pa.table(
+        {
+            "a": pa.array(doc[px[keep]].astype("int64"), pa.int64()),
+            "b": pa.array(doc[py[keep]].astype("int64"), pa.int64()),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        }
+    )
 
 
 def candidate_pairs(sig_rows: rd.Dataset, threshold: float = 0.8) -> rd.Dataset:
     """LSH banding: same (band, band_hash) bucket → pairwise candidates,
     kept if estimated jaccard ≥ threshold; distinct across bands.
 
-    Buckets are overwhelmingly singletons (no collision); running a Python
-    map_groups call per singleton dominates wall time, so colliding bucket
-    keys are found first with a vectorized count aggregate and the rows are
-    pre-filtered to them (broadcast membership set — collisions are rare, so
-    the set is small)."""
+    Buckets are overwhelmingly singletons (no collision); colliding bucket
+    keys are found first with a vectorized count aggregate (filtered to
+    c ≥ 2 BEFORE leaving the cluster — only colliding keys reach the
+    driver) and per-doc signature rows are re-exploded only for those
+    keys. Pair generation runs via ``sorted_run_map`` — one vectorized
+    kernel per BLOCK over all its buckets, not a Python dispatch per
+    bucket (real dup clusters collide in all 16 bands, so bucket count
+    scales with dup count)."""
     import ray
-    from ray.data.aggregate import Count
 
     sig_rows = sig_rows.materialize()
     counts = (
-        sig_rows.groupby(["band", "band_hash"])
+        _explode_bands(sig_rows)
+        .groupby(["band", "band_hash"])
         .aggregate(Count(alias_name="c"))
+        .filter(expr="c >= 2")
         .to_pandas()
     )
-    hot = counts[counts["c"] >= 2]
-    hot_keys = frozenset(zip(hot["band"].astype(int), hot["band_hash"].astype(int)))
-    if not hot_keys:
-        return rd.from_items([]).map_batches(
-            lambda t: t, batch_format="pandas"
-        )  # empty
-    ref = ray.put(hot_keys)
+    _record_truncation(
+        "minhash_lsh", counts.set_index(["band", "band_hash"])["c"]
+        if len(counts)
+        else pd.Series(dtype="int64"),
+    )
+    if counts.empty:
+        return rd.from_items([]).map_batches(lambda t: t, batch_format="pandas")
+    # per-band hot-hash arrays for vectorized membership tests in workers
+    hot_by_band = {
+        int(b): np.sort(grp["band_hash"].to_numpy(dtype=np.int64))
+        for b, grp in counts.groupby("band")
+    }
+    ref = ray.put(hot_by_band)
 
-    def keep_hot(batch: pa.Table, _ref=ref) -> pa.Table:
+    def explode_hot(batch: pa.Table, _ref=ref) -> pa.Table:
         from graphiti_ray.stages.link import _cached_lut
 
-        keys = _cached_lut(_ref)
-        bands = batch.column("band").to_numpy(zero_copy_only=False)
-        hashes = batch.column("band_hash").to_numpy(zero_copy_only=False)
-        mask = pa.array(
-            [(int(b), int(h)) in keys for b, h in zip(bands, hashes)],
-            pa.bool_(),
+        hot = _cached_lut(_ref)
+        n = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = batch.column("sig").to_pylist()
+        bh = np.asarray(batch.column("band_hashes").to_pylist(), dtype=np.int64)
+        if n == 0:
+            bh = bh.reshape(0, BANDS)
+        o_id, o_band, o_hash, o_sig, o_bh = [], [], [], [], []
+        for b, hashes in hot.items():
+            mask = np.isin(bh[:, b], hashes, assume_unique=False)
+            for i in np.nonzero(mask)[0]:
+                o_id.append(int(ids[i]))
+                o_band.append(b)
+                o_hash.append(int(bh[i, b]))
+                o_sig.append(sigs[i])
+                o_bh.append(bh[i].tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "band": pa.array(o_band, pa.int32()),
+                "band_hash": pa.array(o_hash, pa.int64()),
+                "sig": pa.array(o_sig, pa.binary()),
+                "band_hashes": pa.array(o_bh, pa.list_(pa.int64())),
+            }
         )
-        return batch.filter(mask)
+
+    import functools
+
+    from graphiti_ray.stages.ops import sorted_run_map
 
     colliding = sig_rows.map_batches(
-        keep_hot, batch_format="pyarrow", zero_copy_batch=True
+        explode_hot, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = colliding.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    # already distinct across bands (first-colliding-band emission in the
+    # kernel) — no pair-dedup shuffle needed
+    return sorted_run_map(
+        colliding,
+        key_cols=["band", "band_hash"],
+        order_cols=["doc_id"],
+        block_fn=functools.partial(_minhash_block_pairs, threshold=threshold),
     )
 
-    def keep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
 
-        return batch.filter(pc.greater_equal(batch.column("est_jaccard"), threshold))
-
-    pairs = pairs.map_batches(keep, batch_format="pyarrow")
-    # distinct pair (same pair fires in multiple bands)
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("est_jaccard", alias_name="est_jaccard")
-    )
+_CC_SENTINEL = 1 << 62  # larger than any doc id: "no previous label"
 
 
 def connected_components(
@@ -246,7 +407,10 @@ def connected_components(
 
     Small candidate sets (the normal case — near-dups are rare) collapse on
     the driver with union-find; large ones run distributed min-label
-    propagation rounds (GraphX-style CC; PAPERS.md BTS/GraphX).
+    propagation rounds (GraphX-style CC; PAPERS.md BTS/GraphX) whose
+    convergence test is a DATASET-side changed-count aggregate — labels
+    never materialize on the driver (the former per-round ``take_all``
+    was the scale bug flagged in round 1).
     """
     # one execution decides both emptiness and the small-path data
     df = pairs.select_columns(["a", "b"]).to_pandas(limit=SMALL_CC_LIMIT + 1)
@@ -275,6 +439,8 @@ def connected_components(
     # distributed: min-label propagation until fixpoint
     import pyarrow.compute as pc
 
+    from graphiti_ray.stages.link import safe_join
+
     sym = pairs.map_batches(
         lambda t: pa.table(
             {
@@ -298,23 +464,43 @@ def connected_components(
         batch_format="pyarrow",
     ).materialize()
     for _ in range(max_rounds):
-        from graphiti_ray.stages.link import safe_join
-
         lab2 = labels.rename_columns({"x": "y", "lbl": "nlbl"})
         prop = safe_join(
             sym, lab2, join_type="inner", num_partitions=8, on=("y",)
         ).select_columns(["x", "nlbl"])
+        # tag the previous label so one Min-groupby yields BOTH the new
+        # label and the old one (labels are monotone non-increasing):
+        # changed rows are exactly new < old — no driver materialization.
+        old_tagged = labels.map_batches(
+            lambda t: pa.table(
+                {"x": t.column("x"), "nlbl": t.column("lbl"), "old": t.column("lbl")}
+            ),
+            batch_format="pyarrow",
+        )
+        prop_tagged = prop.map_batches(
+            lambda t: t.append_column(
+                "old", pa.array([_CC_SENTINEL] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
         merged = (
-            labels.rename_columns({"lbl": "nlbl"})
-            .union(prop)
+            old_tagged.union(prop_tagged)
             .groupby("x")
-            .aggregate(Min("nlbl", alias_name="lbl"))
+            .aggregate(Min("nlbl", alias_name="lbl"), Min("old", alias_name="old_lbl"))
+            .map_batches(
+                lambda t: t.append_column(
+                    "changed",
+                    pc.cast(
+                        pc.less(t.column("lbl"), t.column("old_lbl")), pa.int64()
+                    ),
+                ),
+                batch_format="pyarrow",
+            )
             .materialize()
         )
-        old = {r["x"]: r["lbl"] for r in labels.take_all()}
-        new = {r["x"]: r["lbl"] for r in merged.take_all()}
-        labels = merged
-        if old == new:
+        n_changed = merged.sum("changed")
+        labels = merged.drop_columns(["old_lbl", "changed"]).materialize()
+        if not n_changed:
             break
     return labels.rename_columns({"x": "doc_id", "lbl": "component"})
 
@@ -331,25 +517,74 @@ def minhash_near_dup(
 
 # --- simhash ---------------------------------------------------------------
 
-_TOKEN_SEED = 7
-
-
 _BIT_IDX = np.arange(64, dtype=np.uint64)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(arr: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a uint64 array (byte-LUT sum)."""
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return (
+        _POPCNT8[np.ascontiguousarray(arr).view(np.uint8).reshape(len(arr), 8)]
+        .sum(axis=1)
+        .astype(np.int64)
+    )
+
+
+def _simhash_block_pairs(tbl: pa.Table, max_hamming: int) -> pa.Table:
+    """Vectorized Hamming-verified pairs over all (band, band_val) runs in
+    a sorted block; first-colliding-band emission dedups across bands."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
+    n = tbl.num_rows
+    if n < 2:
+        return empty
+    band = tbl.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+    bval = tbl.column("band_val").to_numpy(zero_copy_only=False)
+    doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    sh = tbl.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64).view(
+        np.uint64
+    )
+    px, py = _run_pair_indices(_run_starts(band, bval))
+    if len(px) == 0:
+        return empty
+    d = _popcount64(sh[px] ^ sh[py])
+    bands4 = np.stack(
+        [((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)) for b in range(4)], axis=1
+    )
+    eq = bands4[px] == bands4[py]
+    keep = (eq.argmax(axis=1) == band[px]) & (d <= max_hamming)
+    return pa.table(
+        {
+            "a": pa.array(doc[px[keep]].astype("int64"), pa.int64()),
+            "b": pa.array(doc[py[keep]].astype("int64"), pa.int64()),
+            "hamming": pa.array(d[keep], pa.int64()),
+        }
+    )
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit token hashes, vectorized (pandas siphash with
+    the fixed default key — process-stable)."""
+    if not tokens:
+        return np.zeros(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object))
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (weight 1)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.lower().split():
-        e = tok.encode()
-        h = np.uint64((zlib.crc32(e) << 32) | zlib.crc32(e, _TOKEN_SEED))
-        bits = (h >> _BIT_IDX) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over whitespace tokens (weight 1), vectorized."""
+    h = _token_hashes(text.lower().split())
+    if len(h) == 0:
+        return 0
+    bits = (h[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)  # (n_tok, 64)
+    acc = np.where(bits == 1, 1, -1).sum(axis=0)
+    return int(((acc > 0).astype(np.uint64) << _BIT_IDX).sum())
 
 
 def hamming64(a: int, b: int) -> int:
@@ -363,8 +598,23 @@ class SimHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col)
-        sigs = [simhash64(t) for t in batch.column(self.text_col).to_pylist()]
-        arr = np.array(sigs, dtype=np.uint64)
+        texts = batch.column(self.text_col).to_pylist()
+        # one flat hash pass over every token of the batch, reduceat per doc
+        toks = [t.lower().split() for t in texts]
+        lens = np.array([len(ts) for ts in toks], dtype=np.int64)
+        flat = [w for ts in toks for w in ts]
+        h = _token_hashes(flat)
+        bits = (h[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)
+        signed = np.where(bits == 1, 1, -1).astype(np.int32)
+        offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        acc = np.zeros((len(texts), 64), dtype=np.int64)
+        nonempty = lens > 0
+        if nonempty.any():
+            sums = np.add.reduceat(signed, offsets[nonempty], axis=0)
+            # reduceat with repeated offsets (empty docs) is avoided by the
+            # nonempty mask; rows for empty docs stay 0 → simhash 0
+            acc[nonempty] = sums
+        arr = ((acc > 0).astype(np.uint64) << _BIT_IDX[None, :]).sum(axis=1)
         out = {"doc_id": ids, "simhash": pa.array(arr.astype("int64"), pa.int64())}
         # 4 bands of 16 bits: near-dups (hamming ≤ 3) share ≥ 1 band
         for b in range(4):
@@ -386,33 +636,86 @@ def simhash_near_dup(
     docs: rd.Dataset, max_hamming: int = 3, text_col="text", id_col="doc_id"
 ) -> rd.Dataset:
     """Candidate pairs by 16-bit band collision, verified by Hamming
-    distance ≤ max_hamming. Output: (a, b, hamming)."""
+    distance ≤ max_hamming. Output: (a, b, hamming).
+
+    Same collision-prefilter shape as MinHash: one narrow explode counts
+    (band, value) buckets, only colliding buckets group."""
+    import ray
+
     sigs = simhash_signatures(docs, text_col, id_col).materialize()
 
-    def band_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(MAX_BUCKET)
-        rows = []
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy()
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                d = hamming64(int(hs[x]) & 0xFFFFFFFFFFFFFFFF, int(hs[y]) & 0xFFFFFFFFFFFFFFFF)
-                if d <= max_hamming:
-                    rows.append((int(ids[x]), int(ids[y]), d))
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
-
-    per_band = []
-    for b in range(4):
-        per_band.append(
-            sigs.groupby(f"band{b}").map_groups(band_pairs, batch_format="pandas")
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False)
+        bands = np.stack(
+            [batch.column(f"band{b}").to_numpy(zero_copy_only=False) for b in range(4)],
+            axis=1,
+        ) if n else np.zeros((0, 4), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "simhash": pa.array(np.repeat(sh, 4), pa.int64()),
+                "band": pa.array(np.tile(np.arange(4), n), pa.int32()),
+                "band_val": pa.array(bands.reshape(-1), pa.int64()),
+            }
         )
-    allp = per_band[0]
-    for p in per_band[1:]:
-        allp = allp.union(p)
-    return allp.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+    rows = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    counts = (
+        rows.groupby(["band", "band_val"])
+        .aggregate(Count(alias_name="c"))
+        .filter(expr="c >= 2")
+        .to_pandas()
+    )
+    _record_truncation(
+        "simhash_lsh",
+        counts.set_index(["band", "band_val"])["c"]
+        if len(counts)
+        else pd.Series(dtype="int64"),
+    )
+    if counts.empty:
+        return rd.from_items([]).map_batches(lambda t: t, batch_format="pandas")
+    hot_by_band = {
+        int(b): np.sort(grp["band_val"].to_numpy(dtype=np.int64))
+        for b, grp in counts.groupby("band")
+    }
+    ref = ray.put(hot_by_band)
+
+    def keep_hot(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        hot = _cached_lut(_ref)
+        bands = batch.column("band").to_numpy(zero_copy_only=False)
+        vals = batch.column("band_val").to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(bands), dtype=bool)
+        for b, hashes in hot.items():
+            sel = bands == b
+            mask[sel] = np.isin(vals[sel], hashes)
+        return batch.filter(pa.array(mask))
+
+    import functools
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    colliding = rows.map_batches(keep_hot, batch_format="pyarrow", zero_copy_batch=True)
+    # first-colliding-band emission makes output distinct — no dedup shuffle
+    return sorted_run_map(
+        colliding,
+        key_cols=["band", "band_val"],
+        order_cols=["doc_id"],
+        block_fn=functools.partial(_simhash_block_pairs, max_hamming=max_hamming),
+    )
 
 
 # --- embedding cosine near-dup ---------------------------------------------
+
+
+def _auto_planes(n: int, target_bucket: int = 32) -> int:
+    """Scale hyperplane count with corpus size so the EXPECTED bucket is
+    ~target_bucket vectors (2^planes buckets) — a fixed plane count turns
+    every bucket into a MAX_BUCKET truncation at web scale."""
+    return int(np.clip(np.ceil(np.log2(max(2.0, n / target_bucket))), 4, 24))
 
 
 def embedding_near_dup(
@@ -420,21 +723,41 @@ def embedding_near_dup(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
+    n_tables: int = 2,
 ) -> rd.Dataset:
     """Cosine near-dup pairs via random-hyperplane LSH buckets.
 
     Sign pattern of ``n_planes`` random projections buckets vectors; exact
-    cosine verifies within buckets. Output: (a, b, cosine). Recall is
-    bucket-local (documented approximation; raise n_planes for precision,
-    run multiple seeds for recall).
+    cosine verifies within buckets. ``n_planes`` defaults to a data-scaled
+    value (``_auto_planes``); ``n_tables`` independent hash tables
+    (different seeds) are unioned for recall (multi-probe stand-in).
+    Bucket truncations are counted + logged (TRUNCATION_STATS). Output:
+    (a, b, cosine). Approximate by construction — the exact baseline is
+    :func:`embedding_near_dup_exact`.
     """
-    def bucketize(batch: pa.Table) -> pa.Table:
+    emb = emb.materialize()
+    if n_planes is None:
+        n_planes = _auto_planes(emb.count())
+
+    def bucketize(batch: pa.Table, table_idx: int) -> pa.Table:
         vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
-        planes = np.random.RandomState(seed).randn(vecs.shape[1], n_planes)
+        if len(vecs) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "vec": pa.array([], pa.binary()),
+                }
+            )
+        planes = np.random.RandomState(seed + table_idx).randn(
+            vecs.shape[1], n_planes
+        )
         signs = (vecs @ planes) > 0
         bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        # table index folded into the bucket id keeps one groupby
+        bucket = bucket * n_tables + table_idx
         return pa.table(
             {
                 "vec_id": batch.column(id_col),
@@ -443,23 +766,129 @@ def embedding_near_dup(
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id").head(MAX_BUCKET)
-        ids = g["vec_id"].to_numpy()
-        mat = np.stack([np.frombuffer(v, dtype="<f4") for v in g["vec"]])
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1
-        mat = mat / norms
-        sim = mat @ mat.T
-        rows = []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                if sim[x, y] >= threshold:
-                    rows.append((int(ids[x]), int(ids[y]), float(round(sim[x, y], 6))))
-        return pd.DataFrame(rows, columns=["a", "b", "cosine"])
+    import functools
 
-    rows = emb.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    tables = [
+        emb.map_batches(
+            functools.partial(bucketize, table_idx=t),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        for t in range(n_tables)
+    ]
+    rows = tables[0]
+    for t in tables[1:]:
+        rows = rows.union(t)
+    rows = rows.materialize()
+    counts = (
+        rows.groupby("bucket")
+        .aggregate(Count(alias_name="c"))
+        .filter(expr="c >= 2")
+        .to_pandas()
+    )
+    _record_truncation(
+        "embedding_lsh",
+        counts.set_index("bucket")["c"] if len(counts) else pd.Series(dtype="int64"),
+    )
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    pairs = sorted_run_map(
+        rows,
+        key_cols=["bucket"],
+        order_cols=["vec_id"],
+        block_fn=functools.partial(_embedding_block_pairs, threshold=threshold),
+    )
+    # the same pair can fire in several hash TABLES → one small dedup agg
     from ray.data.aggregate import Max
 
     return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+def _embedding_block_pairs(tbl: pa.Table, threshold: float) -> pa.Table:
+    """Vectorized cosine-verified pairs over all bucket runs in a sorted
+    block (float64 + round(6) before thresholding, oracle-aligned)."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
+    n = tbl.num_rows
+    if n < 2:
+        return empty
+    bucket = tbl.column("bucket").to_numpy(zero_copy_only=False)
+    ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+    px, py = _run_pair_indices(_run_starts(bucket))
+    if len(px) == 0:
+        return empty
+    mat = np.frombuffer(b"".join(tbl.column("vec").to_pylist()), dtype="<f4").reshape(
+        n, -1
+    ).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    matn = mat / norms
+    sims = np.round((matn[px] * matn[py]).sum(axis=1), 6)
+    keep = sims >= threshold
+    return pa.table(
+        {
+            "a": pa.array(ids[px[keep]].astype("int64"), pa.int64()),
+            "b": pa.array(ids[py[keep]].astype("int64"), pa.int64()),
+            "cosine": pa.array(sims[keep], pa.float64()),
+        }
+    )
+
+
+def embedding_near_dup_exact(
+    emb: rd.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """EXACT all-pairs cosine near-dup: the corpus matrix is normalized
+    once, broadcast via ``ray.put``, and every batch computes its rows
+    against the full matrix (same streamed-corpus shape as
+    ``knn_brute_force``). O(n²) work distributed over batches — the oracle
+    baseline and the small/medium-corpus default; use the LSH variant when
+    n² flops are prohibitive. float64 + round(6) BEFORE thresholding keeps
+    the boundary identical to the DuckDB oracle. Output: (a, b, cosine),
+    a < b."""
+    import ray
+
+    full = emb.select_columns([id_col, vec_col]).to_pandas()
+    all_ids = full[id_col].to_numpy(dtype=np.int64)
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in full[vec_col]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    ref = ray.put((all_ids, (mat / norms).T))  # (dim, n)
+
+    def score(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        ids_all, matT = _cached_lut(_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        rows = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if len(rows) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        n = np.linalg.norm(rows, axis=1, keepdims=True)
+        n[n == 0] = 1
+        sims = np.round((rows / n) @ matT, 6)  # (batch, n_all)
+        ai, bi = np.nonzero(
+            (sims >= threshold) & (ids[:, None] < ids_all[None, :])
+        )
+        return pa.table(
+            {
+                "a": pa.array(ids[ai].astype("int64"), pa.int64()),
+                "b": pa.array(ids_all[bi].astype("int64"), pa.int64()),
+                "cosine": pa.array(sims[ai, bi], pa.float64()),
+            }
+        )
+
+    return emb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -273,6 +273,126 @@ def sorted_lag_list(
 
 
 @ray.remote
+def _run_boundary_info(block, key_cols: list[str]):
+    """(first_key, leading_run_len, last_key, whole_block) for the
+    sorted-run carry protocol; None for an empty block."""
+    import pyarrow.compute as pc
+
+    block = _as_arrow(block)
+    n = block.num_rows
+    if n == 0:
+        return None
+    same = None
+    for c in key_cols:
+        eq = pc.equal(block.column(c), block.column(c)[0])
+        same = eq if same is None else pc.and_kleene(same, eq)
+    run_len = n if pc.all(same).as_py() else pc.index(same, False).as_py()
+    first = tuple(block.column(c)[0].as_py() for c in key_cols)
+    last = tuple(block.column(c)[-1].as_py() for c in key_cols)
+    return first, run_len, last, run_len == n
+
+
+@ray.remote
+def _leading_rows(block, key_cols: list[str], cap: int) -> pa.Table:
+    """The block's leading key run (≤cap rows) — carry payload."""
+    import pyarrow.compute as pc
+
+    block = _as_arrow(block)
+    n = block.num_rows
+    if n == 0:
+        return block
+    same = None
+    for c in key_cols:
+        eq = pc.equal(block.column(c), block.column(c)[0])
+        same = eq if same is None else pc.and_kleene(same, eq)
+    run_len = n if pc.all(same).as_py() else pc.index(same, False).as_py()
+    return block.slice(0, min(run_len, cap))
+
+
+@ray.remote
+def _apply_run_block(
+    block, fn, drop_leading: int, carries: list
+) -> pa.Table:
+    """Strip the leading ``drop_leading`` rows (they belong to the previous
+    block's trailing run), append carried continuation rows, run ``fn``.
+    ``carries`` holds nested ObjectRefs (inside a list, Ray does not
+    auto-resolve them) — fetched explicitly."""
+    block = _as_arrow(block)
+    if drop_leading:
+        block = block.slice(drop_leading)
+    if carries:
+        carries = ray.get(list(carries))
+        tables = [block] + [_as_arrow(c) for c in carries]
+        block = pa.concat_tables([t for t in tables if t.num_rows], promote_options="none") if any(
+            t.num_rows for t in tables
+        ) else block
+    return fn(block)
+
+
+def sorted_run_map(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    block_fn,
+    order_cols: list[str] | None = None,
+    carry_cap: int = 4096,
+) -> rd.Dataset:
+    """``groupby(key_cols).map_groups`` semantics WITHOUT per-group Python
+    dispatch: one global range sort, then ``block_fn`` runs once per block
+    over COMPLETE key runs (a run straddling a block boundary is carried
+    into the block where it starts, up to ``carry_cap`` continuation rows
+    per boundary — size your per-run cap at or below it).
+
+    ``block_fn: pa.Table -> pa.Table`` sees rows sorted by ``key_cols`` and
+    may vectorize across all runs in the block (adjacent-change run
+    detection). The measured motivation: Ray's map_groups slices + calls
+    Python once per group; with millions of small LSH buckets that dispatch
+    dominates the actual kernel work.
+    """
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    mat = ds.sort(key_cols + (order_cols or [])).materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return mat
+    infos = ray.get([_run_boundary_info.remote(r, key_cols) for r in refs])
+    out_refs = []
+    for i, r in enumerate(refs):
+        if infos[i] is None:
+            continue  # empty block contributes nothing
+        first_i, lead_len_i, last_i, whole_i = infos[i]
+        # does my leading run start in an earlier block?
+        prev_last = None
+        for j in range(i - 1, -1, -1):
+            if infos[j] is not None:
+                prev_last = infos[j][2]
+                break
+        drop = lead_len_i if prev_last == first_i else 0
+        if drop and whole_i:
+            # the whole block continues a run that started earlier — that
+            # block already carried these rows in; emitting carries here
+            # would process the run's tail a second time
+            continue
+        # trailing-run continuation rows from following blocks
+        carries = []
+        budget = carry_cap
+        for j in range(i + 1, len(refs)):
+            if infos[j] is None:
+                continue
+            first_j, _, _, whole_j = infos[j]
+            if first_j != last_i or budget <= 0:
+                break
+            carries.append(_leading_rows.remote(refs[j], key_cols, budget))
+            budget -= min(infos[j][1], budget)
+            if not whole_j:
+                break
+        out_refs.append(_apply_run_block.remote(r, block_fn, drop, carries))
+    if not out_refs:
+        return mat.limit(0)
+    return rd.from_arrow_refs(out_refs)
+
+
+@ray.remote
 def _block_edge_keys(block, key: str):
     block = _as_arrow(block)
     if block.num_rows == 0:

@@ -126,8 +126,11 @@ class QualityCounts:
 
 
 class LanguageId:
-    """→ doc_id, lang_pred, lang_score: argmax stopword-hit-rate across
-    language profiles ('und' if no profile hits)."""
+    """→ doc_id, lang_pred, lang_hits, n_words: argmax stopword-hit-count
+    across language profiles ('und' if no profile hits; ties break to the
+    first profile in sorted order). Integer counts instead of a float
+    hit-rate so the DuckDB oracle twin hashes identically (the rate shares
+    one denominator per doc, so the argmax is unchanged)."""
 
     def __init__(self, text_col="text", id_col="doc_id"):
         self.profiles = STOPWORDS
@@ -135,22 +138,23 @@ class LanguageId:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        langs, scores = [], []
+        langs, hits, n_words = [], [], []
         for t in texts:
             words = [w.lower() for w in t.split()]
-            n = max(1, len(words))
-            best_lang, best = "und", 0.0
+            best_lang, best = "und", 0
             for lang in sorted(self.profiles):
-                s = sum(1 for w in words if w in self.profiles[lang]) / n
-                if s > best:
-                    best_lang, best = lang, s
+                h = sum(1 for w in words if w in self.profiles[lang])
+                if h > best:
+                    best_lang, best = lang, h
             langs.append(best_lang)
-            scores.append(round(best, 6))
+            hits.append(best)
+            n_words.append(len(words))
         return pa.table(
             {
                 "doc_id": batch.column(self.id_col),
                 "lang_pred": pa.array(langs, pa.string()),
-                "lang_score": pa.array(scores, pa.float64()),
+                "lang_hits": pa.array(hits, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
             }
         )
 

@@ -94,3 +94,52 @@ def test_embedding_near_dup(ray_session):
     ]
     out = embedding_near_dup(rd.from_items(rows), threshold=0.95).to_pandas()
     assert (0, 1) in set(zip(out.a, out.b))
+
+
+def test_truncation_counter_fires_on_hot_bucket(ray_session):
+    """A bucket over MAX_BUCKET must be counted + logged, never silent."""
+    from graphiti_ray.stages.dedup import MAX_BUCKET, TRUNCATION_STATS, minhash_near_dup
+
+    n = MAX_BUCKET + 20
+    texts = [BASE] * n  # identical docs → every band bucket holds n docs
+    out = minhash_near_dup(_docs(texts), threshold=0.9).to_pandas()
+    stats = TRUNCATION_STATS["minhash_lsh"]
+    assert stats["hot_buckets"] >= 1
+    assert stats["truncated_docs"] >= 20
+    # the capped bucket still clusters its surviving members
+    assert len(out) == MAX_BUCKET
+    assert set(out["component"]) == {0}
+
+
+def test_embedding_near_dup_exact_matches_duckdb(ray_session):
+    """Exact all-pairs variant against a DuckDB all-pairs oracle."""
+    import duckdb
+    import pandas as pd
+
+    from graphiti_ray.stages.dedup import embedding_near_dup_exact
+
+    emb = rd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    got = (
+        embedding_near_dup_exact(emb, threshold=0.45)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cosine
+        FROM '/root/testdata/sf0.01/embeddings.parquet' a
+        JOIN '/root/testdata/sf0.01/embeddings.parquet' b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.45
+        ORDER BY a, b
+        """
+    ).df()
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"a": "int64", "b": "int64"}), want.astype({"a": "int64", "b": "int64"})
+    )

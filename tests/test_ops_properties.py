@@ -117,3 +117,55 @@ def test_distinct_by_key_matches_pandas(ray_session, keys, nblocks):
     out = distinct_by_key(ds, "k").to_pandas()
     assert sorted(out.k) == sorted(df.k.drop_duplicates())
     assert (out.payload == out.k + "!").all()
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c", "d"]), st.integers(0, 20)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(1, 9),
+)
+@settings(max_examples=12, deadline=None)
+def test_sorted_run_map_complete_runs(ray_session, rows, nblocks):
+    """Every key run arrives at exactly one kernel invocation, complete and
+    in (key, order) order — across adversarial block splits."""
+    import numpy as np
+    import pyarrow as pa
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    ds = rd.from_pandas(df).repartition(nblocks)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.string()), "vs": pa.array([], pa.string())}
+            )
+        k = np.array(tbl.column("k").to_pylist())
+        v = tbl.column("v").to_numpy(zero_copy_only=False)
+        starts = np.concatenate(
+            [[0], np.nonzero(k[1:] != k[:-1])[0] + 1, [len(k)]]
+        )
+        return pa.table(
+            {
+                "k": pa.array([k[s] for s in starts[:-1]], pa.string()),
+                "vs": pa.array(
+                    [
+                        ",".join(map(str, sorted(v[s:e])))
+                        for s, e in zip(starts[:-1], starts[1:])
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    out = sorted_run_map(ds, ["k"], kernel, order_cols=["v"]).to_pandas()
+    want = {
+        k: ",".join(map(str, sorted(g["v"]))) for k, g in df.groupby("k")
+    }
+    got = dict(zip(out["k"], out["vs"]))
+    assert got == want
+    assert len(out) == len(want)  # each run exactly once
