@@ -72,11 +72,46 @@ def add_pages(
     run_ts: datetime = DEFAULT_RUN_TS,
     embeddings: bool = True,
 ) -> dict:
-    """Ingest new pages into the KG at ``out_root``; returns update stats."""
+    """Ingest new pages into the KG at ``out_root``; returns update stats.
+
+    Idempotent at uuid granularity: new episodes are anti-joined against
+    the affected groups' existing episode uuids before the append, so
+    re-running the same call (e.g. after a crash mid-update) appends
+    nothing and simply recomputes the derived tables — the MERGE-upsert
+    semantics of the reference's save path (bulk_utils.py:93-167). Derived
+    tables are swapped one at a time; a crash between swaps leaves them
+    individually consistent and the rerun converges."""
     new_eps = episodes_dataset(new_pages, run_ts=run_ts).materialize()
     affected = frozenset(
         r["group_id"] for r in new_eps.select_columns(["group_id"]).take_all()
     )
+    # uuid-level upsert: drop episodes already present (affected groups only
+    # are scanned — the existing-uuid set is increment-sized, not graph-sized)
+    existing = frozenset(
+        r["uuid"]
+        for r in _filter_groups(read_table(out_root, "episodes"), affected, keep=True)
+        .select_columns(["uuid"])
+        .take_all()
+    )
+    if existing:
+        import ray
+
+        eref = ray.put(existing)
+
+        def drop_known(batch: pa.Table, _ref=eref) -> pa.Table:
+            from graphiti_ray.stages.link import _cached_lut
+
+            known = _cached_lut(_ref)
+            mask = pa.array(
+                [u not in known for u in batch.column("uuid").to_pylist()], pa.bool_()
+            )
+            return batch.filter(mask)
+
+        new_eps = new_eps.map_batches(
+            drop_known, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    if new_eps.count() == 0:
+        return {"episodes_added": 0, "affected_groups": sorted(affected)}
     new_extracted = extracted_dataset(new_eps).materialize()
 
     n_eps = append_table(out_root, "episodes", new_eps, note="add_pages")
@@ -119,6 +154,44 @@ def add_pages(
         e_new = with_embedding(e_new, "fact", "fact_embedding")
     e_new = episodes_to_list(e_new)
     replace_table(out_root, "edges", e_keep.union(e_new))
+
+    # incremental communities (graphiti.py:464-471 updates communities per
+    # new entity): when the KG keeps community tables, recompute them for
+    # the affected groups from the refreshed nodes/edges and swap, keeping
+    # untouched groups verbatim (label propagation is group-scoped — edges
+    # never cross group_id).
+    from graphiti_ray.state.checkpoint import is_complete
+
+    if is_complete(out_root, "communities"):
+        from graphiti_ray.stages.graph import build_communities
+
+        comm_new = build_communities(
+            _filter_groups(read_table(out_root, "nodes"), affected, keep=True),
+            _filter_groups(read_table(out_root, "edges"), affected, keep=True),
+        )
+        c_keep = _filter_groups(
+            read_table(out_root, "communities"), affected, keep=False
+        )
+        replace_table(
+            out_root,
+            "communities",
+            c_keep.union(
+                comm_new["communities"].map_batches(lambda t: t, batch_format="pyarrow")
+            ),
+        )
+        if is_complete(out_root, "community_edges"):
+            ce_keep = _filter_groups(
+                read_table(out_root, "community_edges"), affected, keep=False
+            )
+            replace_table(
+                out_root,
+                "community_edges",
+                ce_keep.union(
+                    comm_new["community_edges"].map_batches(
+                        lambda t: t, batch_format="pyarrow"
+                    )
+                ),
+            )
 
     return {
         "episodes_added": n_eps,

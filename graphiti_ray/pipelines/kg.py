@@ -116,6 +116,7 @@ def run_kg(
     replicate: int = 1,
     num_blocks: int | None = None,
     concurrent_stages: bool = False,
+    communities: bool = False,
 ) -> list[dict]:
     """Checkpointed staged run: every stage boundary is a parquet table with
     lineage + metrics; a rerun skips completed tables (resumability
@@ -207,4 +208,20 @@ def run_kg(
         stage("nodes", make_nodes)
         stage("mention_edges", make_mention_edges)
         stage("edges", make_edges)
+
+    if communities and not (
+        is_complete(out_root, "communities")
+        and is_complete(out_root, "community_edges")
+    ):
+        # one label-propagation pass feeds both tables
+        from graphiti_ray.stages.graph import build_communities
+
+        comm = build_communities(
+            read_table(out_root, "nodes"), read_table(out_root, "edges")
+        )
+        stage("communities", lambda: comm["communities"])
+        stage("community_edges", lambda: comm["community_edges"])
+    elif communities:
+        metrics.append({"table": "communities", "skipped": True})
+        metrics.append({"table": "community_edges", "skipped": True})
     return metrics

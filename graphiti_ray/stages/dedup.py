@@ -742,7 +742,13 @@ def embedding_near_dup(
         n_planes = _auto_planes(emb.count())
 
     def bucketize(batch: pa.Table, table_idx: int) -> pa.Table:
-        vecs = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        from graphiti_ray.stages.embed import column_to_matrix
+
+        vecs = (
+            column_to_matrix(batch.column(vec_col), np.float32)
+            if batch.num_rows
+            else np.zeros((0, 1), np.float32)
+        )
         if len(vecs) == 0:
             return pa.table(
                 {
@@ -858,7 +864,7 @@ def embedding_near_dup_exact(
 
     full = emb.select_columns([id_col, vec_col]).to_pandas()
     all_ids = full[id_col].to_numpy(dtype=np.int64)
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in full[vec_col]])
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in full[vec_col]])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1
     ref = ray.put((all_ids, (mat / norms).T))  # (dim, n)
@@ -866,9 +872,15 @@ def embedding_near_dup_exact(
     def score(batch: pa.Table, _ref=ref) -> pa.Table:
         from graphiti_ray.stages.link import _cached_lut
 
+        from graphiti_ray.stages.embed import column_to_matrix
+
         ids_all, matT = _cached_lut(_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        rows = np.array(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        rows = (
+            column_to_matrix(batch.column(vec_col), np.float64)
+            if batch.num_rows
+            else np.zeros((0, 1))
+        )
         if len(rows) == 0:
             return pa.table(
                 {

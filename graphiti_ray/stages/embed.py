@@ -25,6 +25,31 @@ import ray.data as rd
 EMBED_DIM = 64
 
 
+def column_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """``list<float>`` / ``fixed_size_list<float>`` Arrow column → (n, dim)
+    numpy matrix WITHOUT a per-row Python conversion: the child values
+    buffer is reshaped directly (zero-copy from the object store when
+    offsets are contiguous). Raises on ragged lists."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if pa.types.is_fixed_size_list(col.type):
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return vals.reshape(n, col.type.list_size).astype(dtype, copy=False)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    if not (widths == widths[0]).all():
+        raise ValueError("ragged list column cannot form a matrix")
+    vals = col.values.to_numpy(zero_copy_only=False)
+    return (
+        vals[offsets[0] : offsets[-1]]
+        .reshape(n, int(widths[0]))
+        .astype(dtype, copy=False)
+    )
+
+
 def embed_texts(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
     """Vector per text: char 3-gram hashing trick, signed, L2-normalized."""
     out = np.zeros((len(texts), dim), dtype=np.float32)

@@ -111,13 +111,14 @@ def bfs_frontier(
             def __init__(self, ref):
                 import ray as _r
 
-                self.frontier = _r.get(ref)
+                self.frontier = pa.array(sorted(_r.get(ref)), pa.string())
 
             def __call__(self, batch: pa.Table) -> pa.Table:
-                xs = batch.column("x").to_pylist()
-                ys = batch.column("y").to_pylist()
-                nxt = sorted({y for x, y in zip(xs, ys) if x in self.frontier})
-                return pa.table({"y": pa.array(nxt, pa.string())})
+                import pyarrow.compute as pc
+
+                mask = pc.is_in(batch.column("x"), value_set=self.frontier)
+                nxt = pc.unique(batch.column("y").filter(mask).combine_chunks())
+                return pa.table({"y": nxt})
 
         reached = sym.map_batches(
             Step, fn_constructor_args=(fref,), batch_format="pyarrow",
@@ -151,6 +152,12 @@ def label_propagation(
     the most frequent community among its neighbors, weighted by edge
     count; ties break to the LARGER community id; iterate to fixpoint.
     Labels are the md5 uuids; initial community = own uuid.
+
+    Convergence is a DATASET-side changed-count: each node's current label
+    rides into the vote groupby as a zero-weight row, so the vote emits a
+    ``changed`` flag and one ``sum`` aggregate decides the fixpoint —
+    labels never materialize on the driver (the per-round ``to_pandas``
+    was round 1's scale bug).
     """
     sym = _symmetric(edges, src, dst)
     # neighbor multiplicity: (x, y, w)
@@ -173,28 +180,50 @@ def label_propagation(
         msgs = safe_join(
             weights, lab, join_type="inner", num_partitions=8, on=("y",)
         ).select_columns(["x", "nbr_comm", "w"])
+        # each node's own current label as a zero-weight row (never wins a
+        # tally; lets the vote detect change without a driver diff)
+        own = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "x": t.column("node"),
+                    "nbr_comm": t.column("community"),
+                    "w": pa.array([0] * t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        msgs = msgs.map_batches(lambda t: t, batch_format="pyarrow").union(own)
 
         def vote(g: pd.DataFrame) -> pd.DataFrame:
-            tally = g.groupby("nbr_comm")["w"].sum()
+            old_rows = g.loc[g["w"] == 0, "nbr_comm"]
+            old = old_rows.iloc[0] if len(old_rows) else None
+            real = g[g["w"] > 0]
+            tally = real.groupby("nbr_comm")["w"].sum()
             best = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))
-            # ties → larger id: sort by (-count, id) takes smaller id; the
-            # reference picks the larger community on ties
+            # ties → larger id (reference picks the larger community)
             top_count = best[0][1]
             winner = max(c for c, n in best if n == top_count)
-            return pd.DataFrame({"node": [g["x"].iloc[0]], "community": [winner]})
+            return pd.DataFrame(
+                {
+                    "node": [g["x"].iloc[0]],
+                    "community": [winner],
+                    "changed": [int(winner != old)],
+                }
+            )
 
         new_labels = ensure_schema(
             msgs.groupby("x").map_groups(vote, batch_format="pandas"),
-            pa.schema([("node", pa.string()), ("community", pa.string())]),
+            pa.schema(
+                [
+                    ("node", pa.string()),
+                    ("community", pa.string()),
+                    ("changed", pa.int64()),
+                ]
+            ),
         ).materialize()
-        old = dict(
-            zip(*(lambda d: (d["node"], d["community"]))(labels.to_pandas()))
-        )
-        new = dict(
-            zip(*(lambda d: (d["node"], d["community"]))(new_labels.to_pandas()))
-        )
-        labels = new_labels
-        if old == new:
+        n_changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if not n_changed:
             break
     return labels
 
@@ -263,8 +292,11 @@ def build_communities(
                     [md5_hex(f"community|{c}") for c in comms], pa.string()
                 ),
                 "entity_uuid": pa.array(ents, pa.string()),
+                "group_id": batch.column("group_id"),
             }
         )
 
-    has_member = members.map_batches(member_edges, batch_format="pyarrow")
+    # group_id rides on HAS_MEMBER so incremental updates can swap the
+    # affected groups' membership rows (edges.py:374-388 + group_id field)
+    has_member = joined.map_batches(member_edges, batch_format="pyarrow")
     return {"communities": communities, "community_edges": has_member}

@@ -322,47 +322,23 @@ def canon_lookup_ref(canon: rd.Dataset):
     df = canon.select_columns(
         ["group_id", "name", "canonical", "entity_uuid"]
     ).to_pandas()
-    lut = {
-        f"{g}|{n}": (c, u)
-        for g, n, c, u in zip(
-            df["group_id"], df["name"], df["canonical"], df["entity_uuid"]
-        )
-    }
-    return ray.put(lut)
+    # broadcast payload: a pandas hash Index over "group|name" keys plus
+    # parallel value arrays — built once, cached per worker (_cached_lut),
+    # probed with vectorized get_indexer instead of a Python dict.get per
+    # row (round-1 verdict item: Arrow/C lookups on the broadcast side)
+    keys = pd.Index((df["group_id"] + "|" + df["name"]).to_numpy())
+    return ray.put(
+        (keys, df["canonical"].to_numpy(), df["entity_uuid"].to_numpy())
+    )
 
 
-class _CanonApply:
-    """map_batches task: rewrite subj/obj through the broadcast lookup,
-    dropping rows with unmapped endpoints (resolve_edge_pointers drop
-    semantics, bulk_utils.py:402-426)."""
+def _join_key(batch: pa.Table, a: str, b: str):
+    """Vectorized 'group|name' key column → numpy object array."""
+    import pyarrow.compute as pc
 
-    def __init__(self, lut_ref):
-        import ray
-
-        self.lut = ray.get(lut_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        groups = batch.column("group_id").to_pylist()
-        subjs = batch.column("subj_name").to_pylist()
-        objs = batch.column("obj_name").to_pylist()
-        lut = self.lut
-        sc, su, oc, ou, keep = [], [], [], [], []
-        for i, (g, s, o) in enumerate(zip(groups, subjs, objs)):
-            a = lut.get(f"{g}|{s}")
-            b = lut.get(f"{g}|{o}")
-            if a is None or b is None:
-                continue
-            keep.append(i)
-            sc.append(a[0])
-            su.append(a[1])
-            oc.append(b[0])
-            ou.append(b[1])
-        out = batch.take(pa.array(keep, pa.int64()))
-        out = out.append_column("subj_canonical", pa.array(sc, pa.string()))
-        out = out.append_column("subj_uuid", pa.array(su, pa.string()))
-        out = out.append_column("obj_canonical", pa.array(oc, pa.string()))
-        out = out.append_column("obj_uuid", pa.array(ou, pa.string()))
-        return out
+    return pc.binary_join_element_wise(
+        batch.column(a), batch.column(b), "|"
+    ).to_numpy(zero_copy_only=False)
 
 
 # worker-global cache for broadcast lookups: same amortization as an actor
@@ -383,15 +359,55 @@ def _cached_lut(lut_ref):
 
 
 def _canon_apply_fn(batch: pa.Table, lut_ref=None) -> pa.Table:
-    apply = _CanonApply.__new__(_CanonApply)
-    apply.lut = _cached_lut(lut_ref)
-    return apply(batch)
+    """Rewrite subj/obj through the broadcast lookup, dropping rows with
+    unmapped endpoints (resolve_edge_pointers drop semantics,
+    bulk_utils.py:402-426). Fully vectorized: one hash-index probe per
+    column, numpy fancy-indexing for the value pulls."""
+    import numpy as np
+
+    keys, canon_arr, uuid_arr = _cached_lut(lut_ref)
+    si = keys.get_indexer(_join_key(batch, "group_id", "subj_name"))
+    oi = keys.get_indexer(_join_key(batch, "group_id", "obj_name"))
+    m = (si >= 0) & (oi >= 0)
+    out = batch.filter(pa.array(m))
+    si, oi = si[m], oi[m]
+    out = out.append_column("subj_canonical", pa.array(canon_arr[si], pa.string()))
+    out = out.append_column("subj_uuid", pa.array(uuid_arr[si], pa.string()))
+    out = out.append_column("obj_canonical", pa.array(canon_arr[oi], pa.string()))
+    out = out.append_column("obj_uuid", pa.array(uuid_arr[oi], pa.string()))
+    return out
 
 
 def _mention_apply_fn(batch: pa.Table, lut_ref=None) -> pa.Table:
-    apply = _MentionApply.__new__(_MentionApply)
-    apply.lut = _cached_lut(lut_ref)
-    return apply(batch)
+    """Mention rows → MENTIONS edge rows via the broadcast hash index +
+    vectorized per-batch distinct on (episode, entity); only the
+    content-hash uuid of the surviving (deduped) rows costs Python."""
+    from graphiti_ray.functions.text import md5_hex
+
+    keys, _, uuid_arr = _cached_lut(lut_ref)
+    mi = keys.get_indexer(_join_key(batch, "group_id", "name"))
+    m = mi >= 0
+    df = pd.DataFrame(
+        {
+            "episode_uuid": batch.column("episode_uuid").to_numpy(
+                zero_copy_only=False
+            )[m],
+            "entity_uuid": uuid_arr[mi[m]],
+            "group_id": batch.column("group_id").to_numpy(zero_copy_only=False)[m],
+        }
+    ).drop_duplicates(["episode_uuid", "entity_uuid"])
+    uuids = [
+        md5_hex(f"{e}|{t}")
+        for e, t in zip(df["episode_uuid"], df["entity_uuid"])
+    ]
+    return pa.table(
+        {
+            "uuid": pa.array(uuids, pa.string()),
+            "group_id": pa.array(df["group_id"], pa.string()),
+            "episode_uuid": pa.array(df["episode_uuid"], pa.string()),
+            "entity_uuid": pa.array(df["entity_uuid"], pa.string()),
+        }
+    )
 
 
 def apply_canonical_broadcast(triples: rd.Dataset, lut_ref) -> rd.Dataset:
@@ -402,45 +418,6 @@ def apply_canonical_broadcast(triples: rd.Dataset, lut_ref) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-
-
-class _MentionApply:
-    """map_batches task: mention rows → MENTIONS edge rows via broadcast
-    lookup + per-batch distinct on (episode, entity)."""
-
-    def __init__(self, lut_ref):
-        import ray
-
-        self.lut = ray.get(lut_ref)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        from graphiti_ray.functions.text import md5_hex
-
-        groups = batch.column("group_id").to_pylist()
-        names = batch.column("name").to_pylist()
-        eps = batch.column("episode_uuid").to_pylist()
-        seen = set()
-        o_ep, o_ent, o_g, o_uuid = [], [], [], []
-        for g, n, ep in zip(groups, names, eps):
-            hit = self.lut.get(f"{g}|{n}")
-            if hit is None:
-                continue
-            key = (ep, hit[1])
-            if key in seen:
-                continue
-            seen.add(key)
-            o_ep.append(ep)
-            o_ent.append(hit[1])
-            o_g.append(g)
-            o_uuid.append(md5_hex(f"{ep}|{hit[1]}"))
-        return pa.table(
-            {
-                "uuid": pa.array(o_uuid, pa.string()),
-                "group_id": pa.array(o_g, pa.string()),
-                "episode_uuid": pa.array(o_ep, pa.string()),
-                "entity_uuid": pa.array(o_ent, pa.string()),
-            }
-        )
 
 
 def mention_edges_broadcast(mentions: rd.Dataset, lut_ref) -> rd.Dataset:

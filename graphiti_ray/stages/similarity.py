@@ -51,11 +51,13 @@ class _BatchTopK:
         self.vec_col, self.id_col = vec_col, id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from graphiti_ray.stages.embed import column_to_matrix
+
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         # float64 throughout + round(6) BEFORE selection: keeps the total
         # order (cosine desc, vec_id asc) identical to the SQL oracle even
-        # at tie boundaries
-        mat = np.array(batch.column(self.vec_col).to_pylist(), dtype=np.float64)
+        # at tie boundaries; matrix reshaped zero-copy from the list column
+        mat = column_to_matrix(batch.column(self.vec_col), np.float64)
         sims = np.round(_normalize(mat) @ self.qmat, 6)  # (n, nq)
         k = min(self.k, len(ids))
         o_q, o_v, o_s = [], [], []
@@ -128,8 +130,10 @@ def knn_lsh(
     q_ids, qmat = query_matrix_from_first(emb, n_queries, vec_col, id_col)
 
     def run(batch: pa.Table, planes, qbuckets, qn) -> pa.Table:
+        from graphiti_ray.stages.embed import column_to_matrix
+
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        mat = np.array(batch.column(vec_col).to_pylist(), dtype=np.float32)
+        mat = column_to_matrix(batch.column(vec_col), np.float32)
         buckets = ((mat @ planes) > 0) @ (1 << np.arange(planes.shape[1]))
         o_q, o_v, o_s = [], [], []
         for qi in range(len(q_ids)):
