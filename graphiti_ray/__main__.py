@@ -45,22 +45,38 @@ def cmd_build(args) -> int:
             read_pages(args.pages, lang_filter=args.lang), check_invariant=False
         )
         checkpointed_write(eps, args.out, "episodes", {"input": args.pages})
-        metrics = run_kg(args.sf_dir or "", args.out)
+        metrics = run_kg(
+            args.sf_dir or "",
+            args.out,
+            communities=args.communities,
+            node_summaries=args.node_summaries,
+        )
     else:
-        metrics = run_kg(args.sf_dir, args.out, replicate=args.replicate)
+        metrics = run_kg(
+            args.sf_dir,
+            args.out,
+            replicate=args.replicate,
+            communities=args.communities,
+            node_summaries=args.node_summaries,
+        )
     print(json.dumps(metrics))
     return 0
 
 
 def cmd_search(args) -> int:
     _ensure_ray(args.num_cpus)
-    from graphiti_ray.pipelines.search import COMBINED_HYBRID_SEARCH_RRF, KGSearcher
+    from graphiti_ray.pipelines.dataset_search import KGDatasetSearcher
+    from graphiti_ray.pipelines.search import COMBINED_HYBRID_SEARCH_RRF
     from graphiti_ray.state.checkpoint import read_table
 
-    searcher = KGSearcher(
-        nodes=read_table(args.kg, "nodes").to_pandas(),
-        edges=read_table(args.kg, "edges").to_pandas(),
-        episodes=read_table(args.kg, "episodes").to_pandas(),
+    # dataset-mode searcher: scoring streams over the parquet tables;
+    # nothing but the top-k rows reaches the driver
+    searcher = KGDatasetSearcher(
+        {
+            "nodes": read_table(args.kg, "nodes"),
+            "edges": read_table(args.kg, "edges"),
+            "episodes": read_table(args.kg, "episodes"),
+        }
     )
     res = searcher.search(args.query, COMBINED_HYBRID_SEARCH_RRF)
     out = {
@@ -99,6 +115,10 @@ def main() -> int:
     b.add_argument("--lang", default=None, help="language filter for real pages")
     b.add_argument("--out", required=True)
     b.add_argument("--replicate", type=int, default=1)
+    b.add_argument("--communities", action="store_true", help="also build community tables")
+    b.add_argument(
+        "--node-summaries", action="store_true", help="fact-derived node summaries (M5)"
+    )
     b.add_argument("--num-cpus", type=int, default=None)
     b.set_defaults(fn=cmd_build)
 

@@ -268,7 +268,8 @@ class KGDatasetSearcher:
 
         ranked = ranked[:limit]
         if not ranked:
-            return pd.DataFrame()
+            # keep the table's columns so callers can select on empty results
+            return pd.DataFrame(columns=schema_names)
         out = self._hydrate(ds, ranked)
         pos = {u: i for i, u in enumerate(ranked)}
         out["_rank"] = out["uuid"].map(pos)

@@ -65,8 +65,12 @@ def build_kg(
     num_partitions: int | None = None,
     nlp_concurrency=None,
     embeddings: bool = True,
+    node_summaries: bool = False,
 ) -> dict[str, rd.Dataset]:
     """All KG tables as datasets from an in-memory pages input.
+    ``node_summaries=True`` replaces the template node summary with a
+    fact-derived digest (M5 parity, link.with_node_summaries); it
+    materializes edges so the edge pipeline doesn't run twice.
 
     Episodes and the fused extraction output are materialized once — each
     feeds two consumers and re-running the heaviest maps per consumer would
@@ -97,6 +101,12 @@ def build_kg(
         edges = with_embedding(edges, "fact", "fact_embedding")
     edges = episodes_to_list(edges)
 
+    if node_summaries:
+        from graphiti_ray.stages.link import with_node_summaries
+
+        edges = edges.materialize()
+        nodes = with_node_summaries(nodes, edges, num_partitions=num_partitions)
+
     return {
         "episodes": episodes,
         "mentions": m_edges,
@@ -117,6 +127,7 @@ def run_kg(
     num_blocks: int | None = None,
     concurrent_stages: bool = False,
     communities: bool = False,
+    node_summaries: bool = False,
 ) -> list[dict]:
     """Checkpointed staged run: every stage boundary is a parquet table with
     lineage + metrics; a rerun skips completed tables (resumability
@@ -208,6 +219,20 @@ def run_kg(
         stage("nodes", make_nodes)
         stage("mention_edges", make_mention_edges)
         stage("edges", make_edges)
+
+    if node_summaries:
+        # M5 digest over the checkpointed edges; rewrite the nodes table
+        # (idempotent: recomputing yields the same digests)
+        from graphiti_ray.stages.link import with_node_summaries
+        from graphiti_ray.state.checkpoint import replace_table
+
+        nodes2 = with_node_summaries(
+            read_table(out_root, "nodes"),
+            read_table(out_root, "edges"),
+            num_partitions=num_partitions,
+        )
+        replace_table(out_root, "nodes", nodes2)
+        metrics.append({"table": "nodes", "summarized": True})
 
     if communities and not (
         is_complete(out_root, "communities")

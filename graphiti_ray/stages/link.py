@@ -251,6 +251,124 @@ def nodes_from_canonical(
     )
 
 
+def _summary_block(tbl: pa.Table, max_facts: int, max_words: int) -> pa.Table:
+    """Per-block digest kernel for with_node_summaries (sorted_run_map
+    contract: complete (uuid) runs, rows in (valid_at, edge_uuid) order)."""
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return pa.table(
+            {"uuid": pa.array([], pa.string()), "fact_summary": pa.array([], pa.string())}
+        )
+    uuids = np.array(tbl.column("uuid").to_pylist())
+    facts = tbl.column("fact").to_pylist()
+    starts = np.concatenate(
+        [[0], np.nonzero(uuids[1:] != uuids[:-1])[0] + 1, [len(uuids)]]
+    )
+    out_u, out_s = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        digest = "; ".join(facts[s : min(e, s + max_facts)])
+        words = digest.split(" ")
+        if len(words) > max_words:
+            digest = " ".join(words[:max_words])
+        out_u.append(uuids[s])
+        out_s.append(digest)
+    return pa.table(
+        {
+            "uuid": pa.array(out_u, pa.string()),
+            "fact_summary": pa.array(out_s, pa.string()),
+        }
+    )
+
+
+def with_node_summaries(
+    nodes: rd.Dataset,
+    edges: rd.Dataset,
+    max_facts: int = 5,
+    max_words: int = 250,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """M5 summary parity (node_operations.py:449-536): the reference fills
+    each entity's ``summary`` with an LLM digest (≤250 words) of the facts
+    that mention it; here the digest is deterministic — the entity's first
+    ``max_facts`` facts in event-time order joined with '; ', capped at
+    ``max_words`` words. Shape: edges explode to (entity, fact) rows from
+    BOTH endpoints → ``sorted_run_map`` digest per entity (no per-group
+    Python dispatch) → hash join back onto nodes; entities with no facts
+    keep their template summary."""
+    import functools
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "uuid": pa.concat_arrays(
+                    [
+                        batch.column("subj_uuid").combine_chunks(),
+                        batch.column("obj_uuid").combine_chunks(),
+                    ]
+                ),
+                "edge_uuid": pa.concat_arrays(
+                    [batch.column("uuid").combine_chunks()] * 2
+                ),
+                "valid_at": pa.concat_arrays(
+                    [batch.column("valid_at").combine_chunks()] * 2
+                ),
+                "fact": pa.concat_arrays([batch.column("fact").combine_chunks()] * 2),
+            }
+        )
+
+    per_entity = edges.select_columns(
+        ["uuid", "subj_uuid", "obj_uuid", "valid_at", "fact"]
+    ).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    digests = sorted_run_map(
+        per_entity,
+        key_cols=["uuid"],
+        order_cols=["valid_at", "edge_uuid"],
+        block_fn=functools.partial(
+            _summary_block, max_facts=max_facts, max_words=max_words
+        ),
+    ).materialize()
+
+    # digests are entity-vocabulary-sized (one row per entity WITH facts),
+    # the same scale as the canonical map — broadcast below BROADCAST_LIMIT.
+    # The hash-join fallback can't carry list-typed non-key columns through
+    # acero, so the wide nodes table side stays un-shuffled in both paths:
+    # above the limit, digests apply in partition-sized broadcast chunks.
+    if digests.count() <= BROADCAST_LIMIT:
+        lut_refs = [_digest_lut_ref(digests)]
+    else:  # chunked broadcast: each chunk is a bounded dict; N passes
+        lut_refs = [
+            _digest_lut_ref(part) for part in digests.split(max(2, num_partitions or 8))
+        ]
+
+    out = nodes
+    for ref in lut_refs:
+        out = out.map_batches(
+            functools.partial(_apply_digest_fn, lut_ref=ref),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    return out
+
+
+def _digest_lut_ref(digests: rd.Dataset):
+    import ray
+
+    df = digests.select_columns(["uuid", "fact_summary"]).to_pandas()
+    return ray.put(dict(zip(df["uuid"], df["fact_summary"])))
+
+
+def _apply_digest_fn(batch: pa.Table, lut_ref=None) -> pa.Table:
+    lut = _cached_lut(lut_ref)
+    uuids = batch.column("uuid").to_pylist()
+    current = batch.column("summary").to_pylist()
+    merged = [lut.get(u, s) for u, s in zip(uuids, current)]
+    i = batch.column_names.index("summary")
+    return batch.set_column(i, "summary", pa.array(merged, pa.string()))
+
+
 def _with_key(ds: rd.Dataset, out_col: str, name_col: str) -> rd.Dataset:
     def add(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

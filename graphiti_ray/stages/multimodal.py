@@ -68,14 +68,14 @@ class MediaFeatureExtractor:
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.dim
         )
-        return pa.table(
-            {
-                "media_id": batch.column("media_id"),
-                "mime": batch.column("mime"),
-                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
-                "feature": arr,
-            }
+        # passthrough columns (media_id, mime, frame_idx, …) ride along so
+        # the stage composes with frame_sample/resize upstream
+        keep = [c for c in batch.column_names if c not in ("payload", "meta")]
+        out = batch.select(keep)
+        out = out.append_column(
+            "n_bytes", pa.array([len(p) for p in payloads], pa.int64())
         )
+        return out.append_column("feature", arr)
 
 
 def media_features(
@@ -88,6 +88,109 @@ def media_features(
         zero_copy_batch=True,
         batch_size=batch_size,  # wide binary rows → small batches
         concurrency=concurrency,
+    )
+
+
+class MediaResize:
+    """Actor-pool resize stage (images): payload → resized payload + updated
+    meta. Real deployments load the codec once in ``__init__``; the stub
+    deterministically re-chunks the payload to the target byte budget
+    (w*h bytes) so schema/meta/batching plumbing is exercised."""
+
+    def __init__(self, width: int, height: int, decode_stub: bool = True):
+        self.width = width
+        self.height = height
+        self.decode_stub = decode_stub
+
+    def _resize(self, payload: bytes) -> bytes:
+        if not self.decode_stub:
+            raise NotImplementedError(
+                "real resize requires PIL (not in this container); "
+                "construct with decode_stub=True or plug a codec in here"
+            )
+        budget = self.width * self.height
+        reps = budget // max(1, len(payload)) + 1
+        return (payload * reps)[:budget]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        payloads = [self._resize(p) for p in batch.column("payload").to_pylist()]
+        metas = [
+            json.dumps(
+                dict(json.loads(m or "{}"), w=self.width, h=self.height),
+                sort_keys=True,
+            )
+            for m in batch.column("meta").to_pylist()
+        ]
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "mime": batch.column("mime"),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(metas, pa.string()),
+            }
+        )
+
+
+def media_resize(
+    media: rd.Dataset,
+    width: int = 64,
+    height: int = 64,
+    batch_size: int = 32,
+    concurrency=(1, 4),
+    decode_stub=True,
+) -> rd.Dataset:
+    return media.map_batches(
+        MediaResize,
+        fn_constructor_kwargs={
+            "width": width,
+            "height": height,
+            "decode_stub": decode_stub,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample(
+    media: rd.Dataset, n_frames: int = 4, batch_size: int = 16
+) -> rd.Dataset:
+    """Video frame sampling: one media row fans out into ``n_frames`` frame
+    rows (media_id, frame_idx, payload) — the flat-map shape. The stub
+    splits the payload into n equal byte slices standing in for decoded
+    frames; a real decoder (ffmpeg) replaces the slicing, the fan-out
+    plumbing stays."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, frames, payloads, mimes = [], [], [], []
+        for mid, mime, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("mime").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            step = max(1, len(payload) // n_frames)
+            for f in range(n_frames):
+                ids.append(mid)
+                frames.append(f)
+                mimes.append(mime)
+                payloads.append(payload[f * step : (f + 1) * step] or b"\x00")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(frames, pa.int64()),
+                "mime": pa.array(mimes, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return media.map_batches(
+        explode,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,  # fan-out multiplies payload bytes per batch
     )
 
 

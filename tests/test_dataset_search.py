@@ -50,7 +50,10 @@ def test_dataset_search_matches_pandas(ray_session, kg_tables, config):
 
 def test_dataset_search_group_scoped(ray_session, kg_tables):
     query = "Alice Smith works at"
-    groups = [kg_tables["edges"].take(1)[0]["group_id"]]
+    # deterministic group choice: the top unscoped hit's group (block order
+    # of take(1) varies across executions)
+    top = _pandas_searcher(kg_tables).search(query, COMBINED_HYBRID_SEARCH_RRF)
+    groups = [top.edges["group_id"].iloc[0]]
     a = _pandas_searcher(kg_tables).search(
         query, COMBINED_HYBRID_SEARCH_RRF, group_ids=groups
     )

@@ -75,3 +75,35 @@ def test_label_vote_majority_and_priority():
     )
     out = resolve_group(df)
     assert out.loc[out["name"] == "Acme", "label"].iloc[0] == "Organization"
+
+
+def test_with_node_summaries_fact_digest(ray_session):
+    """M5 parity: a node's summary becomes the event-time-ordered digest of
+    its facts; nodes without facts keep the template summary."""
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.sources.pages import pages_dataset
+
+    tables = build_kg(
+        pages_dataset("/root/testdata/sf0.001"),
+        embeddings=False,
+        node_summaries=True,
+    )
+    nodes = tables["nodes"].to_pandas()
+    edges = tables["edges"].to_pandas()
+    with_facts = set(edges["subj_uuid"]) | set(edges["obj_uuid"])
+    by_uuid = dict(zip(nodes["uuid"], nodes["summary"]))
+    # every entity with facts gets a digest containing its earliest fact
+    first_fact = (
+        edges.sort_values(["valid_at", "uuid"], kind="mergesort")
+        .drop_duplicates("subj_uuid")
+        .set_index("subj_uuid")["fact"]
+    )
+    checked = 0
+    for u, fact in first_fact.items():
+        assert fact in by_uuid[u], u
+        assert not by_uuid[u].startswith("Entity "), u
+        checked += 1
+    assert checked > 10
+    # entities without any fact keep the template
+    for u in set(nodes["uuid"]) - with_facts:
+        assert by_uuid[u].startswith("Entity ")

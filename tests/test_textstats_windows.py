@@ -165,3 +165,63 @@ def test_media_decode_not_implemented():
     ex = MediaFeatureExtractor(decode_stub=False)
     with _pytest.raises(NotImplementedError):
         ex._decode(b"payload")
+
+
+def test_media_resize_and_frame_sample_pipeline(ray_session):
+    """Multimodal chain: resize → frame-sample → feature-extract → ANN.
+    Exercises the actor-pool plumbing end-to-end with the stub codecs."""
+    import numpy as np
+
+    from graphiti_ray.stages.multimodal import (
+        frame_sample,
+        media_features,
+        media_resize,
+        synth_media_dataset,
+    )
+    from graphiti_ray.stages.similarity import knn_brute_force
+
+    media = synth_media_dataset(n=12)
+    resized = media_resize(media, width=32, height=32, batch_size=4)
+    rdf = resized.to_pandas()
+    assert (rdf["payload"].map(len) == 32 * 32).all()
+    assert all('"w": 32' in m for m in rdf["meta"])
+
+    frames = frame_sample(resized, n_frames=3, batch_size=4)
+    feats = media_features(frames, batch_size=8).materialize()
+    fdf = feats.to_pandas()
+    assert len(fdf) == 12 * 3
+    assert set(fdf["frame_idx"]) == {0, 1, 2}
+    assert all(abs(np.linalg.norm(v) - 1.0) < 1e-5 for v in fdf["feature"])
+
+    # features flow straight into the ANN operator (vec_id = row key)
+    vecs = feats.map_batches(
+        lambda t: t.select(["feature"])
+        .append_column(
+            "vec_id",
+            __import__("pyarrow").array(
+                [int(m) * 10 + int(f) for m, f in zip(
+                    t.column("media_id").to_pylist(), t.column("frame_idx").to_pylist()
+                )],
+                __import__("pyarrow").int64(),
+            ),
+        )
+        .rename_columns(["embedding", "vec_id"]),
+        batch_format="pyarrow",
+    )
+    top = knn_brute_force(vecs, n_queries=2, k=3).to_pandas()
+    assert set(top["query_id"]) == {0, 1}
+    # self-similarity ranks first
+    assert all(
+        g.sort_values("rank").iloc[0]["vec_id"] == q
+        for q, g in top.groupby("query_id")
+    )
+
+
+def test_media_decode_stub_false_raises(ray_session):
+    from graphiti_ray.stages.multimodal import MediaFeatureExtractor, MediaResize
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decode_stub=False)._decode(b"abc")
+    with _pytest.raises(NotImplementedError):
+        MediaResize(8, 8, decode_stub=False)._resize(b"abc")
