@@ -198,62 +198,80 @@ _NLP_COLS = ["uuid", "group_id", "content", "valid_at"]
 
 
 class CombinedExtractor:
-    """One-pass extraction: mention rows AND triple rows in a single scan of
-    episode content (row_kind 'm' / 't', union schema with nulls).
-
-    The production path: scanning content is the heaviest map in the
-    pipeline, so mentions and triples must not each re-read it. Downstream
-    splits with a cheap vectorized filter on ``row_kind``.
+    """One-pass extraction: mention rows AND triple rows from a SINGLE
+    relation scan per document (row_kind 'm' / 't', union schema with
+    nulls). Semantics identical to MentionExtractor + TripleExtractor run
+    separately (same per-pattern finditer order), but each relation
+    pattern runs once per doc instead of twice — scanning content is the
+    heaviest map in the pipeline. Downstream splits with a cheap
+    vectorized filter on ``row_kind``.
     """
 
     def __init__(self):
-        self.mentions = MentionExtractor()
-        self.triples = TripleExtractor()
+        self.ent_re = re.compile(ENT)
+        self.rel_res = [(re.compile(p), pred) for p, pred in RELATION_TEMPLATES]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = self.mentions(batch)
-        t = self.triples(batch)
-        n_m, n_t = len(m), len(t)
-        out = pa.table(
+        ep_uuids = batch.column("uuid").to_pylist()
+        groups = batch.column("group_id").to_pylist()
+        contents = batch.column("content").to_pylist()
+        valid_ats = batch.column("valid_at").to_pylist()
+
+        kind, o_ep, o_g, o_ts = [], [], [], []
+        o_name, o_label = [], []
+        o_s, o_p, o_o, o_f = [], [], [], []
+        for ep, g, content, ts in zip(ep_uuids, groups, contents, valid_ats):
+            # ONE relation scan, reused for role labels AND triples
+            rel_matches = [
+                (pred, m) for rx, pred in self.rel_res for m in rx.finditer(content)
+            ]
+            role_label: dict[str, str] = {}
+            for pred, m in rel_matches:
+                role_label.setdefault(m.group(1), SUBJ_LABEL[pred])
+                role_label.setdefault(m.group(2), OBJ_LABEL[pred])
+            seen: set[str] = set()
+            for m in self.ent_re.finditer(content):
+                name = m.group(0)
+                if name in NER_STOPWORDS or name in seen:
+                    continue
+                seen.add(name)
+                kind.append("m")
+                o_ep.append(ep)
+                o_g.append(g)
+                o_ts.append(ts)
+                o_name.append(name)
+                o_label.append(role_label.get(name) or label_for_name(name))
+                o_s.append(None)
+                o_p.append(None)
+                o_o.append(None)
+                o_f.append(None)
+            for pred, m in rel_matches:
+                kind.append("t")
+                o_ep.append(ep)
+                o_g.append(g)
+                tail = content[m.end() : m.end() + 40].split("\n", 1)[0]
+                explicit = parse_explicit_date(tail)
+                o_ts.append(explicit if explicit is not None else ts)
+                o_name.append(None)
+                o_label.append(None)
+                o_s.append(m.group(1))
+                o_p.append(pred)
+                o_o.append(m.group(2))
+                o_f.append(m.group(0) + ".")
+        return pa.table(
             {
-                "row_kind": pa.array(["m"] * n_m + ["t"] * n_t, pa.string()),
-                "episode_uuid": pa.concat_arrays(
-                    [m.column("episode_uuid").combine_chunks(),
-                     t.column("episode_uuid").combine_chunks()]
-                ),
-                "group_id": pa.concat_arrays(
-                    [m.column("group_id").combine_chunks(),
-                     t.column("group_id").combine_chunks()]
-                ),
-                "valid_at": pa.concat_arrays(
-                    [m.column("valid_at").combine_chunks(),
-                     t.column("valid_at").combine_chunks()]
-                ),
-                "name": pa.concat_arrays(
-                    [m.column("name").combine_chunks(),
-                     pa.nulls(n_t, pa.string())]
-                ),
-                "label_hint": pa.concat_arrays(
-                    [m.column("label_hint").combine_chunks(),
-                     pa.nulls(n_t, pa.string())]
-                ),
-                "subj_name": pa.concat_arrays(
-                    [pa.nulls(n_m, pa.string()),
-                     t.column("subj_name").combine_chunks()]
-                ),
-                "pred": pa.concat_arrays(
-                    [pa.nulls(n_m, pa.string()), t.column("pred").combine_chunks()]
-                ),
-                "obj_name": pa.concat_arrays(
-                    [pa.nulls(n_m, pa.string()),
-                     t.column("obj_name").combine_chunks()]
-                ),
-                "fact": pa.concat_arrays(
-                    [pa.nulls(n_m, pa.string()), t.column("fact").combine_chunks()]
-                ),
+                "row_kind": pa.array(kind, pa.string()),
+                "episode_uuid": pa.array(o_ep, pa.string()),
+                "group_id": pa.array(o_g, pa.string()),
+                "valid_at": pa.array(o_ts, pa.timestamp("us")),
+                "name": pa.array(o_name, pa.string()),
+                "label_hint": pa.array(o_label, pa.string()),
+                "subj_name": pa.array(o_s, pa.string()),
+                "pred": pa.array(o_p, pa.string()),
+                "obj_name": pa.array(o_o, pa.string()),
+                "fact": pa.array(o_f, pa.string()),
             }
         )
-        return out
 
 
 def split_extracted(extracted: rd.Dataset) -> tuple[rd.Dataset, rd.Dataset]:
