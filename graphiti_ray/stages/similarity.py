@@ -113,6 +113,104 @@ def knn_brute_force(
     )
 
 
+def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42):
+    """Tiny deterministic spherical k-means (numpy): sample-sized, runs on
+    the driver once; centroids are broadcast. Empty clusters re-seed to the
+    farthest points, so k centroids always survive."""
+    rng = np.random.RandomState(seed)
+    x = _normalize(sample.astype(np.float64))
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T  # (n, k) cosine (unit vectors)
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cent)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+            else:  # re-seed dead centroid to the worst-served point
+                new[c] = x[sims.max(axis=1).argmin()]
+        cent = _normalize(new)
+    return cent
+
+
+def knn_ivf(
+    emb: rd.Dataset,
+    n_queries: int = 32,
+    k: int = 10,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """IVF approximate top-k: a coarse k-means quantizer (fit on a driver
+    sample, centroids broadcast) partitions the corpus; each query scores
+    only vectors whose cluster is among its ``nprobe`` closest centroids.
+
+    The scale path vs ``knn_lsh``: recall is tunable via ``nprobe``
+    (nprobe=n_clusters degenerates to exact brute force), and the
+    assignment pass streams — no shuffle at all, the candidate filter is a
+    per-batch mask. Output schema matches ``knn_brute_force``; per-query
+    rows may be < k (the approximation)."""
+    import functools
+
+    import ray
+
+    from graphiti_ray.stages.embed import column_to_matrix
+
+    q_ids, qmat = query_matrix_from_first(emb, n_queries, vec_col, id_col)
+    sample = emb.limit(sample_size).to_pandas()
+    smat = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    cent = _kmeans_fit(smat, n_clusters, seed=seed)
+    qn = _normalize(qmat.astype(np.float64))
+    # per query: the nprobe closest centroids
+    order = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    probe_sets = [frozenset(map(int, row)) for row in order]
+    ref = ray.put((q_ids, qn, cent, probe_sets))
+
+    def run(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        q_ids, qn, cent, probe_sets = _cached_lut(_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = column_to_matrix(batch.column(vec_col), np.float64)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        matn = _normalize(mat)
+        assign = (matn @ cent.T).argmax(axis=1)
+        o_q, o_v, o_s = [], [], []
+        for qi in range(len(q_ids)):
+            mask = np.isin(assign, list(probe_sets[qi]))
+            if not mask.any():
+                continue
+            sims = np.round(matn[mask] @ qn[qi], 6)
+            sub_ids = ids[mask]
+            sel = np.lexsort((sub_ids, -sims))[:k]
+            o_q.extend([int(q_ids[qi])] * len(sel))
+            o_v.extend(int(sub_ids[s]) for s in sel)
+            o_s.extend(float(sims[s]) for s in sel)
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "vec_id": pa.array(o_v, pa.int64()),
+                "cosine": pa.array(o_s, pa.float64()),
+            }
+        )
+
+    candidates = emb.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+    return candidates.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
 def knn_lsh(
     emb: rd.Dataset,
     n_queries: int = 32,

@@ -188,3 +188,32 @@ def test_run_kg_checkpoint_resume(ray_session, tmp_path):
     manifest = json.load(open(os.path.join(edges_dir, "MANIFEST.json")))
     assert manifest["lineage"]["input"] == "/root/testdata/sf0.001"
     assert manifest["rows"] == 380
+
+
+def test_run_kg_communities_checkpoint_resume(ray_session, tmp_path):
+    """The optional communities stages checkpoint + resume like core ones."""
+    from graphiti_ray.pipelines.kg import run_kg
+
+    out_root = str(tmp_path / "kgc")
+    m1 = run_kg(
+        "/root/testdata/sf0.001", out_root, nlp_concurrency=(1, 2), communities=True
+    )
+    tables = {m["table"] for m in m1}
+    assert {"communities", "community_edges"} <= tables
+
+    # rerun: everything skips, including the community stages
+    m2 = run_kg(
+        "/root/testdata/sf0.001", out_root, nlp_concurrency=(1, 2), communities=True
+    )
+    by_table = {m["table"]: m for m in m2}
+    assert by_table["communities"]["skipped"]
+    assert by_table["community_edges"]["skipped"]
+
+    # drop community_edges completion: only it recomputes
+    os.remove(os.path.join(out_root, "community_edges", "_SUCCESS"))
+    m3 = run_kg(
+        "/root/testdata/sf0.001", out_root, nlp_concurrency=(1, 2), communities=True
+    )
+    by_table = {m["table"]: m for m in m3}
+    assert by_table["communities"]["skipped"]
+    assert not by_table["community_edges"]["skipped"]

@@ -225,3 +225,29 @@ def test_media_decode_stub_false_raises(ray_session):
         MediaFeatureExtractor(decode_stub=False)._decode(b"abc")
     with _pytest.raises(NotImplementedError):
         MediaResize(8, 8, decode_stub=False)._resize(b"abc")
+
+
+def test_knn_ivf_recall_and_exact_at_full_probe(ray_session):
+    """IVF ANN: nprobe=n_clusters degenerates to exact brute force; a
+    partial probe keeps high recall on clustered data."""
+    import pandas as pd
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    emb = rd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = knn_brute_force(emb, n_queries=8, k=5).to_pandas()
+    full = knn_ivf(emb, n_queries=8, k=5, n_clusters=8, nprobe=8).to_pandas()
+    key = ["query_id", "vec_id", "cosine", "rank"]
+    pd.testing.assert_frame_equal(
+        exact[key].sort_values(key).reset_index(drop=True),
+        full[key].sort_values(key).reset_index(drop=True),
+    )
+    # partial probe: recall of exact top-5 should stay high (labels cluster)
+    part = knn_ivf(emb, n_queries=8, k=5, n_clusters=8, nprobe=4).to_pandas()
+    hits = len(
+        set(zip(part.query_id, part.vec_id)) & set(zip(exact.query_id, exact.vec_id))
+    )
+    assert hits / len(exact) >= 0.7
