@@ -519,6 +519,29 @@ def _q_docs_bm25(sf_dir: str):
     return scored.sort(["bm25", "doc_id"], descending=[True, False]).limit(20)
 
 
+def _q_graph_components(sf_dir: str):
+    """Connected components over the entity graph (G5/A7 family): min-label
+    convention, oracle = DuckDB recursive-CTE transitive closure."""
+    import pyarrow as pa
+
+    from graphiti_ray.stages.dedup import connected_components
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    pairs = tables["edges"].select_columns(["subj_uuid", "obj_uuid"]).map_batches(
+        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
+    )
+    cc = connected_components(pairs)
+    return cc.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_uuid": t.column("doc_id"),
+                "component": t.column("component"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_kg_communities(sf_dir: str):
     from graphiti_ray.stages.graph import build_communities
 
@@ -566,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_degree": _q_graph_degree,
         "episode_windows": _q_episode_windows,
         "rrf_fusion": _q_rrf_fusion,
+        "graph_components": _q_graph_components,
         "kg_communities": _q_kg_communities,
         "search_hybrid": _q_search_hybrid,
         "docs_bm25": _q_docs_bm25,
@@ -845,6 +869,23 @@ SELECT doc_id, round(
           / (f4 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END), 6) AS bm25
 FROM tf, stats, dfs
 ORDER BY bm25 DESC, doc_id LIMIT 20
+""",
+        "graph_components": f"""
+WITH RECURSIVE {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+sym AS (
+  SELECT subj_uuid AS a, obj_uuid AS b FROM merged_id
+  UNION
+  SELECT obj_uuid, subj_uuid FROM merged_id
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+)
+SELECT a AS entity_uuid, least(a, min(b)) AS component FROM reach GROUP BY a
 """,
         "rrf_fusion": """
 WITH q AS (

@@ -418,16 +418,18 @@ def connected_components(
     if n_pairs == 0:
         return rd.from_items([])
     if n_pairs <= SMALL_CC_LIMIT:
-        parent: dict[int, int] = {}
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             while parent.setdefault(x, x) != x:
                 parent[x] = parent[parent[x]]  # path halving
                 x = parent[x]
             return x
 
+        # ids may be int64 doc ids or string uuids — comparisons and the
+        # min-label convention work for both
         for a, b in zip(df["a"], df["b"]):
-            ra, rb = find(int(a)), find(int(b))
+            ra, rb = find(a), find(b)
             if ra != rb:
                 if ra < rb:
                     parent[rb] = ra
@@ -477,9 +479,15 @@ def connected_components(
             ),
             batch_format="pyarrow",
         )
+        # sentinel sorts after every real label (ids may be int64 or string)
+        sch = labels.schema()
+        id_type = sch.types[sch.names.index("lbl")]
+        sentinel = (
+            "￿￿￿￿" if pa.types.is_string(id_type) else _CC_SENTINEL
+        )
         prop_tagged = prop.map_batches(
-            lambda t: t.append_column(
-                "old", pa.array([_CC_SENTINEL] * t.num_rows, pa.int64())
+            lambda t, _s=sentinel, _ty=id_type: t.append_column(
+                "old", pa.array([_s] * t.num_rows, _ty)
             ),
             batch_format="pyarrow",
         )

@@ -143,3 +143,13 @@ def test_embedding_near_dup_exact_matches_duckdb(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"a": "int64", "b": "int64"}), want.astype({"a": "int64", "b": "int64"})
     )
+
+
+def test_connected_components_string_ids(ray_session):
+    """CC works on string uuids (entity graph use) with min-label output."""
+    pairs = rd.from_items(
+        [{"a": "b1", "b": "a1"}, {"a": "c1", "b": "b1"}, {"a": "x9", "b": "z2"}]
+    )
+    out = connected_components(pairs).to_pandas()
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == {"a1": "a1", "b1": "a1", "c1": "a1", "x9": "x9", "z2": "x9"}
