@@ -34,6 +34,12 @@ from graphiti_ray.stages.textstats import STOPWORDS as _SW
 _STOPWORDS_SQL = _sql_str_list(_SW["en"])
 _LANG_LISTS_SQL = {lang: _sql_str_list(ws) for lang, ws in _SW.items()}
 
+from graphiti_ray.pipelines.corpus import (  # noqa: E402
+    DEFAULT_MAX_CHARS as DEFAULT_MAX_CHARS_SQL,
+    DEFAULT_MIN_CHARS as DEFAULT_MIN_CHARS_SQL,
+    DEFAULT_MIN_WORDS as DEFAULT_MIN_WORDS_SQL,
+)
+
 # ---------------------------------------------------------------------------
 # shared oracle CTEs (documents → derived pages/mentions/canonical entities)
 # ---------------------------------------------------------------------------
@@ -408,6 +414,28 @@ def _q_docs_quality_filter(sf_dir: str):
     return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_corpus_clean(sf_dir: str):
+    """Composite training-data cleaning (language gate → quality gate →
+    exact dedup winners); the SQL-expressible core of clean_corpus — the
+    near-dup stage on top is approximate (pytest-covered)."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import clean_corpus_exact
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return clean_corpus_exact(docs)
+
+
+def _q_docs_sample(sf_dir: str):
+    """Deterministic hash-threshold sampling (reproducible subset carve)."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import deterministic_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return deterministic_sample(docs, 0.25)
+
+
 def _q_pricing_summary(sf_dir: str):
     from graphiti_ray.pipelines.relational import pricing_summary
 
@@ -583,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "events_session": _q_events_session,
         "docs_quality_filter": _q_docs_quality_filter,
+        "corpus_clean": _q_corpus_clean,
+        "docs_sample": _q_docs_sample,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "lang_doc_stats": _q_lang_doc_stats,
@@ -784,6 +814,38 @@ SELECT doc_id, n_chars
 FROM documents
 WHERE n_chars BETWEEN 150 AND 450
   AND len(string_split_regex(text, '\s+')) >= 30
+""",
+        "corpus_clean": rf"""
+WITH w AS (
+  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+         list_transform(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS lw,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))::BIGINT
+           AS n_words
+  FROM documents
+),
+langed AS (
+  SELECT doc_id, text, n_chars, n_words,
+         len(list_filter(lw, x -> list_contains({_LANG_LISTS_SQL['de']}, x)))::BIGINT AS de_h,
+         len(list_filter(lw, x -> list_contains({_LANG_LISTS_SQL['en']}, x)))::BIGINT AS en_h,
+         len(list_filter(lw, x -> list_contains({_LANG_LISTS_SQL['es']}, x)))::BIGINT AS es_h,
+         len(list_filter(lw, x -> list_contains({_LANG_LISTS_SQL['fr']}, x)))::BIGINT AS fr_h
+  FROM w
+),
+gated AS (
+  SELECT doc_id, text FROM langed
+  WHERE n_chars BETWEEN {DEFAULT_MIN_CHARS_SQL} AND {DEFAULT_MAX_CHARS_SQL}
+    AND n_words >= {DEFAULT_MIN_WORDS_SQL}
+    AND greatest(de_h, en_h, es_h, fr_h) > 0
+    AND (CASE WHEN de_h >= en_h AND de_h >= es_h AND de_h >= fr_h THEN 'de'
+              WHEN en_h >= es_h AND en_h >= fr_h THEN 'en'
+              WHEN es_h >= fr_h THEN 'es' ELSE 'fr' END) = 'en'
+)
+SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+""",
+        "docs_sample": """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

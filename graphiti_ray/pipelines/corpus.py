@@ -1,0 +1,179 @@
+"""Corpus cleaning: the composite training-data pipeline over documents.
+
+The canonical 100 TB use case — language gate → quality gate → exact
+dedup → MinHash near-dup removal — composed from the stage-level
+operators (stages/textstats.py, stages/dedup.py) as ONE streaming
+pipeline with no full materialization:
+
+    docs ─ mb(lang+quality gate, vectorized) ─→ kept
+              │ groupby(text_hash) exact-dedup winners
+              ▼
+           winners ─ minhash LSH ─→ near-dup components ─ anti-broadcast ─→ clean
+
+Every gate is a per-batch vectorized filter (no shuffle); the only wide
+steps are exact dedup's hash aggregate and the LSH collision count. The
+near-dup removal keeps each component's min doc_id (the same winner rule
+as exact dedup).
+
+``clean_corpus_exact`` (gates + exact dedup only) is the deterministic,
+SQL-expressible core — its driver query has a DuckDB oracle twin;
+``clean_corpus`` adds the near-dup stage (approximate by construction →
+pytest-covered).
+
+Also here: ``deterministic_sample`` — hash-threshold row sampling that is
+reproducible across runs/engines (md5-prefix compare), the standard way to
+carve stable subsets out of a web-scale corpus; SQL-expressible, so
+oracle-checked too.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from graphiti_ray.stages.textstats import STOPWORDS
+
+DEFAULT_MIN_CHARS = 150
+DEFAULT_MAX_CHARS = 450
+DEFAULT_MIN_WORDS = 30
+
+
+def _gate_batch(
+    batch: pa.Table,
+    langs: tuple,
+    min_chars: int,
+    max_chars: int,
+    min_words: int,
+) -> pa.Table:
+    """Vectorized language + quality gate; emits (doc_id, text)."""
+    texts = batch.column("text").to_pylist()
+    profiles = {l: STOPWORDS[l] for l in STOPWORDS}
+    keep = []
+    for t in texts:
+        n_chars = len(t)
+        if not (min_chars <= n_chars <= max_chars):
+            keep.append(False)
+            continue
+        words = t.split()
+        if len(words) < min_words:
+            keep.append(False)
+            continue
+        lowered = [w.lower() for w in words]
+        best_lang, best = "und", 0
+        for lang in sorted(profiles):
+            h = sum(1 for w in lowered if w in profiles[lang])
+            if h > best:
+                best_lang, best = lang, h
+        keep.append(best_lang in langs)
+    return batch.filter(pa.array(keep, pa.bool_()))
+
+
+def clean_corpus_exact(
+    docs: rd.Dataset,
+    langs: tuple = ("en",),
+    min_chars: int = DEFAULT_MIN_CHARS,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> rd.Dataset:
+    """Gates + exact dedup: one surviving (keep) doc_id per distinct text
+    among gate-passing docs. Output: (doc_id,) sorted-free (hash agg)."""
+    import functools
+
+    from graphiti_ray.stages.dedup import exact_dedup_documents
+
+    gated = docs.map_batches(
+        functools.partial(
+            _gate_batch,
+            langs=langs,
+            min_chars=min_chars,
+            max_chars=max_chars,
+            min_words=min_words,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    winners = exact_dedup_documents(gated)
+    return winners.map_batches(
+        lambda t: pa.table({"doc_id": t.column("keep_id")}),
+        batch_format="pyarrow",
+    )
+
+
+def clean_corpus(
+    docs: rd.Dataset,
+    langs: tuple = ("en",),
+    min_chars: int = DEFAULT_MIN_CHARS,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    min_words: int = DEFAULT_MIN_WORDS,
+    near_dup_threshold: float = 0.8,
+) -> rd.Dataset:
+    """Full cleaning: gates → exact dedup → MinHash near-dup removal
+    (keep each near-dup component's min doc_id). Output: (doc_id,).
+
+    The near-dup drop set is component-count sized (tiny relative to the
+    corpus), so it applies as a broadcast anti-filter — the winners table
+    never shuffles again."""
+    import ray
+
+    from graphiti_ray.stages.dedup import minhash_near_dup
+
+    winners = clean_corpus_exact(docs, langs, min_chars, max_chars, min_words)
+    winners = winners.materialize()
+
+    # near-dups among the surviving docs only (re-attach text via the
+    # original table filtered to winners — broadcast membership)
+    keep_ref = ray.put(frozenset(r["doc_id"] for r in winners.take_all()))
+
+    def keep_winners(batch: pa.Table, _ref=keep_ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        s = _cached_lut(_ref)
+        mask = pa.array([d in s for d in batch.column("doc_id").to_pylist()])
+        return batch.filter(mask)
+
+    surviving_docs = docs.map_batches(
+        keep_winners, batch_format="pyarrow", zero_copy_batch=True
+    )
+    clusters = minhash_near_dup(surviving_docs, threshold=near_dup_threshold)
+    drops = frozenset(
+        r["doc_id"] for r in clusters.take_all() if r["doc_id"] != r["component"]
+    )
+    dref = ray.put(drops)
+
+    def drop_near_dups(batch: pa.Table, _ref=dref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        s = _cached_lut(_ref)
+        mask = pa.array([d not in s for d in batch.column("doc_id").to_pylist()])
+        return batch.filter(mask)
+
+    return winners.map_batches(
+        drop_near_dups, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def deterministic_sample(
+    ds: rd.Dataset, fraction: float, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Stable hash-threshold sampling: keep a row iff the first 8 hex chars
+    of md5(str(id)) compare below the fraction threshold. Reproducible
+    across runs, engines and partitionings (no RNG state), and
+    SQL-expressible — the standard carve-a-subset primitive for a corpus
+    too big to shuffle."""
+    import hashlib
+
+    threshold = format(int(fraction * 16**8), "08x")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array(
+            [
+                hashlib.md5(str(i).encode()).hexdigest()[:8] < threshold
+                for i in ids
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

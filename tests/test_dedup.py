@@ -153,3 +153,44 @@ def test_connected_components_string_ids(ray_session):
     out = connected_components(pairs).to_pandas()
     got = dict(zip(out["doc_id"], out["component"]))
     assert got == {"a1": "a1", "b1": "a1", "c1": "a1", "x9": "x9", "z2": "x9"}
+
+
+def test_clean_corpus_full_pipeline(ray_session):
+    """Composite cleaning: the near-dup stage removes non-winner members of
+    MinHash components from the exact-dedup survivor set."""
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.corpus import clean_corpus, clean_corpus_exact
+
+    docs = rd_.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    exact = set(r["doc_id"] for r in clean_corpus_exact(docs).take_all())
+    full = set(r["doc_id"] for r in clean_corpus(docs).take_all())
+    assert full <= exact
+    assert len(full) < len(exact)  # synthetic corpus HAS near-dups
+    # every dropped doc is a non-minimal member of some near-dup component
+    from graphiti_ray.stages.dedup import minhash_near_dup
+
+    comps = {
+        r["doc_id"]: r["component"] for r in minhash_near_dup(docs).take_all()
+    }
+    for dropped in exact - full:
+        assert dropped in comps and comps[dropped] != dropped
+
+
+def test_deterministic_sample_stability(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.corpus import deterministic_sample
+
+    docs = rd_.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id"]
+    )
+    a = sorted(r["doc_id"] for r in deterministic_sample(docs, 0.25).take_all())
+    b = sorted(
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(13), 0.25).take_all()
+    )
+    assert a == b  # partitioning-independent
+    assert 0.15 < len(a) / 500 < 0.35
