@@ -107,6 +107,17 @@ def _extras(sf_dir: str) -> dict[str, float]:
         timed("knn_topk", lambda: knn_brute_force(emb, n_queries=32, k=10).count())
     except ImportError:
         pass
+
+    try:
+        from graphiti_ray.pipelines.corpus import clean_corpus
+        import ray.data as rd
+
+        docs3 = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        timed("corpus_clean", lambda: clean_corpus(docs3).count())
+    except ImportError:
+        pass
     return timings
 
 

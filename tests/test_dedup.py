@@ -194,3 +194,46 @@ def test_deterministic_sample_stability(ray_session):
     )
     assert a == b  # partitioning-independent
     assert 0.15 < len(a) / 500 < 0.35
+
+
+def test_minhash_lsh_recall_precision_vs_exact(ray_session):
+    """Calibration: LSH candidate clusters vs exact char-5-gram Jaccard
+    ground truth at τ=0.8 — recall and precision floors (measure, don't
+    guess: quantifies banding + MAX_BUCKET effects on a real corpus)."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from graphiti_ray.stages.dedup import minhash_near_dup, shingle_hashes
+
+    tbl = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = tbl.column("doc_id").to_pylist()
+    shingles = {
+        i: set(map(int, shingle_hashes(t)))
+        for i, t in zip(ids, tbl.column("text").to_pylist())
+    }
+    exact_pairs = set()
+    for a, b in itertools.combinations(ids, 2):
+        sa, sb = shingles[a], shingles[b]
+        inter = len(sa & sb)
+        if inter and inter / (len(sa) + len(sb) - inter) >= 0.8:
+            exact_pairs.add((min(a, b), max(a, b)))
+    assert exact_pairs  # corpus has true near-dups
+
+    docs = rd.from_arrow(tbl)
+    comps = {
+        r["doc_id"]: r["component"] for r in minhash_near_dup(docs, 0.8).take_all()
+    }
+    lsh_pairs = {
+        (min(a, b), max(a, b))
+        for a, b in itertools.combinations(sorted(comps), 2)
+        if comps[a] == comps[b]
+    }
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    # clusters are transitive closures, so precision is vs "same component
+    # implies high similarity chain" — measure against exact pairs directly
+    precision = len(exact_pairs & lsh_pairs) / max(1, len(lsh_pairs))
+    assert recall >= 0.9, recall
+    assert precision >= 0.8, precision
