@@ -149,6 +149,137 @@ subj_inv AS (
 )"""
 
 
+def _lpa_rounds_sql(n_rounds: int = 10) -> str:
+    """Unrolled synchronous label-propagation rounds over ``merged_id``.
+
+    stages/graph.py::label_propagation is a deterministic synchronous
+    update (plurality neighbor label weighted by edge multiplicity, ties →
+    larger label) run to fixpoint with max_rounds=10; a fixpoint is stable
+    under further applications, so exactly 10 unrolled SQL rounds
+    reproduce it whether the engine converged early or not."""
+    parts = [
+        """
+lpa_sym AS (
+  SELECT subj_uuid AS x, obj_uuid AS y FROM merged_id
+  UNION ALL SELECT obj_uuid, subj_uuid FROM merged_id
+),
+lpa_w AS (SELECT x, y, count(*)::BIGINT AS w FROM lpa_sym GROUP BY 1, 2),
+r0 AS (SELECT DISTINCT x AS node, x AS community FROM lpa_w)"""
+    ]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT x AS node, community FROM (
+    SELECT w.x, p.community,
+           row_number() OVER (PARTITION BY w.x
+             ORDER BY sum(w.w) DESC, p.community DESC) AS rn
+    FROM lpa_w w JOIN r{i - 1} p ON p.node = w.y
+    GROUP BY w.x, p.community
+  ) WHERE rn = 1
+)"""
+        )
+    return "".join(parts).lstrip()
+
+
+_LPA_CTE = _lpa_rounds_sql(10)
+
+# hugeint constant lists for the hash-arithmetic oracles (simhash/minhash):
+# Horner mod-2^64 == sum(byte_j * POLY^(len-1-j)) mod 2^64, so one final
+# modulo over hugeint partial sums reproduces numpy's uint64 wraparound.
+_POLY_INT = 1099511628211
+_M64 = 1 << 64
+_POW64_SQL = "[" + ",".join(f"{pow(_POLY_INT, k, _M64)}::HUGEINT" for k in range(64)) + "]"
+_POW2_SQL = "[" + ",".join(f"{1 << p}::HUGEINT" for p in range(64)) + "]"
+
+
+def _minhash_oracle_sql() -> str:
+    """Full MinHash-LSH near-dup pipeline as SQL: k-byte shingle rolling
+    hash (lead() window Horner, mod 2^64 then mod 2^61), 64 baked
+    (a, b) permutations with numpy-int64-wraparound-faithful arithmetic,
+    band hashes, bucket-collision candidates, signature-agreement
+    threshold (ceil(0.8*64)=52 of 64 perms), and min-label connected
+    components via a recursive CTE. Byte-exact vs stages/dedup.py
+    (ASCII corpus: substr/ord are per character = per byte)."""
+    import math
+
+    from graphiti_ray.stages.dedup import _A, _B, NUM_PERM, SHINGLE_K
+
+    p_pow = [pow(_POLY_INT, k, _M64) for k in range(SHINGLE_K)]
+    perms = "VALUES " + ",".join(
+        f"({p}, {int(_A[p])}::HUGEINT, {int(_B[p])}::HUGEINT)"
+        for p in range(NUM_PERM)
+    )
+    est_min = math.ceil(0.8 * NUM_PERM)
+    shingle_terms = " + ".join(
+        [f"b * {p_pow[SHINGLE_K - 1]}::HUGEINT"]
+        + [
+            f"lead(b, {j}) OVER w * {p_pow[SHINGLE_K - 1 - j]}::HUGEINT"
+            for j in range(1, SHINGLE_K)
+        ]
+    )
+    return rf"""
+WITH RECURSIVE lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+bytes AS (
+  SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
+  FROM lt, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
+),
+sh0 AS (
+  SELECT doc_id,
+         ({shingle_terms}) % 18446744073709551616::HUGEINT AS h64,
+         i, n
+  FROM bytes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+shingles AS (
+  SELECT DISTINCT doc_id, (h64 % 2305843009213693952::HUGEINT)::BIGINT AS h
+  FROM sh0 WHERE i <= n - {SHINGLE_K - 1}
+),
+perms AS (SELECT * FROM ({perms}) AS v(p, pa, pb)),
+sigraw AS (
+  SELECT s.doc_id, pm.p,
+         ((pm.pa * s.h::HUGEINT + pm.pb) % 18446744073709551616::HUGEINT) AS t
+  FROM shingles s CROSS JOIN perms pm
+),
+sigs AS (
+  SELECT doc_id, p,
+         min((((CASE WHEN t >= 9223372036854775808::HUGEINT
+                     THEN t - 18446744073709551616::HUGEINT ELSE t END)
+               % 2305843009213693951) + 2305843009213693951)
+             % 2305843009213693951) AS sig
+  FROM sigraw GROUP BY 1, 2
+),
+bandh AS (
+  SELECT doc_id, (p // 4)::INT AS band,
+         ((sum(((sig::HUGEINT * {_POLY_INT}::HUGEINT + (2 * (p % 4) + 1))
+                * (2 * (p % 4) + 1)) % 18446744073709551616::HUGEINT)
+           % 18446744073709551616::HUGEINT)
+          % 9223372036854775808::HUGEINT)::BIGINT AS bh
+  FROM sigs GROUP BY doc_id, p // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM bandh a JOIN bandh b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.a, c.b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.a
+  JOIN sigs sb ON sb.doc_id = c.b AND sb.p = sa.p
+  GROUP BY c.a, c.b
+  HAVING sum((sa.sig = sb.sig)::INT) >= {est_min}
+),
+cc_sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT x, y FROM cc_sym
+  UNION
+  SELECT r.x, s.y FROM reach r JOIN cc_sym s ON s.x = r.y
+)
+SELECT x AS doc_id, least(x, min(y)) AS component FROM reach GROUP BY x
+"""
+
+
 def _pages(sf_dir: str):
     from graphiti_ray.sources.pages import pages_dataset
 
@@ -948,6 +1079,70 @@ reach AS (
   SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
 )
 SELECT a AS entity_uuid, least(a, min(b)) AS component FROM reach GROUP BY a
+""",
+        "dedup_minhash": _minhash_oracle_sql(),
+        "dedup_simhash": rf"""
+WITH consts AS (SELECT {_POW64_SQL} AS pw, {_POW2_SQL} AS p2),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+tokh AS (
+  SELECT doc_id,
+         list_aggregate(list_transform(range(1, length(tok) + 1),
+             i -> ord(substr(tok, i, 1))::HUGEINT * pw[length(tok) - i + 1]),
+           'sum') % 18446744073709551616::HUGEINT AS h
+  FROM toks, consts
+),
+tokc AS (SELECT doc_id, h, count(*)::HUGEINT AS cnt FROM tokh GROUP BY 1, 2),
+bits AS (
+  SELECT t.doc_id, u.p, p2[u.p + 1] AS pv,
+         sum(CASE WHEN (t.h // p2[u.p + 1]) % 2 = 1 THEN t.cnt ELSE -t.cnt END)
+           AS acc
+  FROM tokc t, consts, (SELECT unnest(range(0, 64)) AS p) u
+  GROUP BY t.doc_id, u.p, p2[u.p + 1]
+),
+sims0 AS (
+  SELECT doc_id, sum(CASE WHEN acc > 0 THEN pv ELSE 0::HUGEINT END) AS uv
+  FROM bits GROUP BY doc_id
+),
+sims AS (
+  SELECT d.doc_id,
+         CASE WHEN coalesce(s.uv, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+              THEN (coalesce(s.uv, 0::HUGEINT)
+                    - 18446744073709551616::HUGEINT)::BIGINT
+              ELSE coalesce(s.uv, 0::HUGEINT)::BIGINT END AS sim,
+         ((coalesce(s.uv, 0::HUGEINT)) % 65536)::BIGINT AS b0,
+         ((coalesce(s.uv, 0::HUGEINT) // 65536) % 65536)::BIGINT AS b1,
+         ((coalesce(s.uv, 0::HUGEINT) // 4294967296) % 65536)::BIGINT AS b2,
+         ((coalesce(s.uv, 0::HUGEINT) // 281474976710656) % 65536)::BIGINT AS b3
+  FROM documents d LEFT JOIN sims0 s USING (doc_id)
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+FROM sims a JOIN sims b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+""",
+        "kg_communities": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+{_LPA_CTE},
+node_groups AS (
+  SELECT DISTINCT subj_uuid AS nuuid, group_id FROM merged_id
+  UNION
+  SELECT DISTINCT obj_uuid, group_id FROM merged_id
+)
+SELECT md5('community|' || r.community) AS uuid,
+       min(g.group_id) AS group_id,
+       count(*)::BIGINT AS n_members
+FROM r10 r JOIN node_groups g ON g.nuuid = r.node
+GROUP BY r.community
 """,
         "rrf_fusion": """
 WITH q AS (

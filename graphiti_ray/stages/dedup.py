@@ -578,11 +578,25 @@ def _simhash_block_pairs(tbl: pa.Table, max_hamming: int) -> pa.Table:
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Deterministic 64-bit token hashes, vectorized (pandas siphash with
-    the fixed default key — process-stable)."""
+    """Deterministic 64-bit polynomial byte hash per token (Horner with
+    multiplier ``_POLY`` mod 2^64), vectorized over a padded byte matrix.
+    Chosen over siphash because the same arithmetic is exactly
+    reproducible in the DuckDB oracle (hugeint mod-2^64), making the
+    whole SimHash pipeline value-checkable end to end."""
     if not tokens:
         return np.zeros(0, dtype=np.uint64)
-    return pd.util.hash_array(np.asarray(tokens, dtype=object))
+    bts = [t.encode("utf-8") for t in tokens]
+    lens = np.array([len(b) for b in bts], dtype=np.int64)
+    max_len = int(lens.max())
+    if max_len == 0:
+        return np.zeros(len(tokens), dtype=np.uint64)
+    buf = b"".join(b.ljust(max_len, b"\x00") for b in bts)
+    mat = np.frombuffer(buf, dtype=np.uint8).reshape(len(bts), max_len)
+    h = np.zeros(len(bts), dtype=np.uint64)
+    for j in range(max_len):
+        live = lens > j
+        h[live] = h[live] * _POLY + mat[live, j].astype(np.uint64)
+    return h
 
 
 def simhash64(text: str) -> int:
