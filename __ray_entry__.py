@@ -280,6 +280,139 @@ SELECT x AS doc_id, least(x, min(y)) AS component FROM reach GROUP BY x
 """
 
 
+_SEARCH_QUERY = "Alice Smith works at"
+
+
+def _search_hybrid_oracle_sql() -> str:
+    """Dataset-mode RRF hybrid edge search as SQL: the edge table (with the
+    earliest-assertion ``fact``) is rebuilt from ``documents``, BM25-scored
+    against the query terms (same Okapi arithmetic as pipelines/search.py::
+    BM25Index.score), cosine-scored against the baked query 3-gram count
+    vector (stages/embed.py polynomial hashing, float64, round 9), and the
+    two top-20 rank lists fuse via reciprocal-rank fusion (k=1) → top 10.
+    Query-side constants (term list, signed bucket counts) are baked the
+    way the MinHash permutations are — parameters, not computation."""
+    import numpy as np
+
+    from graphiti_ray.pipelines.search import _tokens
+    from graphiti_ray.stages.embed import EMBED_DIM, embed_counts
+
+    terms = _tokens(_SEARCH_QUERY)
+    qc = embed_counts(_SEARCH_QUERY, EMBED_DIM)
+    q_sumsq = int((qc * qc).sum())
+    qvals = ",".join(f"({int(i)}, {int(qc[i])}.0)" for i in np.nonzero(qc)[0])
+    p2 = pow(_POLY_INT, 2, _M64)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(tk, x -> x = '{t}'))::DOUBLE AS f{i + 1}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"sum((f{i + 1} > 0)::INT)::DOUBLE AS d{i + 1}" for i in range(len(terms))
+    )
+    score_terms = "\n  + ".join(
+        f"(CASE WHEN f{i + 1} > 0 THEN ln(1 + (n - d{i + 1} + 0.5) / (d{i + 1} + 0.5))"
+        f" * f{i + 1} * (1.2 + 1)"
+        f" / (f{i + 1} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    return rf"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+resf AS (
+  SELECT b.group_id, b.valid_at, md5(b.url) AS episode_uuid,
+         cs.canonical AS subj_c, b.pred1 AS pred, co.canonical AS obj_c,
+         b.fact1 AS fact
+  FROM base b
+  JOIN canon cs ON cs.group_id = b.group_id AND cs.name = b.subj1
+  JOIN canon co ON co.group_id = b.group_id AND co.name = b.obj1
+  UNION ALL
+  SELECT b.group_id, b.valid_at, md5(b.url), cs.canonical, b.pred2,
+         co.canonical, b.fact2
+  FROM base b
+  JOIN canon cs ON cs.group_id = b.group_id AND cs.name = b.subj2
+  JOIN canon co ON co.group_id = b.group_id AND co.name = b.obj2
+),
+keyed AS (
+  SELECT group_id,
+         md5(group_id || '|' || lower(subj_c)) AS subj_uuid, pred,
+         md5(group_id || '|' || lower(obj_c)) AS obj_uuid,
+         valid_at, episode_uuid, fact
+  FROM resf
+),
+efirst AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY group_id, subj_uuid, pred, obj_uuid
+      ORDER BY valid_at, episode_uuid) AS rn
+  FROM keyed
+),
+edges_t AS (
+  SELECT md5(group_id || '|' || subj_uuid || '|' || pred || '|' || obj_uuid)
+           AS uuid,
+         group_id, pred, fact
+  FROM efirst WHERE rn = 1
+),
+etoks AS (SELECT uuid, regexp_extract_all(lower(fact), '\w+') AS tk FROM edges_t),
+estats AS (
+  SELECT count(*)::DOUBLE AS n, sum(len(tk))::DOUBLE / count(*) AS avgdl
+  FROM etoks
+),
+etf AS (
+  SELECT uuid, len(tk)::DOUBLE AS dl,
+         {tf_cols}
+  FROM etoks
+),
+edfs AS (SELECT {df_cols} FROM etf),
+escore AS (
+  SELECT uuid,
+  {score_terms} AS s
+  FROM etf, estats, edfs
+),
+bm25_list AS (
+  SELECT uuid, row_number() OVER (ORDER BY s DESC, uuid) - 1 AS rnk
+  FROM escore WHERE s > 0
+  ORDER BY s DESC, uuid LIMIT 20
+),
+fstr AS (SELECT uuid, '^' || lower(fact) || '$' AS s FROM edges_t),
+fh AS (
+  SELECT uuid,
+         (ord(substr(s, i, 1))::HUGEINT * {p2}::HUGEINT
+          + ord(substr(s, i + 1, 1))::HUGEINT * {_POLY_INT}::HUGEINT
+          + ord(substr(s, i + 2, 1))::HUGEINT)
+           % 18446744073709551616::HUGEINT AS h
+  FROM fstr, LATERAL unnest(range(1, length(s) - 1)) AS u(i)
+),
+fbuck AS (
+  SELECT uuid, (h % 64)::INT AS bucket,
+         sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS cnt
+  FROM fh GROUP BY 1, 2
+),
+fnorm AS (SELECT uuid, sqrt(sum(cnt * cnt)) AS nrm FROM fbuck GROUP BY uuid),
+qc(bucket, qv) AS (VALUES {qvals}),
+fcos AS (
+  SELECT f.uuid,
+         round(sum(f.cnt * q.qv) / (n.nrm * sqrt({q_sumsq})), 9) AS cs
+  FROM fbuck f JOIN qc q USING (bucket) JOIN fnorm n USING (uuid)
+  GROUP BY f.uuid, n.nrm
+),
+cos_list AS (
+  SELECT uuid, row_number() OVER (ORDER BY cs DESC, uuid) - 1 AS rnk
+  FROM (SELECT e.uuid, coalesce(f.cs, 0.0) AS cs
+        FROM edges_t e LEFT JOIN fcos f USING (uuid))
+  WHERE cs >= 0
+  ORDER BY cs DESC, uuid LIMIT 20
+),
+allr AS (
+  SELECT uuid, rnk FROM bm25_list
+  UNION ALL SELECT uuid, rnk FROM cos_list
+),
+rrfs AS (SELECT uuid, sum(1.0 / (rnk + 1)) AS sc FROM allr GROUP BY uuid),
+top AS (SELECT uuid, sc FROM rrfs ORDER BY sc DESC, uuid LIMIT 10)
+SELECT e.uuid, e.group_id, e.pred, e.fact
+FROM top t JOIN edges_t e USING (uuid)
+"""
+
+
 def _pages(sf_dir: str):
     from graphiti_ray.sources.pages import pages_dataset
 
@@ -719,7 +852,7 @@ def _q_search_hybrid(sf_dir: str):
 
     tables = _kg_tables(sf_dir, embeddings=True)
     searcher = KGDatasetSearcher(tables)
-    res = searcher.search("Alice Smith works at", COMBINED_HYBRID_SEARCH_RRF)
+    res = searcher.search(_SEARCH_QUERY, COMBINED_HYBRID_SEARCH_RRF)
     return res.edges[["uuid", "group_id", "pred", "fact"]]
 
 
@@ -1081,6 +1214,7 @@ reach AS (
 SELECT a AS entity_uuid, least(a, min(b)) AS component FROM reach GROUP BY a
 """,
         "dedup_minhash": _minhash_oracle_sql(),
+        "search_hybrid": _search_hybrid_oracle_sql(),
         "dedup_simhash": rf"""
 WITH consts AS (SELECT {_POW64_SQL} AS pw, {_POW2_SQL} AS p2),
 toks AS (

@@ -9,13 +9,15 @@ actor-pool citizen: construction cost once per actor, vectorized batch work
 per call. Swap the class for a sentence-transformers wrapper on a real
 cluster; the pipeline shape is identical (ST2 in SURVEY §2.3).
 
-Determinism: crc32-based hashing (process-stable), so embeddings are
-identical across runs/workers — required for reproducible cosine dedup.
+Determinism: polynomial byte hashing (process-stable, and exactly
+reproducible in the DuckDB search oracle via hugeint mod-2^64
+arithmetic), so embeddings are identical across runs/workers — required
+for reproducible cosine dedup and for value-exact hybrid-search checks.
+float64 end to end: a real embedder would store float16/32; the
+deterministic twin keeps doubles so oracle cosines match to 9 decimals.
 """
 
 from __future__ import annotations
-
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -23,6 +25,10 @@ import pyarrow as pa
 import ray.data as rd
 
 EMBED_DIM = 64
+
+# same rolling-hash multiplier as stages/dedup.py (odd → bijective mod 2^64)
+_POLY = np.uint64(1099511628211)
+_POLY2 = np.uint64(pow(1099511628211, 2, 1 << 64))  # P² mod 2^64
 
 
 def column_to_matrix(col, dtype=np.float64) -> np.ndarray:
@@ -50,22 +56,37 @@ def column_to_matrix(col, dtype=np.float64) -> np.ndarray:
     )
 
 
+def embed_counts(text: str, dim: int = EMBED_DIM) -> np.ndarray:
+    """Raw signed 3-gram bucket counts for one text (pre-normalization):
+    byte 3-grams of ``^lower(text)$`` hashed with a vectorized 2-step
+    Horner (h = b0·P² + b1·P + b2 mod 2^64), bucket ``h % dim``, sign from
+    bit 16 of ``h``."""
+    b = np.frombuffer(
+        f"^{text.lower()}$".encode("utf-8", "ignore"), dtype=np.uint8
+    ).astype(np.uint64)
+    out = np.zeros(dim, dtype=np.float64)
+    m = len(b) - 2
+    if m <= 0:
+        return out
+    h = b[0:m] * _POLY2 + b[1 : m + 1] * _POLY + b[2 : m + 2]
+    sign = np.where((h >> np.uint64(16)) & np.uint64(1) == np.uint64(1), 1.0, -1.0)
+    np.add.at(out, (h % np.uint64(dim)).astype(np.int64), sign)
+    return out
+
+
 def embed_texts(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
-    """Vector per text: char 3-gram hashing trick, signed, L2-normalized."""
-    out = np.zeros((len(texts), dim), dtype=np.float32)
-    for i, t in enumerate(texts):
-        s = f"^{t.lower()}$"
-        row = out[i]
-        for j in range(len(s) - 2):
-            h = zlib.crc32(s[j : j + 3].encode("utf-8"))
-            row[h % dim] += 1.0 if (h >> 16) & 1 else -1.0
+    """Vector per text: byte 3-gram hashing trick, signed, L2-normalized
+    (helpers.py:82-85 normalize parity), float64."""
+    if not texts:
+        return np.zeros((0, dim), dtype=np.float64)
+    out = np.stack([embed_counts(t, dim) for t in texts])
     norms = np.linalg.norm(out, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     return out / norms
 
 
 class HashingEmbedder:
-    """Actor-pool stage: append ``<out_col>`` FixedSizeList<float32>[dim]
+    """Actor-pool stage: append ``<out_col>`` FixedSizeList<double>[dim]
     embedding of ``<text_col>`` to each batch."""
 
     def __init__(self, text_col: str, out_col: str, dim: int = EMBED_DIM):
@@ -77,7 +98,7 @@ class HashingEmbedder:
         texts = batch.column(self.text_col).to_pylist()
         vecs = embed_texts(texts, self.dim)
         arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(vecs.ravel(), pa.float32()), self.dim
+            pa.array(vecs.ravel(), pa.float64()), self.dim
         )
         return batch.append_column(self.out_col, arr)
 
