@@ -570,6 +570,42 @@ def _q_text_langid(sf_dir: str):
     return language_id(docs)
 
 
+def _q_docs_repetition(sf_dir: str):
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
+def _q_docs_dup_lines(sf_dir: str):
+    """The synthetic corpus is single-line, so line structure is
+    synthesized deterministically (10-word chunks → lines); the near-dup
+    clusters then share real cross-doc lines, making the check
+    non-vacuous. The SQL twin rebuilds the identical chunking."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import duplicate_lines
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        out = []
+        for t in texts:
+            ws = t.split()
+            out.append(
+                "\n".join(" ".join(ws[i : i + 10]) for i in range(0, len(ws), 10))
+            )
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(out, pa.string())}
+        )
+
+    return duplicate_lines(docs.map_batches(chunk, batch_format="pyarrow"))
+
+
 def _q_knn(sf_dir: str):
     import ray.data as rd
 
@@ -870,6 +906,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
+        "docs_repetition": _q_docs_repetition,
+        "docs_dup_lines": _q_docs_dup_lines,
         "knn_bruteforce": _q_knn,
         "events_tumbling": _q_events_tumbling,
         "events_sliding": _q_events_sliding,
@@ -1053,6 +1091,55 @@ SELECT doc_id,
        greatest(de_h, en_h, es_h, fr_h)::BIGINT AS lang_hits,
        n_words
 FROM s
+""",
+        "docs_repetition": r"""
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM documents
+),
+lc AS (SELECT doc_id, ln, count(*)::BIGINT AS c FROM lines GROUP BY 1, 2),
+line_stats AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_lines,
+         sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup_lines,
+         sum(CASE WHEN c >= 2 THEN c * length(ln) ELSE 0 END)::BIGINT
+           AS n_dup_line_chars
+  FROM lc GROUP BY doc_id
+),
+words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+  FROM words, LATERAL unnest(range(1, len(ws))) AS u(i)
+),
+gc AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2),
+gram_stats AS (
+  SELECT doc_id, max(c)::BIGINT AS top_2gram_count, sum(c)::BIGINT AS n_2grams
+  FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id, l.n_lines, l.n_dup_lines, l.n_dup_line_chars,
+       coalesce(g.top_2gram_count, 0)::BIGINT AS top_2gram_count,
+       coalesce(g.n_2grams, 0)::BIGINT AS n_2grams
+FROM documents d
+JOIN line_stats l USING (doc_id)
+LEFT JOIN gram_stats g USING (doc_id)
+""",
+        "docs_dup_lines": r"""
+WITH words AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         array_to_string(ws[i * 10 + 1 : i * 10 + 10], ' ') AS ln
+  FROM words,
+       LATERAL unnest(range(0, greatest(1, (len(ws) + 9) // 10))) AS u(i)
+),
+dl AS (SELECT DISTINCT doc_id, md5(ln) AS line_hash FROM chunks)
+SELECT line_hash, count(*)::BIGINT AS n_docs, min(doc_id) AS keep_doc
+FROM dl GROUP BY line_hash HAVING count(*) >= 2
 """,
         "events_session": """
 WITH marks AS (

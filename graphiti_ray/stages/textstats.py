@@ -5,6 +5,10 @@
 - ``language_id``       stopword-profile n-gram heuristic language guess
 - ``fingerprints``      winnowing document fingerprint (rolling hash window
                         minima) for plagiarism-style containment detection
+- ``repetition_stats``  Gopher-style within-doc repetition signals
+                        (duplicate-line and top-2-gram mass, integer counts)
+- ``duplicate_lines``   CCNet-style cross-doc duplicate-line detection
+                        (line-hash shuffle → lines shared by ≥2 docs)
 
 All stateless vectorized ``map_batches`` stages (regexes compiled once per
 actor); token/quality outputs are oracle-checked against DuckDB SQL twins
@@ -198,6 +202,95 @@ class Fingerprints:
         )
 
 
+class RepetitionStats:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), integer
+    counts so the DuckDB twin hashes identically: → doc_id, n_lines,
+    n_dup_lines (occurrences of any line repeated within the doc),
+    n_dup_line_chars (their character mass), top_2gram_count (occurrences
+    of the most frequent lowercase word 2-gram), n_2grams."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        texts = batch.column(self.text_col).to_pylist()
+        nl, ndl, ndlc, tg, ng = [], [], [], [], []
+        for t in texts:
+            lines = t.split("\n")
+            lc = Counter(lines)
+            nl.append(len(lines))
+            ndl.append(sum(c for c in lc.values() if c >= 2))
+            ndlc.append(sum(c * len(ln) for ln, c in lc.items() if c >= 2))
+            ws = t.lower().split()
+            grams = Counter(
+                f"{a} {b}" for a, b in zip(ws, ws[1:])
+            )
+            tg.append(max(grams.values()) if grams else 0)
+            ng.append(max(0, len(ws) - 1))
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "n_lines": pa.array(nl, pa.int64()),
+                "n_dup_lines": pa.array(ndl, pa.int64()),
+                "n_dup_line_chars": pa.array(ndlc, pa.int64()),
+                "top_2gram_count": pa.array(tg, pa.int64()),
+                "n_2grams": pa.array(ng, pa.int64()),
+            }
+        )
+
+
+def duplicate_lines(
+    docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Cross-doc duplicate-line detection (CCNet-shape): every doc's lines
+    hash per batch (narrow md5/line rows; the text itself never shuffles),
+    then one keyed aggregate finds lines appearing in ≥2 distinct docs.
+    Output: (line_hash, n_docs, keep_doc) — keep_doc = min doc id, the
+    canonical holder; downstream removal is an anti-join on
+    (doc, line_hash) minus the keepers. Scale shape matches
+    exact_dedup_documents: hash-partitioned, no all-pairs."""
+    import hashlib
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, hashes = [], []
+        ids = batch.column(id_col).to_pylist()
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            # distinct lines per doc so n_docs counts documents, not lines
+            for ln in set(t.split("\n")):
+                ids_out.append(i)
+                hashes.append(hashlib.md5(ln.encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "line_hash": pa.array(hashes, pa.string()),
+                id_col: pa.array(ids_out, pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("line_hash")
+        .aggregate(Count(alias_name="n_docs"), Min(id_col, alias_name="keep_doc"))
+        .filter(expr="n_docs >= 2")
+    )
+    # pin the schema so a 0-dup corpus still yields typed empty blocks
+    from graphiti_ray.stages.graph import ensure_schema
+
+    return ensure_schema(
+        out,
+        pa.schema(
+            [
+                ("line_hash", pa.string()),
+                ("n_docs", pa.int64()),
+                ("keep_doc", pa.int64()),
+            ]
+        ),
+    )
+
+
 def _stage(cls, docs: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Dataset:
     return docs.map_batches(
         cls,
@@ -226,3 +319,7 @@ def language_id(docs, **kw):
 
 def fingerprints(docs, **kw):
     return _stage(Fingerprints, docs, **kw)
+
+
+def repetition_stats(docs, **kw):
+    return _stage(RepetitionStats, docs, **kw)

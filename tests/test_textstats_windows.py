@@ -14,9 +14,11 @@ from graphiti_ray.stages.multimodal import (
 )
 from graphiti_ray.stages.similarity import knn_brute_force, knn_lsh
 from graphiti_ray.stages.textstats import (
+    duplicate_lines,
     language_id,
     fingerprints,
     quality_counts,
+    repetition_stats,
     token_stats,
     winnow_fingerprint,
 )
@@ -55,6 +57,45 @@ def test_language_id(ray_session):
     ).to_pandas()
     assert out.lang_pred.tolist()[:3] == ["en", "de", "fr"]
     assert out.lang_pred.tolist()[3] == "und"
+
+
+def test_repetition_stats(ray_session):
+    out = repetition_stats(
+        _docs(
+            [
+                "a b\nc d\na b\ne",          # 'a b' line twice
+                "x y x y x y",               # 'x y' / 'y x' 2-grams
+                "unique line",
+            ]
+        )
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    r0 = out.iloc[0]
+    assert r0.n_lines == 4
+    assert r0.n_dup_lines == 2          # both occurrences of 'a b'
+    assert r0.n_dup_line_chars == 6     # 2 * len('a b')
+    r1 = out.iloc[1]
+    assert r1.top_2gram_count == 3      # 'x y' appears 3 times
+    assert r1.n_2grams == 5
+    r2 = out.iloc[2]
+    assert r2.n_dup_lines == 0 and r2.top_2gram_count == 1
+
+
+def test_duplicate_lines(ray_session):
+    out = duplicate_lines(
+        _docs(
+            [
+                "shared boilerplate\nbody one",
+                "shared boilerplate\nbody two",
+                "unrelated",
+                "shared boilerplate\nshared boilerplate\nbody three",
+            ]
+        )
+    ).to_pandas()
+    # only the boilerplate line is cross-doc; in-doc repetition (doc 3)
+    # counts once per doc
+    assert len(out) == 1
+    assert out.iloc[0].n_docs == 3
+    assert out.iloc[0].keep_doc == 0
 
 
 def test_winnow_fingerprint_properties():
