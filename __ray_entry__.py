@@ -648,6 +648,59 @@ def _q_events_tumbling(sf_dir: str):
     )
 
 
+def _q_events_asof(sf_dir: str):
+    """Backward as-of join (sorted-merge + boundary carry, stages/ops.py::
+    sorted_asof_join): every event annotated with its user's most recent
+    COMPLETED 10-minute tumbling-window sum (window_end <= ts, ties
+    inclusive). Oracle: DuckDB native ASOF LEFT JOIN."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import sorted_asof_join
+    from graphiti_ray.stages.windows import tumbling_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "value_cents": pc.cast(
+                    pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    left = ev.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    win = tumbling_window(
+        left.rename_columns({"value_cents": "value"}), size_s=600
+    )
+
+    def window_end(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # normalize the unit BEFORE the int64 view: pandas-lineage blocks
+        # carry timestamp[ns], and ns reinterpreted as µs lands in 1970
+        ws = pc.cast(batch.column("window_start"), pa.timestamp("us"))
+        us = pc.cast(ws, pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": pc.cast(pc.add(us, 600_000_000), pa.timestamp("us")),
+                "prev_window_sum": batch.column("sum_value"),
+            }
+        )
+
+    right = win.map_batches(window_end, batch_format="pyarrow")
+    return sorted_asof_join(
+        left, right, by=["user_id"], ts_col="ts", value_cols=["prev_window_sum"]
+    )
+
+
 def _q_events_sliding(sf_dir: str):
     import pyarrow as pa
 
@@ -910,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_lines": _q_docs_dup_lines,
         "knn_bruteforce": _q_knn,
         "events_tumbling": _q_events_tumbling,
+        "events_asof": _q_events_asof,
         "events_sliding": _q_events_sliding,
         "events_session": _q_events_session,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -1036,6 +1090,22 @@ SELECT user_id,
        max(v)::BIGINT AS max_value_cents,
        count(*)::BIGINT AS n_events
 FROM ev GROUP BY 1, 2
+""",
+        "events_asof": """
+WITH ev AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+),
+win AS (
+  SELECT user_id,
+         make_timestamp((epoch_us(ts) // 600000000) * 600000000
+                        + 600000000) AS wend,
+         sum(value_cents)::BIGINT AS prev_window_sum
+  FROM ev GROUP BY 1, 2
+)
+SELECT e.user_id, e.ts, e.value_cents, w.prev_window_sum
+FROM ev e ASOF LEFT JOIN win w
+  ON e.user_id = w.user_id AND e.ts >= w.wend
 """,
         "events_sliding": """
 WITH ev AS (

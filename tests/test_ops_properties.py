@@ -169,3 +169,76 @@ def test_sorted_run_map_complete_runs(ray_session, rows, nblocks):
     got = dict(zip(out["k"], out["vs"]))
     assert got == want
     assert len(out) == len(want)  # each run exactly once
+
+
+asof_strategy = st.tuples(
+    st.lists(  # left rows: (key, ts)
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(  # right rows: (key, ts, value) — unique (key, ts) enforced below
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(0, 50),
+            st.integers(100, 999),
+        ),
+        min_size=0,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[1]),
+    ),
+)
+
+
+@given(asof_strategy, st.integers(1, 5))
+@settings(max_examples=15, deadline=None)
+def test_sorted_asof_join_matches_pandas(ray_session, data, nblocks):
+    import pyarrow as pa
+
+    from graphiti_ray.stages.ops import sorted_asof_join
+
+    left_rows, right_rows = data
+    left = pd.DataFrame(left_rows, columns=["k", "ts"])
+    left["lid"] = range(len(left))
+    right = pd.DataFrame(right_rows, columns=["k", "ts", "val"]).astype(
+        {"ts": "int64", "val": "int64"}
+    )
+    lds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(left["k"]),
+                "ts": pa.array(left["ts"], pa.int64()),
+                "lid": pa.array(left["lid"], pa.int64()),
+            }
+        )
+    ).repartition(nblocks)
+    rds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(right["k"]),
+                "ts": pa.array(right["ts"], pa.int64()),
+                "val": pa.array(right["val"], pa.int64()),
+            }
+        )
+    ).repartition(max(1, nblocks - 1))
+    out = (
+        sorted_asof_join(lds, rds, by=["k"], ts_col="ts", value_cols=["val"])
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort"),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=True,
+    ).sort_values("lid").reset_index(drop=True)
+    assert len(out) == len(want)
+    for got, exp in zip(out.itertuples(index=False), want.itertuples(index=False)):
+        assert got.lid == exp.lid and got.k == exp.k and got.ts == exp.ts
+        if pd.isna(exp.val):
+            assert pd.isna(got.val), (exp.k, exp.ts)
+        else:
+            assert got.val == exp.val, (exp.k, exp.ts)
