@@ -923,6 +923,18 @@ def _q_graph_components(sf_dir: str):
     )
 
 
+def _q_kg_point_in_time(sf_dir: str):
+    """Bi-temporal range join (interval sweep over sorted_prefix_sum):
+    per episode, how many edges in its group were valid at its
+    timestamp. Oracle: SQL interval-containment LEFT JOIN + count."""
+    from graphiti_ray.stages.extract import episodes_dataset
+    from graphiti_ray.stages.temporal import edges_valid_at_episodes
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    eps = episodes_dataset(_pages(sf_dir))
+    return edges_valid_at_episodes(eps, tables["edges"])
+
+
 def _q_kg_communities(sf_dir: str):
     from graphiti_ray.stages.graph import build_communities
 
@@ -976,6 +988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "episode_windows": _q_episode_windows,
         "rrf_fusion": _q_rrf_fusion,
         "graph_components": _q_graph_components,
+        "kg_point_in_time": _q_kg_point_in_time,
         "kg_communities": _q_kg_communities,
         "search_hybrid": _q_search_hybrid,
         "docs_bm25": _q_docs_bm25,
@@ -1369,6 +1382,24 @@ reach AS (
   SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
 )
 SELECT a AS entity_uuid, least(a, min(b)) AS component FROM reach GROUP BY a
+""",
+        "kg_point_in_time": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+edges_f AS (
+  SELECT m.uuid, m.group_id, m.valid_at, coalesce(p.inv, s.inv) AS invalid_at
+  FROM merged_id m
+  LEFT JOIN pair_inv p USING (uuid)
+  LEFT JOIN subj_inv s USING (uuid)
+),
+eps AS (SELECT md5(url) AS episode_uuid, group_id, valid_at FROM base)
+SELECT ep.episode_uuid, ep.group_id, count(e.uuid)::BIGINT AS n_valid_edges
+FROM eps ep LEFT JOIN edges_f e
+  ON e.group_id = ep.group_id AND e.valid_at <= ep.valid_at
+ AND (e.invalid_at IS NULL OR e.invalid_at > ep.valid_at)
+GROUP BY 1, 2
 """,
         "dedup_minhash": _minhash_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

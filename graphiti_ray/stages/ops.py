@@ -530,6 +530,89 @@ def sorted_asof_join(
 
 
 @ray.remote
+def _psum_block_info(block, by: list[str], delta_col: str):
+    """(first_part, last_part, delta_sum_of_last_part_rows) — the carry
+    protocol for prefix sums; None for an empty block."""
+    block = _as_arrow(block)
+    n = block.num_rows
+    if n == 0:
+        return None
+    import numpy as np
+
+    first = tuple(block.column(c)[0].as_py() for c in by)
+    last = tuple(block.column(c)[-1].as_py() for c in by)
+    parts = list(zip(*(block.column(c).to_pylist() for c in by)))
+    deltas = block.column(delta_col).to_numpy(zero_copy_only=False)
+    mask = np.fromiter((p == last for p in parts), dtype=bool, count=n)
+    return first, last, int(deltas[mask].sum())
+
+
+@ray.remote
+def _psum_block(
+    block, by: list[str], delta_col: str, out_col: str, carry_in: int
+) -> pa.Table:
+    """Inclusive running sum of ``delta_col`` per partition within a sorted
+    block; rows of the FIRST partition start from ``carry_in`` (the
+    partition's prefix total from earlier blocks)."""
+    block = _as_arrow(block)
+    n = block.num_rows
+    if n == 0:
+        return block.append_column(out_col, pa.array([], pa.int64()))
+    import numpy as np
+    import pandas as pd
+
+    deltas = block.column(delta_col).to_numpy(zero_copy_only=False)
+    parts = pd.Series(list(zip(*(block.column(c).to_pylist() for c in by))))
+    csum = pd.Series(deltas).groupby(parts).cumsum().to_numpy()
+    first = parts.iloc[0]
+    csum = csum + np.where((parts == first).to_numpy(), carry_in, 0)
+    return block.append_column(out_col, pa.array(csum.astype("int64"), pa.int64()))
+
+
+def sorted_prefix_sum(
+    ds: rd.Dataset,
+    by: list[str],
+    order_cols: list[str],
+    delta_col: str,
+    out_col: str = "running_sum",
+) -> rd.Dataset:
+    """Inclusive ``sum(delta) OVER (PARTITION BY by ORDER BY order_cols)``
+    without per-partition grouping: one global range sort, per-block
+    vectorized cumsum, and a single integer carried between neighbouring
+    blocks per continuing partition. The interval-sweep primitive behind
+    point-in-interval range joins (encode interval starts as +1, ends as
+    -1, probe points as 0 — a probe row's running sum is the number of
+    intervals covering it). Hub partitions spanning many blocks cost one
+    integer of carry each."""
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    mat = ds.sort(by + order_cols).materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return mat
+    infos = ray.get([_psum_block_info.remote(r, by, delta_col) for r in refs])
+    out_refs = []
+    cur_part, cur_sum = None, 0
+    for r, info in zip(refs, infos):
+        if info is None:
+            continue
+        first, last, last_sum = info
+        carry_in = cur_sum if first == cur_part else 0
+        out_refs.append(_psum_block.remote(r, by, delta_col, out_col, carry_in))
+        if last == cur_part and first == last:
+            cur_sum += last_sum  # block entirely continues the partition
+        elif last == first:
+            cur_sum = carry_in + last_sum
+        else:
+            cur_sum = last_sum
+        cur_part = last
+    if not out_refs:
+        return mat.limit(0)
+    return rd.from_arrow_refs(out_refs)
+
+
+@ray.remote
 def _block_edge_keys(block, key: str):
     block = _as_arrow(block)
     if block.num_rows == 0:

@@ -290,3 +290,84 @@ def episodes_to_list(edges: rd.Dataset) -> rd.Dataset:
         return batch.set_column(idx, "episodes", lists)
 
     return edges.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def edges_valid_at_episodes(
+    episodes: rd.Dataset, edges: rd.Dataset
+) -> rd.Dataset:
+    """Bi-temporal point-in-interval range join: for every episode, the
+    number of edges in its group valid AT its timestamp
+    (edge.valid_at <= ts < edge.invalid_at, open end — the reference's
+    point-in-time view over EntityEdge validity intervals).
+
+    Ray Data has no range join; the scale shape is the interval sweep:
+    encode edge starts as +1, edge ends as -1, episodes as 0-delta probe
+    rows, one global range sort per group on (ts, kind), then
+    ``ops.sorted_prefix_sum`` (per-block vectorized cumsum + one carried
+    integer per block boundary). No per-group Python, no all-to-all
+    beyond the single sort; a hub group spanning many blocks carries one
+    int per boundary. Output: (episode_uuid, group_id, n_valid_edges).
+    """
+    from graphiti_ray.stages.ops import sorted_prefix_sum
+
+    def starts(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "group_id": batch.column("group_id"),
+                "ts": batch.column("valid_at"),
+                "kind": pa.array([1] * n, pa.int8()),
+                "delta": pa.array([1] * n, pa.int64()),
+                "episode_uuid": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def ends(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch.column("invalid_at")))
+        n = batch.num_rows
+        return pa.table(
+            {
+                "group_id": batch.column("group_id"),
+                "ts": batch.column("invalid_at"),
+                "kind": pa.array([0] * n, pa.int8()),
+                "delta": pa.array([-1] * n, pa.int64()),
+                "episode_uuid": pa.nulls(n, pa.string()),
+            }
+        )
+
+    def probes(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "group_id": batch.column("group_id"),
+                "ts": batch.column("valid_at"),
+                "kind": pa.array([2] * n, pa.int8()),
+                "delta": pa.array([0] * n, pa.int64()),
+                "episode_uuid": batch.column("uuid"),
+            }
+        )
+
+    edge_cols = edges.select_columns(["group_id", "valid_at", "invalid_at"])
+    events = (
+        edge_cols.map_batches(starts, batch_format="pyarrow")
+        .union(edge_cols.map_batches(ends, batch_format="pyarrow"))
+        .union(
+            episodes.select_columns(["uuid", "group_id", "valid_at"]).map_batches(
+                probes, batch_format="pyarrow"
+            )
+        )
+    )
+    swept = sorted_prefix_sum(
+        events, by=["group_id"], order_cols=["ts", "kind"], delta_col="delta",
+        out_col="n_valid_edges",
+    )
+
+    def keep_probes(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch.column("episode_uuid")))
+        return batch.select(["episode_uuid", "group_id", "n_valid_edges"])
+
+    return swept.map_batches(keep_probes, batch_format="pyarrow")

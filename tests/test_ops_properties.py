@@ -242,3 +242,46 @@ def test_sorted_asof_join_matches_pandas(ray_session, data, nblocks):
             assert pd.isna(got.val), (exp.k, exp.ts)
         else:
             assert got.val == exp.val, (exp.k, exp.ts)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(0, 20),
+            st.integers(-3, 3),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=15, deadline=None)
+def test_sorted_prefix_sum_matches_pandas(ray_session, rows, nblocks):
+    import pyarrow as pa
+
+    from graphiti_ray.stages.ops import sorted_prefix_sum
+
+    df = pd.DataFrame(rows, columns=["k", "o", "d"])
+    df["rid"] = range(len(df))  # total order: (k, o, rid) is unique
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(df["k"]),
+                "o": pa.array(df["o"], pa.int64()),
+                "d": pa.array(df["d"], pa.int64()),
+                "rid": pa.array(df["rid"], pa.int64()),
+            }
+        )
+    ).repartition(nblocks)
+    out = (
+        sorted_prefix_sum(ds, by=["k"], order_cols=["o", "rid"], delta_col="d",
+                          out_col="ps")
+        .to_pandas()
+        .sort_values("rid")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["k", "o", "rid"], kind="mergesort")
+    ref["ps"] = ref.groupby("k")["d"].cumsum()
+    ref = ref.sort_values("rid").reset_index(drop=True)
+    assert out["ps"].tolist() == ref["ps"].tolist()
