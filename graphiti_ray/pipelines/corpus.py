@@ -69,18 +69,22 @@ def _gate_batch(
     return batch.filter(pa.array(keep, pa.bool_()))
 
 
-def clean_corpus_exact(
+def _gated_winners(
     docs: rd.Dataset,
-    langs: tuple = ("en",),
-    min_chars: int = DEFAULT_MIN_CHARS,
-    max_chars: int = DEFAULT_MAX_CHARS,
-    min_words: int = DEFAULT_MIN_WORDS,
+    langs: tuple,
+    min_chars: int,
+    max_chars: int,
+    min_words: int,
 ) -> rd.Dataset:
-    """Gates + exact dedup: one surviving (keep) doc_id per distinct text
-    among gate-passing docs. Output: (doc_id,) sorted-free (hash agg)."""
+    """Gates + exact dedup keeping FULL rows: the min-doc_id winner per
+    distinct gate-passing text, with its text still attached (so the
+    near-dup stage downstream never rescans the corpus). One sort-based
+    distinct (ops.distinct_by_key) instead of a hash aggregate — the
+    winner row rides along for free."""
     import functools
+    import hashlib
 
-    from graphiti_ray.stages.dedup import exact_dedup_documents
+    from graphiti_ray.stages.ops import distinct_by_key
 
     gated = docs.map_batches(
         functools.partial(
@@ -93,9 +97,30 @@ def clean_corpus_exact(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    winners = exact_dedup_documents(gated)
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+
+    hashed = gated.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return distinct_by_key(hashed, "text_hash", order_cols=["doc_id"])
+
+
+def clean_corpus_exact(
+    docs: rd.Dataset,
+    langs: tuple = ("en",),
+    min_chars: int = DEFAULT_MIN_CHARS,
+    max_chars: int = DEFAULT_MAX_CHARS,
+    min_words: int = DEFAULT_MIN_WORDS,
+) -> rd.Dataset:
+    """Gates + exact dedup: one surviving (keep) doc_id per distinct text
+    among gate-passing docs. Output: (doc_id,)."""
+    winners = _gated_winners(docs, langs, min_chars, max_chars, min_words)
     return winners.map_batches(
-        lambda t: pa.table({"doc_id": t.column("keep_id")}),
+        lambda t: pa.table({"doc_id": t.column("doc_id")}),
         batch_format="pyarrow",
     )
 
@@ -113,29 +138,19 @@ def clean_corpus(
 
     The near-dup drop set is component-count sized (tiny relative to the
     corpus), so it applies as a broadcast anti-filter — the winners table
-    never shuffles again."""
+    never shuffles again. The winners keep their text through the exact
+    dedup (sort-distinct carries whole rows), so the near-dup stage feeds
+    straight off them with no second corpus scan."""
     import ray
 
     from graphiti_ray.stages.dedup import minhash_near_dup
 
-    winners = clean_corpus_exact(docs, langs, min_chars, max_chars, min_words)
+    winners = _gated_winners(docs, langs, min_chars, max_chars, min_words)
     winners = winners.materialize()
 
-    # near-dups among the surviving docs only (re-attach text via the
-    # original table filtered to winners — broadcast membership)
-    keep_ref = ray.put(frozenset(r["doc_id"] for r in winners.take_all()))
-
-    def keep_winners(batch: pa.Table, _ref=keep_ref) -> pa.Table:
-        from graphiti_ray.stages.link import _cached_lut
-
-        s = _cached_lut(_ref)
-        mask = pa.array([d in s for d in batch.column("doc_id").to_pylist()])
-        return batch.filter(mask)
-
-    surviving_docs = docs.map_batches(
-        keep_winners, batch_format="pyarrow", zero_copy_batch=True
+    clusters = minhash_near_dup(
+        winners.select_columns(["doc_id", "text"]), threshold=near_dup_threshold
     )
-    clusters = minhash_near_dup(surviving_docs, threshold=near_dup_threshold)
     drops = frozenset(
         r["doc_id"] for r in clusters.take_all() if r["doc_id"] != r["component"]
     )
@@ -150,6 +165,8 @@ def clean_corpus(
 
     return winners.map_batches(
         drop_near_dups, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t.column("doc_id")}), batch_format="pyarrow"
     )
 
 

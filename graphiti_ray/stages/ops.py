@@ -640,10 +640,15 @@ def _dedup_block(block, key: str, drop_leading: object) -> pa.Table:
     return block.filter(pa.array(keep))
 
 
-def distinct_by_key(ds: rd.Dataset, key: str) -> rd.Dataset:
-    """Exact one-row-per-key distinct via range sort + adjacent dedup."""
+def distinct_by_key(
+    ds: rd.Dataset, key: str, order_cols: list[str] | None = None
+) -> rd.Dataset:
+    """Exact one-row-per-key distinct via range sort + adjacent dedup.
+    With ``order_cols``, the kept row is the key's FIRST row in that
+    order (e.g. ``order_cols=["doc_id"]`` → min-id winner); without, rows
+    with equal keys must be interchangeable."""
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    mat = ds.sort(key).materialize()
+    mat = ds.sort([key] + (order_cols or [])).materialize()
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
