@@ -55,6 +55,10 @@ SHINGLE_K = 5
 _MERSENNE = (1 << 61) - 1
 MAX_BUCKET = 64  # pairs per LSH bucket cap: 64*63/2 candidates max
 SMALL_CC_LIMIT = 1_000_000  # pairs; below → driver union-find
+# docs; below → LSH bucket counts via one narrow driver-side value_counts
+# instead of a distributed groupby (same SMALL-path contract as the CC
+# union-find: the shuffle exists for scale, not for 5k docs)
+SMALL_LSH_COUNT_LIMIT = 250_000
 
 # last-run truncation observability (per driver process): operator name →
 # {"hot_buckets": n buckets over cap, "truncated_docs": doc slots dropped}
@@ -232,6 +236,26 @@ def _explode_bands(sig_rows: rd.Dataset) -> rd.Dataset:
     return sig_rows.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _colliding_counts(
+    rows: rd.Dataset, keys: list[str], n_docs: int
+) -> pd.DataFrame:
+    """Bucket sizes (c ≥ 2 only) for narrow LSH key rows. Small corpora
+    (≤ SMALL_LSH_COUNT_LIMIT docs) count driver-side in one pass — a
+    distributed groupby over a few MB is all fixed overhead; at scale the
+    keyed aggregate runs (only colliding keys ever reach the driver)."""
+    if n_docs <= SMALL_LSH_COUNT_LIMIT:
+        df = rows.select_columns(keys).to_pandas()
+        c = df.groupby(keys, sort=False).size()
+        c = c[c >= 2]
+        return c.rename("c").reset_index()
+    return (
+        rows.groupby(keys)
+        .aggregate(Count(alias_name="c"))
+        .filter(expr="c >= 2")
+        .to_pandas()
+    )
+
+
 _TRIU_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 
 
@@ -330,12 +354,8 @@ def candidate_pairs(sig_rows: rd.Dataset, threshold: float = 0.8) -> rd.Dataset:
     import ray
 
     sig_rows = sig_rows.materialize()
-    counts = (
-        _explode_bands(sig_rows)
-        .groupby(["band", "band_hash"])
-        .aggregate(Count(alias_name="c"))
-        .filter(expr="c >= 2")
-        .to_pandas()
+    counts = _colliding_counts(
+        _explode_bands(sig_rows), ["band", "band_hash"], sig_rows.count()
     )
     _record_truncation(
         "minhash_lsh", counts.set_index(["band", "band_hash"])["c"]
@@ -684,12 +704,7 @@ def simhash_near_dup(
         )
 
     rows = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    counts = (
-        rows.groupby(["band", "band_val"])
-        .aggregate(Count(alias_name="c"))
-        .filter(expr="c >= 2")
-        .to_pandas()
-    )
+    counts = _colliding_counts(rows, ["band", "band_val"], sigs.count())
     _record_truncation(
         "simhash_lsh",
         counts.set_index(["band", "band_val"])["c"]
@@ -808,12 +823,7 @@ def embedding_near_dup(
     for t in tables[1:]:
         rows = rows.union(t)
     rows = rows.materialize()
-    counts = (
-        rows.groupby("bucket")
-        .aggregate(Count(alias_name="c"))
-        .filter(expr="c >= 2")
-        .to_pandas()
-    )
+    counts = _colliding_counts(rows, ["bucket"], emb.count())
     _record_truncation(
         "embedding_lsh",
         counts.set_index("bucket")["c"] if len(counts) else pd.Series(dtype="int64"),
