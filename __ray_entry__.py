@@ -189,6 +189,7 @@ _LPA_CTE = _lpa_rounds_sql(10)
 # modulo over hugeint partial sums reproduces numpy's uint64 wraparound.
 _POLY_INT = 1099511628211
 _M64 = 1 << 64
+from graphiti_ray.stages.dedup import MAX_BUCKET as _MAX_BUCKET_SQL  # noqa: E402
 _POW64_SQL = "[" + ",".join(f"{pow(_POLY_INT, k, _M64)}::HUGEINT" for k in range(64)) + "]"
 _POW2_SQL = "[" + ",".join(f"{1 << p}::HUGEINT" for p in range(64)) + "]"
 
@@ -257,14 +258,33 @@ bandh AS (
           % 9223372036854775808::HUGEINT)::BIGINT AS bh
   FROM sigs GROUP BY doc_id, p // 4
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-  FROM bandh a JOIN bandh b
-    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+hot AS (SELECT band, bh FROM bandh GROUP BY 1, 2 HAVING count(*) >= 2),
+rk AS (
+  SELECT h.*, row_number() OVER (PARTITION BY h.band, h.bh
+                                 ORDER BY h.doc_id) AS rk
+  FROM bandh h JOIN hot USING (band, bh)
 ),
+-- engine semantics mirrored exactly: buckets capped at their first
+-- MAX_BUCKET members by doc_id, and a pair counts only from its FIRST
+-- shared band — so the oracle stays value-exact even when hot buckets
+-- truncate at larger scales
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b, a.band
+  FROM rk a JOIN rk b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+   AND a.rk <= {_MAX_BUCKET_SQL} AND b.rk <= {_MAX_BUCKET_SQL}
+),
+fb AS (
+  SELECT c.a, c.b, c.band, min(x.band) AS fband
+  FROM cand c
+  JOIN bandh x ON x.doc_id = c.a
+  JOIN bandh y ON y.doc_id = c.b AND y.band = x.band AND y.bh = x.bh
+  GROUP BY 1, 2, 3
+),
+pairs0 AS (SELECT DISTINCT a, b FROM fb WHERE band = fband),
 pairs AS (
   SELECT c.a, c.b
-  FROM cand c
+  FROM pairs0 c
   JOIN sigs sa ON sa.doc_id = c.a
   JOIN sigs sb ON sb.doc_id = c.b AND sb.p = sa.p
   GROUP BY c.a, c.b
@@ -1441,13 +1461,37 @@ sims AS (
          ((coalesce(s.uv, 0::HUGEINT) // 4294967296) % 65536)::BIGINT AS b2,
          ((coalesce(s.uv, 0::HUGEINT) // 281474976710656) % 65536)::BIGINT AS b3
   FROM documents d LEFT JOIN sims0 s USING (doc_id)
+),
+ex AS (
+  SELECT doc_id, sim, 0 AS band, b0 AS bval FROM sims
+  UNION ALL SELECT doc_id, sim, 1, b1 FROM sims
+  UNION ALL SELECT doc_id, sim, 2, b2 FROM sims
+  UNION ALL SELECT doc_id, sim, 3, b3 FROM sims
+),
+hot AS (SELECT band, bval FROM ex GROUP BY 1, 2 HAVING count(*) >= 2),
+rk AS (
+  SELECT e.*, row_number() OVER (PARTITION BY e.band, e.bval
+                                 ORDER BY e.doc_id) AS rk
+  FROM ex e JOIN hot USING (band, bval)
+),
+-- the engine caps every bucket at its first MAX_BUCKET members (by
+-- doc_id — deterministic) and emits a pair only from its FIRST shared
+-- band; both rules mirrored here so the oracle is value-exact at every
+-- scale, truncation included
+cand AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.band,
+         bit_count(xor(a.sim, b.sim)) AS hamming
+  FROM rk a JOIN rk b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+   AND a.rk <= {_MAX_BUCKET_SQL} AND b.rk <= {_MAX_BUCKET_SQL}
 )
-SELECT a.doc_id AS a, b.doc_id AS b,
-       bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
-FROM sims a JOIN sims b
-  ON a.doc_id < b.doc_id
- AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
-WHERE bit_count(xor(a.sim, b.sim)) <= 3
+SELECT c.a, c.b, c.hamming::BIGINT AS hamming
+FROM cand c
+JOIN sims sa ON sa.doc_id = c.a
+JOIN sims sb ON sb.doc_id = c.b
+WHERE c.hamming <= 3
+  AND c.band = CASE WHEN sa.b0 = sb.b0 THEN 0 WHEN sa.b1 = sb.b1 THEN 1
+                    WHEN sa.b2 = sb.b2 THEN 2 ELSE 3 END
 """,
         "kg_communities": f"""
 WITH {_BASE_CTE.lstrip()},

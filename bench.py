@@ -168,13 +168,22 @@ def run_scaling() -> dict:
     # not the engine. Override with GRAFT_SCALE_LO/HI.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo, r_hi = run(lo), run(hi)
+    # co-tenant CPU steal on this hypervisor swings wall time up to 2×
+    # run-to-run (BASELINE.md noise note); best-of-N with min wall per
+    # level is the standard least-interference estimator
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+    runs_lo = [run(lo) for _ in range(repeats)]
+    runs_hi = [run(hi) for _ in range(repeats)]
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": f"scaling_efficiency_{lo}_to_{hi}",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        f"sec_{lo}_all_runs": [r["value"] for r in runs_lo],
+        f"sec_{hi}_all_runs": [r["value"] for r in runs_hi],
         f"throughput_docs_sec_{lo}": r_lo["docs_per_sec"],
         f"throughput_docs_sec_{hi}": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),

@@ -461,7 +461,7 @@ def connected_components(
     # distributed: min-label propagation until fixpoint
     import pyarrow.compute as pc
 
-    from graphiti_ray.stages.link import safe_join
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
 
     sym = pairs.map_batches(
         lambda t: pa.table(
@@ -488,7 +488,7 @@ def connected_components(
     for _ in range(max_rounds):
         lab2 = labels.rename_columns({"x": "y", "lbl": "nlbl"})
         prop = safe_join(
-            sym, lab2, join_type="inner", num_partitions=8, on=("y",)
+            sym, lab2, join_type="inner", num_partitions=default_join_partitions(), on=("y",)
         ).select_columns(["x", "nlbl"])
         # tag the previous label so one Min-groupby yields BOTH the new
         # label and the old one (labels are monotone non-increasing):

@@ -174,11 +174,11 @@ def label_propagation(
     for _ in range(max_rounds):
         # NOTE: same-name join keys on both sides — ray 2.49's hash-shuffle
         # join mis-resolves differing right_on names at finalize
-        from graphiti_ray.stages.link import safe_join
+        from graphiti_ray.stages.link import default_join_partitions, safe_join
 
         lab = labels.rename_columns({"node": "y", "community": "nbr_comm"})
         msgs = safe_join(
-            weights, lab, join_type="inner", num_partitions=8, on=("y",)
+            weights, lab, join_type="inner", num_partitions=default_join_partitions(), on=("y",)
         ).select_columns(["x", "nbr_comm", "w"])
         # each node's own current label as a zero-weight row (never wins a
         # tally; lets the vote detect change without a driver diff)
@@ -249,10 +249,10 @@ def build_communities(
         lambda t: t.rename_columns(["entity_uuid", "name", "group_id", "summary"]),
         batch_format="pyarrow",
     )
-    from graphiti_ray.stages.link import safe_join
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
 
     joined = safe_join(
-        members, node_info, join_type="inner", num_partitions=8, on=("entity_uuid",)
+        members, node_info, join_type="inner", num_partitions=default_join_partitions(), on=("entity_uuid",)
     )
 
     def to_community(g: pd.DataFrame) -> pd.DataFrame:
