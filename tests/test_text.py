@@ -116,3 +116,29 @@ def test_first_sentence():
     assert first_sentence("A. Smith works.") == "A."  # pinned: first terminator
     assert first_sentence("no terminator here") == "no terminator here"
     assert first_sentence("x" * 500 + ".") == "x" * 250
+
+
+def test_embed_counts_polynomial_hash_parity():
+    """Pin the embedder's hash arithmetic to plain-int semantics — the
+    DuckDB search oracle reimplements exactly this (hugeint mod 2^64), so
+    any drift here silently breaks search_hybrid's oracle."""
+    import numpy as np
+
+    from graphiti_ray.stages.embed import EMBED_DIM, embed_counts, embed_texts
+
+    text = "Ab c"
+    s = f"^{text.lower()}$".encode()
+    P, M = 1099511628211, 1 << 64
+    want = np.zeros(EMBED_DIM)
+    for j in range(len(s) - 2):
+        h = (s[j] * P * P + s[j + 1] * P + s[j + 2]) % M
+        want[h % EMBED_DIM] += 1.0 if (h >> 16) & 1 else -1.0
+    got = embed_counts(text)
+    assert got.tolist() == want.tolist()
+
+    vecs = embed_texts([text, text, ""])
+    assert vecs.dtype == np.float64
+    # normalized, deterministic, empty-text-safe
+    assert abs(np.linalg.norm(vecs[0]) - 1.0) < 1e-12
+    assert (vecs[0] == vecs[1]).all()
+    assert (vecs[2] == 0).all()
