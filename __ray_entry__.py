@@ -721,6 +721,42 @@ def _q_events_asof(sf_dir: str):
     )
 
 
+def _q_events_topk(sf_dir: str):
+    """Per-user top-3 events by value (ops.top_k_per_group: one range
+    sort + per-block head-k over complete runs). Oracle: row_number
+    window."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import top_k_per_group
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "value_cents": cents,
+                "neg_value": pc.negate(cents),
+            }
+        )
+
+    top = top_k_per_group(
+        ev.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        order_cols=["neg_value", "ts"],
+        k=3,
+    )
+    return top.select_columns(["user_id", "ts", "value_cents", "rank"])
+
+
 def _q_events_sliding(sf_dir: str):
     import pyarrow as pa
 
@@ -996,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_bruteforce": _q_knn,
         "events_tumbling": _q_events_tumbling,
         "events_asof": _q_events_asof,
+        "events_topk": _q_events_topk,
         "events_sliding": _q_events_sliding,
         "events_session": _q_events_session,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -1123,6 +1160,18 @@ SELECT user_id,
        max(v)::BIGINT AS max_value_cents,
        count(*)::BIGINT AS n_events
 FROM ev GROUP BY 1, 2
+""",
+        "events_topk": """
+WITH ev AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT user_id, ts, value_cents, rank FROM (
+  SELECT user_id, ts, value_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value_cents DESC, ts) AS rank
+  FROM ev
+) WHERE rank <= 3
 """,
         "events_asof": """
 WITH ev AS (

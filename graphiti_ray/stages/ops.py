@@ -529,6 +529,54 @@ def sorted_asof_join(
     return rd.from_arrow_refs(out_refs)
 
 
+def _run_starts(*cols) -> "np.ndarray":  # noqa: F821
+    """Start offsets of adjacent equal-key runs (plus final sentinel)."""
+    import numpy as np
+
+    n = len(cols[0])
+    change = np.zeros(max(0, n - 1), dtype=bool)
+    for c in cols:
+        change |= c[1:] != c[:-1]
+    return np.concatenate([[0], np.nonzero(change)[0] + 1, [n]])
+
+
+def top_k_per_group(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    k: int,
+    rank_col: str = "rank",
+) -> rd.Dataset:
+    """Per-group top-k (`row_number() OVER (PARTITION BY keys ORDER BY
+    order_cols) <= k`) without per-group dispatch: ``sorted_run_map``
+    delivers each key run complete to one vectorized kernel, which keeps
+    the run's first k rows with 1-based ranks. ``order_cols`` sort
+    ASCENDING — negate numeric columns for descending order. Hub groups
+    cost nothing beyond the one range sort (runs straddling blocks are
+    carried, so cap k at sorted_run_map's carry_cap)."""
+    import numpy as np
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.append_column(rank_col, pa.array([], pa.int64()))
+        key_arrays = [
+            np.array(tbl.column(c).to_pylist(), dtype=object) for c in keys
+        ]
+        starts = _run_starts(*key_arrays)
+        take, ranks = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = min(k, e - s)
+            take.append(np.arange(s, s + m))
+            ranks.append(np.arange(1, m + 1))
+        idx = np.concatenate(take)
+        return tbl.take(pa.array(idx, pa.int64())).append_column(
+            rank_col, pa.array(np.concatenate(ranks), pa.int64())
+        )
+
+    return sorted_run_map(ds, keys, kernel, order_cols=order_cols, carry_cap=max(4096, k))
+
+
 @ray.remote
 def _psum_block_info(block, by: list[str], delta_col: str):
     """(first_part, last_part, delta_sum_of_last_part_rows) — the carry

@@ -285,3 +285,43 @@ def test_sorted_prefix_sum_matches_pandas(ray_session, rows, nblocks):
     ref["ps"] = ref.groupby("k")["d"].cumsum()
     ref = ref.sort_values("rid").reset_index(drop=True)
     assert out["ps"].tolist() == ref["ps"].tolist()
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 5),
+    st.integers(1, 4),
+)
+@settings(max_examples=12, deadline=None)
+def test_top_k_per_group_matches_pandas(ray_session, rows, nblocks, k):
+    import pyarrow as pa
+
+    from graphiti_ray.stages.ops import top_k_per_group
+
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    df["rid"] = range(len(df))  # unique order tie-break
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(df["g"]),
+                "v": pa.array(df["v"], pa.int64()),
+                "rid": pa.array(df["rid"], pa.int64()),
+            }
+        )
+    ).repartition(nblocks)
+    out = (
+        top_k_per_group(ds, keys=["g"], order_cols=["v", "rid"], k=k)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["g", "v", "rid"], kind="mergesort")
+    ref["rank"] = ref.groupby("g").cumcount() + 1
+    ref = ref[ref["rank"] <= k].reset_index(drop=True)
+    assert out[["g", "v", "rid", "rank"]].values.tolist() == ref[
+        ["g", "v", "rid", "rank"]
+    ].values.tolist()
