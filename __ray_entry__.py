@@ -757,6 +757,38 @@ def _q_events_topk(sf_dir: str):
     return top.select_columns(["user_id", "ts", "value_cents", "rank"])
 
 
+def _q_events_quantiles(sf_dir: str):
+    """Exact per-user value quantiles (ops.group_quantiles, pinned
+    floor(q*(n-1)) lower interpolation). Oracle: row_number rank
+    selection with the identical formula."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import group_quantiles
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "value_cents": pc.cast(
+                    pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return group_quantiles(
+        ev.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        value_col="value_cents",
+        qs=[0.5, 0.9],
+    )
+
+
 def _q_events_sliding(sf_dir: str):
     import pyarrow as pa
 
@@ -1033,6 +1065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": _q_events_tumbling,
         "events_asof": _q_events_asof,
         "events_topk": _q_events_topk,
+        "events_quantiles": _q_events_quantiles,
         "events_sliding": _q_events_sliding,
         "events_session": _q_events_session,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -1160,6 +1193,22 @@ SELECT user_id,
        max(v)::BIGINT AS max_value_cents,
        count(*)::BIGINT AS n_events
 FROM ev GROUP BY 1, 2
+""",
+        "events_quantiles": """
+WITH ev AS (
+  SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+  FROM events
+),
+r AS (
+  SELECT user_id, value_cents,
+         row_number() OVER (PARTITION BY user_id ORDER BY value_cents) - 1
+           AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM ev
+)
+SELECT user_id, q, value_cents AS quantile_value
+FROM r, (VALUES (0.5), (0.9)) AS qv(q)
+WHERE rn = CAST(floor(q * (n - 1)) AS BIGINT)
 """,
         "events_topk": """
 WITH ev AS (

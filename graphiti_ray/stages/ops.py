@@ -577,6 +577,67 @@ def top_k_per_group(
     return sorted_run_map(ds, keys, kernel, order_cols=order_cols, carry_cap=max(4096, k))
 
 
+def group_quantiles(
+    ds: rd.Dataset,
+    keys: list[str],
+    value_col: str,
+    qs: list[float],
+) -> rd.Dataset:
+    """Exact per-group quantiles, 'lower' interpolation pinned explicitly:
+    the q-quantile of a group of n sorted values is the value at index
+    ``floor(q * (n - 1))`` — the same formula the SQL oracle twin uses
+    (row_number over the sorted group), so results hash identically.
+    Runs on ``sorted_run_map``: one range sort by (keys, value), each
+    group's complete sorted run hits one vectorized kernel. Output: one
+    row per (group, q): (keys..., q, quantile_value).
+
+    Partitioning assumption: a single group must fit sorted_run_map's
+    boundary-carry budget (carry_cap rows beyond one block). For
+    mega-groups, use the rank formulation instead (sorted_prefix_sum of
+    per-row counts → select rank == floor(q*(n-1)))."""
+    import numpy as np
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        out_cols: dict = {c: [] for c in keys}
+        out_cols["q"] = []
+        out_cols["quantile_value"] = []
+        if n == 0:
+            t = pa.table(
+                {
+                    **{c: pa.array([], tbl.schema.field(c).type) for c in keys},
+                    "q": pa.array([], pa.float64()),
+                    "quantile_value": pa.array([], pa.int64()),
+                }
+            )
+            return t
+        key_arrays = [
+            np.array(tbl.column(c).to_pylist(), dtype=object) for c in keys
+        ]
+        vals = tbl.column(value_col).to_numpy(zero_copy_only=False)
+        starts = _run_starts(*key_arrays)
+        for s, e in zip(starts[:-1], starts[1:]):
+            m = e - s
+            for q in qs:
+                idx = s + int(np.floor(q * (m - 1)))
+                for c, arr in zip(keys, key_arrays):
+                    out_cols[c].append(arr[s])
+                out_cols["q"].append(float(q))
+                out_cols["quantile_value"].append(int(vals[idx]))
+        return pa.table(
+            {
+                **{
+                    c: pa.array(out_cols[c], tbl.schema.field(c).type)
+                    for c in keys
+                },
+                "q": pa.array(out_cols["q"], pa.float64()),
+                "quantile_value": pa.array(out_cols["quantile_value"], pa.int64()),
+            }
+        )
+
+    return sorted_run_map(ds, keys, kernel, order_cols=[value_col])
+
+
 @ray.remote
 def _psum_block_info(block, by: list[str], delta_col: str):
     """(first_part, last_part, delta_sum_of_last_part_rows) — the carry

@@ -325,3 +325,34 @@ def test_top_k_per_group_matches_pandas(ray_session, rows, nblocks, k):
     assert out[["g", "v", "rid", "rank"]].values.tolist() == ref[
         ["g", "v", "rid", "rank"]
     ].values.tolist()
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=10, deadline=None)
+def test_group_quantiles_matches_reference(ray_session, rows, nblocks):
+    import math
+
+    import pyarrow as pa
+
+    from graphiti_ray.stages.ops import group_quantiles
+
+    qs = [0.0, 0.5, 0.9, 1.0]
+    df = pd.DataFrame(rows, columns=["g", "v"])
+    ds = rd.from_arrow(
+        pa.table({"g": pa.array(df["g"]), "v": pa.array(df["v"], pa.int64())})
+    ).repartition(nblocks)
+    out = group_quantiles(ds, keys=["g"], value_col="v", qs=qs).to_pandas()
+    got = {(r.g, r.q): r.quantile_value for r in out.itertuples(index=False)}
+    want = {}
+    for g, grp in df.groupby("g"):
+        vals = sorted(grp["v"])
+        for q in qs:
+            want[(g, q)] = vals[int(math.floor(q * (len(vals) - 1)))]
+    assert got == want
