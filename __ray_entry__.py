@@ -626,6 +626,39 @@ def _q_docs_dup_lines(sf_dir: str):
     return duplicate_lines(docs.map_batches(chunk, batch_format="pyarrow"))
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal feature-extraction plumbing made driver-visible: each
+    document's text bytes stand in for an opaque media payload (mime
+    assigned deterministically), run through the REAL actor-pool
+    MediaFeatureExtractor stage (decode_stub). The stub's chunk hashes
+    are plain-int polynomial arithmetic, so feat_sum/feat_max are
+    oracle-exact; the float feature vector is derived from the same ints."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from graphiti_ray.stages.multimodal import media_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        mimes = ["image/jpeg", "audio/wav", "video/mp4"]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array([mimes[i % 3] for i in ids], pa.string()),
+                "payload": pa.array([t.encode("utf-8") for t in texts], pa.binary()),
+                "meta": pa.array(["{}"] * len(ids), pa.string()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return media_features(media).select_columns(
+        ["media_id", "mime", "n_bytes", "feat_sum", "feat_max"]
+    )
+
+
 def _q_knn(sf_dir: str):
     import ray.data as rd
 
@@ -1060,6 +1093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "docs_repetition": _q_docs_repetition,
+        "media_features": _q_media_features,
         "docs_dup_lines": _q_docs_dup_lines,
         "knn_bruteforce": _q_knn,
         "events_tumbling": _q_events_tumbling,
@@ -1292,6 +1326,36 @@ SELECT doc_id,
        greatest(de_h, en_h, es_h, fr_h)::BIGINT AS lang_hits,
        n_words
 FROM s
+""",
+        "media_features": rf"""
+WITH consts AS (SELECT {_POW64_SQL} AS pw),
+mstats AS (
+  SELECT doc_id, text, length(text) AS len,
+         greatest(1, length(text) // 32) AS n
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, len, n, u.i,
+         greatest(0, least(n, len - u.i * n)) AS cl
+  FROM mstats, (SELECT unnest(range(0, 32)) AS i) u
+),
+ch AS (
+  SELECT c.doc_id, c.i,
+         (coalesce(list_aggregate(list_transform(range(1, c.cl + 1),
+              j -> ord(substr(m.text, c.i * c.n + j, 1))::HUGEINT
+                   * pw[c.cl - j + 1]),
+            'sum'), 0::HUGEINT)
+          % 18446744073709551616::HUGEINT) % 1000 AS h
+  FROM chunks c JOIN mstats m USING (doc_id), consts
+)
+SELECT ch.doc_id AS media_id,
+       CASE ch.doc_id % 3 WHEN 0 THEN 'image/jpeg' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime,
+       min(m.len)::BIGINT AS n_bytes,
+       sum(ch.h)::BIGINT AS feat_sum,
+       max(ch.h)::BIGINT AS feat_max
+FROM ch JOIN mstats m USING (doc_id)
+GROUP BY 1, 2
 """,
         "docs_repetition": r"""
 WITH lines AS (

@@ -15,12 +15,30 @@ Batch sizing: payloads are wide — callers should pass a small
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
+
+# same SQL-reproducible rolling-hash multiplier as stages/dedup.py
+_POLY = 1099511628211
+_M64 = 1 << 64
+
+
+def payload_chunk_hashes(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic per-chunk hash of a binary payload: split into ``dim``
+    equal chunks (floor division; tail beyond dim*n dropped, short payloads
+    yield empty chunks hashing to 0), polynomial Horner hash mod 2^64 per
+    chunk, reduced mod 1000. Plain-int arithmetic so the DuckDB oracle can
+    replicate it (hugeint)."""
+    n = max(1, len(payload) // dim)
+    out = np.zeros(dim, dtype=np.int64)
+    for i in range(dim):
+        h = 0
+        for b in payload[i * n : (i + 1) * n]:
+            h = (h * _POLY + b) % _M64
+        out[i] = h % 1000
+    return out
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -47,24 +65,27 @@ class MediaFeatureExtractor:
         self.decode_stub = decode_stub
         self.dim = dim
 
-    def _decode(self, payload: bytes) -> np.ndarray:
+    def _raw_vals(self, payload: bytes) -> np.ndarray:
         if not self.decode_stub:
             raise NotImplementedError(
                 "real media decode requires PIL/ffmpeg (not in this container); "
                 "construct with decode_stub=True or plug a decoder in here"
             )
-        # deterministic fake: crc32 of rolling chunks → unit vector
-        n = max(1, len(payload) // self.dim)
-        vals = np.array(
-            [zlib.crc32(payload[i * n : (i + 1) * n]) % 1000 for i in range(self.dim)],
-            dtype=np.float32,
-        )
+        # deterministic fake: polynomial hash of equal chunks (integer —
+        # exactly replicable by the DuckDB oracle)
+        return payload_chunk_hashes(payload, self.dim)
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        vals = self._raw_vals(payload).astype(np.float32)
         norm = float(np.linalg.norm(vals)) or 1.0
         return vals / norm
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
-        feats = np.stack([self._decode(p) for p in payloads])
+        raw = np.stack([self._raw_vals(p) for p in payloads])
+        norms = np.linalg.norm(raw.astype(np.float32), axis=1)
+        norms[norms == 0] = 1.0
+        feats = raw.astype(np.float32) / norms[:, None]
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), self.dim
         )
@@ -74,6 +95,13 @@ class MediaFeatureExtractor:
         out = batch.select(keep)
         out = out.append_column(
             "n_bytes", pa.array([len(p) for p in payloads], pa.int64())
+        )
+        # integer feature digests: exact (no float) → oracle-comparable
+        out = out.append_column(
+            "feat_sum", pa.array(raw.sum(axis=1).astype("int64"), pa.int64())
+        )
+        out = out.append_column(
+            "feat_max", pa.array(raw.max(axis=1).astype("int64"), pa.int64())
         )
         return out.append_column("feature", arr)
 
