@@ -300,6 +300,19 @@ SELECT x AS doc_id, least(x, min(y)) AS component FROM reach GROUP BY x
 """
 
 
+_KG_EDGES_ORACLE = f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()}
+SELECT m.uuid, m.group_id, m.subj_canonical, m.pred, m.obj_canonical,
+       m.valid_at, coalesce(p.inv, s.inv) AS invalid_at,
+       m.episode_count::BIGINT AS episode_count
+FROM merged_id m
+LEFT JOIN pair_inv p USING (uuid)
+LEFT JOIN subj_inv s USING (uuid)
+"""
+
 _SEARCH_QUERY = "Alice Smith works at"
 
 
@@ -507,6 +520,61 @@ def _q_kg_nodes(sf_dir: str):
 def _q_kg_edges(sf_dir: str):
     tables = _kg_tables(sf_dir, embeddings=False)
     return tables["edges"].select_columns(
+        [
+            "uuid",
+            "group_id",
+            "subj_canonical",
+            "pred",
+            "obj_canonical",
+            "valid_at",
+            "invalid_at",
+            "episode_count",
+        ]
+    )
+
+
+def _q_kg_edges_incremental(sf_dir: str):
+    """Incremental == batch, value-exact: build the KG from a deterministic
+    HALF of the pages (md5(url) parity), then ``add_pages`` the other
+    half; the resulting edges table must match the full batch build —
+    checked against the *same* kg_edges oracle SQL. Exercises append-only
+    episodes, group-granular recompute, and retro-invalidation on the
+    driver's gate, not just in pytest."""
+    import functools
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+
+    from graphiti_ray.pipelines.incremental import add_pages
+    from graphiti_ray.pipelines.kg import run_kg
+    from graphiti_ray.stages.extract import episodes_dataset
+    from graphiti_ray.state.checkpoint import checkpointed_write, read_table
+
+    root = f"/tmp/graphiti_ray_incr/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    pages = _pages(sf_dir).materialize()
+
+    def half(batch: pa.Table, first: bool) -> pa.Table:
+        mask = pa.array(
+            [
+                (int(hashlib.md5(u.encode()).hexdigest(), 16) % 2 == 0) == first
+                for u in batch.column("url").to_pylist()
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    first_half = pages.map_batches(
+        functools.partial(half, first=True), batch_format="pyarrow"
+    )
+    second_half = pages.map_batches(
+        functools.partial(half, first=False), batch_format="pyarrow"
+    )
+    checkpointed_write(episodes_dataset(first_half), root, "episodes", {})
+    run_kg("unused", root, embeddings=False)
+    add_pages(root, second_half, embeddings=False)
+    return read_table(root, "edges").select_columns(
         [
             "uuid",
             "group_id",
@@ -1085,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "kg_edges_incremental": _q_kg_edges_incremental,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1156,18 +1225,10 @@ SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
 FROM canon
 GROUP BY group_id, md5(group_id || '|' || lower(canonical))
 """,
-        "kg_edges": f"""
-WITH {_BASE_CTE.lstrip()},
-{_MENTIONS_CTE.lstrip()},
-{_CANON_CTE.lstrip()},
-{_RESOLVED_CTE.lstrip()}
-SELECT m.uuid, m.group_id, m.subj_canonical, m.pred, m.obj_canonical,
-       m.valid_at, coalesce(p.inv, s.inv) AS invalid_at,
-       m.episode_count::BIGINT AS episode_count
-FROM merged_id m
-LEFT JOIN pair_inv p USING (uuid)
-LEFT JOIN subj_inv s USING (uuid)
-""",
+        "kg_edges": _KG_EDGES_ORACLE,
+        # incremental build must converge to the SAME edges as the batch
+        # build — one oracle, two engine paths
+        "kg_edges_incremental": _KG_EDGES_ORACLE,
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count
