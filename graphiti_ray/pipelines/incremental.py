@@ -197,3 +197,47 @@ def add_pages(
         "episodes_added": n_eps,
         "affected_groups": sorted(affected),
     }
+
+
+def ingest_directory(
+    out_root: str,
+    incoming_dir: str,
+    pattern: str = "*.parquet",
+    run_ts: datetime = DEFAULT_RUN_TS,
+    embeddings: bool = True,
+) -> list[dict]:
+    """Batch-world equivalent of the reference's REST ingest queue (S3,
+    server/graph_service/routers/ingest.py:65-100 — an asyncio worker
+    draining queued AddEntityRequests in order): page files landing in a
+    directory are the queue, lexicographic file order is arrival order,
+    and each file is one ``add_pages`` micro-batch.
+
+    Crash-resumable and idempotent: processed file names persist in
+    ``<out_root>/INGEST_LOG.json`` (written after each file), and
+    ``add_pages`` itself upserts at episode-uuid granularity, so replaying
+    a half-processed file after a crash appends nothing twice."""
+    import glob
+    import json
+    import os
+
+    import ray.data as rd
+
+    log_path = os.path.join(out_root, "INGEST_LOG.json")
+    done: set = set()
+    if os.path.exists(log_path):
+        with open(log_path) as f:
+            done = set(json.load(f)["files"])
+    results = []
+    for path in sorted(glob.glob(os.path.join(incoming_dir, pattern))):
+        base = os.path.basename(path)
+        if base in done:
+            results.append({"file": base, "skipped": True})
+            continue
+        stats = add_pages(
+            out_root, rd.read_parquet(path), run_ts=run_ts, embeddings=embeddings
+        )
+        done.add(base)
+        with open(log_path, "w") as f:
+            json.dump({"files": sorted(done)}, f)
+        results.append({"file": base, **stats})
+    return results

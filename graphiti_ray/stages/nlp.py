@@ -361,3 +361,60 @@ def triples_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Datase
         zero_copy_batch=True,
         concurrency=_pool(concurrency),
     )
+
+
+def mentions_with_reflexion(
+    episodes: rd.Dataset,
+    extractors: list | None = None,
+    max_passes: int = 3,
+) -> rd.Dataset:
+    """M2 reflexion-loop control flow (node_operations.py extract_nodes'
+    missed-entities re-prompt) with a deterministic critic: run extraction
+    passes in sequence, union-dedup mentions per (episode, name) keeping
+    the EARLIEST pass's row, and stop as soon as a pass contributes no new
+    mention — the "nothing was missed" verdict, decided by a dataset-side
+    count (no driver materialization of the mention set).
+
+    ``extractors`` is the pass schedule (callables: episodes batch →
+    mention table); the last entry repeats if ``max_passes`` exceeds the
+    list. The default single-pass MentionExtractor is exhaustive by
+    construction, so the loop terminates after pass 2 finding nothing —
+    the test injects a deliberately weak first pass to show recovery.
+    """
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    if extractors is None:
+        extractors = [MentionExtractor()]
+
+    def tag(ds: rd.Dataset, pass_idx: int) -> rd.Dataset:
+        def f(batch: pa.Table, _i=pass_idx) -> pa.Table:
+            key = pc.binary_join_element_wise(
+                batch.column("episode_uuid"), batch.column("name"), "|"
+            )
+            batch = batch.append_column("_mkey", key)
+            return batch.append_column(
+                "_pass", pa.array([_i] * batch.num_rows, pa.int64())
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    found: rd.Dataset | None = None
+    for i in range(max_passes):
+        ext = extractors[min(i, len(extractors) - 1)]
+        new = tag(
+            episodes.map_batches(ext, batch_format="pyarrow", zero_copy_batch=True), i
+        )
+        if found is None:
+            found = distinct_by_key(new, "_mkey", order_cols=["_pass"]).materialize()
+            continue
+        before = found.count()
+        merged = distinct_by_key(
+            found.union(new), "_mkey", order_cols=["_pass"]
+        ).materialize()
+        if merged.count() == before:
+            found = merged
+            break  # reflexion verdict: nothing missed
+        found = merged
+    return found.drop_columns(["_mkey", "_pass"])

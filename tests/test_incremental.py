@@ -164,3 +164,44 @@ def test_incremental_communities_bridge(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         g2_before.reset_index(drop=True), g2_after.reset_index(drop=True)
     )
+
+
+def test_ingest_directory_queue(ray_session, kg_root, tmp_path):
+    """S3 batch equivalent: files are the queue; processed files skip on
+    replay; a new file processes alone."""
+    import pyarrow.parquet as pq
+
+    from graphiti_ray.pipelines.incremental import ingest_directory
+    from graphiti_ray.state.checkpoint import read_table
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    pq.write_table(
+        _pages_table([("Dave Brown works at Initech Inc.", "g1", T[5])], start=30),
+        str(incoming / "batch_001.parquet"),
+    )
+    pq.write_table(
+        _pages_table([("Erin Green likes Dave Brown.", "g1", T[6])], start=40),
+        str(incoming / "batch_002.parquet"),
+    )
+
+    r1 = ingest_directory(kg_root, str(incoming))
+    assert [x["file"] for x in r1] == ["batch_001.parquet", "batch_002.parquet"]
+    assert all(x.get("episodes_added") == 1 for x in r1)
+    edges = read_table(kg_root, "edges").to_pandas()
+    assert (edges.pred == "LIKES").sum() >= 1
+    assert "Dave Brown" in set(edges.subj_canonical)
+
+    # replay: everything skips, tables unchanged
+    n_eps0 = read_table(kg_root, "episodes").count()
+    r2 = ingest_directory(kg_root, str(incoming))
+    assert all(x.get("skipped") for x in r2)
+    assert read_table(kg_root, "episodes").count() == n_eps0
+
+    # a third file arrives → only it processes
+    pq.write_table(
+        _pages_table([("Frank Black works at Initech Inc.", "g1", T[7])], start=50),
+        str(incoming / "batch_003.parquet"),
+    )
+    r3 = ingest_directory(kg_root, str(incoming))
+    assert [x["file"] for x in r3 if not x.get("skipped")] == ["batch_003.parquet"]

@@ -101,3 +101,54 @@ def test_mention_labels_from_roles():
 def test_label_fallback_suffix():
     assert label_for_name("Foo Corp") == "Organization"
     assert label_for_name("Madrid") == "Entity"
+
+
+def test_mentions_with_reflexion_recovers_missed(ray_session):
+    """M2 control flow: a deliberately weak first pass (drops names past M)
+    is repaired by the second pass; the union equals single-pass full
+    extraction and the loop stops once a pass adds nothing."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.extract import episodes_dataset
+    from graphiti_ray.stages.nlp import MentionExtractor, mentions_with_reflexion
+    from tests.test_pipeline_e2e import _pages_table
+
+    from datetime import datetime
+
+    pages = rd.from_arrow(
+        _pages_table(
+            [
+                ("Alice Smith works at Zeta Corp.", "g1", datetime(2024, 1, 1)),
+                ("Bob Jones likes Nora White.", "g1", datetime(2024, 1, 2)),
+            ]
+        )
+    )
+    eps = episodes_dataset(pages)
+
+    full = MentionExtractor()
+
+    def weak(batch: pa.Table) -> pa.Table:
+        out = full(batch)
+        names = out.column("name").to_pylist()
+        keep = pa.array([n[:1] <= "M" for n in names], pa.bool_())
+        return out.filter(keep)
+
+    want = (
+        eps.map_batches(full, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["episode_uuid", "name"])
+        .reset_index(drop=True)
+    )
+    assert (want.name > "M").any()  # the weak pass really misses some
+
+    got = (
+        mentions_with_reflexion(eps, extractors=[weak, full], max_passes=4)
+        .to_pandas()
+        .sort_values(["episode_uuid", "name"])
+        .reset_index(drop=True)
+    )
+    assert got[["episode_uuid", "name"]].values.tolist() == want[
+        ["episode_uuid", "name"]
+    ].values.tolist()
