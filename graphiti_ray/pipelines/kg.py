@@ -180,7 +180,13 @@ def run_kg(
 
     n_canon = table_rows(out_root, "canonical_map")
     use_broadcast = (n_canon or 0) <= BROADCAST_LIMIT
-    lut = canon_lookup_ref(canon) if use_broadcast else None
+    if use_broadcast:
+        # vocabulary-sized sidecar: plain pyarrow read, no streaming exec
+        from graphiti_ray.state.checkpoint import read_table_pandas
+
+        lut = canon_lookup_ref(read_table_pandas(out_root, "canonical_map"))
+    else:
+        lut = None
 
     def make_mention_edges():
         if use_broadcast:

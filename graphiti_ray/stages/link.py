@@ -437,9 +437,16 @@ def canon_lookup_ref(canon: rd.Dataset):
     """
     import ray
 
-    df = canon.select_columns(
-        ["group_id", "name", "canonical", "entity_uuid"]
-    ).to_pandas()
+    if isinstance(canon, pd.DataFrame):
+        # small-side fast path: a checkpointed canonical_map is read back
+        # with plain pyarrow (state.checkpoint.read_table_pandas) — spinning
+        # up a whole streaming execution to fetch a vocabulary-sized table
+        # costs ~1s of fixed overhead per run_kg stage boundary
+        df = canon[["group_id", "name", "canonical", "entity_uuid"]]
+    else:
+        df = canon.select_columns(
+            ["group_id", "name", "canonical", "entity_uuid"]
+        ).to_pandas()
     # broadcast payload: a pandas hash Index over "group|name" keys plus
     # parallel value arrays — built once, cached per worker (_cached_lut),
     # probed with vectorized get_indexer instead of a Python dict.get per

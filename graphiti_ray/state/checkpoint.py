@@ -160,3 +160,17 @@ def read_table(root: str, name: str, columns: list[str] | None = None) -> rd.Dat
         os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
     )
     return rd.read_parquet(files, columns=columns)
+
+
+def read_table_pandas(root: str, name: str, columns: list[str] | None = None):
+    """Driver-local pandas read for SMALL checkpointed tables (vocabulary-
+    sized sidecars like canonical_map): plain pyarrow, no Ray execution.
+    Never call on a corpus-sized table."""
+    d = table_dir(root, name)
+    files = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    import pyarrow as pa
+
+    tables = [pq.read_table(f, columns=columns) for f in files]
+    return pa.concat_tables(tables).to_pandas()
