@@ -135,7 +135,6 @@ def run_once() -> dict:
     extra_runs = [_extras(sf_dir) for _ in range(repeats)]
     for name in extra_runs[0]:
         queries[name] = min(r[name] for r in extra_runs)
-    queries["kg_build_all_runs"] = [h["timings"]["kg_build"] for h in heads]
 
     total = head["timings"]["kg_build"]
     result = {
@@ -145,6 +144,7 @@ def run_once() -> dict:
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "kg_build_all_runs": [h["timings"]["kg_build"] for h in heads],
         "docs_per_sec": round(head["n_docs"] / total, 2),
         "triples_per_sec": round(head["n_triples"] / total, 2),
         "n_edges": head["n_edges"],
