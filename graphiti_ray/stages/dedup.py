@@ -432,12 +432,16 @@ def connected_components(
     never materialize on the driver (the former per-round ``take_all``
     was the scale bug flagged in round 1).
     """
-    # one execution decides both emptiness and the small-path data
-    df = pairs.select_columns(["a", "b"]).to_pandas(limit=SMALL_CC_LIMIT + 1)
-    n_pairs = len(df)
+    # one execution (materialize) decides the path; count() on the
+    # materialized set is metadata-only. NOTE: to_pandas(limit=N) RAISES
+    # when the dataset exceeds N rows (ray 2.49 semantics) — it must never
+    # gate the large path, only run on the proven-small one.
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    n_pairs = pairs.count()
     if n_pairs == 0:
         return rd.from_items([])
     if n_pairs <= SMALL_CC_LIMIT:
+        df = pairs.to_pandas()
         parent: dict = {}
 
         def find(x):

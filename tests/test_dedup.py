@@ -69,6 +69,44 @@ def test_connected_components_chain(ray_session):
     assert comp[10] == comp[11] == 10
 
 
+def test_connected_components_distributed_path(ray_session, monkeypatch):
+    """With SMALL_CC_LIMIT forced tiny, the distributed min-label rounds must
+    run (not raise) and agree with the driver union-find on the same input."""
+    import graphiti_ray.stages.dedup as dedup_mod
+
+    fixtures = [
+        # int ids: a 4-chain, a triangle, an isolated pair
+        [
+            {"a": 1, "b": 2},
+            {"a": 2, "b": 3},
+            {"a": 3, "b": 4},
+            {"a": 7, "b": 8},
+            {"a": 8, "b": 9},
+            {"a": 9, "b": 7},
+            {"a": 20, "b": 21},
+        ],
+        # string uuids
+        [
+            {"a": "b1", "b": "a1"},
+            {"a": "c1", "b": "b1"},
+            {"a": "d1", "b": "c1"},
+            {"a": "x9", "b": "z2"},
+        ],
+    ]
+    for rows in fixtures:
+        want = {
+            (r["doc_id"], r["component"])
+            for r in connected_components(rd.from_items(rows)).take_all()
+        }
+        monkeypatch.setattr(dedup_mod, "SMALL_CC_LIMIT", 2)
+        got = {
+            (r["doc_id"], r["component"])
+            for r in connected_components(rd.from_items(rows)).take_all()
+        }
+        monkeypatch.setattr(dedup_mod, "SMALL_CC_LIMIT", 1_000_000)
+        assert got == want and len(got) == len({d for d, _ in got})
+
+
 def test_simhash_hamming():
     a = simhash64(BASE)
     b = simhash64(BASE.replace("lazy", "sleepy"))
