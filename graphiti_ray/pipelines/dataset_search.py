@@ -51,16 +51,17 @@ def _broadcast_uuid_filter(ds: rd.Dataset, uuids: list[str]) -> pd.DataFrame:
     candidate set; returns the ≤len(uuids) surviving rows as pandas."""
     import ray
 
-    ref = ray.put(frozenset(uuids))
+    # broadcast an Arrow array so the filter is one vectorized pc.is_in probe
+    ref = ray.put(pa.array(sorted(set(uuids)), pa.string()))
 
     def keep(batch: pa.Table, _ref=ref) -> pa.Table:
+        import pyarrow.compute as pc
+
         from graphiti_ray.stages.link import _cached_lut
 
-        s = _cached_lut(_ref)
-        mask = pa.array(
-            [u in s for u in batch.column("uuid").to_pylist()], pa.bool_()
+        return batch.filter(
+            pc.is_in(batch.column("uuid"), value_set=_cached_lut(_ref))
         )
-        return batch.filter(mask)
 
     return ds.map_batches(
         keep, batch_format="pyarrow", zero_copy_batch=True
@@ -165,16 +166,17 @@ class KGDatasetSearcher:
     def _bfs_rank(self, ds, origin_uuids, limit):
         import ray
 
-        ref = ray.put(frozenset(origin_uuids))
+        ref = ray.put(pa.array(sorted(set(origin_uuids)), pa.string()))
 
         def hit(batch: pa.Table, _ref=ref) -> pa.Table:
+            import pyarrow.compute as pc
+
             from graphiti_ray.stages.link import _cached_lut
 
             origin = _cached_lut(_ref)
-            subj = batch.column("subj_uuid").to_pylist()
-            obj = batch.column("obj_uuid").to_pylist()
-            mask = pa.array(
-                [s in origin or o in origin for s, o in zip(subj, obj)], pa.bool_()
+            mask = pc.or_(
+                pc.is_in(batch.column("subj_uuid"), value_set=origin),
+                pc.is_in(batch.column("obj_uuid"), value_set=origin),
             )
             return batch.filter(mask).select(["uuid"])
 

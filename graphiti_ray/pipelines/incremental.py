@@ -53,15 +53,15 @@ from graphiti_ray.state.checkpoint import (
 def _filter_groups(ds: rd.Dataset, groups: frozenset, keep: bool) -> rd.Dataset:
     import ray
 
-    ref = ray.put(groups)
+    ref = ray.put(pa.array(sorted(groups), pa.string()))
 
     def f(batch: pa.Table, _ref=ref) -> pa.Table:
+        import pyarrow.compute as pc
+
         from graphiti_ray.stages.link import _cached_lut
 
-        gs = _cached_lut(_ref)
-        col = batch.column("group_id").to_pylist()
-        mask = pa.array([(g in gs) == keep for g in col], pa.bool_())
-        return batch.filter(mask)
+        mask = pc.is_in(batch.column("group_id"), value_set=_cached_lut(_ref))
+        return batch.filter(mask if keep else pc.invert(mask))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -96,16 +96,18 @@ def add_pages(
     if existing:
         import ray
 
-        eref = ray.put(existing)
+        eref = ray.put(pa.array(sorted(existing), pa.string()))
 
         def drop_known(batch: pa.Table, _ref=eref) -> pa.Table:
+            import pyarrow.compute as pc
+
             from graphiti_ray.stages.link import _cached_lut
 
-            known = _cached_lut(_ref)
-            mask = pa.array(
-                [u not in known for u in batch.column("uuid").to_pylist()], pa.bool_()
+            return batch.filter(
+                pc.invert(
+                    pc.is_in(batch.column("uuid"), value_set=_cached_lut(_ref))
+                )
             )
-            return batch.filter(mask)
 
         new_eps = new_eps.map_batches(
             drop_known, batch_format="pyarrow", zero_copy_batch=True
@@ -225,8 +227,14 @@ def ingest_directory(
     log_path = os.path.join(out_root, "INGEST_LOG.json")
     done: set = set()
     if os.path.exists(log_path):
-        with open(log_path) as f:
-            done = set(json.load(f)["files"])
+        try:
+            with open(log_path) as f:
+                done = set(json.load(f)["files"])
+        except (json.JSONDecodeError, KeyError, OSError):
+            # a crash mid-write can leave a truncated log; add_pages is
+            # idempotent at episode-uuid granularity, so replaying every
+            # file from an empty set converges to the same state
+            done = set()
     results = []
     for path in sorted(glob.glob(os.path.join(incoming_dir, pattern))):
         base = os.path.basename(path)
@@ -237,7 +245,11 @@ def ingest_directory(
             out_root, rd.read_parquet(path), run_ts=run_ts, embeddings=embeddings
         )
         done.add(base)
-        with open(log_path, "w") as f:
+        # atomic log update: temp file + os.replace, so a crash mid-write
+        # never leaves a truncated INGEST_LOG.json behind
+        tmp_path = log_path + ".tmp"
+        with open(tmp_path, "w") as f:
             json.dump({"files": sorted(done)}, f)
+        os.replace(tmp_path, log_path)
         results.append({"file": base, **stats})
     return results

@@ -55,10 +55,11 @@ SHINGLE_K = 5
 _MERSENNE = (1 << 61) - 1
 MAX_BUCKET = 64  # pairs per LSH bucket cap: 64*63/2 candidates max
 SMALL_CC_LIMIT = 1_000_000  # pairs; below → driver union-find
-# docs; below → LSH bucket counts via one narrow driver-side value_counts
-# instead of a distributed groupby (same SMALL-path contract as the CC
-# union-find: the shuffle exists for scale, not for 5k docs)
-SMALL_LSH_COUNT_LIMIT = 250_000
+# exploded (doc × band) ROWS; below → LSH bucket counts via one narrow
+# driver-side value_counts instead of a distributed groupby (same SMALL-path
+# contract as the CC union-find: the shuffle exists for scale, not for 5k
+# docs). 1M narrow rows ≈ 20-30 MB on the driver — bounded.
+SMALL_LSH_COUNT_LIMIT = 1_000_000
 
 # last-run truncation observability (per driver process): operator name →
 # {"hot_buckets": n buckets over cap, "truncated_docs": doc slots dropped}
@@ -154,9 +155,19 @@ def exact_dedup_documents(
     import hashlib
 
     def add_hash(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # md5 over the utf-8 payload straight out of the arrow buffer —
+        # no per-row Python str materialization / encode round-trip (the
+        # digest itself is C; this removes the object churn around it)
+        col = pc.cast(batch.column(text_col), pa.large_binary()).combine_chunks()
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+            col.offset : col.offset + len(col) + 1
+        ]
+        mv = memoryview(col.buffers()[2]) if col.buffers()[2] is not None else b""
+        md5 = hashlib.md5
         hashes = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch.column(text_col).to_pylist()
+            md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(col))
         ]
         return pa.table(
             {
@@ -237,13 +248,15 @@ def _explode_bands(sig_rows: rd.Dataset) -> rd.Dataset:
 
 
 def _colliding_counts(
-    rows: rd.Dataset, keys: list[str], n_docs: int
+    rows: rd.Dataset, keys: list[str], n_rows: int
 ) -> pd.DataFrame:
-    """Bucket sizes (c ≥ 2 only) for narrow LSH key rows. Small corpora
-    (≤ SMALL_LSH_COUNT_LIMIT docs) count driver-side in one pass — a
-    distributed groupby over a few MB is all fixed overhead; at scale the
-    keyed aggregate runs (only colliding keys ever reach the driver)."""
-    if n_docs <= SMALL_LSH_COUNT_LIMIT:
+    """Bucket sizes (c ≥ 2 only) for narrow LSH key rows. Small inputs
+    (≤ SMALL_LSH_COUNT_LIMIT exploded band rows — the bound is on ROWS,
+    i.e. docs × bands, tens of MB of narrow ints at the limit) count
+    driver-side in one pass, since a distributed groupby at that size is
+    all fixed overhead; at scale the keyed aggregate runs (only colliding
+    keys ever reach the driver)."""
+    if n_rows <= SMALL_LSH_COUNT_LIMIT:
         df = rows.select_columns(keys).to_pandas()
         c = df.groupby(keys, sort=False).size()
         c = c[c >= 2]
@@ -355,7 +368,7 @@ def candidate_pairs(sig_rows: rd.Dataset, threshold: float = 0.8) -> rd.Dataset:
 
     sig_rows = sig_rows.materialize()
     counts = _colliding_counts(
-        _explode_bands(sig_rows), ["band", "band_hash"], sig_rows.count()
+        _explode_bands(sig_rows), ["band", "band_hash"], sig_rows.count() * BANDS
     )
     _record_truncation(
         "minhash_lsh", counts.set_index(["band", "band_hash"])["c"]
@@ -708,7 +721,7 @@ def simhash_near_dup(
         )
 
     rows = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    counts = _colliding_counts(rows, ["band", "band_val"], sigs.count())
+    counts = _colliding_counts(rows, ["band", "band_val"], sigs.count() * 4)
     _record_truncation(
         "simhash_lsh",
         counts.set_index(["band", "band_val"])["c"]
@@ -827,7 +840,7 @@ def embedding_near_dup(
     for t in tables[1:]:
         rows = rows.union(t)
     rows = rows.materialize()
-    counts = _colliding_counts(rows, ["bucket"], emb.count())
+    counts = _colliding_counts(rows, ["bucket"], emb.count() * n_tables)
     _record_truncation(
         "embedding_lsh",
         counts.set_index("bucket")["c"] if len(counts) else pd.Series(dtype="int64"),

@@ -140,6 +140,59 @@ def node_distances(
     return bfs_frontier(edges, [center_uuid], max_depth)
 
 
+def _vote_block(tbl: pa.Table) -> pa.Table:
+    """Vectorized plurality vote over COMPLETE node runs (sorted_run_map
+    contract: rows sorted by (x, nbr_comm)). One Python call per BLOCK —
+    the former per-node ``map_groups(vote)`` paid a Python dispatch per
+    node PER ROUND. reduceat sums weights per (node, community) segment;
+    winner selection (max weight, ties → larger community id) is one
+    pandas sort + drop_duplicates, both C-level."""
+    import numpy as np
+
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.string()),
+            "community": pa.array([], pa.string()),
+            "changed": pa.array([], pa.int64()),
+        }
+    )
+    if tbl.num_rows == 0:
+        return empty
+    from graphiti_ray.stages.ops import _run_starts
+
+    x = np.array(tbl.column("x").to_pylist(), dtype=object)
+    comm = np.array(tbl.column("nbr_comm").to_pylist(), dtype=object)
+    w = tbl.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+    # current label per node: the zero-weight self row (one per node)
+    self_mask = w == 0
+    old = pd.Series(comm[self_mask], index=x[self_mask])
+    # per-(node, community) weight segments
+    seg_starts = _run_starts(x, comm)[:-1]
+    seg_sum = np.add.reduceat(w, seg_starts)
+    seg = pd.DataFrame(
+        {"x": x[seg_starts], "comm": comm[seg_starts], "w": seg_sum}
+    )
+    # the reference tallies REAL neighbor rows only; a community present
+    # solely via the zero-weight self row (sum 0) never wins
+    seg = seg[seg["w"] > 0]
+    # winner per node: max weight, ties → LARGER community id — ascending
+    # sort on (w, comm) then keep the last row per node
+    seg = seg.sort_values(["x", "w", "comm"], kind="mergesort")
+    win = seg.drop_duplicates("x", keep="last").set_index("x")
+    # a node with no real neighbor rows keeps its current label (defensive:
+    # the join guarantees ≥1 real row per labeled node)
+    winners = win["comm"].reindex(old.index.union(win.index))
+    winners = winners.fillna(old.reindex(winners.index))
+    changed = (winners != old.reindex(winners.index)).astype("int64")
+    return pa.table(
+        {
+            "node": pa.array(winners.index.to_numpy(), pa.string()),
+            "community": pa.array(winners.to_numpy(), pa.string()),
+            "changed": pa.array(changed.to_numpy(), pa.int64()),
+        }
+    )
+
+
 def label_propagation(
     edges: rd.Dataset,
     max_rounds: int = 10,
@@ -194,32 +247,14 @@ def label_propagation(
         )
         msgs = msgs.map_batches(lambda t: t, batch_format="pyarrow").union(own)
 
-        def vote(g: pd.DataFrame) -> pd.DataFrame:
-            old_rows = g.loc[g["w"] == 0, "nbr_comm"]
-            old = old_rows.iloc[0] if len(old_rows) else None
-            real = g[g["w"] > 0]
-            tally = real.groupby("nbr_comm")["w"].sum()
-            best = sorted(tally.items(), key=lambda kv: (-kv[1], kv[0]))
-            # ties → larger id (reference picks the larger community)
-            top_count = best[0][1]
-            winner = max(c for c, n in best if n == top_count)
-            return pd.DataFrame(
-                {
-                    "node": [g["x"].iloc[0]],
-                    "community": [winner],
-                    "changed": [int(winner != old)],
-                }
-            )
+        from graphiti_ray.stages.ops import sorted_run_map
 
-        new_labels = ensure_schema(
-            msgs.groupby("x").map_groups(vote, batch_format="pandas"),
-            pa.schema(
-                [
-                    ("node", pa.string()),
-                    ("community", pa.string()),
-                    ("changed", pa.int64()),
-                ]
-            ),
+        new_labels = sorted_run_map(
+            msgs,
+            key_cols=["x"],
+            order_cols=["nbr_comm"],
+            block_fn=_vote_block,
+            carry_cap=65536,  # rows per node ≤ distinct neighbor communities
         ).materialize()
         n_changed = new_labels.sum("changed")
         labels = new_labels.drop_columns(["changed"]).materialize()

@@ -211,6 +211,73 @@ def canonical_map(mentions: rd.Dataset) -> rd.Dataset:
     )
 
 
+def _nodes_block(tbl: pa.Table, attribute_extractors: dict | None) -> pa.Table:
+    """Vectorized per-block node builder over COMPLETE (group_id,
+    entity_uuid) runs (sorted_run_map contract). reduceat for the
+    mention-count sums; tiny per-run work only for the label-set /
+    summary-string assembly (string formatting per entity is irreducible)."""
+    import json as _json
+
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "uuid": pa.array([], pa.string()),
+                "name": pa.array([], pa.string()),
+                "group_id": pa.array([], pa.string()),
+                "labels": pa.array([], pa.list_(pa.string())),
+                "summary": pa.array([], pa.string()),
+                "mention_count": pa.array([], pa.int64()),
+                "attributes": pa.array([], pa.string()),
+            }
+        )
+    from graphiti_ray.stages.ops import _run_starts
+
+    groups = np.array(tbl.column("group_id").to_pylist(), dtype=object)
+    uuids = np.array(tbl.column("entity_uuid").to_pylist(), dtype=object)
+    starts = _run_starts(groups, uuids)
+    firsts = starts[:-1]
+    counts = tbl.column("mention_count").to_numpy(zero_copy_only=False)
+    sums = np.add.reduceat(counts.astype(np.int64), firsts)
+    canon_arr = tbl.column("canonical").to_pylist()
+    label_arr = tbl.column("label").to_pylist()
+    names, summaries, attrs_json = [], [], []
+    labels_flat: list[str] = []
+    label_offsets = [0]
+    extractors = attribute_extractors or {}
+    if extractors:
+        from graphiti_ray.functions.ontology import encode_attributes
+    for s, e in zip(starts[:-1], starts[1:]):
+        canonical = canon_arr[s]
+        labels = sorted(set(label_arr[s:e]))
+        if len(labels) > 1 and "Entity" in labels:
+            labels.remove("Entity")
+        primary = labels[0] if labels else "Entity"
+        attrs: dict[str, str] = {}
+        if primary in extractors:
+            attrs = encode_attributes(extractors[primary](canonical, primary) or {})
+        names.append(canonical)
+        summaries.append(f"Entity {canonical} ({', '.join(labels)})")
+        attrs_json.append(_json.dumps(attrs, sort_keys=True))
+        labels_flat.extend(["Entity"] + [l for l in labels if l != "Entity"])
+        label_offsets.append(len(labels_flat))
+    return pa.table(
+        {
+            "uuid": pa.array(uuids[firsts].tolist(), pa.string()),
+            "name": pa.array(names, pa.string()),
+            "group_id": pa.array(groups[firsts].tolist(), pa.string()),
+            "labels": pa.ListArray.from_arrays(
+                pa.array(label_offsets, pa.int32()),
+                pa.array(labels_flat, pa.string()),
+            ),
+            "summary": pa.array(summaries, pa.string()),
+            "mention_count": pa.array(sums.tolist(), pa.int64()),
+            "attributes": pa.array(attrs_json, pa.string()),
+        }
+    )
+
+
 def nodes_from_canonical(
     canon: rd.Dataset, attribute_extractors: dict | None = None
 ) -> rd.Dataset:
@@ -218,36 +285,22 @@ def nodes_from_canonical(
     nodes.py:297-302): uuid, name, group_id, labels, summary,
     mention_count, attributes (map<string,string>, JSON-encoded values —
     the open bag of §1.3; filled by per-label extractors from
-    functions/ontology.py when supplied, M5 stand-in)."""
-    import json as _json
+    functions/ontology.py when supplied, M5 stand-in).
 
-    def per_entity(g: pd.DataFrame) -> pd.DataFrame:
-        canonical = g["canonical"].iloc[0]
-        labels = sorted(set(g["label"]))
-        if len(labels) > 1 and "Entity" in labels:
-            labels.remove("Entity")
-        primary = labels[0] if labels else "Entity"
-        attrs: dict[str, str] = {}
-        if attribute_extractors and primary in attribute_extractors:
-            from graphiti_ray.functions.ontology import encode_attributes
+    Shape: one range sort on (group_id, entity_uuid), then a vectorized
+    per-block kernel over complete key runs (``ops.sorted_run_map``) — no
+    per-entity Python dispatch (the former per-group ``map_groups`` paid
+    one Python call per entity)."""
+    import functools
 
-            attrs = encode_attributes(
-                attribute_extractors[primary](canonical, primary) or {}
-            )
-        return pd.DataFrame(
-            {
-                "uuid": [g["entity_uuid"].iloc[0]],
-                "name": [canonical],
-                "group_id": [g["group_id"].iloc[0]],
-                "labels": [["Entity"] + [l for l in labels if l != "Entity"]],
-                "summary": [f"Entity {canonical} ({', '.join(labels)})"],
-                "mention_count": [int(g["mention_count"].sum())],
-                "attributes": [_json.dumps(attrs, sort_keys=True)],
-            }
-        )
+    from graphiti_ray.stages.ops import sorted_run_map
 
-    return canon.groupby(["group_id", "entity_uuid"]).map_groups(
-        per_entity, batch_format="pandas"
+    return sorted_run_map(
+        canon,
+        key_cols=["group_id", "entity_uuid"],
+        block_fn=functools.partial(
+            _nodes_block, attribute_extractors=attribute_extractors
+        ),
     )
 
 

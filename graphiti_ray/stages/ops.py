@@ -87,29 +87,37 @@ def _lead_block(
     run summary, so an equal-value run straddling any number of block
     boundaries still finds its lead. Requires a prior global sort by
     (part_cols..., order_cols...)."""
+    import numpy as np
+
     block = _as_arrow(block)
     n = block.num_rows
     if n == 0:
         return block.append_column(out_col, pa.array([], out_type))
-    values = block.column(value_col).to_pylist()
-    parts = list(zip(*(block.column(c).to_pylist() for c in part_cols)))
-    lead = [None] * n
     # strict lead: the next row in the partition with a STRICTLY greater
-    # value (equal-value runs are skipped — reference kernel semantics)
-    for i in range(n - 1):
-        j = i + 1
-        while j < n and parts[j] == parts[i] and values[j] == values[i]:
-            j += 1
-        if j < n and parts[j] == parts[i]:
-            lead[i] = values[j]
+    # value (equal-value runs are skipped — reference kernel semantics).
+    # Vectorized run formulation: rows with equal (part, value) form runs;
+    # a run's lead is the NEXT run's value when the partition continues.
+    vals = np.array(block.column(value_col).to_pylist(), dtype=object)
+    parts = [
+        np.array(block.column(c).to_pylist(), dtype=object) for c in part_cols
+    ]
+    starts = _run_starts(*parts, vals)
+    firsts = starts[:-1]
+    run_len = np.diff(starts)
+    n_runs = len(firsts)
+    run_lead = np.empty(n_runs, dtype=object)
+    run_lead[:] = None
+    if n_runs > 1:
+        same_part = np.ones(n_runs - 1, dtype=bool)
+        for p in parts:
+            same_part &= p[firsts[1:]] == p[firsts[:-1]]
+        nxt = vals[firsts[1:]]
+        run_lead[:-1][same_part] = nxt[same_part]
     if boundary_lead is not None:
         # patch exactly the trailing (part, value) run
-        tp, tv = parts[-1], values[-1]
-        for i in range(n - 1, -1, -1):
-            if parts[i] != tp or values[i] != tv:
-                break
-            lead[i] = boundary_lead
-    return block.append_column(out_col, pa.array(lead, out_type))
+        run_lead[-1] = boundary_lead
+    lead = np.repeat(run_lead, run_len)
+    return block.append_column(out_col, pa.array(lead.tolist(), out_type))
 
 
 def _resolve_boundary_lead(i: int, infos: list) -> object:
@@ -205,29 +213,41 @@ def _lag_list_block(
     prev_tail: list,
 ) -> pa.Table:
     """Per row: the previous ≤k values within its partition, in order —
-    seeded at the block boundary with the previous block's tail."""
+    seeded at the block boundary with the previous block's tail.
+
+    Vectorized: the seed is virtually prepended to the value array (it can
+    only extend the block's FIRST partition), each row's window is
+    ``[max(partition_start, i-k), i)`` in those extended coordinates, and
+    the list column is assembled with one repeat/arange gather — no per-row
+    Python loop."""
+    import numpy as np
+
     block = _as_arrow(block)
     n = block.num_rows
     if n == 0:
         return block.append_column(out_col, pa.array([], pa.list_(pa.string())))
-    parts = list(zip(*(block.column(c).to_pylist() for c in part_cols)))
-    values = block.column(value_col).to_pylist()
-    out = []
-    buf_part = None
-    buf: list = []
-    # seed from previous block's tail (only entries of the first partition
-    # in this block can matter)
-    if prev_tail:
-        first_part = parts[0]
-        seed = [v for p, v in prev_tail if p == first_part]
-        if seed:
-            buf_part, buf = first_part, seed[-k:]
-    for i in range(n):
-        if parts[i] != buf_part:
-            buf_part, buf = parts[i], []
-        out.append(list(buf[-k:]))
-        buf.append(values[i])
-    return block.append_column(out_col, pa.array(out, pa.list_(pa.string())))
+    parts = [
+        np.array(block.column(c).to_pylist(), dtype=object) for c in part_cols
+    ]
+    first_part = tuple(p[0] for p in parts)
+    seed = [v for p, v in (prev_tail or []) if p == first_part][-k:]
+    m = len(seed)
+    ext = np.array(seed + block.column(value_col).to_pylist(), dtype=object)
+    starts = _run_starts(*parts)  # partition run starts (row coords)
+    run_len = np.diff(starts)
+    part_start = starts[:-1] + m  # partition starts in extended coords
+    part_start[0] = 0  # first partition reaches back into the seed
+    row_start = np.repeat(part_start, run_len)
+    row_idx = np.arange(n) + m
+    lo = np.maximum(row_start, row_idx - k)
+    counts = row_idx - lo
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    gather = np.repeat(lo, counts) + (
+        np.arange(int(offsets[-1])) - np.repeat(offsets[:-1], counts)
+    )
+    flat = pa.array(ext[gather].tolist(), pa.string())
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    return block.append_column(out_col, lists)
 
 
 def sorted_lag_list(

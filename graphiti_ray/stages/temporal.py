@@ -94,6 +94,76 @@ def _combine_partial(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def _merge_finalize_block(tbl: pa.Table, run_ts: datetime) -> pa.Table:
+    """Vectorized finalizer over COMPLETE edge-key runs (sorted_run_map
+    contract: rows sorted by EDGE_KEY + (valid_at, first_episode)): the
+    run's first row carries the earliest assertion's payload; episode
+    provenance unions across the run's combiner partials. One Python call
+    per BLOCK, not per edge key — the former ``map_groups(finalize)`` paid
+    a Python dispatch per distinct edge (billions at 100×)."""
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "uuid": pa.array([], pa.string()),
+                "group_id": pa.array([], pa.string()),
+                "subj_uuid": pa.array([], pa.string()),
+                "pred": pa.array([], pa.string()),
+                "obj_uuid": pa.array([], pa.string()),
+                "subj_canonical": pa.array([], pa.string()),
+                "obj_canonical": pa.array([], pa.string()),
+                "fact": pa.array([], pa.string()),
+                "valid_at": pa.array([], pa.timestamp("us")),
+                "episodes": pa.array([], pa.string()),
+                "episode_count": pa.array([], pa.int64()),
+                "created_at": pa.array([], pa.timestamp("us")),
+            }
+        )
+    from graphiti_ray.stages.ops import _run_starts
+
+    keys = [np.array(tbl.column(c).to_pylist(), dtype=object) for c in EDGE_KEY]
+    starts = _run_starts(*keys)
+    firsts = starts[:-1]
+    head = tbl.take(pa.array(firsts, pa.int64()))
+    eps = tbl.column("episodes").to_pylist()
+    episodes_j: list[str] = []
+    counts: list[int] = []
+    for s, e in zip(starts[:-1], starts[1:]):
+        if e - s == 1:  # common case: the key appeared in one batch
+            u = sorted(set(eps[s].split(",")))
+        else:
+            u = sorted(set().union(*(eps[j].split(",") for j in range(s, e))))
+        episodes_j.append(",".join(u))
+        counts.append(len(u))
+    uuids = [
+        edge_uuid(g, s, p, o)
+        for g, s, p, o in zip(
+            head.column("group_id").to_pylist(),
+            head.column("subj_uuid").to_pylist(),
+            head.column("pred").to_pylist(),
+            head.column("obj_uuid").to_pylist(),
+        )
+    ]
+    n = len(firsts)
+    return pa.table(
+        {
+            "uuid": pa.array(uuids, pa.string()),
+            "group_id": head.column("group_id"),
+            "subj_uuid": head.column("subj_uuid"),
+            "pred": head.column("pred"),
+            "obj_uuid": head.column("obj_uuid"),
+            "subj_canonical": head.column("subj_canonical"),
+            "obj_canonical": head.column("obj_canonical"),
+            "fact": head.column("fact"),
+            "valid_at": head.column("valid_at").cast(pa.timestamp("us")),
+            "episodes": pa.array(episodes_j, pa.string()),
+            "episode_count": pa.array(counts, pa.int64()),
+            "created_at": pa.array([run_ts] * n, pa.timestamp("us")),
+        }
+    )
+
+
 def merged_edges(
     resolved: rd.Dataset, run_ts: datetime = DEFAULT_RUN_TS
 ) -> rd.Dataset:
@@ -102,7 +172,14 @@ def merged_edges(
     valid_at = earliest assertion; fact = fact text of the earliest
     assertion (deterministic tie-break on episode uuid); episodes =
     sorted provenance union (EntityEdge.episodes, edges.py:209).
+
+    Shape: per-batch combiner (one row per key per batch) → one range sort
+    → vectorized per-block finalize over complete key runs
+    (``ops.sorted_run_map``) — no per-key Python dispatch anywhere.
     """
+    import functools
+
+    from graphiti_ray.stages.ops import sorted_run_map
 
     def combiner(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -110,36 +187,13 @@ def merged_edges(
             _combine_partial(df), preserve_index=False
         ).replace_schema_metadata(None)
 
-    def finalize(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["valid_at", "first_episode"], kind="mergesort")
-        first = g.iloc[0]
-        episodes = sorted(set(x for joined in g["episodes"] for x in joined.split(",")))
-        return pd.DataFrame(
-            {
-                "uuid": [
-                    edge_uuid(
-                        first["group_id"],
-                        first["subj_uuid"],
-                        first["pred"],
-                        first["obj_uuid"],
-                    )
-                ],
-                "group_id": [first["group_id"]],
-                "subj_uuid": [first["subj_uuid"]],
-                "pred": [first["pred"]],
-                "obj_uuid": [first["obj_uuid"]],
-                "subj_canonical": [first["subj_canonical"]],
-                "obj_canonical": [first["obj_canonical"]],
-                "fact": [first["fact"]],
-                "valid_at": [first["valid_at"]],
-                "episodes": [",".join(episodes)],
-                "episode_count": [len(episodes)],
-                "created_at": [pd.Timestamp(run_ts)],
-            }
-        )
-
     partial = resolved.map_batches(combiner, batch_format="pyarrow")
-    return partial.groupby(EDGE_KEY).map_groups(finalize, batch_format="pandas")
+    return sorted_run_map(
+        partial,
+        key_cols=EDGE_KEY,
+        order_cols=["valid_at", "first_episode"],
+        block_fn=functools.partial(_merge_finalize_block, run_ts=run_ts),
+    )
 
 
 def _sweep_frame(g: pd.DataFrame, run_ts: datetime) -> pd.DataFrame:

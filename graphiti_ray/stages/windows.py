@@ -123,6 +123,47 @@ def sliding_window(
     )
 
 
+def _session_block(tbl: pa.Table, key_col: str, ts_col: str, gap_s: int) -> pa.Table:
+    """Vectorized gaps-and-islands kernel over COMPLETE key runs
+    (sorted_run_map contract: rows sorted by (key, ts)): a session break is
+    a key change OR a gap > gap_s; session bounds/counts come from the
+    break offsets — one Python call per BLOCK, not per key."""
+    import pyarrow.compute as pc
+
+    key_type = tbl.schema.field(key_col).type if tbl.num_rows else pa.string()
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                key_col: pa.array([], key_type),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+    keys = np.array(tbl.column(key_col).to_pylist(), dtype=object)
+    us = pc.cast(
+        pc.cast(tbl.column(ts_col), pa.timestamp("us")), pa.int64()
+    ).to_numpy(zero_copy_only=False)
+    n = len(us)
+    new_sess = np.ones(n, dtype=bool)
+    if n > 1:
+        new_sess[1:] = (keys[1:] != keys[:-1]) | ((us[1:] - us[:-1]) > gap_s * US)
+    starts = np.nonzero(new_sess)[0]
+    bounds = np.concatenate([starts[1:], [n]])
+    return pa.table(
+        {
+            key_col: pa.array(keys[starts].tolist(), key_type),
+            "session_start": pa.array(us[starts], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "session_end": pa.array(us[bounds - 1], pa.int64()).cast(
+                pa.timestamp("us")
+            ),
+            "n_events": pa.array(bounds - starts, pa.int64()),
+        }
+    )
+
+
 def session_window(
     events: rd.Dataset,
     key_col: str = "user_id",
@@ -130,29 +171,21 @@ def session_window(
     gap_s: int = 1800,
 ) -> rd.Dataset:
     """Gap-based sessions: per key, sorted by ts; a gap > gap_s starts a new
-    session. → (key, session_start, session_end, n_events)."""
+    session. → (key, session_start, session_end, n_events).
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[us]").astype("int64")
-        new_session = np.concatenate([[True], gaps > gap_s * US])
-        sess = np.cumsum(new_session)
-        out = (
-            pd.DataFrame({"sess": sess, ts_col: ts})
-            .groupby("sess")[ts_col]
-            .agg(["min", "max", "count"])
-            .reset_index(drop=True)
-        )
-        return pd.DataFrame(
-            {
-                key_col: g[key_col].iloc[0],
-                "session_start": out["min"],
-                "session_end": out["max"],
-                "n_events": out["count"].astype("int64"),
-            }
-        )
+    Shape: one range sort on (key, ts), then a vectorized per-block
+    gaps-and-islands kernel over complete key runs (``ops.sorted_run_map``)
+    — no per-key Python dispatch (the former per-key ``map_groups`` paid
+    one Python call per user)."""
+    import functools
 
-    return events.select_columns([key_col, ts_col]).groupby(key_col).map_groups(
-        per_key, batch_format="pandas"
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    return sorted_run_map(
+        events.select_columns([key_col, ts_col]),
+        key_cols=[key_col],
+        order_cols=[ts_col],
+        block_fn=functools.partial(
+            _session_block, key_col=key_col, ts_col=ts_col, gap_s=gap_s
+        ),
     )

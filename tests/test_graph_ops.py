@@ -67,3 +67,35 @@ def test_build_communities(ray_session):
     # deterministic tree-reduced summary contains every member summary
     for s in ["Sa", "Sb", "Sc"]:
         assert s in comms.iloc[0].summary
+
+
+def test_label_propagation_50k_nodes_round_time(ray_session):
+    """Scale smoke: the vectorized vote (sorted_run_map kernel) must handle
+    a 50k-node graph in bounded wall time. The former per-node map_groups
+    dispatch cost ~1ms/node/round (≥50s/round at this size); the block
+    kernel runs in seconds. Bound is generous for hypervisor noise."""
+    import time
+
+    import numpy as np
+
+    n = 50_000
+    rng = np.random.RandomState(7)
+    # ring + random chords: connected, converges slowly enough to run
+    # the full 2 rounds we time
+    src = np.arange(n)
+    dst = (src + 1) % n
+    chord_src = rng.randint(0, n, size=n // 2)
+    chord_dst = rng.randint(0, n, size=n // 2)
+    tbl = {
+        "subj_uuid": [f"n{i:06d}" for i in np.concatenate([src, chord_src])],
+        "obj_uuid": [f"n{i:06d}" for i in np.concatenate([dst, chord_dst])],
+    }
+    import pyarrow as pa
+
+    edges = rd.from_arrow(pa.table(tbl))
+    t0 = time.monotonic()
+    out = label_propagation(edges, max_rounds=2)
+    n_labeled = out.count()
+    wall = time.monotonic() - t0
+    assert n_labeled == n
+    assert wall < 90, f"2 LPA rounds on 50k nodes took {wall:.1f}s"
