@@ -1069,15 +1069,20 @@ def _q_docs_bm25(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     idx = build_bm25_index(docs, "text")
-    iref = ray.put(idx)
     q = _tokens("spark stream window merge")
+    # broadcast only the query-scoped stats, never the vocabulary
+    iref = ray.put(idx.subset(q))
 
     def score(batch: pa.Table, _ref=iref) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        from graphiti_ray.pipelines.search import bm25_score_texts
         from graphiti_ray.stages.link import _cached_lut
 
         index = _cached_lut(_ref)
-        texts = batch.column("text").to_pylist()
-        scores = [round(index.score(q, t), 6) for t in texts]
+        texts = pd.Series(batch.column("text").to_pylist())
+        scores = np.round(bm25_score_texts(index, q, texts), 6)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

@@ -99,10 +99,14 @@ class KGDatasetSearcher:
     def _bm25_rank(self, kind, ds, col, query, group_ids, flt, limit):
         import ray
 
-        idx_ref = ray.put(self._index_for(kind, ds, col))
         q = _tokens(query)
+        # broadcast only the query-scoped stats (O(|query|) bytes), never
+        # the vocabulary — works identically for the dict-resident and
+        # dataset-resident (corpus-scale) index variants
+        idx_ref = ray.put(self._index_for(kind, ds, col).subset(q))
 
         def score(batch: pa.Table, _ref=idx_ref) -> pa.Table:
+            from graphiti_ray.pipelines.search import bm25_score_texts
             from graphiti_ray.stages.link import _cached_lut
 
             index = _cached_lut(_ref)
@@ -111,7 +115,7 @@ class KGDatasetSearcher:
                 df = df[df["group_id"].isin(group_ids)]
             if flt is not None:
                 df = df[flt.mask(df, kind)]
-            s = df[col].fillna("").map(lambda t: index.score(q, t))
+            s = bm25_score_texts(index, q, df[col])
             out = pd.DataFrame({"uuid": df["uuid"], "_score": s.astype(float)})
             out = out[out._score > 0]
             return pa.Table.from_pandas(out, preserve_index=False).cast(

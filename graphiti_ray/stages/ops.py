@@ -449,7 +449,18 @@ def _asof_fill_block(
     import pandas as pd
 
     block = _as_arrow(block)
-    df = block.to_pandas()
+    # nullable Int dtypes for integer columns: the left rows are null in the
+    # right value columns, and a plain-int64→float64 promotion would silently
+    # lose precision for right-side payloads above 2^53
+    _nullable_ints = {
+        pa.int64(): pd.Int64Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int8(): pd.Int8Dtype(),
+        pa.uint64(): pd.UInt64Dtype(),
+        pa.uint32(): pd.UInt32Dtype(),
+    }
+    df = block.to_pandas(types_mapper=_nullable_ints.get)
     if df.empty:
         return pa.table({f.name: pa.array([], f.type) for f in out_schema})
     if carry is not None:
@@ -460,7 +471,10 @@ def _asof_fill_block(
             # left columns, which pandas concat warns about
             seed = {c: row.get(c) for c in by + value_cols}
             seed[side_col] = 0
-            df = pd.concat([pd.DataFrame([seed]), df], ignore_index=True)
+            seed_df = pd.DataFrame([seed]).astype(
+                {c: df[c].dtype for c in seed if c in df.columns}
+            )
+            df = pd.concat([seed_df, df], ignore_index=True)
     vals = df[value_cols].where(df[side_col].eq(0))
     filled = vals.groupby([df[c] for c in by]).ffill()
     out = df.loc[df[side_col].eq(1), left_cols].reset_index(drop=True)
@@ -609,7 +623,9 @@ def group_quantiles(
     (row_number over the sorted group), so results hash identically.
     Runs on ``sorted_run_map``: one range sort by (keys, value), each
     group's complete sorted run hits one vectorized kernel. Output: one
-    row per (group, q): (keys..., q, quantile_value).
+    row per (group, q): (keys..., q, quantile_value) — ``quantile_value``
+    keeps the INPUT column's arrow type (int in → int out, float in →
+    float out).
 
     Partitioning assumption: a single group must fit sorted_run_map's
     boundary-carry budget (carry_cap rows beyond one block). For
@@ -619,39 +635,37 @@ def group_quantiles(
 
     def kernel(tbl: pa.Table) -> pa.Table:
         n = tbl.num_rows
-        out_cols: dict = {c: [] for c in keys}
-        out_cols["q"] = []
-        out_cols["quantile_value"] = []
+        val_type = tbl.schema.field(value_col).type
         if n == 0:
-            t = pa.table(
+            return pa.table(
                 {
                     **{c: pa.array([], tbl.schema.field(c).type) for c in keys},
                     "q": pa.array([], pa.float64()),
-                    "quantile_value": pa.array([], pa.int64()),
+                    "quantile_value": pa.array([], val_type),
                 }
             )
-            return t
         key_arrays = [
             np.array(tbl.column(c).to_pylist(), dtype=object) for c in keys
         ]
         vals = tbl.column(value_col).to_numpy(zero_copy_only=False)
         starts = _run_starts(*key_arrays)
-        for s, e in zip(starts[:-1], starts[1:]):
-            m = e - s
-            for q in qs:
-                idx = s + int(np.floor(q * (m - 1)))
-                for c, arr in zip(keys, key_arrays):
-                    out_cols[c].append(arr[s])
-                out_cols["q"].append(float(q))
-                out_cols["quantile_value"].append(int(vals[idx]))
+        firsts = starts[:-1]
+        sizes = np.diff(starts)
+        n_runs = len(firsts)
+        # vectorized: every (run, q) index in one shot
+        q_arr = np.asarray(qs, dtype=np.float64)
+        idx = (
+            firsts[:, None] + np.floor(q_arr[None, :] * (sizes[:, None] - 1))
+        ).astype(np.int64)
+        take_keys = np.repeat(firsts, len(qs))
         return pa.table(
             {
                 **{
-                    c: pa.array(out_cols[c], tbl.schema.field(c).type)
-                    for c in keys
+                    c: pa.array(arr[take_keys].tolist(), tbl.schema.field(c).type)
+                    for c, arr in zip(keys, key_arrays)
                 },
-                "q": pa.array(out_cols["q"], pa.float64()),
-                "quantile_value": pa.array(out_cols["quantile_value"], pa.int64()),
+                "q": pa.array(np.tile(q_arr, n_runs), pa.float64()),
+                "quantile_value": pa.array(vals[idx.reshape(-1)], val_type),
             }
         )
 

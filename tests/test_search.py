@@ -152,3 +152,43 @@ def test_cross_encoder_hook(searcher):
     res = searcher.search("Paris located", cfg)
     if len(res.edges):
         assert "Paris" in res.edges.iloc[0]["fact"]
+
+
+def test_bm25_dataset_resident_stats_match_dict_path(ray_session):
+    """Above the driver-term limit, build_bm25_index keeps stats in the
+    object store (DatasetBM25Stats); scores must equal the dict path and
+    the driver must hold only the queried terms' dfs."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.search import (
+        BM25Index,
+        DatasetBM25Stats,
+        _tokens,
+        bm25_score_texts,
+        build_bm25_index,
+    )
+
+    texts = [
+        f"alpha beta gamma doc{i} unique{i} filler{i % 7} spark stream"
+        for i in range(50)
+    ]
+    ds = rd.from_items([{"text": t} for t in texts])
+    small = build_bm25_index(ds, "text")
+    assert isinstance(small, BM25Index)
+    big = build_bm25_index(ds, "text", max_driver_terms=5)
+    assert isinstance(big, DatasetBM25Stats)
+    assert big.n == small.n and abs(big.avg_len - small.avg_len) < 1e-12
+
+    q = _tokens("alpha spark unique3 missingterm")
+    s_small = bm25_score_texts(small, q, pd.Series(texts))
+    s_big = bm25_score_texts(big, q, pd.Series(texts))
+    assert np.allclose(s_small, s_big, rtol=0, atol=0)
+    # per-doc scorer agrees with the vectorized kernel
+    s_rows = np.array([small.score(q, t) for t in texts])
+    assert np.allclose(s_small, s_rows, rtol=0, atol=1e-12)
+    # driver footprint: only queried terms cached, nothing vocabulary-sized
+    assert set(big._df_cache) == set(q)
+    assert big._df_cache["missingterm"] == 0
