@@ -1094,6 +1094,61 @@ def _q_docs_bm25(sf_dir: str):
     return scored.sort(["bm25", "doc_id"], descending=[True, False]).limit(20)
 
 
+def _q_kg_node_attributes(sf_dir: str):
+    """M5 runtime-typed attributes (node_operations.py:449-536 parity): per
+    entity, the object of its latest currently-valid WORKS_AT / CEO_OF /
+    LOCATED_IN edge, pivoted to (uuid, name, employer, ceo_of, location).
+    The SQL twin re-derives the same winners from the edge oracle CTEs."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray
+
+    from graphiti_ray.stages.attributes import current_edge_attributes
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    attrs = current_edge_attributes(tables["edges"])
+
+    ATTR_COLS = ["ceo_of", "employer", "location"]
+
+    def pivot(tbl: pa.Table) -> pa.Table:
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "uuid": pa.array([], pa.string()),
+                    **{c: pa.array([], pa.string()) for c in ATTR_COLS},
+                }
+            )
+        df = tbl.to_pandas()
+        p = df.pivot(index="uuid", columns="attr_name", values="attr_value")
+        for c in ATTR_COLS:
+            if c not in p.columns:
+                p[c] = None
+        p = p.reset_index()
+        return pa.table(
+            {
+                "uuid": pa.array(p["uuid"], pa.string()),
+                **{c: pa.array(p[c], pa.string()) for c in ATTR_COLS},
+            }
+        )
+
+    pivoted = sorted_run_map(attrs, key_cols=["uuid"], block_fn=pivot)
+
+    # node names are vocabulary-sized: broadcast dict, one streaming pass
+    names = tables["nodes"].select_columns(["uuid", "name"]).to_pandas()
+    nref = ray.put(dict(zip(names["uuid"], names["name"])))
+
+    def add_name(batch: pa.Table, _ref=nref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        lut = _cached_lut(_ref)
+        vals = [lut.get(u) for u in batch.column("uuid").to_pylist()]
+        return batch.append_column("name", pa.array(vals, pa.string()))
+
+    return pivoted.map_batches(add_name, batch_format="pyarrow")
+
+
 def _q_graph_components(sf_dir: str):
     """Connected components over the entity graph (G5/A7 family): min-label
     convention, oracle = DuckDB recursive-CTE transitive closure."""
@@ -1187,6 +1242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "graph_components": _q_graph_components,
         "kg_point_in_time": _q_kg_point_in_time,
+        "kg_node_attributes": _q_kg_node_attributes,
         "kg_communities": _q_kg_communities,
         "search_hybrid": _q_search_hybrid,
         "docs_bm25": _q_docs_bm25,
@@ -1234,6 +1290,45 @@ GROUP BY group_id, md5(group_id || '|' || lower(canonical))
         # incremental build must converge to the SAME edges as the batch
         # build — one oracle, two engine paths
         "kg_edges_incremental": _KG_EDGES_ORACLE,
+        # M5 typed attributes: winners re-derived from the edge CTEs —
+        # latest currently-valid source edge per (entity, predicate), ties
+        # on valid_at to the lexicographically LAST object (both sides)
+        "kg_node_attributes": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+edges AS (
+  SELECT m.*, coalesce(p.inv, s.inv) AS invalid_at
+  FROM merged_id m
+  LEFT JOIN pair_inv p USING (uuid)
+  LEFT JOIN subj_inv s USING (uuid)
+),
+cur AS (
+  SELECT subj_uuid, pred, obj_canonical, valid_at FROM edges
+  WHERE invalid_at IS NULL
+    AND pred IN ('WORKS_AT', 'CEO_OF', 'LOCATED_IN')
+),
+win AS (
+  SELECT subj_uuid, pred, obj_canonical,
+         row_number() OVER (PARTITION BY subj_uuid, pred
+                            ORDER BY valid_at DESC, obj_canonical DESC) AS rn
+  FROM cur
+),
+node_names AS (
+  SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
+         min(canonical) AS name
+  FROM canon GROUP BY 1
+)
+SELECT w.subj_uuid AS uuid,
+       max(CASE WHEN w.pred = 'CEO_OF' THEN w.obj_canonical END) AS ceo_of,
+       max(CASE WHEN w.pred = 'WORKS_AT' THEN w.obj_canonical END) AS employer,
+       max(CASE WHEN w.pred = 'LOCATED_IN' THEN w.obj_canonical END) AS location,
+       n.name
+FROM win w JOIN node_names n ON n.uuid = w.subj_uuid
+WHERE w.rn = 1
+GROUP BY 1, 5
+""",
         "dedup_exact": """
 SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
        count(*)::BIGINT AS dup_count

@@ -66,11 +66,16 @@ def build_kg(
     nlp_concurrency=None,
     embeddings: bool = True,
     node_summaries: bool = False,
+    typed_attributes: bool = False,
 ) -> dict[str, rd.Dataset]:
     """All KG tables as datasets from an in-memory pages input.
     ``node_summaries=True`` replaces the template node summary with a
     fact-derived digest (M5 parity, link.with_node_summaries); it
     materializes edges so the edge pipeline doesn't run twice.
+    ``typed_attributes=True`` fills each node's ``attributes`` bag through
+    the runtime-typed extractors (M5 attribute parity,
+    stages/attributes.py — the pydantic.create_model analogue,
+    node_operations.py:449-536).
 
     Episodes and the fused extraction output are materialized once — each
     feeds two consumers and re-running the heaviest maps per consumer would
@@ -107,6 +112,12 @@ def build_kg(
         edges = edges.materialize()
         nodes = with_node_summaries(nodes, edges, num_partitions=num_partitions)
 
+    if typed_attributes:
+        from graphiti_ray.stages.attributes import with_typed_attributes
+
+        edges = edges.materialize()
+        nodes = with_typed_attributes(nodes, edges)
+
     return {
         "episodes": episodes,
         "mentions": m_edges,
@@ -128,6 +139,7 @@ def run_kg(
     concurrent_stages: bool = False,
     communities: bool = False,
     node_summaries: bool = False,
+    typed_attributes: bool = False,
 ) -> list[dict]:
     """Checkpointed staged run: every stage boundary is a parquet table with
     lineage + metrics; a rerun skips completed tables (resumability
@@ -239,6 +251,18 @@ def run_kg(
         )
         replace_table(out_root, "nodes", nodes2)
         metrics.append({"table": "nodes", "summarized": True})
+
+    if typed_attributes:
+        # M5 runtime-typed attributes over the checkpointed edges; rewrite
+        # the nodes table (idempotent: same winners on recompute)
+        from graphiti_ray.stages.attributes import with_typed_attributes
+        from graphiti_ray.state.checkpoint import replace_table
+
+        nodes3 = with_typed_attributes(
+            read_table(out_root, "nodes"), read_table(out_root, "edges")
+        )
+        replace_table(out_root, "nodes", nodes3)
+        metrics.append({"table": "nodes", "typed_attributes": True})
 
     if communities and not (
         is_complete(out_root, "communities")
