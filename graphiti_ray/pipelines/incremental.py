@@ -29,7 +29,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from graphiti_ray.stages.extract import DEFAULT_RUN_TS, episodes_dataset
-from graphiti_ray.stages.embed import with_embedding
+from graphiti_ray.stages.models import auto_embedding as with_embedding
 from graphiti_ray.stages.link import (
     apply_canonical_broadcast,
     canon_lookup_ref,

@@ -41,7 +41,10 @@ import ray.data as rd
 import graphiti_ray as gr
 from graphiti_ray.sources.pages import pages_dataset
 from graphiti_ray.stages.extract import DEFAULT_RUN_TS, episodes_dataset
-from graphiti_ray.stages.embed import with_embedding
+# auto_embedding: deterministic hashing embedder by default; the
+# $GRAPHITI_RAY_EMBED_MODEL env flag swaps in a sentence-transformers
+# actor pool when the package is installed (ST2 real-model seam)
+from graphiti_ray.stages.models import auto_embedding as with_embedding
 from graphiti_ray.stages.link import (
     BROADCAST_LIMIT,
     apply_canonical,

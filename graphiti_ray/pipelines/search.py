@@ -494,7 +494,14 @@ def cross_encoder_rerank(
 ) -> rd.Dataset:
     """Dataset-mode cross-encoder rerank: actor-pool scoring pass → global
     (score desc, uuid) sort → limit. The whole candidate set streams
-    through the pool; nothing materializes on the driver."""
+    through the pool; nothing materializes on the driver. With no explicit
+    ``model_loader``, ``$GRAPHITI_RAY_CROSS_ENCODER_MODEL`` selects the
+    real sentence-transformers CrossEncoder when installed
+    (stages/models.py seam); otherwise the deterministic stand-in runs."""
+    if model_loader is None:
+        from graphiti_ray.stages.models import default_cross_encoder_loader
+
+        model_loader = default_cross_encoder_loader()
     scored = ds.map_batches(
         CrossEncoderStage,
         fn_constructor_args=(query, text_col, model_loader),
