@@ -818,11 +818,18 @@ def embedding_near_dup(
         bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
         # table index folded into the bucket id keeps one groupby
         bucket = bucket * n_tables + table_idx
+        # vec payload built from one contiguous buffer — no per-row tobytes
+        raw = np.ascontiguousarray(vecs.astype("<f4"))
+        width = raw.itemsize * raw.shape[1]
+        offs = (np.arange(len(raw) + 1, dtype=np.int32) * width).tobytes()
+        vec_arr = pa.Array.from_buffers(
+            pa.binary(), len(raw), [None, pa.py_buffer(offs), pa.py_buffer(raw.tobytes())]
+        )
         return pa.table(
             {
                 "vec_id": batch.column(id_col),
                 "bucket": pa.array(bucket.astype("int64"), pa.int64()),
-                "vec": pa.array([v.astype("<f4").tobytes() for v in vecs], pa.binary()),
+                "vec": vec_arr,
             }
         )
 
@@ -878,9 +885,17 @@ def _embedding_block_pairs(tbl: pa.Table, threshold: float) -> pa.Table:
     px, py = _run_pair_indices(_run_starts(bucket))
     if len(px) == 0:
         return empty
-    mat = np.frombuffer(b"".join(tbl.column("vec").to_pylist()), dtype="<f4").reshape(
-        n, -1
-    ).astype(np.float64)
+    # zero-copy parse: equal-width rows stored in offset order → one view
+    col = tbl.column("vec").combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ]
+    mat = (
+        np.frombuffer(col.buffers()[2], dtype=np.uint8)[offs[0] : offs[-1]]
+        .view("<f4")
+        .reshape(n, -1)
+        .astype(np.float64)
+    )
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1
     matn = mat / norms

@@ -670,13 +670,14 @@ def fuzzy_merge_pairs(
         for cset in cand_sets:
             vecs = embed_texts([n.lower() for n in cset]).astype(np.float64)
             sims = vecs @ vecs.T
-            for x in range(len(cset)):
-                for y in range(x + 1, len(cset)):
-                    if sims[x, y] >= threshold and (cset[x], cset[y]) not in seen:
-                        seen.add((cset[x], cset[y]))
-                        rows.append(
-                            (group_id, cset[x], cset[y], float(round(sims[x, y], 6)))
-                        )
+            # vectorized upper-triangle threshold: Python only touches HITS
+            iu, ju = np.triu_indices(len(cset), k=1)
+            hit = sims[iu, ju] >= threshold
+            for x, y, s in zip(iu[hit], ju[hit], sims[iu, ju][hit]):
+                pair = (cset[x], cset[y])
+                if pair not in seen:
+                    seen.add(pair)
+                    rows.append((group_id, pair[0], pair[1], float(round(s, 6))))
         return pd.DataFrame(rows, columns=["group_id", "a", "b", "cosine"])
 
     return ents.groupby("group_id").map_groups(per_group, batch_format="pandas")

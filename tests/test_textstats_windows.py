@@ -54,7 +54,7 @@ def test_language_id(ray_session):
                 "zzz qqq xxx",
             ]
         )
-    ).to_pandas()
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert out.lang_pred.tolist()[:3] == ["en", "de", "fr"]
     assert out.lang_pred.tolist()[3] == "und"
 
