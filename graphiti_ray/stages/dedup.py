@@ -427,6 +427,10 @@ def candidate_pairs(sig_rows: rd.Dataset, threshold: float = 0.8) -> rd.Dataset:
         key_cols=["band", "band_hash"],
         order_cols=["doc_id"],
         block_fn=functools.partial(_minhash_block_pairs, threshold=threshold),
+        # pair kernel caps every bucket at MAX_BUCKET rows and truncation
+        # is counted in TRUNCATION_STATS — dropping a hot run's tail is
+        # the documented recall/cost trade, not silent loss
+        on_carry_overflow="truncate",
     )
 
 
@@ -759,6 +763,7 @@ def simhash_near_dup(
         key_cols=["band", "band_val"],
         order_cols=["doc_id"],
         block_fn=functools.partial(_simhash_block_pairs, max_hamming=max_hamming),
+        on_carry_overflow="truncate",  # bucket pair kernel caps at MAX_BUCKET
     )
 
 
@@ -860,6 +865,7 @@ def embedding_near_dup(
         key_cols=["bucket"],
         order_cols=["vec_id"],
         block_fn=functools.partial(_embedding_block_pairs, threshold=threshold),
+        on_carry_overflow="truncate",  # bucket pair kernel caps at MAX_BUCKET
     )
     # the same pair can fire in several hash TABLES → one small dedup agg
     from ray.data.aggregate import Max

@@ -290,29 +290,60 @@ def build_communities(
         members, node_info, join_type="inner", num_partitions=default_join_partitions(), on=("entity_uuid",)
     )
 
-    def to_community(g: pd.DataFrame) -> pd.DataFrame:
-        cid = g["community"].iloc[0]
-        names = sorted(g["name"])
-        # pairwise tree reduction of member summaries (A5 shape)
-        level = sorted(g["summary"])
-        while len(level) > 1:
-            nxt = [
-                level[i] if i + 1 >= len(level) else f"{level[i]} | {level[i+1]}"
-                for i in range(0, len(level), 2)
-            ]
-            level = nxt
-        return pd.DataFrame(
+    def community_block(tbl: pa.Table) -> pa.Table:
+        """COMPLETE community runs (sorted_run_map contract, rows sorted by
+        (community, name)): one Python call per BLOCK of communities; the
+        per-run work is the A5 tree reduction itself."""
+        import numpy as np
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "uuid": pa.array([], pa.string()),
+                    "name": pa.array([], pa.string()),
+                    "group_id": pa.array([], pa.string()),
+                    "summary": pa.array([], pa.string()),
+                    "n_members": pa.array([], pa.int64()),
+                }
+            )
+        from graphiti_ray.stages.ops import _run_starts
+
+        comm = np.array(tbl.column("community").to_pylist(), dtype=object)
+        names = tbl.column("name").to_pylist()
+        summaries = tbl.column("summary").to_pylist()
+        groups = tbl.column("group_id").to_pylist()
+        starts = _run_starts(comm)
+        uuids, out_names, out_groups, out_sums, counts = [], [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            # pairwise tree reduction of member summaries (A5 shape)
+            level = sorted(summaries[s:e])
+            while len(level) > 1:
+                level = [
+                    level[i] if i + 1 >= len(level) else f"{level[i]} | {level[i+1]}"
+                    for i in range(0, len(level), 2)
+                ]
+            uuids.append(md5_hex(f"community|{comm[s]}"))
+            out_names.append(f"Community of {names[s]}")  # names sorted in-run
+            out_groups.append(groups[s])
+            out_sums.append(level[0] if level else "")
+            counts.append(e - s)
+        return pa.table(
             {
-                "uuid": [md5_hex(f"community|{cid}")],
-                "name": [f"Community of {names[0]}" if names else "Community"],
-                "group_id": [g["group_id"].iloc[0]],
-                "summary": [level[0] if level else ""],
-                "n_members": [len(g)],
+                "uuid": pa.array(uuids, pa.string()),
+                "name": pa.array(out_names, pa.string()),
+                "group_id": pa.array(out_groups, pa.string()),
+                "summary": pa.array(out_sums, pa.string()),
+                "n_members": pa.array(counts, pa.int64()),
             }
         )
 
-    communities = joined.groupby("community").map_groups(
-        to_community, batch_format="pandas"
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    communities = sorted_run_map(
+        joined.select_columns(["community", "name", "group_id", "summary"]),
+        key_cols=["community"],
+        order_cols=["name"],
+        block_fn=community_block,
     )
 
     def member_edges(batch: pa.Table) -> pa.Table:

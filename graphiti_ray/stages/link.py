@@ -203,12 +203,60 @@ def resolve_group(g: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def canonical_map(mentions: rd.Dataset) -> rd.Dataset:
-    """mentions → (group_id, name) → canonical/entity_uuid mapping table."""
-    partials = mention_partials(mentions)
-    return partials.groupby("group_id").map_groups(
-        resolve_group, batch_format="pandas"
+def _resolve_block(tbl: pa.Table) -> pa.Table:
+    """Alias resolution over COMPLETE group runs (sorted_run_map contract):
+    one Python call per BLOCK of host groups instead of a ``map_groups``
+    dispatch per host — at web scale group count is host count (millions),
+    so the per-group slicing layer matters even though the rule work
+    itself is per-vocabulary Python."""
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return pa.table(
+            {
+                "group_id": pa.array([], pa.string()),
+                "name": pa.array([], pa.string()),
+                "canonical": pa.array([], pa.string()),
+                "entity_uuid": pa.array([], pa.string()),
+                "label": pa.array([], pa.string()),
+                "mention_count": pa.array([], pa.int64()),
+            }
+        )
+    from graphiti_ray.stages.ops import _run_starts
+
+    df = tbl.to_pandas()
+    groups = np.array(tbl.column("group_id").to_pylist(), dtype=object)
+    starts = _run_starts(groups)
+    frames = [
+        resolve_group(df.iloc[s:e]) for s, e in zip(starts[:-1], starts[1:])
+    ]
+    out = pd.concat(frames, ignore_index=True)
+    return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(
+        None
+    ).cast(
+        pa.schema(
+            [
+                ("group_id", pa.string()),
+                ("name", pa.string()),
+                ("canonical", pa.string()),
+                ("entity_uuid", pa.string()),
+                ("label", pa.string()),
+                ("mention_count", pa.int64()),
+            ]
+        )
     )
+
+
+def canonical_map(mentions: rd.Dataset) -> rd.Dataset:
+    """mentions → (group_id, name) → canonical/entity_uuid mapping table.
+
+    Shape: per-batch partial counts (combiner) → one range sort on
+    group_id → per-block resolution over complete group runs
+    (``ops.sorted_run_map``) — no per-host ``map_groups`` dispatch."""
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    partials = mention_partials(mentions)
+    return sorted_run_map(partials, key_cols=["group_id"], block_fn=_resolve_block)
 
 
 def _nodes_block(tbl: pa.Table, attribute_extractors: dict | None) -> pa.Table:
@@ -382,6 +430,9 @@ def with_node_summaries(
         block_fn=functools.partial(
             _summary_block, max_facts=max_facts, max_words=max_words
         ),
+        # digest reads only the run's first max_facts rows (event-time
+        # order) — a hub entity's tail is provably unused
+        on_carry_overflow="truncate",
     ).materialize()
 
     # digests are entity-vocabulary-sized (one row per entity WITH facts),

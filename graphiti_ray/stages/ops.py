@@ -354,13 +354,23 @@ def sorted_run_map(
     key_cols: list[str],
     block_fn,
     order_cols: list[str] | None = None,
-    carry_cap: int = 4096,
+    carry_cap: int = 65536,
+    on_carry_overflow: str = "error",
 ) -> rd.Dataset:
     """``groupby(key_cols).map_groups`` semantics WITHOUT per-group Python
     dispatch: one global range sort, then ``block_fn`` runs once per block
     over COMPLETE key runs (a run straddling a block boundary is carried
     into the block where it starts, up to ``carry_cap`` continuation rows
-    per boundary — size your per-run cap at or below it).
+    per boundary).
+
+    A run continuing beyond ``carry_cap`` rows past its starting block is
+    an OVERFLOW: with ``on_carry_overflow='error'`` (default) the call
+    raises naming the hot key — silent row loss is never the default;
+    pass ``'truncate'`` only when the kernel provably doesn't need the
+    run's tail (e.g. LSH pair kernels capped at MAX_BUCKET, first-k
+    digests). Mega-runs needing completeness should raise ``carry_cap``
+    (carried rows concat into one kernel block, so the cap bounds that
+    block's memory).
 
     ``block_fn: pa.Table -> pa.Table`` sees rows sorted by ``key_cols`` and
     may vectorize across all runs in the block (adjacent-change run
@@ -368,6 +378,7 @@ def sorted_run_map(
     Python once per group; with millions of small LSH buckets that dispatch
     dominates the actual kernel work.
     """
+    assert on_carry_overflow in ("error", "truncate")
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
     mat = ds.sort(key_cols + (order_cols or [])).materialize()
     refs = []
@@ -399,11 +410,22 @@ def sorted_run_map(
         for j in range(i + 1, len(refs)):
             if infos[j] is None:
                 continue
-            first_j, _, _, whole_j = infos[j]
-            if first_j != last_i or budget <= 0:
+            first_j, lead_len_j, _, whole_j = infos[j]
+            if first_j != last_i:
+                break
+            if budget <= 0 or lead_len_j > budget:
+                if on_carry_overflow == "error":
+                    raise ValueError(
+                        f"sorted_run_map: run for key {last_i!r} exceeds "
+                        f"carry_cap={carry_cap} continuation rows past its "
+                        f"starting block; raise carry_cap or pass "
+                        f"on_carry_overflow='truncate' if the kernel only "
+                        f"needs the run's head"
+                    )
+            if budget <= 0:
                 break
             carries.append(_leading_rows.remote(refs[j], key_cols, budget))
-            budget -= min(infos[j][1], budget)
+            budget -= min(lead_len_j, budget)
             if not whole_j:
                 break
         out_refs.append(_apply_run_block.remote(r, block_fn, drop, carries))
@@ -608,7 +630,15 @@ def top_k_per_group(
             rank_col, pa.array(np.concatenate(ranks), pa.int64())
         )
 
-    return sorted_run_map(ds, keys, kernel, order_cols=order_cols, carry_cap=max(4096, k))
+    return sorted_run_map(
+        ds,
+        keys,
+        kernel,
+        order_cols=order_cols,
+        carry_cap=max(65536, k),
+        # only the run's first k rows are kept, and carry_cap ≥ k
+        on_carry_overflow="truncate",
+    )
 
 
 def group_quantiles(
