@@ -356,3 +356,53 @@ def test_group_quantiles_matches_reference(ray_session, rows, nblocks):
         for q in qs:
             want[(g, q)] = vals[int(math.floor(q * (len(vals) - 1)))]
     assert got == want
+
+
+def test_sorted_run_map_carry_overflow_raises_or_truncates(ray_session):
+    """A run continuing past carry_cap beyond its starting block must RAISE
+    by default (silent row loss was the old behavior) and only truncate on
+    explicit opt-in."""
+    import pyarrow as pa
+    import pytest
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    # one giant key run spread over many tiny blocks + one small run
+    rows = [{"k": "hot", "v": i} for i in range(200)] + [{"k": "z", "v": 0}]
+    ds = rd.from_items(rows).repartition(20)
+
+    def count_rows(tbl: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from graphiti_ray.stages.ops import _run_starts
+
+        keys = np.array(tbl.column("k").to_pylist(), dtype=object)
+        starts = _run_starts(keys)
+        return pa.table(
+            {
+                "k": pa.array(keys[starts[:-1]].tolist(), pa.string()),
+                "n": pa.array((starts[1:] - starts[:-1]).tolist(), pa.int64()),
+            }
+        )
+
+    # order_cols make the sort key distinct per row, so the range sort
+    # actually splits the hot run across blocks (equal-key-only sorts
+    # collapse duplicates into one partition)
+    with pytest.raises(Exception) as ei:
+        sorted_run_map(ds, ["k"], count_rows, order_cols=["v"], carry_cap=5).take_all()
+    assert "carry_cap" in str(ei.value)
+
+    out = sorted_run_map(
+        ds, ["k"], count_rows, order_cols=["v"], carry_cap=5,
+        on_carry_overflow="truncate",
+    ).to_pandas()
+    got = dict(zip(out["k"], out["n"]))
+    assert got["z"] == 1 and got["hot"] < 200  # truncation is opt-in
+
+    # a generous cap processes the hot run completely
+    full = sorted_run_map(
+        ds, ["k"], count_rows, order_cols=["v"], carry_cap=10_000
+    ).to_pandas()
+    assert dict(zip(full["k"], full["n"])) == {"hot": 200, "z": 1}
