@@ -1135,16 +1135,22 @@ def _q_kg_node_attributes(sf_dir: str):
 
     pivoted = sorted_run_map(attrs, key_cols=["uuid"], block_fn=pivot)
 
-    # node names are vocabulary-sized: broadcast dict, one streaming pass
+    # node names are vocabulary-sized: broadcast a hash index, one
+    # vectorized get_indexer probe per batch
     names = tables["nodes"].select_columns(["uuid", "name"]).to_pandas()
-    nref = ray.put(dict(zip(names["uuid"], names["name"])))
+    nref = ray.put(
+        (pd.Index(names["uuid"].to_numpy()), names["name"].to_numpy())
+    )
 
     def add_name(batch: pa.Table, _ref=nref) -> pa.Table:
+        import numpy as np
+
         from graphiti_ray.stages.link import _cached_lut
 
-        lut = _cached_lut(_ref)
-        vals = [lut.get(u) for u in batch.column("uuid").to_pylist()]
-        return batch.append_column("name", pa.array(vals, pa.string()))
+        idx, vals = _cached_lut(_ref)
+        pos = idx.get_indexer(batch.column("uuid").to_numpy(zero_copy_only=False))
+        out = np.where(pos >= 0, vals[pos], None)
+        return batch.append_column("name", pa.array(out.tolist(), pa.string()))
 
     return pivoted.map_batches(add_name, batch_format="pyarrow")
 

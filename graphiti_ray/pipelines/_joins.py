@@ -3,7 +3,6 @@ link.BROADCAST_LIMIT where the canonical map no longer fits a broadcast)."""
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
@@ -34,13 +33,31 @@ def mention_edges_join(
     def dedup_batch(batch: pa.Table) -> pa.Table:
         return batch.group_by(["episode_uuid", "entity_uuid", "group_id"]).aggregate([])
 
-    def first_row(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.iloc[[0]][["episode_uuid", "entity_uuid", "group_id"]].copy()
-        r["uuid"] = md5_hex(f"{r['episode_uuid'].iloc[0]}|{r['entity_uuid'].iloc[0]}")
-        return r
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return (
-        joined.map_batches(dedup_batch, batch_format="pyarrow")
-        .groupby(["episode_uuid", "entity_uuid"])
-        .map_groups(first_row, batch_format="pandas")
+        key = pc.binary_join_element_wise(
+            batch.column("episode_uuid"), batch.column("entity_uuid"), "|"
+        )
+        return pa.table(
+            {
+                "uuid": pa.array(
+                    [md5_hex(k) for k in key.to_pylist()], pa.string()
+                ),
+                "group_id": batch.column("group_id"),
+                "episode_uuid": batch.column("episode_uuid"),
+                "entity_uuid": batch.column("entity_uuid"),
+            }
+        )
+
+    # per-batch combiner → content-hash uuid → exact distinct via sort +
+    # adjacent dedup (ops.distinct_by_key) — the same shape as the
+    # broadcast path, with NO per-pair map_groups dispatch (this is the
+    # above-BROADCAST_LIMIT web-scale path, where pair count is
+    # corpus-sized and per-key Python would dominate)
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    mapped = joined.map_batches(dedup_batch, batch_format="pyarrow").map_batches(
+        finish, batch_format="pyarrow"
     )
+    return distinct_by_key(mapped, "uuid")

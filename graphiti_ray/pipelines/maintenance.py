@@ -172,19 +172,46 @@ def episode_entity_edges(edges: rd.Dataset) -> rd.Dataset:
             }
         )
 
-    def collect(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def collect_block(tbl: pa.Table) -> pa.Table:
+        """COMPLETE episode runs, rows sorted by (episode_uuid, edge_uuid)
+        — one Python call per block, not per episode (episode count is
+        corpus-sized)."""
+        import numpy as np
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "episode_uuid": pa.array([], pa.string()),
+                    "entity_edges": pa.array([], pa.string()),
+                }
+            )
+        from graphiti_ray.stages.ops import _run_starts
+
+        eps = np.array(tbl.column("episode_uuid").to_pylist(), dtype=object)
+        edges_arr = tbl.column("edge_uuid").to_pylist()
+        starts = _run_starts(eps)
+        return pa.table(
             {
-                "episode_uuid": [g["episode_uuid"].iloc[0]],
-                "entity_edges": [",".join(sorted(g["edge_uuid"]))],
+                "episode_uuid": pa.array(eps[starts[:-1]].tolist(), pa.string()),
+                "entity_edges": pa.array(
+                    [
+                        ",".join(edges_arr[s:e])  # already sorted by edge_uuid
+                        for s, e in zip(starts[:-1], starts[1:])
+                    ],
+                    pa.string(),
+                ),
             }
         )
 
-    return (
-        edges.select_columns(["uuid", "episodes"])
-        .map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("episode_uuid")
-        .map_groups(collect, batch_format="pandas")
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    return sorted_run_map(
+        edges.select_columns(["uuid", "episodes"]).map_batches(
+            explode, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        key_cols=["episode_uuid"],
+        order_cols=["edge_uuid"],
+        block_fn=collect_block,
     )
 
 

@@ -8,7 +8,7 @@ workloads"): partition by key, order by event time within partition.
                        per-batch partial aggregate + small final groupby
                        (combiner pattern — the shuffle carries partials)
 - ``sliding_window``   overlapping buckets via explode (size/slide)
-- ``session_window``   gap-based sessions per key (sorted map_groups)
+- ``session_window``   gap-based sessions per key (sorted_run_map kernel)
 
 Ordering assumption: none for tumbling/sliding (bucket is a pure function
 of ts); session windows sort within each key group, so late rows are
