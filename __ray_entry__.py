@@ -1190,6 +1190,28 @@ def _q_kg_point_in_time(sf_dir: str):
     return edges_valid_at_episodes(eps, tables["edges"])
 
 
+def _q_episode_entity_edges(sf_dir: str):
+    """J6 hydration: per episode, the ','-joined sorted uuids of the edges
+    it is provenance for (episodes list exploded → sorted_run_map collect).
+    Oracle: edge uuids re-derived arithmetically from resolved triples."""
+    from graphiti_ray.pipelines.maintenance import episode_entity_edges
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    return episode_entity_edges(tables["edges"])
+
+
+def _q_graph_bfs(sf_dir: str):
+    """G1 depth-bounded BFS (broadcast frontier per round) from the
+    lexicographically smallest subject entity. Oracle: recursive-CTE walk
+    with min-depth aggregation."""
+    from graphiti_ray.stages.graph import bfs_frontier
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    edges = tables["edges"]
+    center = edges.min("subj_uuid")
+    return bfs_frontier(edges, [center], max_depth=3)
+
+
 def _q_kg_communities(sf_dir: str):
     from graphiti_ray.stages.graph import build_communities
 
@@ -1249,6 +1271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": _q_graph_components,
         "kg_point_in_time": _q_kg_point_in_time,
         "kg_node_attributes": _q_kg_node_attributes,
+        "episode_entity_edges": _q_episode_entity_edges,
+        "graph_bfs": _q_graph_bfs,
         "kg_communities": _q_kg_communities,
         "search_hybrid": _q_search_hybrid,
         "docs_bm25": _q_docs_bm25,
@@ -1296,6 +1320,44 @@ GROUP BY group_id, md5(group_id || '|' || lower(canonical))
         # incremental build must converge to the SAME edges as the batch
         # build — one oracle, two engine paths
         "kg_edges_incremental": _KG_EDGES_ORACLE,
+        # J6 hydration: an edge's uuid is pure arithmetic over its resolved
+        # endpoints, so per-episode edge lists re-derive without the engine
+        "episode_entity_edges": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+ep AS (
+  SELECT DISTINCT episode_uuid,
+         md5(group_id || '|' ||
+             md5(group_id || '|' || lower(subj_canonical)) || '|' ||
+             pred || '|' ||
+             md5(group_id || '|' || lower(obj_canonical))) AS edge_uuid
+  FROM resolved
+)
+SELECT episode_uuid,
+       string_agg(edge_uuid, ',' ORDER BY edge_uuid) AS entity_edges
+FROM ep GROUP BY 1
+""",
+        # G1 BFS from the lexicographically smallest subject entity:
+        # enumerate walks of depth ≤ 3, keep each node's min depth
+        "graph_bfs": f"""
+WITH RECURSIVE {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+sym AS (
+  SELECT subj_uuid AS x, obj_uuid AS y FROM merged_id
+  UNION SELECT obj_uuid, subj_uuid FROM merged_id
+),
+start AS (SELECT min(subj_uuid) AS c FROM merged_id),
+walk AS (
+  SELECT c AS node, 0 AS d FROM start
+  UNION ALL
+  SELECT s.y, w.d + 1 FROM walk w JOIN sym s ON s.x = w.node WHERE w.d < 3
+)
+SELECT node AS entity_uuid, min(d)::BIGINT AS depth FROM walk GROUP BY 1
+""",
         # M5 typed attributes: winners re-derived from the edge CTEs —
         # latest currently-valid source edge per (entity, predicate), ties
         # on valid_at to the lexicographically LAST object (both sides)
