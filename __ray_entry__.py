@@ -1212,6 +1212,42 @@ def _q_graph_bfs(sf_dir: str):
     return bfs_frontier(edges, [center], max_depth=3)
 
 
+def _q_nodes_page(sf_dir: str):
+    """S8/K3 cursored scan: nodes of two groups with uuid below a fixed
+    cursor, uuid DESC, first 25 (the reference's cursor pagination shape).
+    Oracle: the same predicate + ORDER + LIMIT in SQL."""
+    from graphiti_ray.pipelines.maintenance import get_by_group_ids
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    page = get_by_group_ids(
+        tables["nodes"],
+        ["src0.example.com", "src1.example.com"],
+        limit=25,
+        uuid_cursor="c0000000000000000000000000000000",
+    )
+    return page.select_columns(["uuid", "name", "group_id", "mention_count"])
+
+
+def _q_fuzzy_pairs(sf_dir: str):
+    """D2 semantic-dedup candidate pairs over raw mention surfaces:
+    char-3-gram hashing embeddings, in-group cosine ≥ 0.65 (threshold
+    chosen inside a wide gap of the sim distribution so both sides are
+    FP-stable). Oracle: the full hashing-embedding + pairwise cosine
+    replicated in SQL (hugeint Horner + signed bucket counts)."""
+    import pyarrow as pa
+
+    from graphiti_ray.stages.extract import episodes_dataset
+    from graphiti_ray.stages.link import fuzzy_merge_pairs
+    from graphiti_ray.stages.nlp import mentions_dataset
+
+    mentions = mentions_dataset(episodes_dataset(_pages(sf_dir)))
+    surfaces = mentions.select_columns(["group_id", "name"]).map_batches(
+        lambda t: t.rename_columns(["group_id", "canonical"]),
+        batch_format="pyarrow",
+    )
+    return fuzzy_merge_pairs(surfaces, threshold=0.65)
+
+
 def _q_kg_communities(sf_dir: str):
     from graphiti_ray.stages.graph import build_communities
 
@@ -1273,6 +1309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_attributes": _q_kg_node_attributes,
         "episode_entity_edges": _q_episode_entity_edges,
         "graph_bfs": _q_graph_bfs,
+        "nodes_page": _q_nodes_page,
+        "fuzzy_pairs": _q_fuzzy_pairs,
         "kg_communities": _q_kg_communities,
         "search_hybrid": _q_search_hybrid,
         "docs_bm25": _q_docs_bm25,
@@ -1320,6 +1358,61 @@ GROUP BY group_id, md5(group_id || '|' || lower(canonical))
         # incremental build must converge to the SAME edges as the batch
         # build — one oracle, two engine paths
         "kg_edges_incremental": _KG_EDGES_ORACLE,
+        # D2 semantic-dedup candidates: the char-3-gram hashing embedding
+        # (stages/embed.py) replicated in SQL — hugeint Horner mod 2^64,
+        # signed 64-bucket counts, pairwise in-group cosine. Threshold on
+        # the RAW ratio (both engines compare unrounded), output round(6).
+        "fuzzy_pairs": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+names AS (SELECT DISTINCT group_id, name FROM ment),
+nstr AS (SELECT group_id, name, '^' || lower(name) || '$' AS s FROM names),
+nh AS (
+  SELECT group_id, name,
+         (ord(substr(s, i, 1))::HUGEINT * {pow(_POLY_INT, 2, _M64)}::HUGEINT
+          + ord(substr(s, i + 1, 1))::HUGEINT * {_POLY_INT}::HUGEINT
+          + ord(substr(s, i + 2, 1))::HUGEINT)
+           % 18446744073709551616::HUGEINT AS h
+  FROM nstr, LATERAL unnest(range(1, length(s) - 1)) AS u(i)
+),
+nbuck AS (
+  SELECT group_id, name, (h % 64)::INT AS bucket,
+         sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS cnt
+  FROM nh GROUP BY 1, 2, 3
+),
+nnorm AS (SELECT group_id, name, sqrt(sum(cnt * cnt)) AS nrm
+          FROM nbuck GROUP BY 1, 2),
+raw AS (
+  SELECT a.group_id, a.name AS a, b.name AS b, sum(a.cnt * b.cnt) AS dot
+  FROM nbuck a JOIN nbuck b
+    ON a.group_id = b.group_id AND a.bucket = b.bucket AND a.name < b.name
+  GROUP BY 1, 2, 3
+),
+sims AS (
+  SELECT r.group_id, r.a, r.b, r.dot / (na.nrm * nb.nrm) AS cs
+  FROM raw r
+  JOIN nnorm na ON na.group_id = r.group_id AND na.name = r.a
+  JOIN nnorm nb ON nb.group_id = r.group_id AND nb.name = r.b
+)
+SELECT group_id, a, b, round(cs, 6) AS cosine FROM sims WHERE cs >= 0.65
+""",
+        # S8/K3 cursored pagination over the nodes table
+        "nodes_page": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+nodes AS (
+  SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
+         min(canonical) AS name, group_id,
+         sum(mention_count)::BIGINT AS mention_count
+  FROM canon
+  GROUP BY group_id, md5(group_id || '|' || lower(canonical))
+)
+SELECT uuid, name, group_id, mention_count FROM nodes
+WHERE group_id IN ('src0.example.com', 'src1.example.com')
+  AND uuid < 'c0000000000000000000000000000000'
+ORDER BY uuid DESC LIMIT 25
+""",
         # J6 hydration: an edge's uuid is pure arithmetic over its resolved
         # endpoints, so per-episode edge lists re-derive without the engine
         "episode_entity_edges": f"""
