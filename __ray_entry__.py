@@ -1248,6 +1248,117 @@ def _q_fuzzy_pairs(sf_dir: str):
     return fuzzy_merge_pairs(surfaces, threshold=0.65)
 
 
+def _q_docs_lucene(sf_dir: str):
+    """M8 lucene_sanitize / fulltext_query parity: per doc, the escaped
+    80-char prefix and the group-scoped fulltext composition (with the
+    reference's 32-word length guard). Oracle: RE2 regexp_replace + string
+    composition in SQL."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.functions.text import fulltext_query, lucene_sanitize
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def sanitize(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sources = batch.column("source").to_pylist()
+        sanitized = [lucene_sanitize(t[:80]) for t in texts]
+        scoped = [
+            fulltext_query(t[:80], [f"{s}.example.com"])
+            for t, s in zip(texts, sources)
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sanitized": pa.array(sanitized, pa.string()),
+                "fulltext": pa.array(scoped, pa.string()),
+            }
+        )
+
+    return docs.map_batches(sanitize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_docs_fingerprint(sf_dir: str):
+    """Winnowing fingerprints (Schleimer et al.) summarized per doc
+    (size/min/max — the list itself is order-sensitive, the summary is
+    hash-stable). Oracle: the positional polynomial shingle hashes + the
+    sliding-window min + adjacent dedup replicated in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import fingerprints
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def summar(batch: pa.Table) -> pa.Table:
+        col = batch.column("fp").combine_chunks()
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp_size": pa.array(np.diff(offs), pa.int64()),
+                "fp_min": pa.array(np.minimum.reduceat(vals, offs[:-1]), pa.int64()),
+                "fp_max": pa.array(np.maximum.reduceat(vals, offs[:-1]), pa.int64()),
+            }
+        )
+
+    return fingerprints(docs).map_batches(
+        summar, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _winnow_oracle_sql() -> str:
+    from graphiti_ray.stages.textstats import WINNOW_K, WINNOW_W
+
+    p_pow = [pow(_POLY_INT, j, _M64) for j in range(WINNOW_K)]
+    shingle_terms = " + ".join(
+        [f"b * {p_pow[WINNOW_K - 1]}::HUGEINT"]
+        + [
+            f"lead(b, {j}) OVER w * {p_pow[WINNOW_K - 1 - j]}::HUGEINT"
+            for j in range(1, WINNOW_K)
+        ]
+    )
+    return rf"""
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+bytes AS (
+  SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
+  FROM lt, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
+),
+sh0 AS (
+  SELECT doc_id, ({shingle_terms}) % 18446744073709551616::HUGEINT AS h64, i, n
+  FROM bytes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+sh AS (
+  SELECT doc_id, i, (h64 % 2305843009213693952::HUGEINT)::BIGINT AS h,
+         n - {WINNOW_K - 1} AS m
+  FROM sh0 WHERE i <= n - {WINNOW_K - 1}
+),
+wmin AS (
+  SELECT doc_id, i, m,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+           AS wm
+  FROM sh
+),
+wins AS (SELECT doc_id, i, wm FROM wmin WHERE i <= m - {WINNOW_W - 1}),
+ded AS (
+  SELECT doc_id, wm, lag(wm) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM wins
+),
+fp AS (SELECT doc_id, wm FROM ded WHERE prev IS NULL OR wm <> prev)
+SELECT doc_id, count(*)::BIGINT AS fp_size, min(wm) AS fp_min, max(wm) AS fp_max
+FROM fp GROUP BY 1
+"""
+
+
 def _q_kg_communities(sf_dir: str):
     from graphiti_ray.stages.graph import build_communities
 
@@ -1311,6 +1422,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": _q_graph_bfs,
         "nodes_page": _q_nodes_page,
         "fuzzy_pairs": _q_fuzzy_pairs,
+        "docs_lucene": _q_docs_lucene,
+        "docs_fingerprint": _q_docs_fingerprint,
         "kg_communities": _q_kg_communities,
         "search_hybrid": _q_search_hybrid,
         "docs_bm25": _q_docs_bm25,
@@ -1358,6 +1471,26 @@ GROUP BY group_id, md5(group_id || '|' || lower(canonical))
         # incremental build must converge to the SAME edges as the batch
         # build — one oracle, two engine paths
         "kg_edges_incremental": _KG_EDGES_ORACLE,
+        # winnowing fingerprints: positional shingle hashes (same hugeint
+        # Horner as the MinHash oracle), sliding-window min, adjacent dedup
+        "docs_fingerprint": _winnow_oracle_sql(),
+        # M8 lucene escape + fulltext composition (RE2 regexp_replace; the
+        # replacement literal '\\\1' is raw in SQL single quotes)
+        "docs_lucene": r"""
+WITH s AS (
+  SELECT doc_id, source,
+         regexp_replace(substr(text, 1, 80),
+                        '([+\-!(){}\[\]^"~*?:\\/]|&&|\|\|)', '\\\1',
+                        'g') AS sanitized
+  FROM documents
+)
+SELECT doc_id, sanitized,
+       CASE WHEN len(string_split(sanitized, ' ')) + 1 >= 32 THEN ''
+            ELSE '(group_id:"' || source || '.example.com") AND ('
+                 || sanitized || ')'
+       END AS fulltext
+FROM s
+""",
         # D2 semantic-dedup candidates: the char-3-gram hashing embedding
         # (stages/embed.py) replicated in SQL — hugeint Horner mod 2^64,
         # signed 64-bucket counts, pairwise in-group cosine. Threshold on

@@ -99,11 +99,11 @@ _POLY = np.uint64(1099511628211)
 _BAND_MIX = (np.arange(ROWS_PER_BAND, dtype=np.uint64) * np.uint64(2) + np.uint64(1))
 
 
-def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
-    """Distinct hashes of every k-byte shingle — a k-step vectorized
-    polynomial hash over the whole byte array (no per-position Python
-    call; the former per-shingle ``zlib.crc32`` loop was the measured
-    pipeline hotspot)."""
+def shingle_hash_seq(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """POSITIONAL hashes of every k-byte shingle (one per start offset) —
+    a k-step vectorized polynomial hash over the whole byte array (no
+    per-position Python call; the former per-shingle ``zlib.crc32`` loop
+    was the measured pipeline hotspot)."""
     t = text.lower().encode("utf-8", "ignore")
     if len(t) < k:
         t = t + b"\x00" * (k - len(t))
@@ -112,7 +112,12 @@ def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
     h = np.zeros(m, dtype=np.uint64)
     for j in range(k):  # k tiny (5): 5 vectorized passes
         h = h * _POLY + b[j : j + m]
-    return np.unique((h & np.uint64(_MERSENNE)).astype(np.int64))
+    return (h & np.uint64(_MERSENNE)).astype(np.int64)
+
+
+def shingle_hashes(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Distinct (sorted) shingle hashes — the MinHash input set."""
+    return np.unique(shingle_hash_seq(text, k))
 
 
 def minhash_sig(text: str, num_perm: int = NUM_PERM) -> np.ndarray:

@@ -19,7 +19,6 @@ SQL is not expressible).
 from __future__ import annotations
 
 import re
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -165,23 +164,21 @@ class LanguageId:
 
 def winnow_fingerprint(text: str, k: int = WINNOW_K, w: int = WINNOW_W) -> list[int]:
     """Winnowing (Schleimer et al.): min shingle-hash per sliding window,
-    deduped in order — a compact position-robust document fingerprint."""
-    t = text.lower().encode("utf-8", "ignore")
-    if len(t) < k:
-        return [zlib.crc32(t)]
-    hashes = np.fromiter(
-        (zlib.crc32(t[i : i + k]) for i in range(len(t) - k + 1)), dtype=np.int64
-    )
+    adjacent-deduped in order — a compact position-robust document
+    fingerprint. Fully vectorized: the positional polynomial shingle
+    hashes (``dedup.shingle_hash_seq`` — the same kernel MinHash uses, so
+    the DuckDB oracle replicates it with the same hugeint arithmetic),
+    a stride-view sliding min, and a change-mask dedup; the former
+    per-shingle ``zlib.crc32`` + per-window Python loop is gone."""
+    from graphiti_ray.stages.dedup import shingle_hash_seq
+
+    hashes = shingle_hash_seq(text, k)
     if len(hashes) <= w:
         return [int(hashes.min())]
-    out: list[int] = []
-    last = -1
-    for i in range(len(hashes) - w + 1):
-        m = int(hashes[i : i + w].min())
-        if m != last:
-            out.append(m)
-            last = m
-    return out
+    wins = np.lib.stride_tricks.sliding_window_view(hashes, w).min(axis=1)
+    keep = np.ones(len(wins), dtype=bool)
+    keep[1:] = wins[1:] != wins[:-1]
+    return wins[keep].tolist()
 
 
 class Fingerprints:
