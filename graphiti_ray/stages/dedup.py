@@ -14,6 +14,10 @@ Operators
 - ``simhash_signatures``         64-bit SimHash over tokens (vectorized)
 - ``simhash_near_dup``           band-bucketed Hamming candidates
 - ``ngram_jaccard``              exact n-gram Jaccard verification kernel
+- ``ngram_jaccard_pairs``        exact-Jaccard near-dup pairs: rarity-
+                                 filtered bottom-k sketch blocking (hub
+                                 keys dropped, buckets ≤ NGRAM_HOT_DF by
+                                 construction) + full-set intersection
 - ``embedding_near_dup``         cosine near-dup over an embedding column
                                  (random-hyperplane LSH, data-scaled plane
                                  count, multi-table probing)
@@ -567,6 +571,219 @@ def minhash_near_dup(
     sigs = minhash_signatures(docs, text_col, id_col)
     pairs = candidate_pairs(sigs, threshold)
     return connected_components(pairs)
+
+
+# --- exact n-gram Jaccard near-dup ------------------------------------------
+#
+# MinHash ESTIMATES Jaccard from signature agreement; this operator computes
+# it EXACTLY over the full distinct-shingle sets, with candidate generation
+# by RARITY-FILTERED bottom-k sketch blocking: each doc's candidate keys are
+# its NGRAM_CAND_KEYS smallest shingle hashes (Broder's bottom-k sketch —
+# a uniform sample of the doc's shingles), and candidates whose
+# candidate-document-frequency exceeds NGRAM_HOT_DF are dropped as hubs
+# BEFORE bucketing. Buckets therefore never exceed NGRAM_HOT_DF ≤
+# MAX_BUCKET — no truncation, no recall cliff on template-heavy corpora
+# (the plain bottom-k variant lost 84% of true pairs on the synthetic
+# corpus because corpus-common shingles are the minima of many docs).
+# The shingle-set blob rides only into colliding buckets, and a pair is
+# emitted exactly once — in the bucket of its smallest shared key.
+
+NGRAM_CAND_KEYS = 32  # bottom-k sketch size (candidate blocking keys per doc)
+NGRAM_HOT_DF = 64  # candidate keys in more docs than this are hub-dropped
+_KEY_PAD = 1 << 62  # > any real shingle hash (< 2^61): "no key" slot
+
+
+def _shingle_set_batch(
+    batch: pa.Table, text_col: str, id_col: str, m: int
+) -> pa.Table:
+    """One row per doc: sorted distinct shingle hashes as an int64 blob,
+    set size, and the bottom-m candidate keys padded to fixed width."""
+    texts = batch.column(text_col).to_pylist()
+    sets = [shingle_hashes(t) for t in texts]
+    keys = np.full((len(sets), m), _KEY_PAD, dtype=np.int64)
+    for i, s in enumerate(sets):
+        keys[i, : min(m, len(s))] = s[:m]  # already sorted (np.unique)
+    return pa.table(
+        {
+            "doc_id": batch.column(id_col),
+            "sh": pa.array([s.astype("<i8").tobytes() for s in sets], pa.binary()),
+            "n_sh": pa.array([len(s) for s in sets], pa.int64()),
+            "keys": pa.array(keys.tolist(), pa.list_(pa.int64())),
+        }
+    )
+
+
+def _ngram_block_pairs(tbl: pa.Table, threshold: float) -> pa.Table:
+    """Vectorized pair kernel over all key-hash runs in a sorted block
+    (sorted_run_map contract; runs ≤ NGRAM_HOT_DF rows by construction, so
+    the MAX_BUCKET cap never binds). Each pair is emitted only from the
+    bucket of its SMALLEST shared surviving key (both docs' hub-filtered
+    key lists ride along) — globally distinct without a later shuffle —
+    then verified with an exact set intersection over the full shingle
+    blobs."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    n = tbl.num_rows
+    if n < 2:
+        return empty
+    hcol = tbl.column("h").to_numpy(zero_copy_only=False)
+    doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    px, py = _run_pair_indices(_run_starts(hcol))
+    if len(px) == 0:
+        return empty
+    keys = np.asarray(tbl.column("keys").to_pylist(), dtype=np.int64)
+    # smallest key present in BOTH bottom-M lists (pad never matches pad:
+    # comparing kA==pad against kB==pad would — mask pads out explicitly)
+    ka, kb = keys[px], keys[py]  # (P, M) each
+    shared = (ka[:, :, None] == kb[:, None, :]).any(axis=2) & (ka != _KEY_PAD)
+    min_shared = np.where(shared, ka, _KEY_PAD).min(axis=1)
+    mine = min_shared == hcol[px]
+    px, py = px[mine], py[mine]
+    if len(px) == 0:
+        return empty
+    blobs = tbl.column("sh").to_pylist()
+    sets = [np.frombuffer(b_, dtype="<i8") for b_ in blobs]
+    n_sh = tbl.column("n_sh").to_numpy(zero_copy_only=False)
+    inter = np.fromiter(
+        (
+            np.intersect1d(sets[i], sets[j], assume_unique=True).size
+            for i, j in zip(px, py)
+        ),
+        dtype=np.int64,
+        count=len(px),
+    )
+    jac = inter / (n_sh[px] + n_sh[py] - inter)
+    keep = jac >= threshold
+    return pa.table(
+        {
+            "a": pa.array(doc[px[keep]].astype("int64"), pa.int64()),
+            "b": pa.array(doc[py[keep]].astype("int64"), pa.int64()),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cand_keys: int = NGRAM_CAND_KEYS,
+    hot_df: int = NGRAM_HOT_DF,
+) -> rd.Dataset:
+    """Exact char-n-gram Jaccard near-dup pairs: (a, b, jaccard) with
+    a < b and jaccard ≥ threshold, blocked on rarity-filtered bottom-k
+    keys. Same two-phase shape as ``candidate_pairs``: narrow candidate
+    rows → one count aggregate (only colliding keys reach the driver;
+    hub keys with df > hot_df are DROPPED, so buckets are ≤ hot_df by
+    construction and nothing truncates) → blob re-attach for colliding
+    docs only → one ``sorted_run_map`` pass."""
+    import functools
+
+    import ray
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    assert hot_df <= MAX_BUCKET, "buckets must stay under the pair-kernel cap"
+
+    def make_sets(batch, _t=text_col, _i=id_col, _m=cand_keys):
+        return _shingle_set_batch(batch, _t, _i, _m)
+
+    sets = docs.map_batches(
+        make_sets, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def explode_keys(batch: pa.Table) -> pa.Table:
+        km = np.asarray(batch.column("keys").to_pylist(), dtype=np.int64)
+        if batch.num_rows == 0:
+            km = km.reshape(0, cand_keys)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        real = km != _KEY_PAD
+        rep = np.repeat(ids, real.sum(axis=1))
+        return pa.table(
+            {
+                "h": pa.array(km[real], pa.int64()),
+                "doc_id": pa.array(rep, pa.int64()),
+            }
+        )
+
+    key_rows = sets.map_batches(
+        explode_keys, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # one count pass gives BOTH the hub keys (df > hot_df → dropped) and
+    # the surviving colliding buckets (2 ≤ df ≤ hot_df): removing a hub
+    # KEY never removes a doc's other keys, so post-filter bucket sizes
+    # equal the candidate counts for every non-hub key.
+    counts = _colliding_counts(key_rows, ["h"], sets.count() * cand_keys)
+    hubs = counts[counts["c"] > hot_df]
+    TRUNCATION_STATS["ngram_jaccard"] = {
+        "hub_keys": int(len(hubs)),
+        "hub_key_rows": int(hubs["c"].sum()),
+    }
+    if len(hubs):
+        logger.info(
+            "ngram_jaccard: %d hub key(s) (df > %d) dropped from blocking "
+            "(%d key rows) — hub-safe by construction, recall relies on the "
+            "remaining bottom-k keys",
+            len(hubs),
+            hot_df,
+            int(hubs["c"].sum()),
+        )
+    col = counts[counts["c"] <= hot_df]
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if col.empty:
+        return rd.from_arrow(empty)
+    ref = ray.put(
+        {
+            "col": np.sort(col["h"].to_numpy(dtype=np.int64)),
+            "hub": np.sort(hubs["h"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+    def explode_hot(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        lut = _cached_lut(_ref)
+        km = np.asarray(batch.column("keys").to_pylist(), dtype=np.int64)
+        if batch.num_rows == 0:
+            km = km.reshape(0, cand_keys)
+        # hub-filtered key lists ride along for the min-shared-key dedup
+        filt = np.where(np.isin(km, lut["hub"]), _KEY_PAD, km)
+        mask = np.isin(filt, lut["col"]) & (filt != _KEY_PAD)
+        r, c = np.nonzero(mask)
+        idx = pa.array(r, pa.int64())
+        return pa.table(
+            {
+                "h": pa.array(filt[r, c], pa.int64()),
+                "doc_id": batch.column("doc_id").take(idx),
+                "sh": batch.column("sh").take(idx),
+                "n_sh": batch.column("n_sh").take(idx),
+                "keys": pa.array(filt[r].tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    colliding = sets.map_batches(
+        explode_hot, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sorted_run_map(
+        colliding,
+        key_cols=["h"],
+        order_cols=["doc_id"],
+        block_fn=functools.partial(_ngram_block_pairs, threshold=threshold),
+        # runs are ≤ hot_df ≤ MAX_BUCKET rows — carry overflow is impossible,
+        # so the loud default stands
+    )
 
 
 # --- simhash ---------------------------------------------------------------

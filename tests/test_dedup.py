@@ -275,3 +275,65 @@ def test_minhash_lsh_recall_precision_vs_exact(ray_session):
     precision = len(exact_pairs & lsh_pairs) / max(1, len(lsh_pairs))
     assert recall >= 0.9, recall
     assert precision >= 0.8, precision
+
+
+def test_ngram_jaccard_pairs_matches_bruteforce(ray_session):
+    """Exact operator vs per-pair kernel brute force: same pair set, same
+    jaccard values — across a multi-block input (sorted_run_map path)."""
+    import itertools
+
+    from graphiti_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = [
+        BASE,
+        BASE.replace("lazy", "sleepy"),
+        BASE + " with a few extra trailing words appended",
+        "unrelated totally different content here entirely about spaceships",
+        BASE.replace("quick", "swift").replace("cat", "kitten"),
+        "another unrelated document describing databases and query engines",
+    ]
+    out = ngram_jaccard_pairs(_docs(texts).repartition(5), threshold=0.6).to_pandas()
+    got = {(int(r.a), int(r.b)): float(r.jaccard) for r in out.itertuples()}
+    expect = {
+        (i, j): ngram_jaccard(texts[i], texts[j])
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if ngram_jaccard(texts[i], texts[j]) >= 0.6
+    }
+    assert expect  # non-vacuous
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9
+
+
+def test_ngram_jaccard_hub_drop_keeps_recall(ray_session):
+    """A 72-doc shared template makes its low-hash shingles hubs
+    (candidate-df > NGRAM_HOT_DF → dropped); the one true near-dup pair
+    must still be found via its non-hub tail shingles, and the hub drop
+    must be recorded."""
+    from graphiti_ray.stages.dedup import TRUNCATION_STATS, ngram_jaccard_pairs
+
+    template = (
+        "common boilerplate header repeated across every page of this site "
+        "including navigation links and copyright footer text sections "
+    )
+    # filler tails must be mutually DISSIMILAR (long unique number runs),
+    # otherwise the fillers are legitimately near-dups of each other
+    texts = [
+        template
+        + f"section {i}: "
+        + " ".join(str(i * 1000003 + j * 7919 + 12345) for j in range(15))
+        for i in range(70)
+    ]
+    texts.append(
+        template
+        + "special tail about quantum flux capacitors and time travel adventures"
+    )
+    texts.append(
+        template
+        + "special tail about quantum flux capacitors and time travel adventure"
+    )
+    out = ngram_jaccard_pairs(_docs(texts), threshold=0.8).to_pandas()
+    got = {(int(r.a), int(r.b)) for r in out.itertuples()}
+    assert got == {(70, 71)}
+    stats = TRUNCATION_STATS["ngram_jaccard"]
+    assert stats["hub_keys"] >= 1  # template minima were dropped, loudly
