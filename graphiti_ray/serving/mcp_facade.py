@@ -9,11 +9,12 @@ The reference exposes graphiti through an MCP server
 
 This module reproduces that TOOL surface — names, argument schemas,
 success/error response shapes, and the per-group sequential episode queue
-— over a checkpointed parquet KG root instead of Neo4j. What it
-deliberately does not include is the network transport: this environment
-has no server runtime, so ``list_tools()``/``call_tool()`` are the
-protocol seam — hand them to any MCP SDK server (stdio or SSE) and the
-façade is servable unchanged.
+— over a checkpointed parquet KG root instead of Neo4j.
+``list_tools()``/``call_tool()`` are the protocol seam; the matching
+stdio transport (the reference's default) lives in ``mcp_stdio.py``
+(``python -m graphiti_ray.serving.mcp_stdio --root <kg>``) — an SSE/HTTP
+transport would wrap the same two methods but has no server runtime in
+this sandbox.
 
 Episode text is wrapped in the pipeline's canonical page HTML so the
 byte-identity extraction invariant keeps holding for served episodes.

@@ -96,3 +96,117 @@ def test_delete_edge_and_episode_cascade(kg_root, ray_session):
     n_eps = f.get_status()["tables"]["episodes"]
     assert "deleted" in f.call_tool("delete_episode", {"uuid": eps[0]["uuid"]})["message"]
     assert f.get_status()["tables"]["episodes"] == n_eps - 1
+
+
+def test_stdio_server_lifecycle_and_tools(kg_root):
+    """MCP stdio transport: initialize → initialized → tools/list →
+    tools/call, tool errors as isError results, protocol errors as
+    JSON-RPC errors, notifications unanswered."""
+    import json
+
+    from graphiti_ray.serving.mcp_stdio import MCPStdioServer
+
+    srv = MCPStdioServer(GraphitiFacade(kg_root))
+
+    r = srv.handle({"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                    "params": {"protocolVersion": "2025-03-26"}})
+    assert r["result"]["serverInfo"]["name"] == "graphiti-ray"
+    assert "tools" in r["result"]["capabilities"]
+
+    assert srv.handle({"jsonrpc": "2.0",
+                       "method": "notifications/initialized"}) is None
+    assert srv.initialized
+
+    r = srv.handle({"jsonrpc": "2.0", "id": 2, "method": "tools/list"})
+    names = {t["name"] for t in r["result"]["tools"]}
+    assert "add_episode" in names and "search_facts" in names
+    assert all("inputSchema" in t for t in r["result"]["tools"])
+
+    r = srv.handle({"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+                    "params": {"name": "get_status"}})
+    assert r["result"]["isError"] is False
+    status = json.loads(r["result"]["content"][0]["text"])
+    assert status["tables"]["edges"] > 0
+
+    r = srv.handle({"jsonrpc": "2.0", "id": 4, "method": "tools/call",
+                    "params": {"name": "search_facts",
+                               "arguments": {"query": "works at"}}})
+    facts = json.loads(r["result"]["content"][0]["text"])["facts"]
+    assert facts and "source_node_uuid" in facts[0]
+
+    # tool-level failure → isError result, NOT a JSON-RPC error
+    r = srv.handle({"jsonrpc": "2.0", "id": 5, "method": "tools/call",
+                    "params": {"name": "no_such_tool"}})
+    assert r["result"]["isError"] is True and "error" not in r
+
+    # protocol-level failures → JSON-RPC errors
+    assert srv.handle({"jsonrpc": "2.0", "id": 6,
+                       "method": "bogus/method"})["error"]["code"] == -32601
+    assert srv.handle({"jsonrpc": "2.0", "id": 7, "method": "tools/call",
+                       "params": {}})["error"]["code"] == -32602
+    assert srv.handle({"not": "jsonrpc"})["error"]["code"] == -32600
+
+    # ping round-trip
+    assert srv.handle({"jsonrpc": "2.0", "id": 8, "method": "ping"})["result"] == {}
+
+
+def test_stdio_serve_loop_survives_garbage(kg_root):
+    """serve(): newline framing, parse-error recovery, EOF shutdown."""
+    import io
+    import json
+
+    from graphiti_ray.serving.mcp_stdio import MCPStdioServer
+
+    frames = "\n".join([
+        json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize",
+                    "params": {}}),
+        json.dumps({"jsonrpc": "2.0", "method": "notifications/initialized"}),
+        "{this is not json",
+        "",
+        json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}),
+    ]) + "\n"
+    out = io.StringIO()
+    MCPStdioServer(GraphitiFacade(kg_root)).serve(io.StringIO(frames), out)
+    lines = [json.loads(x) for x in out.getvalue().splitlines()]
+    # 3 responses: initialize, parse error, tools/list (notification silent)
+    assert len(lines) == 3
+    assert lines[0]["id"] == 1 and "result" in lines[0]
+    assert lines[1]["error"]["code"] == -32700
+    assert lines[2]["id"] == 2 and len(lines[2]["result"]["tools"]) == 9
+
+
+def test_stdio_server_subprocess_roundtrip(tmp_path):
+    """The real thing: spawn the module as a subprocess and speak MCP to
+    it over pipes (empty root — queue/status tools need no Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "graphiti_ray.serving.mcp_stdio",
+         "--root", str(tmp_path / "kg")],
+        stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL, text=True,
+    )
+    try:
+        frames = [
+            {"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}},
+            {"jsonrpc": "2.0", "method": "notifications/initialized"},
+            {"jsonrpc": "2.0", "id": 2, "method": "tools/call",
+             "params": {"name": "add_episode",
+                        "arguments": {"name": "n1", "episode_body": "Bob."}}},
+            {"jsonrpc": "2.0", "id": 3, "method": "tools/call",
+             "params": {"name": "get_status"}},
+        ]
+        payload = "".join(json.dumps(f) + "\n" for f in frames)
+        stdout, _ = proc.communicate(payload, timeout=180)
+        lines = [json.loads(x) for x in stdout.splitlines()]
+        assert lines[0]["id"] == 1
+        assert lines[0]["result"]["protocolVersion"]
+        queued = json.loads(lines[1]["result"]["content"][0]["text"])
+        assert "queued" in queued["message"]
+        status = json.loads(lines[2]["result"]["content"][0]["text"])
+        assert status["pending_episodes"] == 1 and status["status"] == "empty"
+        assert proc.wait(timeout=30) == 0  # clean EOF shutdown
+    finally:
+        proc.kill()
