@@ -3,10 +3,18 @@
 Images/audio/video ride the pipeline as ``binary`` columns with sidecar
 metadata (mime, width/height, duration…). The Ray-side plumbing — schema,
 actor-pool signature, small-batch sizing, output layout — is real and
-tested; the *codec* step is stubbed (no image/audio libs in this
-container): ``decode_stub=True`` produces a deterministic fake feature
-vector from the payload bytes, ``decode_stub=False`` raises
-NotImplementedError where a real decoder (PIL/torchaudio/ffmpeg) plugs in.
+tested. The codec step has THREE modes:
+
+- ``"stub"`` (default): deterministic fake feature vector from the payload
+  bytes — integer arithmetic the DuckDB oracle replicates exactly;
+- ``"real"``: honest decoders for the formats the standard library +
+  numpy can handle with zero extra deps — WAV audio (``wave`` module,
+  8/16/32-bit PCM) and binary PPM/PGM images (P6/P5) including a real
+  nearest-neighbor resize. Formats needing external codecs (JPEG, MP4)
+  raise ``NotImplementedError`` at the documented seam where
+  PIL/torchaudio/ffmpeg plug in;
+- ``"auto"``: sniff the payload magic — decode WAV/PPM/PGM for real,
+  fall back to the stub for everything else.
 
 Batch sizing: payloads are wide — callers should pass a small
 ``batch_size`` (default 32) so batch × concurrency fits worker heaps
@@ -40,6 +48,101 @@ def payload_chunk_hashes(payload: bytes, dim: int) -> np.ndarray:
         out[i] = h % 1000
     return out
 
+# --- real codecs (stdlib/numpy only) ----------------------------------------
+
+
+def sniff_format(payload: bytes) -> str:
+    """Best-effort container sniff: 'wav' | 'ppm' | 'pgm' | 'unknown'."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:2] == b"P5":
+        return "pgm"
+    return "unknown"
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV PCM → (samples float32 [n, channels], sample_rate). Pure
+    stdlib (``wave``); 8-bit unsigned, 16/32-bit signed PCM."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+    if dtype is None:
+        raise ValueError(f"unsupported WAV sample width: {sw}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    if sw == 1:
+        x -= 128.0  # 8-bit WAV is unsigned
+    return x.reshape(-1, ch), sr
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5), maxval ≤ 255 → uint8 array
+    (h, w, 3) or (h, w). Pure numpy header parse (whitespace tokens,
+    ``#`` comments)."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload: {magic!r}")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    depth = 3 if magic == b"P6" else 1
+    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * depth, offset=pos)
+    return arr.reshape((h, w, 3) if depth == 3 else (h, w))
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) → P6 / (h, w) → P5 binary bytes."""
+    if arr.ndim == 3:
+        magic, (h, w, _) = b"P6", arr.shape
+    else:
+        magic, (h, w) = b"P5", arr.shape
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resize by index maps (the classic vectorized
+    formula: src_index = floor((dst + 0.5) * src/dst))."""
+    h, w = arr.shape[:2]
+    rows = np.minimum(((np.arange(height) + 0.5) * h / height).astype(np.int64), h - 1)
+    cols = np.minimum(((np.arange(width) + 0.5) * w / width).astype(np.int64), w - 1)
+    return arr[rows][:, cols]
+
+
+def _chunk_ints(vals: np.ndarray, dim: int) -> np.ndarray:
+    """dim per-chunk mean-magnitude integers from a 1-D value array —
+    the real-decode analogue of the stub's per-chunk hashes (same output
+    schema/dtype, so downstream stages cannot tell the modes apart)."""
+    flat = np.abs(vals.astype(np.float64).ravel())
+    if flat.size == 0:
+        return np.zeros(dim, dtype=np.int64)
+    n = max(1, flat.size // dim)
+    out = np.zeros(dim, dtype=np.int64)
+    for i in range(dim):
+        chunk = flat[i * n : (i + 1) * n]
+        out[i] = int(chunk.mean()) if chunk.size else 0
+    return out
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -61,19 +164,36 @@ class MediaFeatureExtractor:
     (schema, batching, downstream ANN) is exercised end-to-end.
     """
 
-    def __init__(self, decode_stub: bool = True, dim: int = FEATURE_DIM):
-        self.decode_stub = decode_stub
+    def __init__(
+        self,
+        decode_stub: bool = True,
+        dim: int = FEATURE_DIM,
+        decode: str | None = None,
+    ):
+        # decode mode: "stub" | "real" | "auto" (decode_stub kept as the
+        # backward-compatible boolean spelling: True→stub, False→real)
+        self.decode = decode or ("stub" if decode_stub else "real")
+        assert self.decode in ("stub", "real", "auto")
         self.dim = dim
 
     def _raw_vals(self, payload: bytes) -> np.ndarray:
-        if not self.decode_stub:
-            raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg (not in this container); "
-                "construct with decode_stub=True or plug a decoder in here"
-            )
-        # deterministic fake: polynomial hash of equal chunks (integer —
-        # exactly replicable by the DuckDB oracle)
-        return payload_chunk_hashes(payload, self.dim)
+        if self.decode == "stub":
+            # deterministic fake: polynomial hash of equal chunks (integer —
+            # exactly replicable by the DuckDB oracle)
+            return payload_chunk_hashes(payload, self.dim)
+        fmt = sniff_format(payload)
+        if fmt == "wav":
+            samples, _sr = decode_wav(payload)
+            return _chunk_ints(samples, self.dim)
+        if fmt in ("ppm", "pgm"):
+            return _chunk_ints(decode_ppm(payload), self.dim)
+        if self.decode == "auto":
+            return payload_chunk_hashes(payload, self.dim)
+        raise NotImplementedError(
+            "real decode for this format needs PIL/ffmpeg (not in this "
+            "container); WAV and PPM/PGM decode natively — or use "
+            "decode='auto' to stub-fallback other formats"
+        )
 
     def _decode(self, payload: bytes) -> np.ndarray:
         vals = self._raw_vals(payload).astype(np.float32)
@@ -107,11 +227,15 @@ class MediaFeatureExtractor:
 
 
 def media_features(
-    media: rd.Dataset, batch_size: int = 32, concurrency=(1, 4), decode_stub=True
+    media: rd.Dataset,
+    batch_size: int = 32,
+    concurrency=(1, 4),
+    decode_stub=True,
+    decode: str | None = None,
 ) -> rd.Dataset:
     return media.map_batches(
         MediaFeatureExtractor,
-        fn_constructor_kwargs={"decode_stub": decode_stub},
+        fn_constructor_kwargs={"decode_stub": decode_stub, "decode": decode},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,  # wide binary rows → small batches
@@ -121,24 +245,42 @@ def media_features(
 
 class MediaResize:
     """Actor-pool resize stage (images): payload → resized payload + updated
-    meta. Real deployments load the codec once in ``__init__``; the stub
-    deterministically re-chunks the payload to the target byte budget
-    (w*h bytes) so schema/meta/batching plumbing is exercised."""
+    meta. ``"real"`` mode decodes binary PPM/PGM, nearest-neighbor
+    resizes and re-encodes — an actual image resize with zero extra
+    deps; other formats hit the PIL seam. The stub deterministically
+    re-chunks the payload to the target byte budget (w*h bytes) so
+    schema/meta/batching plumbing is exercised regardless of codec."""
 
-    def __init__(self, width: int, height: int, decode_stub: bool = True):
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        decode_stub: bool = True,
+        decode: str | None = None,
+    ):
         self.width = width
         self.height = height
-        self.decode_stub = decode_stub
+        self.decode = decode or ("stub" if decode_stub else "real")
+        assert self.decode in ("stub", "real", "auto")
 
-    def _resize(self, payload: bytes) -> bytes:
-        if not self.decode_stub:
-            raise NotImplementedError(
-                "real resize requires PIL (not in this container); "
-                "construct with decode_stub=True or plug a codec in here"
-            )
+    def _stub_resize(self, payload: bytes) -> bytes:
         budget = self.width * self.height
         reps = budget // max(1, len(payload)) + 1
         return (payload * reps)[:budget]
+
+    def _resize(self, payload: bytes) -> bytes:
+        if self.decode == "stub":
+            return self._stub_resize(payload)
+        if sniff_format(payload) in ("ppm", "pgm"):
+            return encode_ppm(
+                resize_nearest(decode_ppm(payload), self.width, self.height)
+            )
+        if self.decode == "auto":
+            return self._stub_resize(payload)
+        raise NotImplementedError(
+            "real resize for this format needs PIL (not in this container); "
+            "PPM/PGM resize natively — or use decode='auto'"
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
@@ -168,6 +310,7 @@ def media_resize(
     batch_size: int = 32,
     concurrency=(1, 4),
     decode_stub=True,
+    decode: str | None = None,
 ) -> rd.Dataset:
     return media.map_batches(
         MediaResize,
@@ -175,6 +318,7 @@ def media_resize(
             "width": width,
             "height": height,
             "decode_stub": decode_stub,
+            "decode": decode,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

@@ -292,3 +292,116 @@ def test_knn_ivf_recall_and_exact_at_full_probe(ray_session):
         set(zip(part.query_id, part.vec_id)) & set(zip(exact.query_id, exact.vec_id))
     )
     assert hits / len(exact) >= 0.7
+
+
+def _wav_bytes(freq=440.0, sr=8000, n=800, ch=1):
+    """Deterministic 16-bit PCM WAV via the stdlib writer."""
+    import io
+    import wave
+
+    t = np.arange(n) / sr
+    x = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+    if ch == 2:
+        x = np.column_stack([x, x // 2]).ravel()
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(ch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def _ppm_bytes(w=8, h=6):
+    """Deterministic P6 image with a comment in the header."""
+    arr = (np.arange(h * w * 3, dtype=np.int64) * 7 % 256).astype(np.uint8)
+    return (
+        b"P6\n# synthetic test image\n"
+        + f"{w} {h}\n255\n".encode()
+        + arr.tobytes()
+    )
+
+
+def test_real_wav_decode_roundtrip():
+    from graphiti_ray.stages.multimodal import decode_wav, sniff_format
+
+    payload = _wav_bytes(ch=2)
+    assert sniff_format(payload) == "wav"
+    samples, sr = decode_wav(payload)
+    assert sr == 8000 and samples.shape == (800, 2)
+    # the sine's absolute peak survives the decode
+    assert 11000 < np.abs(samples[:, 0]).max() <= 12000
+
+
+def test_real_ppm_decode_resize_roundtrip():
+    from graphiti_ray.stages.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+        sniff_format,
+    )
+
+    payload = _ppm_bytes(w=8, h=6)
+    assert sniff_format(payload) == "ppm"
+    arr = decode_ppm(payload)
+    assert arr.shape == (6, 8, 3)
+    assert decode_ppm(encode_ppm(arr)).tobytes() == arr.tobytes()
+    small = resize_nearest(arr, 4, 3)
+    assert small.shape == (3, 4, 3)
+    # nearest-neighbor: every output pixel is some input pixel
+    flat_in = {bytes(px) for px in arr.reshape(-1, 3)}
+    assert all(bytes(px) in flat_in for px in small.reshape(-1, 3))
+    # 2x downscale picks the odd rows/cols (floor((i+0.5)*2))
+    assert np.array_equal(small, arr[1::2][:, 1::2])
+
+
+def test_media_features_real_and_auto_modes(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.multimodal import (
+        MediaFeatureExtractor,
+        media_features,
+    )
+
+    rows = [
+        {"media_id": 0, "mime": "audio/wav", "payload": _wav_bytes(),
+         "meta": "{}"},
+        {"media_id": 1, "mime": "image/ppm", "payload": _ppm_bytes(),
+         "meta": "{}"},
+        {"media_id": 2, "mime": "image/jpeg", "payload": b"\xff\xd8 not a real jpeg",
+         "meta": "{}"},
+    ]
+    # auto: wav/ppm decode for real, jpeg falls back to the stub hash
+    out = (
+        media_features(rd_.from_items(rows), batch_size=2, decode="auto")
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert list(out.media_id) == [0, 1, 2]
+    assert (out.feat_max >= 0).all() and out.feature.map(len).eq(32).all()
+    # real mode on an undecodable format hits the documented seam
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(decode="real")._raw_vals(b"\xff\xd8 jpeg")
+    # real audio features differ from the stub hash of the same payload
+    stub = MediaFeatureExtractor(decode="stub")._raw_vals(rows[0]["payload"])
+    real = MediaFeatureExtractor(decode="real")._raw_vals(rows[0]["payload"])
+    assert not np.array_equal(stub, real)
+
+
+def test_media_resize_real_ppm(ray_session):
+    import json
+
+    import ray.data as rd_
+
+    from graphiti_ray.stages.multimodal import decode_ppm, media_resize
+
+    rows = [
+        {"media_id": 0, "mime": "image/ppm", "payload": _ppm_bytes(w=8, h=6),
+         "meta": "{}"}
+    ]
+    out = media_resize(
+        rd_.from_items(rows), width=4, height=3, decode="real"
+    ).to_pandas()
+    arr = decode_ppm(out.payload[0])
+    assert arr.shape == (3, 4, 3)
+    assert json.loads(out.meta[0]) == {"w": 4, "h": 3}
