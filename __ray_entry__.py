@@ -818,6 +818,55 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_media_wav(sf_dir: str):
+    """The REAL WAV codec under the oracle gate: per doc, a 256-sample
+    16-bit PCM payload is synthesized from pure doc_id integer arithmetic
+    (x_i = ((doc_id*7919 + i*104729) % 24001) - 12000), written with the
+    stdlib ``wave`` writer, then decoded by MediaFeatureExtractor's
+    ``decode='real'`` path (wave parse → chunk mean-magnitude ints).
+    Every step is integer / power-of-two-exact, so the DuckDB twin
+    replicates it with plain arithmetic — this checks the actual decoder,
+    not a stub."""
+    import io
+    import wave
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.multimodal import media_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            i = np.arange(256, dtype=np.int64)
+            x = ((d * 7919 + i * 104729) % 24001 - 12000).astype("<i2")
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(8000)
+                w.writeframes(x.tobytes())
+            payloads.append(buf.getvalue())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(["audio/wav"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "meta": pa.array(["{}"] * len(ids), pa.string()),
+            }
+        )
+
+    media = docs.map_batches(to_wav, batch_format="pyarrow", zero_copy_batch=True)
+    return media_features(media, decode="real").select_columns(
+        ["media_id", "n_bytes", "feat_sum", "feat_max"]
+    )
+
+
 def _q_knn(sf_dir: str):
     import ray.data as rd
 
@@ -1490,6 +1539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": _q_text_langid,
         "docs_repetition": _q_docs_repetition,
         "media_features": _q_media_features,
+        "media_wav_features": _q_media_wav,
         "docs_dup_lines": _q_docs_dup_lines,
         "knn_bruteforce": _q_knn,
         "events_tumbling": _q_events_tumbling,
@@ -1873,6 +1923,24 @@ SELECT doc_id,
        greatest(de_h, en_h, es_h, fr_h)::BIGINT AS lang_hits,
        n_words
 FROM s
+""",
+        # the REAL WAV decoder: 44-byte canonical header + 512 sample
+        # bytes; features = per-8-sample-chunk trunc-mean of |x| (sum/8 is
+        # power-of-two-exact in float64, so // replicates int(mean()))
+        "media_wav_features": """
+WITH ids AS (SELECT doc_id FROM documents),
+samples AS (
+  SELECT doc_id, i,
+         abs(((doc_id * 7919 + i * 104729) % 24001) - 12000)::BIGINT AS v
+  FROM ids, LATERAL unnest(range(0, 256)) AS u(i)
+),
+chunks AS (
+  SELECT doc_id, i // 8 AS c, sum(v) AS s FROM samples GROUP BY 1, 2
+),
+feats AS (SELECT doc_id, (s // 8)::BIGINT AS f FROM chunks)
+SELECT doc_id AS media_id, 556::BIGINT AS n_bytes,
+       sum(f)::BIGINT AS feat_sum, max(f)::BIGINT AS feat_max
+FROM feats GROUP BY 1
 """,
         "media_features": rf"""
 WITH consts AS (SELECT {_POW64_SQL} AS pw),
