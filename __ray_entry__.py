@@ -867,6 +867,25 @@ def _q_media_wav(sf_dir: str):
     )
 
 
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings ORDER BY vec_id LIMIT 32
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
 def _q_knn(sf_dir: str):
     import ray.data as rd
 
@@ -874,6 +893,21 @@ def _q_knn(sf_dir: str):
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return knn_brute_force(emb, n_queries=32, k=10)
+
+
+def _q_knn_ivf(sf_dir: str):
+    """The IVF ANN path under the oracle gate: with nprobe == n_clusters
+    every query probes every cluster, so IVF must return EXACTLY the
+    brute-force top-k — the same SQL twin gates the whole IVF machinery
+    (driver-sample k-means, centroid broadcast, per-batch assignment,
+    probe filter, per-query reduce). Partial-probe recall is the
+    pytest-covered approximation knob."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import knn_ivf
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_ivf(emb, n_queries=32, k=10, n_clusters=8, nprobe=8)
 
 
 def _q_events_tumbling(sf_dir: str):
@@ -1542,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_wav_features": _q_media_wav,
         "docs_dup_lines": _q_docs_dup_lines,
         "knn_bruteforce": _q_knn,
+        "knn_ivf_full": _q_knn_ivf,
         "events_tumbling": _q_events_tumbling,
         "events_asof": _q_events_asof,
         "events_topk": _q_events_topk,
@@ -1795,23 +1830,9 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper
 FROM w
 """,
-        "knn_bruteforce": """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-  FROM embeddings ORDER BY vec_id LIMIT 32
-),
-scored AS (
-  SELECT q.query_id, e.vec_id,
-         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS cosine
-  FROM embeddings e CROSS JOIN q
-),
-ranked AS (
-  SELECT *, row_number() OVER (
-      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10
-""",
+        # IVF at full probe must equal exact brute force — same twin
+        "knn_ivf_full": _KNN_ORACLE,
+        "knn_bruteforce": _KNN_ORACLE,
         "events_tumbling": """
 WITH ev AS (
   SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
