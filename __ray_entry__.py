@@ -1386,6 +1386,36 @@ def _q_graph_bfs(sf_dir: str):
     return bfs_frontier(edges, [center], max_depth=3)
 
 
+def _q_nodes_by_distance(sf_dir: str):
+    """K4 node_distance rerank (search_utils.py:901-943 contract): every
+    node ranked by hop distance from the smallest subject entity —
+    center keys 0.1, reachable nodes key their depth, unreachable sort
+    last (∞), ties by uuid; first 25. Oracle: the graph_bfs recursive
+    CTE + the same key ordering in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from graphiti_ray.pipelines.search import node_distance_rerank
+    from graphiti_ray.stages.graph import node_distances
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    edges = tables["edges"]
+    center = edges.min("subj_uuid")
+    ddf = node_distances(edges, center, max_depth=3)
+    dist = dict(zip(ddf.entity_uuid, ddf.depth))
+    uuids = sorted(
+        r["uuid"] for r in tables["nodes"].select_columns(["uuid"]).take_all()
+    )
+    order = node_distance_rerank(uuids, dist, center, min_score=0.0)[:25]
+    return pd.DataFrame(
+        {
+            "uuid": order,
+            "depth": [float(dist[u]) if u in dist else np.nan for u in order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+        }
+    )
+
+
 def _q_nodes_page(sf_dir: str):
     """S8/K3 cursored scan: nodes of two groups with uuid below a fixed
     cursor, uuid DESC, first 25 (the reference's cursor pagination shape).
@@ -1597,6 +1627,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_attributes": _q_kg_node_attributes,
         "episode_entity_edges": _q_episode_entity_edges,
         "graph_bfs": _q_graph_bfs,
+        "nodes_by_distance": _q_nodes_by_distance,
         "nodes_page": _q_nodes_page,
         "fuzzy_pairs": _q_fuzzy_pairs,
         "docs_lucene": _q_docs_lucene,
@@ -1760,6 +1791,39 @@ walk AS (
   SELECT s.y, w.d + 1 FROM walk w JOIN sym s ON s.x = w.node WHERE w.d < 3
 )
 SELECT node AS entity_uuid, min(d)::BIGINT AS depth FROM walk GROUP BY 1
+""",
+        # K4 node_distance rerank: BFS depths (same recursive CTE) keyed
+        # 0.1 for the center / depth for reachable / last for unreachable
+        "nodes_by_distance": f"""
+WITH RECURSIVE {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+sym AS (
+  SELECT subj_uuid AS x, obj_uuid AS y FROM merged_id
+  UNION SELECT obj_uuid, subj_uuid FROM merged_id
+),
+start AS (SELECT min(subj_uuid) AS c FROM merged_id),
+walk AS (
+  SELECT c AS node, 0 AS d FROM start
+  UNION ALL
+  SELECT s.y, w.d + 1 FROM walk w JOIN sym s ON s.x = w.node WHERE w.d < 3
+),
+dist AS (SELECT node, min(d) AS depth FROM walk GROUP BY 1),
+nodes AS (
+  SELECT DISTINCT md5(group_id || '|' || lower(canonical)) AS uuid FROM canon
+),
+keyed AS (
+  SELECT n.uuid, d.depth,
+         CASE WHEN n.uuid = (SELECT c FROM start) THEN 0.1
+              WHEN d.depth > 0 THEN d.depth::DOUBLE
+              ELSE NULL END AS k
+  FROM nodes n LEFT JOIN dist d ON d.node = n.uuid
+)
+SELECT uuid, depth::DOUBLE AS depth,
+       row_number() OVER (ORDER BY (k IS NULL), k, uuid) AS rank
+FROM keyed
+ORDER BY rank LIMIT 25
 """,
         # M5 typed attributes: winners re-derived from the edge CTEs —
         # latest currently-valid source edge per (entity, predicate), ties
