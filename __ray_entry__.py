@@ -1386,6 +1386,32 @@ def _q_graph_bfs(sf_dir: str):
     return bfs_frontier(edges, [center], max_depth=3)
 
 
+def _q_search_mmr(sf_dir: str):
+    """A3 one-shot MMR rerank over every node: rel = cosine(query, name)
+    with the hashing embedder, diversity penalty = max cosine to any
+    OTHER candidate; score = 0.5·rel − 0.5·max_sim, rel/max_sim rounded
+    to 6 before combining (the oracle-stable order). Oracle: the
+    embedding + pairwise-cosine SQL from fuzzy_pairs, an
+    absent-pair-is-zero max, and the same rank expression."""
+    import numpy as np
+    import pandas as pd
+
+    from graphiti_ray.pipelines.search import maximal_marginal_relevance
+    from graphiti_ray.stages.embed import embed_texts
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    rows = tables["nodes"].select_columns(["uuid", "name"]).take_all()
+    uuids = [r["uuid"] for r in rows]
+    vecs = embed_texts([r["name"] for r in rows])
+    qv = embed_texts(["alice smith"])[0]
+    order = maximal_marginal_relevance(
+        qv, dict(zip(uuids, vecs)), lambda_param=0.5, ndigits=6
+    )[:20]
+    return pd.DataFrame(
+        {"uuid": order, "rank": np.arange(1, len(order) + 1, dtype=np.int64)}
+    )
+
+
 def _q_nodes_by_distance(sf_dir: str):
     """K4 node_distance rerank (search_utils.py:901-943 contract): every
     node ranked by hop distance from the smallest subject entity —
@@ -1627,6 +1653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_node_attributes": _q_kg_node_attributes,
         "episode_entity_edges": _q_episode_entity_edges,
         "graph_bfs": _q_graph_bfs,
+        "search_mmr": _q_search_mmr,
         "nodes_by_distance": _q_nodes_by_distance,
         "nodes_page": _q_nodes_page,
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -1791,6 +1818,71 @@ walk AS (
   SELECT s.y, w.d + 1 FROM walk w JOIN sym s ON s.x = w.node WHERE w.d < 3
 )
 SELECT node AS entity_uuid, min(d)::BIGINT AS depth FROM walk GROUP BY 1
+""",
+        # A3 one-shot MMR: hashing embeddings of node names (+ the query
+        # string as one more embedded row), rel + pairwise max cosine with
+        # absent bucket-join pairs counted as dot 0, round(6) before the
+        # 0.5·rel − 0.5·max_sim combination — same order as the kernel
+        "search_mmr": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+nodes AS (
+  SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
+         min(canonical) AS name
+  FROM canon GROUP BY group_id, md5(group_id || '|' || lower(canonical))
+),
+strs AS (
+  SELECT uuid, '^' || lower(name) || '$' AS s FROM nodes
+  UNION ALL SELECT '__query__', '^alice smith$'
+),
+h3 AS (
+  SELECT uuid,
+         (ord(substr(s, i, 1))::HUGEINT * {pow(_POLY_INT, 2, _M64)}::HUGEINT
+          + ord(substr(s, i + 1, 1))::HUGEINT * {_POLY_INT}::HUGEINT
+          + ord(substr(s, i + 2, 1))::HUGEINT)
+           % 18446744073709551616::HUGEINT AS h
+  FROM strs, LATERAL unnest(range(1, length(s) - 1)) AS u(i)
+),
+buck AS (
+  SELECT uuid, (h % 64)::INT AS bucket,
+         sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS cnt
+  FROM h3 GROUP BY 1, 2
+),
+nrm AS (SELECT uuid, sqrt(sum(cnt * cnt)) AS nrm FROM buck GROUP BY 1),
+relv AS (
+  SELECT c.uuid, sum(c.cnt * q.cnt) / (nc.nrm * nq.nrm) AS rel
+  FROM buck c
+  JOIN buck q ON q.uuid = '__query__' AND q.bucket = c.bucket
+  JOIN nrm nc ON nc.uuid = c.uuid
+  JOIN nrm nq ON nq.uuid = '__query__'
+  WHERE c.uuid <> '__query__'
+  GROUP BY c.uuid, nc.nrm, nq.nrm
+),
+psim AS (
+  SELECT a.uuid AS a, sum(a.cnt * b.cnt) / (na.nrm * nb.nrm) AS cs
+  FROM buck a
+  JOIN buck b ON a.bucket = b.bucket AND a.uuid <> b.uuid
+   AND a.uuid <> '__query__' AND b.uuid <> '__query__'
+  JOIN nrm na ON na.uuid = a.uuid
+  JOIN nrm nb ON nb.uuid = b.uuid
+  GROUP BY a.uuid, b.uuid, na.nrm, nb.nrm
+),
+msim AS (SELECT a AS uuid, max(cs) AS mx, count(*) AS npres FROM psim GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM nodes),
+scored AS (
+  SELECT n.uuid,
+         0.5 * round(coalesce(r.rel, 0), 6)
+         - 0.5 * round(
+             CASE WHEN coalesce(m.npres, 0) < t.n - 1
+                  THEN greatest(coalesce(m.mx, 0), 0)
+                  ELSE m.mx END, 6) AS mmr
+  FROM nodes n CROSS JOIN tot t
+  LEFT JOIN relv r ON r.uuid = n.uuid
+  LEFT JOIN msim m ON m.uuid = n.uuid
+)
+SELECT uuid, row_number() OVER (ORDER BY mmr DESC, uuid) AS rank
+FROM scored ORDER BY rank LIMIT 20
 """,
         # K4 node_distance rerank: BFS depths (same recursive CTE) keyed
         # 0.1 for the center / depth for reachable / last for unreachable

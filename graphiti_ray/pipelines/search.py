@@ -309,10 +309,13 @@ def maximal_marginal_relevance(
     candidates: dict[str, np.ndarray],
     lambda_param: float = MMR_LAMBDA,
     min_score: float = -2.0,
+    ndigits: int | None = None,
 ) -> list[str]:
     """One-shot MMR (search_utils.py:976-1012): score = λ·sim(q,c) −
     (1−λ)·max_sim(c, already-picked is approximated by *all* others in the
-    reference's one-shot variant)."""
+    reference's one-shot variant). ``ndigits`` rounds rel/max_sim before
+    combining — the oracle-stable total order (same convention as the KNN
+    kernels: round(6) BEFORE ranking keeps ties identical to SQL)."""
     uuids = sorted(candidates)
     if not uuids:
         return []
@@ -326,6 +329,9 @@ def maximal_marginal_relevance(
     sim = mat @ mat.T
     np.fill_diagonal(sim, -np.inf)
     max_sim = sim.max(axis=1) if len(uuids) > 1 else np.zeros(len(uuids))
+    if ndigits is not None:
+        rel = np.round(rel, ndigits)
+        max_sim = np.round(max_sim, ndigits)
     mmr = lambda_param * rel - (1 - lambda_param) * max_sim
     order = sorted(zip(uuids, mmr), key=lambda kv: (-kv[1], kv[0]))
     return [u for u, s in order if s >= min_score]
