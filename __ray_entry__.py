@@ -1386,6 +1386,41 @@ def _q_graph_bfs(sf_dir: str):
     return bfs_frontier(edges, [center], max_depth=3)
 
 
+def _q_search_cross_encoder(sf_dir: str):
+    """ST3 dataset-mode cross-encoder rerank through the ACTUAL actor-pool
+    stage (CrossEncoderStage, load-once contract) with the deterministic
+    default model: ce_score = round(cosine(query, name), 9), global
+    (score desc, uuid) sort, limit 20. Oracle: the hashing-embedding
+    cosine in SQL with absent bucket-join pairs as dot 0."""
+    from graphiti_ray.pipelines.search import cross_encoder_rerank
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ds = tables["nodes"].select_columns(["uuid", "name"])
+    return cross_encoder_rerank(ds, "alice smith", "name", limit=20)
+
+
+def _q_nodes_by_mentions(sf_dir: str):
+    """A2 episode-mentions rerank kernel: most-mentioned-first, uuid ties
+    (search_utils.py:946-973). Oracle: the same ORDER in SQL over the
+    kg_nodes mention counts."""
+    import numpy as np
+    import pandas as pd
+
+    from graphiti_ray.pipelines.search import episode_mentions_rerank
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    rows = tables["nodes"].select_columns(["uuid", "mention_count"]).take_all()
+    counts = {r["uuid"]: int(r["mention_count"]) for r in rows}
+    order = episode_mentions_rerank(sorted(counts), counts)[:25]
+    return pd.DataFrame(
+        {
+            "uuid": order,
+            "mention_count": [counts[u] for u in order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+        }
+    )
+
+
 def _q_search_mmr(sf_dir: str):
     """A3 one-shot MMR rerank over every node: rel = cosine(query, name)
     with the hashing embedder, diversity penalty = max cosine to any
@@ -1654,6 +1689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "episode_entity_edges": _q_episode_entity_edges,
         "graph_bfs": _q_graph_bfs,
         "search_mmr": _q_search_mmr,
+        "search_cross_encoder": _q_search_cross_encoder,
+        "nodes_by_mentions": _q_nodes_by_mentions,
         "nodes_by_distance": _q_nodes_by_distance,
         "nodes_page": _q_nodes_page,
         "fuzzy_pairs": _q_fuzzy_pairs,
@@ -1883,6 +1920,63 @@ scored AS (
 )
 SELECT uuid, row_number() OVER (ORDER BY mmr DESC, uuid) AS rank
 FROM scored ORDER BY rank LIMIT 20
+""",
+        # ST3 deterministic cross-encoder: cosine of hashing embeddings,
+        # round(9) as the stage does, (score desc, uuid) top-20
+        "search_cross_encoder": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+nodes AS (
+  SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
+         min(canonical) AS name
+  FROM canon GROUP BY group_id, md5(group_id || '|' || lower(canonical))
+),
+strs AS (
+  SELECT uuid, '^' || lower(name) || '$' AS s FROM nodes
+  UNION ALL SELECT '__query__', '^alice smith$'
+),
+h3 AS (
+  SELECT uuid,
+         (ord(substr(s, i, 1))::HUGEINT * {pow(_POLY_INT, 2, _M64)}::HUGEINT
+          + ord(substr(s, i + 1, 1))::HUGEINT * {_POLY_INT}::HUGEINT
+          + ord(substr(s, i + 2, 1))::HUGEINT)
+           % 18446744073709551616::HUGEINT AS h
+  FROM strs, LATERAL unnest(range(1, length(s) - 1)) AS u(i)
+),
+buck AS (
+  SELECT uuid, (h % 64)::INT AS bucket,
+         sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS cnt
+  FROM h3 GROUP BY 1, 2
+),
+nrm AS (SELECT uuid, sqrt(sum(cnt * cnt)) AS nrm FROM buck GROUP BY 1),
+relv AS (
+  SELECT c.uuid, sum(c.cnt * q.cnt) / (nc.nrm * nq.nrm) AS rel
+  FROM buck c
+  JOIN buck q ON q.uuid = '__query__' AND q.bucket = c.bucket
+  JOIN nrm nc ON nc.uuid = c.uuid
+  JOIN nrm nq ON nq.uuid = '__query__'
+  WHERE c.uuid <> '__query__'
+  GROUP BY c.uuid, nc.nrm, nq.nrm
+)
+SELECT n.uuid, n.name, round(coalesce(r.rel, 0), 9) AS ce_score
+FROM nodes n LEFT JOIN relv r ON r.uuid = n.uuid
+ORDER BY ce_score DESC, n.uuid LIMIT 20
+""",
+        # A2 most-mentioned-first rerank, uuid ties
+        "nodes_by_mentions": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+nodes AS (
+  SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
+         sum(mention_count)::BIGINT AS mention_count
+  FROM canon
+  GROUP BY group_id, md5(group_id || '|' || lower(canonical))
+)
+SELECT uuid, mention_count,
+       row_number() OVER (ORDER BY mention_count DESC, uuid) AS rank
+FROM nodes ORDER BY rank LIMIT 25
 """,
         # K4 node_distance rerank: BFS depths (same recursive CTE) keyed
         # 0.1 for the center / depth for reachable / last for unreachable
