@@ -497,6 +497,30 @@ def _q_kg_mentions(sf_dir: str):
     return m.select_columns(["episode_uuid", "group_id", "name", "valid_at"])
 
 
+def _q_kg_mentions_reflexion(sf_dir: str):
+    """M2 reflexion loop under the oracle gate: a deliberately WEAK first
+    pass (drops names past 'M') plus the exhaustive extractor as the
+    re-prompt; the loop's converged union-dedup must equal single-pass
+    full extraction, so the SAME kg_mentions oracle gates it — this
+    checks the recovery control flow, not just the extractor."""
+    import pyarrow as pa
+
+    from graphiti_ray.stages.extract import episodes_dataset
+    from graphiti_ray.stages.nlp import MentionExtractor, mentions_with_reflexion
+
+    eps = episodes_dataset(_pages(sf_dir))
+    full = MentionExtractor()
+
+    def weak(batch: pa.Table) -> pa.Table:
+        out = full(batch)
+        names = out.column("name").to_pylist()
+        keep = pa.array([n[:1] <= "M" for n in names], pa.bool_())
+        return out.filter(keep)
+
+    m = mentions_with_reflexion(eps, extractors=[weak, full], max_passes=4)
+    return m.select_columns(["episode_uuid", "group_id", "name", "valid_at"])
+
+
 def _q_kg_triples_raw(sf_dir: str):
     from graphiti_ray.stages.extract import episodes_dataset
     from graphiti_ray.stages.nlp import triples_dataset
@@ -1650,6 +1674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kg_episodes": _q_kg_episodes,
         "kg_mentions": _q_kg_mentions,
+        "kg_mentions_reflexion": _q_kg_mentions_reflexion,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
@@ -1717,6 +1742,13 @@ SELECT md5(url) AS uuid, url AS name, group_id,
 FROM base
 """,
         "kg_mentions": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()}
+SELECT episode_uuid, group_id, name, valid_at FROM ment
+""",
+        # M2: the reflexion loop's converged union must equal single-pass
+        # exhaustive extraction — one oracle, two engine control flows
+        "kg_mentions_reflexion": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()}
 SELECT episode_uuid, group_id, name, valid_at FROM ment
