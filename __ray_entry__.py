@@ -612,6 +612,72 @@ def _q_kg_edges_incremental(sf_dir: str):
     )
 
 
+def _q_kg_edges_ingest_queue(sf_dir: str):
+    """S3 file-queue ingest == batch, value-exact: bootstrap the KG from a
+    deterministic third of the pages, drop the other two thirds into an
+    incoming directory as parquet files, drain them with
+    ``ingest_directory`` (lexicographic order = arrival order, one
+    add_pages micro-batch per file, INGEST_LOG persistence), then drain
+    AGAIN — the replay must skip everything — and check the final edges
+    against the same kg_edges oracle as the batch build."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from graphiti_ray.pipelines.incremental import ingest_directory
+    from graphiti_ray.pipelines.kg import run_kg
+    from graphiti_ray.stages.extract import episodes_dataset
+    from graphiti_ray.state.checkpoint import checkpointed_write, read_table
+
+    root = f"/tmp/graphiti_ray_ingestq/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    inc = os.path.join(root, "incoming")
+    os.makedirs(inc)
+
+    tbl = _pages(sf_dir).materialize().to_arrow_refs()
+    import ray as _ray
+
+    tbl = pa.concat_tables(_ray.get(tbl))
+    shard = pa.array(
+        [
+            int(hashlib.md5(u.encode()).hexdigest(), 16) % 3
+            for u in tbl.column("url").to_pylist()
+        ],
+        pa.int8(),
+    )
+    tbl = tbl.append_column("_shard", shard)
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    boot = tbl.filter(pc.equal(tbl.column("_shard"), 0)).drop_columns(["_shard"])
+    checkpointed_write(episodes_dataset(rd.from_arrow(boot)), root, "episodes", {})
+    run_kg("unused", root, embeddings=False)
+    for s in (1, 2):
+        pq.write_table(
+            tbl.filter(pc.equal(tbl.column("_shard"), s)).drop_columns(["_shard"]),
+            os.path.join(inc, f"batch_{s}.parquet"),
+        )
+    ingest_directory(root, inc, embeddings=False)
+    replay = ingest_directory(root, inc, embeddings=False)
+    assert all(r.get("skipped") for r in replay), "replay must be a no-op"
+    return read_table(root, "edges").select_columns(
+        [
+            "uuid",
+            "group_id",
+            "subj_canonical",
+            "pred",
+            "obj_canonical",
+            "valid_at",
+            "invalid_at",
+            "episode_count",
+        ]
+    )
+
+
 # --- training-data ops -----------------------------------------------------
 
 
@@ -1679,6 +1745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
         "kg_edges_incremental": _q_kg_edges_incremental,
+        "kg_edges_ingest_queue": _q_kg_edges_ingest_queue,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -1775,6 +1842,8 @@ GROUP BY group_id, md5(group_id || '|' || lower(canonical))
         # incremental build must converge to the SAME edges as the batch
         # build — one oracle, two engine paths
         "kg_edges_incremental": _KG_EDGES_ORACLE,
+        # ...and so must the S3 file-queue ingest (third engine path)
+        "kg_edges_ingest_queue": _KG_EDGES_ORACLE,
         # winnowing fingerprints: positional shingle hashes (same hugeint
         # Horner as the MinHash oracle), sliding-window min, adjacent dedup
         "docs_fingerprint": _winnow_oracle_sql(),
