@@ -337,3 +337,32 @@ def test_ngram_jaccard_hub_drop_keeps_recall(ray_session):
     assert got == {(70, 71)}
     stats = TRUNCATION_STATS["ngram_jaccard"]
     assert stats["hub_keys"] >= 1  # template minima were dropped, loudly
+
+
+def test_ngram_jaccard_pairs_random_corpus_vs_bruteforce(ray_session):
+    """Randomized word-soup corpus with planted mutations: the blocked
+    operator must reproduce the brute-force pair set exactly."""
+    import itertools
+
+    from graphiti_ray.stages.dedup import ngram_jaccard_pairs
+
+    rng = np.random.RandomState(7)
+    words = [f"w{i:03d}" for i in range(60)]
+    texts = []
+    for _ in range(24):
+        texts.append(" ".join(rng.choice(words, size=20)))
+    for i in range(0, 8, 2):  # plant 4 near-dup pairs by 1-word mutation
+        t = list(texts[i].split())
+        t[rng.randint(len(t))] = "mutated"
+        texts.append(" ".join(t))
+    out = ngram_jaccard_pairs(_docs(texts).repartition(6), threshold=0.7).to_pandas()
+    got = {(int(r.a), int(r.b)): float(r.jaccard) for r in out.itertuples()}
+    expect = {
+        (i, j): ngram_jaccard(texts[i], texts[j])
+        for i, j in itertools.combinations(range(len(texts)), 2)
+        if ngram_jaccard(texts[i], texts[j]) >= 0.7
+    }
+    assert len(expect) >= 4  # the planted pairs are present
+    assert set(got) == set(expect)
+    for k, v in expect.items():
+        assert abs(got[k] - v) < 1e-9
