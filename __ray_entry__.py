@@ -193,6 +193,44 @@ from graphiti_ray.stages.dedup import MAX_BUCKET as _MAX_BUCKET_SQL  # noqa: E40
 _POW64_SQL = "[" + ",".join(f"{pow(_POLY_INT, k, _M64)}::HUGEINT" for k in range(64)) + "]"
 _POW2_SQL = "[" + ",".join(f"{1 << p}::HUGEINT" for p in range(64)) + "]"
 
+# hashing-embedding CTE chain shared by the search_mmr and
+# search_cross_encoder oracles: node names (+ the fixed query string as
+# one extra embedded row) → signed 64-bucket counts → norms → query
+# cosine (rel); absent bucket-join pairs mean dot 0 and are handled by
+# the consumers' LEFT JOIN + coalesce
+_NAME_EMBED_CTES = f"""nodes AS (
+  SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
+         min(canonical) AS name
+  FROM canon GROUP BY group_id, md5(group_id || '|' || lower(canonical))
+),
+strs AS (
+  SELECT uuid, '^' || lower(name) || '$' AS s FROM nodes
+  UNION ALL SELECT '__query__', '^alice smith$'
+),
+h3 AS (
+  SELECT uuid,
+         (ord(substr(s, i, 1))::HUGEINT * {pow(_POLY_INT, 2, _M64)}::HUGEINT
+          + ord(substr(s, i + 1, 1))::HUGEINT * {_POLY_INT}::HUGEINT
+          + ord(substr(s, i + 2, 1))::HUGEINT)
+           % 18446744073709551616::HUGEINT AS h
+  FROM strs, LATERAL unnest(range(1, length(s) - 1)) AS u(i)
+),
+buck AS (
+  SELECT uuid, (h % 64)::INT AS bucket,
+         sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS cnt
+  FROM h3 GROUP BY 1, 2
+),
+nrm AS (SELECT uuid, sqrt(sum(cnt * cnt)) AS nrm FROM buck GROUP BY 1),
+relv AS (
+  SELECT c.uuid, sum(c.cnt * q.cnt) / (nc.nrm * nq.nrm) AS rel
+  FROM buck c
+  JOIN buck q ON q.uuid = '__query__' AND q.bucket = c.bucket
+  JOIN nrm nc ON nc.uuid = c.uuid
+  JOIN nrm nq ON nq.uuid = '__query__'
+  WHERE c.uuid <> '__query__'
+  GROUP BY c.uuid, nc.nrm, nq.nrm
+)"""
+
 
 def _minhash_oracle_sql() -> str:
     """Full MinHash-LSH near-dup pipeline as SQL: k-byte shingle rolling
@@ -632,7 +670,12 @@ def _q_kg_edges_ingest_queue(sf_dir: str):
     from graphiti_ray.stages.extract import episodes_dataset
     from graphiti_ray.state.checkpoint import checkpointed_write, read_table
 
-    root = f"/tmp/graphiti_ray_ingestq/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    # pid-scoped root: two concurrent harness runs on the same sf_dir must
+    # not rmtree each other's live checkpoint trees
+    root = (
+        "/tmp/graphiti_ray_ingestq/"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     inc = os.path.join(root, "incoming")
     os.makedirs(inc)
@@ -664,18 +707,24 @@ def _q_kg_edges_ingest_queue(sf_dir: str):
     ingest_directory(root, inc, embeddings=False)
     replay = ingest_directory(root, inc, embeddings=False)
     assert all(r.get("skipped") for r in replay), "replay must be a no-op"
-    return read_table(root, "edges").select_columns(
-        [
-            "uuid",
-            "group_id",
-            "subj_canonical",
-            "pred",
-            "obj_canonical",
-            "valid_at",
-            "invalid_at",
-            "episode_count",
-        ]
+    out = (
+        read_table(root, "edges")
+        .select_columns(
+            [
+                "uuid",
+                "group_id",
+                "subj_canonical",
+                "pred",
+                "obj_canonical",
+                "valid_at",
+                "invalid_at",
+                "episode_count",
+            ]
+        )
+        .materialize()  # pin to the object store BEFORE deleting the files
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
 
 
 # --- training-data ops -----------------------------------------------------
@@ -730,11 +779,24 @@ def _q_dedup_ngram(sf_dir: str):
     (df > NGRAM_HOT_DF), min-shared-key pair dedup, exact intersection
     Jaccard. 25/25 true ≥0.8 pairs found at sf0.01 (full recall; the
     unfiltered bottom-k variant lost 84% to hub-bucket truncation)."""
+    import pyarrow.compute as pc
+
     import ray.data as rd
 
-    from graphiti_ray.stages.dedup import ngram_jaccard_pairs
+    from graphiti_ray.stages.dedup import SHINGLE_K, ngram_jaccard_pairs
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # docs shorter than the shingle width are excluded on BOTH sides: the
+    # engine pads them to one shingle (library semantics), which the SQL
+    # twin's substr walk cannot express — the guard keeps the check exact
+    # on any corpus, not just ones without tiny docs
+    docs = docs.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(pc.utf8_length(t.column("text")), SHINGLE_K)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
@@ -754,7 +816,8 @@ def _ngram_oracle_sql() -> str:
         ]
     )
     return rf"""
-WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents
+            WHERE length(text) >= {SHINGLE_K}),
 bytes AS (
   SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
   FROM lt, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
@@ -1644,12 +1707,26 @@ def _q_docs_fingerprint(sf_dir: str):
     sliding-window min + adjacent dedup replicated in SQL."""
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     import ray.data as rd
 
-    from graphiti_ray.stages.textstats import fingerprints
+    from graphiti_ray.stages.textstats import WINNOW_K, WINNOW_W, fingerprints
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # docs with fewer than WINNOW_W shingle hashes take the engine's
+    # single-[min] fallback, which the SQL sliding-window twin cannot
+    # express — the guard (chars ≥ k+w-1 ⇒ hashes ≥ w) keeps the check
+    # exact on any corpus, not just ones without tiny docs
+    docs = docs.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(
+                pc.utf8_length(t.column("text")), WINNOW_K + WINNOW_W - 1
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def summar(batch: pa.Table) -> pa.Table:
         col = batch.column("fp").combine_chunks()
@@ -1681,7 +1758,8 @@ def _winnow_oracle_sql() -> str:
         ]
     )
     return rf"""
-WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents
+            WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}),
 bytes AS (
   SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
   FROM lt, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
@@ -1965,38 +2043,7 @@ SELECT node AS entity_uuid, min(d)::BIGINT AS depth FROM walk GROUP BY 1
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},
 {_CANON_CTE.lstrip()},
-nodes AS (
-  SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
-         min(canonical) AS name
-  FROM canon GROUP BY group_id, md5(group_id || '|' || lower(canonical))
-),
-strs AS (
-  SELECT uuid, '^' || lower(name) || '$' AS s FROM nodes
-  UNION ALL SELECT '__query__', '^alice smith$'
-),
-h3 AS (
-  SELECT uuid,
-         (ord(substr(s, i, 1))::HUGEINT * {pow(_POLY_INT, 2, _M64)}::HUGEINT
-          + ord(substr(s, i + 1, 1))::HUGEINT * {_POLY_INT}::HUGEINT
-          + ord(substr(s, i + 2, 1))::HUGEINT)
-           % 18446744073709551616::HUGEINT AS h
-  FROM strs, LATERAL unnest(range(1, length(s) - 1)) AS u(i)
-),
-buck AS (
-  SELECT uuid, (h % 64)::INT AS bucket,
-         sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS cnt
-  FROM h3 GROUP BY 1, 2
-),
-nrm AS (SELECT uuid, sqrt(sum(cnt * cnt)) AS nrm FROM buck GROUP BY 1),
-relv AS (
-  SELECT c.uuid, sum(c.cnt * q.cnt) / (nc.nrm * nq.nrm) AS rel
-  FROM buck c
-  JOIN buck q ON q.uuid = '__query__' AND q.bucket = c.bucket
-  JOIN nrm nc ON nc.uuid = c.uuid
-  JOIN nrm nq ON nq.uuid = '__query__'
-  WHERE c.uuid <> '__query__'
-  GROUP BY c.uuid, nc.nrm, nq.nrm
-),
+{_NAME_EMBED_CTES},
 psim AS (
   SELECT a.uuid AS a, sum(a.cnt * b.cnt) / (na.nrm * nb.nrm) AS cs
   FROM buck a
@@ -2028,38 +2075,7 @@ FROM scored ORDER BY rank LIMIT 20
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},
 {_CANON_CTE.lstrip()},
-nodes AS (
-  SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
-         min(canonical) AS name
-  FROM canon GROUP BY group_id, md5(group_id || '|' || lower(canonical))
-),
-strs AS (
-  SELECT uuid, '^' || lower(name) || '$' AS s FROM nodes
-  UNION ALL SELECT '__query__', '^alice smith$'
-),
-h3 AS (
-  SELECT uuid,
-         (ord(substr(s, i, 1))::HUGEINT * {pow(_POLY_INT, 2, _M64)}::HUGEINT
-          + ord(substr(s, i + 1, 1))::HUGEINT * {_POLY_INT}::HUGEINT
-          + ord(substr(s, i + 2, 1))::HUGEINT)
-           % 18446744073709551616::HUGEINT AS h
-  FROM strs, LATERAL unnest(range(1, length(s) - 1)) AS u(i)
-),
-buck AS (
-  SELECT uuid, (h % 64)::INT AS bucket,
-         sum(CASE WHEN (h // 65536) % 2 = 1 THEN 1.0 ELSE -1.0 END) AS cnt
-  FROM h3 GROUP BY 1, 2
-),
-nrm AS (SELECT uuid, sqrt(sum(cnt * cnt)) AS nrm FROM buck GROUP BY 1),
-relv AS (
-  SELECT c.uuid, sum(c.cnt * q.cnt) / (nc.nrm * nq.nrm) AS rel
-  FROM buck c
-  JOIN buck q ON q.uuid = '__query__' AND q.bucket = c.bucket
-  JOIN nrm nc ON nc.uuid = c.uuid
-  JOIN nrm nq ON nq.uuid = '__query__'
-  WHERE c.uuid <> '__query__'
-  GROUP BY c.uuid, nc.nrm, nq.nrm
-)
+{_NAME_EMBED_CTES}
 SELECT n.uuid, n.name, round(coalesce(r.rel, 0), 9) AS ce_score
 FROM nodes n LEFT JOIN relv r ON r.uuid = n.uuid
 ORDER BY ce_score DESC, n.uuid LIMIT 20

@@ -96,10 +96,7 @@ def _extras(sf_dir: str) -> dict[str, float]:
         timed("dedup_minhash", lambda: minhash_near_dup(docs2).count())
         from graphiti_ray.stages.dedup import ngram_jaccard_pairs
 
-        docs2b = rd.read_parquet(
-            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        )
-        timed("dedup_ngram", lambda: ngram_jaccard_pairs(docs2b).count())
+        timed("dedup_ngram", lambda: ngram_jaccard_pairs(docs2).count())
     except ImportError:
         pass
 

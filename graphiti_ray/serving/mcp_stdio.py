@@ -58,7 +58,17 @@ class MCPStdioServer:
             return _rpc_error(None, INVALID_REQUEST, "not a JSON-RPC 2.0 message")
         method = msg.get("method")
         msg_id = msg.get("id")
-        is_notification = "id" not in msg
+
+        # notifications (no id) are NEVER answered — checked before any
+        # method dispatch so even an id-less 'initialize' stays silent
+        # (JSON-RPC 2.0 forbids responding with id:null to a notification)
+        if "id" not in msg:
+            if method == "notifications/initialized":
+                # tracked for observability; requests arriving before the
+                # client's initialized notification are tolerated (lenient
+                # server), so the flag gates nothing
+                self.initialized = True
+            return None
 
         if method == "initialize":
             self.initialized = False
@@ -70,11 +80,6 @@ class MCPStdioServer:
                     "serverInfo": SERVER_INFO,
                 },
             )
-        if method == "notifications/initialized":
-            self.initialized = True
-            return None
-        if is_notification:
-            return None  # unknown notifications are ignored per spec
         if method == "ping":
             return _rpc_result(msg_id, {})
         if method == "tools/list":

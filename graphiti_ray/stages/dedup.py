@@ -637,11 +637,19 @@ def _ngram_block_pairs(tbl: pa.Table, threshold: float) -> pa.Table:
     if len(px) == 0:
         return empty
     keys = np.asarray(tbl.column("keys").to_pylist(), dtype=np.int64)
-    # smallest key present in BOTH bottom-M lists (pad never matches pad:
-    # comparing kA==pad against kB==pad would — mask pads out explicitly)
-    ka, kb = keys[px], keys[py]  # (P, M) each
-    shared = (ka[:, :, None] == kb[:, None, :]).any(axis=2) & (ka != _KEY_PAD)
-    min_shared = np.where(shared, ka, _KEY_PAD).min(axis=1)
+    # smallest key present in BOTH key lists (pad never matches a real
+    # hash; kA==pad slots are masked out explicitly). The (chunk, M, M)
+    # broadcast cube is bounded to a few MB per chunk — an unchunked
+    # P×M×M allocation is ~1 KB per pair, GBs on template-heavy blocks
+    # where every bucket sits at hot_df.
+    m_w = keys.shape[1]
+    min_shared = np.empty(len(px), dtype=np.int64)
+    chunk = max(1, (1 << 22) // (m_w * m_w))
+    for s in range(0, len(px), chunk):
+        ka = keys[px[s : s + chunk]]
+        kb = keys[py[s : s + chunk]]
+        shared = (ka[:, :, None] == kb[:, None, :]).any(axis=2) & (ka != _KEY_PAD)
+        min_shared[s : s + chunk] = np.where(shared, ka, _KEY_PAD).min(axis=1)
     mine = min_shared == hcol[px]
     px, py = px[mine], py[mine]
     if len(px) == 0:

@@ -182,11 +182,20 @@ class MediaFeatureExtractor:
             # exactly replicable by the DuckDB oracle)
             return payload_chunk_hashes(payload, self.dim)
         fmt = sniff_format(payload)
-        if fmt == "wav":
-            samples, _sr = decode_wav(payload)
-            return _chunk_ints(samples, self.dim)
-        if fmt in ("ppm", "pgm"):
-            return _chunk_ints(decode_ppm(payload), self.dim)
+        try:
+            if fmt == "wav":
+                samples, _sr = decode_wav(payload)
+                return _chunk_ints(samples, self.dim)
+            if fmt in ("ppm", "pgm"):
+                return _chunk_ints(decode_ppm(payload), self.dim)
+        except Exception:
+            # magic sniffed but the body is corrupt/truncated (or a text
+            # blob that happens to start with 'P6'/RIFF): auto degrades to
+            # the stub instead of killing the whole map_batches task;
+            # real mode propagates — corrupt media should be loud there
+            if self.decode != "auto":
+                raise
+            return payload_chunk_hashes(payload, self.dim)
         if self.decode == "auto":
             return payload_chunk_hashes(payload, self.dim)
         raise NotImplementedError(
@@ -272,9 +281,15 @@ class MediaResize:
         if self.decode == "stub":
             return self._stub_resize(payload)
         if sniff_format(payload) in ("ppm", "pgm"):
-            return encode_ppm(
-                resize_nearest(decode_ppm(payload), self.width, self.height)
-            )
+            try:
+                return encode_ppm(
+                    resize_nearest(decode_ppm(payload), self.width, self.height)
+                )
+            except Exception:
+                # sniffed-but-corrupt body: auto degrades, real is loud
+                if self.decode != "auto":
+                    raise
+                return self._stub_resize(payload)
         if self.decode == "auto":
             return self._stub_resize(payload)
         raise NotImplementedError(

@@ -210,3 +210,16 @@ def test_stdio_server_subprocess_roundtrip(tmp_path):
         assert proc.wait(timeout=30) == 0  # clean EOF shutdown
     finally:
         proc.kill()
+
+
+def test_stdio_notifications_are_never_answered(kg_root):
+    """JSON-RPC 2.0: any id-less message — even 'initialize' — must get
+    no response (an id:null reply would be a protocol violation)."""
+    from graphiti_ray.serving.mcp_stdio import MCPStdioServer
+
+    srv = MCPStdioServer(GraphitiFacade(kg_root))
+    assert srv.handle({"jsonrpc": "2.0", "method": "initialize",
+                       "params": {}}) is None
+    assert srv.handle({"jsonrpc": "2.0", "method": "tools/list"}) is None
+    assert srv.handle({"jsonrpc": "2.0",
+                       "method": "some/unknown_notification"}) is None

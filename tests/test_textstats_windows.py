@@ -405,3 +405,26 @@ def test_media_resize_real_ppm(ray_session):
     arr = decode_ppm(out.payload[0])
     assert arr.shape == (3, 4, 3)
     assert json.loads(out.meta[0]) == {"w": 4, "h": 3}
+
+
+def test_media_auto_mode_survives_corrupt_sniffed_payloads():
+    """A payload whose magic sniffs as PPM/WAV but whose body is garbage
+    must degrade to the stub in auto mode (never kill the task) and stay
+    loud in real mode."""
+    from graphiti_ray.stages.multimodal import (
+        MediaFeatureExtractor,
+        MediaResize,
+        payload_chunk_hashes,
+    )
+
+    fake_ppm = b"P6 is my favorite chip"
+    fake_wav = b"RIFF" + b"\x00" * 4 + b"WAVE" + b"garbage body"
+    auto = MediaFeatureExtractor(decode="auto")
+    for payload in (fake_ppm, fake_wav):
+        assert np.array_equal(
+            auto._raw_vals(payload), payload_chunk_hashes(payload, auto.dim)
+        )
+        with pytest.raises(Exception):
+            MediaFeatureExtractor(decode="real")._raw_vals(payload)
+    rz = MediaResize(4, 4, decode="auto")
+    assert rz._resize(fake_ppm) == rz._stub_resize(fake_ppm)
