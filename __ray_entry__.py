@@ -875,6 +875,174 @@ WHERE i.shared::DOUBLE / (za.n + zb.n - i.shared) >= 0.8
 """
 
 
+def _q_docs_chunks(sf_dir: str):
+    """Training-window chunking: fixed 512-char windows every 448 chars
+    (64 overlap) — the flat-map fan-out of LLM data prep. Oracle: the
+    same start grid via range() + substr."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import chunk_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return chunk_documents(docs)
+
+
+def _q_docs_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any distinct char 8-gram
+    with the probe set (docs with doc_id % 97 == 0 stand in for a
+    benchmark) are flagged. Probe grams broadcast once; corpus streams.
+    Oracle: 8-gram Horner shingles + probe join in SQL."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import DECON_K, decontaminate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # guard: docs shorter than the gram width take the engine's padding
+    # fallback, which the SQL substr walk cannot express
+    docs = docs.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(pc.utf8_length(t.column("text")), DECON_K)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    def is_probe(t):
+        # doc_id % 97 == 0 (pyarrow has no modulo kernel; ids are ≥ 0 so
+        # truncated integer division reconstructs it)
+        d = t.column("doc_id")
+        return t.filter(
+            pc.equal(pc.subtract(d, pc.multiply(pc.divide(d, 97), 97)), 0)
+        )
+
+    probes = [
+        r["text"]
+        for r in docs.map_batches(
+            is_probe, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    ]
+    return decontaminate(docs, probes)
+
+
+def _decon_oracle_sql() -> str:
+    from graphiti_ray.stages.dedup import DECON_K
+
+    p_pow = [pow(_POLY_INT, j, _M64) for j in range(DECON_K)]
+    terms = " + ".join(
+        [f"b * {p_pow[DECON_K - 1]}::HUGEINT"]
+        + [
+            f"lead(b, {j}) OVER w * {p_pow[DECON_K - 1 - j]}::HUGEINT"
+            for j in range(1, DECON_K)
+        ]
+    )
+    return rf"""
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents
+            WHERE length(text) >= {DECON_K}),
+bytes AS (
+  SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
+  FROM lt, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
+),
+sh0 AS (
+  SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS h64, i, n
+  FROM bytes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+grams AS (
+  SELECT DISTINCT doc_id, (h64 % 2305843009213693952::HUGEINT)::BIGINT AS h
+  FROM sh0 WHERE i <= n - {DECON_K - 1}
+),
+probe AS (SELECT DISTINCT h FROM grams WHERE doc_id % 97 = 0),
+shared AS (
+  SELECT g.doc_id, count(*) AS c
+  FROM grams g JOIN probe p USING (h) GROUP BY 1
+)
+SELECT l.doc_id, coalesce(s.c, 0)::BIGINT AS n_shared_grams,
+       (coalesce(s.c, 0) > 0)::BIGINT AS contaminated
+FROM lt l LEFT JOIN shared s USING (doc_id)
+"""
+
+
+def _q_docs_pii(sf_dir: str):
+    """PII redaction: a deterministic PII header (email / IPv4 / phone
+    derived from doc_id arithmetic) is prepended so the check is
+    non-vacuous, then the actor-pool RedactPII stage runs its sequential
+    email → ip → phone passes. Oracle: the identical RE2-safe regexes in
+    nested regexp_replace / regexp_extract_all."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import redact_pii
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        aug = [
+            f"contact{d}@mail{d % 7}.example.com ip 10.{d % 256}.0."
+            f"{(d * 7) % 256} tel +1555{d:07d} {t}"
+            for d, t in zip(ids, texts)
+        ]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "text": pa.array(aug, pa.string())}
+        )
+
+    return redact_pii(
+        docs.map_batches(augment, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def _chunks_oracle_sql() -> str:
+    from graphiti_ray.stages.textstats import CHUNK_OVERLAP, CHUNK_SIZE
+
+    step = CHUNK_SIZE - CHUNK_OVERLAP
+    return f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id, (s // {step})::BIGINT AS chunk_idx,
+       substr(text, s + 1, {CHUNK_SIZE}) AS chunk_text,
+       length(substr(text, s + 1, {CHUNK_SIZE}))::BIGINT AS n_chars
+FROM d, LATERAL unnest(range(0, greatest(n, 1), {step})) AS u(s)
+"""
+
+
+def _pii_oracle_sql() -> str:
+    from graphiti_ray.stages.textstats import PII_EMAIL, PII_IPV4, PII_PHONE
+
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         'contact' || doc_id || '@mail' || (doc_id % 7) ||
+         '.example.com ip 10.' || (doc_id % 256) || '.0.' ||
+         ((doc_id * 7) % 256) || ' tel +1555' ||
+         lpad(doc_id::VARCHAR, 7, '0') || ' ' || text AS t0
+  FROM documents
+),
+p1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0, '{PII_EMAIL}')) AS n_emails,
+         regexp_replace(t0, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+p2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PII_IPV4}')) AS n_ips,
+         regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM p1
+),
+p3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         len(regexp_extract_all(t2, '{PII_PHONE}')) AS n_phones,
+         regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS clean_text
+  FROM p2
+)
+SELECT doc_id, clean_text, n_emails::BIGINT AS n_emails,
+       n_ips::BIGINT AS n_ips, n_phones::BIGINT AS n_phones
+FROM p3
+"""
+
+
 def _q_text_tokens(sf_dir: str):
     import ray.data as rd
 
@@ -1829,6 +1997,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
         "dedup_ngram": _q_dedup_ngram,
+        "docs_chunks": _q_docs_chunks,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_pii": _q_docs_pii,
         "text_tokens": _q_text_tokens,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -2590,6 +2761,12 @@ GROUP BY 1, 2
         # exact n-gram Jaccard near-dup: bottom-M sketch blocking + full
         # shingle-set intersection, replicated end-to-end
         "dedup_ngram": _ngram_oracle_sql(),
+        # training-window chunking: pure start-grid arithmetic
+        "docs_chunks": _chunks_oracle_sql(),
+        # train/test 8-gram overlap decontamination
+        "docs_decontaminate": _decon_oracle_sql(),
+        # sequential email → ip → phone redaction with identical regexes
+        "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),
         "dedup_simhash": rf"""
 WITH consts AS (SELECT {_POW64_SQL} AS pw, {_POW2_SQL} AS p2),

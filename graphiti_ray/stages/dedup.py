@@ -794,6 +794,53 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- benchmark decontamination ----------------------------------------------
+
+DECON_K = 8  # char n-gram width for train/test overlap detection
+
+
+def decontaminate(
+    docs: rd.Dataset,
+    probe_texts: list[str],
+    k: int = DECON_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Train/test decontamination: flag corpus docs sharing ANY distinct
+    char k-gram with a benchmark probe set (the standard n-gram-overlap
+    rule). The probe gram set is benchmark-sized — broadcast once via
+    ``ray.put`` and probed with a vectorized ``np.isin`` per doc; the
+    corpus streams, nothing shuffles. Output: (doc_id, n_shared_grams,
+    contaminated)."""
+    import ray
+
+    probe = np.unique(
+        np.concatenate(
+            [shingle_hashes(t, k) for t in probe_texts]
+            or [np.zeros(0, dtype=np.int64)]
+        )
+    )
+    ref = ray.put(probe)
+
+    def flag(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        probe_arr = _cached_lut(_ref)
+        texts = batch.column(text_col).to_pylist()
+        shared = [
+            int(np.isin(shingle_hashes(t, k), probe_arr).sum()) for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col),
+                "n_shared_grams": pa.array(shared, pa.int64()),
+                "contaminated": pa.array([int(s > 0) for s in shared], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --- simhash ---------------------------------------------------------------
 
 _BIT_IDX = np.arange(64, dtype=np.uint64)

@@ -288,6 +288,93 @@ def duplicate_lines(
     )
 
 
+# PII patterns kept to the RE2-compatible subset (no lookaround, no
+# backreferences) so the DuckDB oracle applies the IDENTICAL regexes
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}"
+
+
+class RedactPII:
+    """→ doc_id, clean_text, n_emails, n_ips, n_phones. Sequential
+    redaction (email → ipv4 → phone, each counted on the text as it
+    stands when its pass runs) with compiled patterns held per actor."""
+
+    def __init__(self, text_col="text", id_col="doc_id"):
+        self.passes = [
+            (re.compile(PII_EMAIL), "<EMAIL>"),
+            (re.compile(PII_IPV4), "<IP>"),
+            (re.compile(PII_PHONE), "<PHONE>"),
+        ]
+        self.text_col, self.id_col = text_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        counts = [[], [], []]
+        out = []
+        for t in texts:
+            for i, (rx, token) in enumerate(self.passes):
+                t, n = rx.subn(token, t)
+                counts[i].append(n)
+            out.append(t)
+        return pa.table(
+            {
+                "doc_id": batch.column(self.id_col),
+                "clean_text": pa.array(out, pa.string()),
+                "n_emails": pa.array(counts[0], pa.int64()),
+                "n_ips": pa.array(counts[1], pa.int64()),
+                "n_phones": pa.array(counts[2], pa.int64()),
+            }
+        )
+
+
+def redact_pii(docs, **kw):
+    return _stage(RedactPII, docs, **kw)
+
+
+CHUNK_SIZE = 512  # characters per training chunk
+CHUNK_OVERLAP = 64  # characters shared between consecutive chunks
+
+
+def chunk_documents(
+    docs: rd.Dataset,
+    size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Training-window chunking: each doc fans out into fixed character
+    windows of ``size`` chars starting every ``size - overlap`` chars
+    (an empty doc still yields its one empty chunk) — the flat-map shape
+    of LLM-training data prep. Output: (doc_id, chunk_idx, chunk_text,
+    n_chars). The start grid is pure arithmetic, so a SQL twin
+    reproduces it with range() + substr."""
+    assert 0 <= overlap < size
+    step = size - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        o_id, o_ix, o_tx = [], [], []
+        for d, t in zip(ids, texts):
+            for ix, s in enumerate(range(0, max(len(t), 1), step)):
+                o_id.append(d)
+                o_ix.append(ix)
+                o_tx.append(t[s : s + size])
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "chunk_idx": pa.array(o_ix, pa.int64()),
+                "chunk_text": pa.array(o_tx, pa.string()),
+                "n_chars": pa.array([len(t) for t in o_tx], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _stage(cls, docs: rd.Dataset, text_col="text", id_col="doc_id") -> rd.Dataset:
     return docs.map_batches(
         cls,

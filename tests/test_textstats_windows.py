@@ -428,3 +428,62 @@ def test_media_auto_mode_survives_corrupt_sniffed_payloads():
             MediaFeatureExtractor(decode="real")._raw_vals(payload)
     rz = MediaResize(4, 4, decode="auto")
     assert rz._resize(fake_ppm) == rz._stub_resize(fake_ppm)
+
+
+def test_chunk_documents_grid_and_overlap(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.textstats import chunk_documents
+
+    text = "abcdefghij" * 60  # 600 chars → starts 0, 448 with size 512
+    ds = rd_.from_items([{"doc_id": 1, "text": text}, {"doc_id": 2, "text": ""}])
+    out = chunk_documents(ds).to_pandas().sort_values(["doc_id", "chunk_idx"])
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk_idx) == [0, 1]
+    assert d1.iloc[0].chunk_text == text[:512]
+    assert d1.iloc[1].chunk_text == text[448:600]
+    # consecutive chunks share exactly the overlap
+    assert d1.iloc[0].chunk_text[448:] == d1.iloc[1].chunk_text[:64]
+    # empty doc still yields its one empty chunk
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].chunk_text == ""
+
+
+def test_decontaminate_flags_overlap_only(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.dedup import decontaminate
+
+    bench = "the secret benchmark passage nobody should train on"
+    docs = rd_.from_items(
+        [
+            {"doc_id": 0, "text": "totally clean training text about gardens"},
+            {"doc_id": 1, "text": "prefix " + bench + " suffix"},  # contains it
+            {"doc_id": 2, "text": "another unrelated document entirely"},
+        ]
+    )
+    out = decontaminate(docs, [bench]).to_pandas().set_index("doc_id")
+    assert out.loc[1].contaminated == 1 and out.loc[1].n_shared_grams > 30
+    assert out.loc[0].contaminated == 0 and out.loc[2].contaminated == 0
+
+
+def test_redact_pii_sequential_counts(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.textstats import redact_pii
+
+    ds = rd_.from_items(
+        [
+            {
+                "doc_id": 0,
+                "text": "mail a.b@x.io and c@d.org, ip 10.0.0.1, call +12345678",
+            },
+            {"doc_id": 1, "text": "nothing sensitive here"},
+        ]
+    )
+    out = redact_pii(ds).to_pandas().set_index("doc_id")
+    r = out.loc[0]
+    assert r.n_emails == 2 and r.n_ips == 1 and r.n_phones == 1
+    assert "<EMAIL>" in r.clean_text and "<IP>" in r.clean_text
+    assert "@" not in r.clean_text and "+1234" not in r.clean_text
+    assert out.loc[1].clean_text == "nothing sensitive here"
