@@ -1473,6 +1473,18 @@ def _q_docs_sample(sf_dir: str):
     return deterministic_sample(docs, 0.25)
 
 
+def _q_docs_stratified(sf_dir: str):
+    """Per-stratum deterministic sampling — training-mix assembly: keep
+    100% of 'de', 50% of 'fr', 12.5% of 'en', 0% of everything else.
+    Oracle: the same per-stratum md5-threshold rule in SQL."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_sample(docs, {"de": 1.0, "fr": 0.5, "en": 0.125})
+
+
 def _q_pricing_summary(sf_dir: str):
     from graphiti_ray.pipelines.relational import pricing_summary
 
@@ -2018,6 +2030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_quality_filter": _q_docs_quality_filter,
         "corpus_clean": _q_corpus_clean,
         "docs_sample": _q_docs_sample,
+        "docs_stratified": _q_docs_stratified,
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "lang_doc_stats": _q_lang_doc_stats,
@@ -2636,6 +2649,14 @@ SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
         "docs_sample": """
 SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+""",
+        # per-stratum thresholds: de 1.0 → 'g' (lexicographically above
+        # every 8-hex-digit hash), fr 0.5, en 0.125, default 0
+        "docs_stratified": """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'de' THEN 'g' WHEN 'fr' THEN '80000000'
+                WHEN 'en' THEN '20000000' ELSE '00000000' END
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -194,3 +194,44 @@ def deterministic_sample(
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(
+    ds: rd.Dataset,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-stratum deterministic sampling — the data-mixing primitive of
+    training-corpus assembly (e.g. keep 100% of low-resource languages,
+    10% of English). Same md5-threshold rule as ``deterministic_sample``
+    but the threshold comes from the row's stratum, so mixture weights
+    are exact in expectation, reproducible, and shuffle-free (a plain
+    streaming filter; no groupby). Strata absent from ``rates`` use
+    ``default_rate``."""
+    import hashlib
+
+    def thr(rate: float) -> str:
+        # rate ≥ 1 must keep EVERY row: the comparison is lexicographic
+        # over 8 hex chars, so 'g' (> 'f') beats every hash, whereas the
+        # naive 9-digit '100000000' would sort BELOW 'ffffffff'
+        return "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
+
+    thresholds = {s: thr(r) for s, r in rates.items()}
+    default_thr = thr(default_rate)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        strata = batch.column(strata_col).to_pylist()
+        mask = pa.array(
+            [
+                hashlib.md5(str(i).encode()).hexdigest()[:8]
+                < thresholds.get(s, default_thr)
+                for i, s in zip(ids, strata)
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

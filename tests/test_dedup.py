@@ -366,3 +366,24 @@ def test_ngram_jaccard_pairs_random_corpus_vs_bruteforce(ray_session):
     assert set(got) == set(expect)
     for k, v in expect.items():
         assert abs(got[k] - v) < 1e-9
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    """Per-stratum thresholds: rate 1.0 keeps EVERY row (the 'g' sentinel
+    guards the lexicographic compare), rate 0 keeps none, fractional
+    rates are deterministic and repeatable."""
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.corpus import stratified_sample
+
+    rows = [
+        {"doc_id": i, "lang": ["de", "en", "es"][i % 3]} for i in range(300)
+    ]
+    ds = rd_.from_items(rows)
+    out = stratified_sample(ds, {"de": 1.0, "en": 0.5}).to_pandas()
+    by_lang = out.groupby("lang").size().to_dict()
+    assert by_lang.get("de") == 100  # rate 1.0 == everything
+    assert "es" not in by_lang  # default rate 0 == nothing
+    assert 25 <= by_lang.get("en", 0) <= 75  # deterministic ~half
+    out2 = stratified_sample(rd_.from_items(rows), {"de": 1.0, "en": 0.5}).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
