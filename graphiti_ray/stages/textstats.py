@@ -336,6 +336,18 @@ CHUNK_SIZE = 512  # characters per training chunk
 CHUNK_OVERLAP = 64  # characters shared between consecutive chunks
 
 
+def chunk_text_windows(
+    text: str, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> list[str]:
+    """Pure chunking kernel: fixed windows of ``size`` chars starting
+    every ``size - overlap`` chars; an empty text still yields its one
+    empty chunk. Invariant (property-tested): chunk[0] + the
+    overlap-stripped tails reconstructs the text byte-for-byte."""
+    assert 0 <= overlap < size
+    step = size - overlap
+    return [text[s : s + size] for s in range(0, max(len(text), 1), step)]
+
+
 def chunk_documents(
     docs: rd.Dataset,
     size: int = CHUNK_SIZE,
@@ -344,23 +356,21 @@ def chunk_documents(
     id_col: str = "doc_id",
 ) -> rd.Dataset:
     """Training-window chunking: each doc fans out into fixed character
-    windows of ``size`` chars starting every ``size - overlap`` chars
-    (an empty doc still yields its one empty chunk) — the flat-map shape
-    of LLM-training data prep. Output: (doc_id, chunk_idx, chunk_text,
-    n_chars). The start grid is pure arithmetic, so a SQL twin
-    reproduces it with range() + substr."""
+    windows (``chunk_text_windows``) — the flat-map shape of LLM-training
+    data prep. Output: (doc_id, chunk_idx, chunk_text, n_chars). The
+    start grid is pure arithmetic, so a SQL twin reproduces it with
+    range() + substr."""
     assert 0 <= overlap < size
-    step = size - overlap
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         o_id, o_ix, o_tx = [], [], []
         for d, t in zip(ids, texts):
-            for ix, s in enumerate(range(0, max(len(t), 1), step)):
+            for ix, c in enumerate(chunk_text_windows(t, size, overlap)):
                 o_id.append(d)
                 o_ix.append(ix)
-                o_tx.append(t[s : s + size])
+                o_tx.append(c)
         return pa.table(
             {
                 "doc_id": pa.array(o_id, pa.int64()),

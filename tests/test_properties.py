@@ -246,3 +246,21 @@ def test_ppm_roundtrip_and_resize_shapes(w, h, w2, h2, seed):
     out = resize_nearest(arr, w2, h2)
     assert out.shape == (h2, w2, 3)
     assert np.array_equal(resize_nearest(arr, w, h), arr)
+
+
+@given(st.text(alphabet="abc def\n", max_size=1600))
+@settings(max_examples=30, deadline=None)
+def test_chunk_grid_reconstructs_document(t):
+    """Dropping each chunk's leading overlap and concatenating must
+    reproduce the document byte-for-byte; every chunk is ≤ size chars
+    and starts on the arithmetic grid."""
+    from graphiti_ray.stages.textstats import (
+        CHUNK_OVERLAP,
+        CHUNK_SIZE,
+        chunk_text_windows,
+    )
+
+    chunks = chunk_text_windows(t)
+    rebuilt = chunks[0] + "".join(c[CHUNK_OVERLAP:] for c in chunks[1:])
+    assert rebuilt == t or (t == "" and rebuilt == "")
+    assert all(len(c) <= CHUNK_SIZE for c in chunks)
