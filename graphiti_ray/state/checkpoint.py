@@ -87,6 +87,90 @@ def checkpointed_write(
     return {"table": name, "skipped": False, "rows": rows, "wall_sec": wall}
 
 
+def checkpointed_write_partitioned(
+    ds: rd.Dataset,
+    root: str,
+    name: str,
+    partition_col: str,
+    lineage: dict[str, Any] | None = None,
+    values: list | None = None,
+) -> dict[str, Any]:
+    """Partition-granular resumable write: one subtree per partition
+    value, EACH with its own _SUCCESS, so a killed run reruns only the
+    incomplete partitions — never the whole table (the 100-TB resume
+    story: one directory per key range, finished ranges skipped).
+
+    The input materializes once (a single source scan); every partition
+    write is then a cheap object-store filter, so cost is one scan plus
+    V filters — sized for LOW-cardinality partition columns (language,
+    source shard, date bucket). Layout:
+
+        <root>/<name>/<col>=<val>/part-*.parquet + MANIFEST + _SUCCESS
+        <root>/<name>/MANIFEST.json + _SUCCESS      (stamped last)
+    """
+    import pyarrow.compute as pc
+
+    out = table_dir(root, name)
+    if is_complete(root, name):
+        return {"table": name, "skipped": True}
+    ds = ds.materialize()
+    if values is None:
+        values = sorted(ds.unique(partition_col))
+    os.makedirs(out, exist_ok=True)
+
+    parts: list[dict] = []
+    for v in values:
+        pname = f"{partition_col}={v}"
+        pdir = os.path.join(out, pname)
+        if os.path.exists(os.path.join(pdir, SUCCESS)):
+            parts.append(
+                {"partition": pname, "skipped": True, "rows": parquet_row_count(pdir)}
+            )
+            continue
+        if os.path.exists(pdir):  # partial previous attempt → start clean
+            shutil.rmtree(pdir)
+        os.makedirs(pdir)
+        t0 = time.perf_counter()
+
+        def keep(batch, _v=v):
+            return batch.filter(pc.equal(batch.column(partition_col), _v))
+
+        ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).write_parquet(pdir)
+        rows = parquet_row_count(pdir)
+        with open(os.path.join(pdir, MANIFEST), "w") as f:
+            json.dump(
+                {
+                    "partition": pname,
+                    "rows": rows,
+                    "wall_sec": round(time.perf_counter() - t0, 3),
+                    "lineage": lineage or {},
+                },
+                f,
+                indent=2,
+            )
+        with open(os.path.join(pdir, SUCCESS), "w") as f:
+            f.write("")
+        parts.append({"partition": pname, "skipped": False, "rows": rows})
+
+    total = sum(p["rows"] for p in parts)
+    with open(os.path.join(out, MANIFEST), "w") as f:
+        json.dump(
+            {
+                "table": name,
+                "rows": total,
+                "partition_col": partition_col,
+                "partitions": parts,
+                "lineage": lineage or {},
+                "written_at": time.time(),
+            },
+            f,
+            indent=2,
+        )
+    with open(os.path.join(out, SUCCESS), "w") as f:
+        f.write("")
+    return {"table": name, "skipped": False, "rows": total, "partitions": parts}
+
+
 def append_table(root: str, name: str, ds: rd.Dataset, note: str = "") -> int:
     """Append rows to an existing completed table: new part files land under
     a unique subprefix (no collision with prior parts), the manifest gains
@@ -154,10 +238,14 @@ def table_rows(root: str, name: str) -> int | None:
 
 
 def read_table(root: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    # explicit file list: the directory also holds MANIFEST.json + _SUCCESS
+    # explicit file list: the directory also holds MANIFEST.json + _SUCCESS;
+    # one level of <col>=<val> partition subtrees is included transparently
     d = table_dir(root, name)
     files = sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        os.path.join(dirpath, f)
+        for dirpath, _dirs, fnames in os.walk(d)
+        for f in fnames
+        if f.endswith(".parquet")
     )
     return rd.read_parquet(files, columns=columns)
 

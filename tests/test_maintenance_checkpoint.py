@@ -217,3 +217,54 @@ def test_run_kg_communities_checkpoint_resume(ray_session, tmp_path):
     by_table = {m["table"]: m for m in m3}
     assert by_table["communities"]["skipped"]
     assert not by_table["community_edges"]["skipped"]
+
+
+def test_partitioned_write_resumes_at_partition_granularity(ray_session, tmp_path):
+    """One subtree + _SUCCESS per partition value; a rerun after a
+    simulated crash rewrites ONLY the incomplete partition (completed
+    partitions' files untouched), and read_table sees the union."""
+    import os
+
+    import ray.data as rd_
+
+    from graphiti_ray.state.checkpoint import (
+        checkpointed_write_partitioned,
+        is_complete,
+        read_table,
+    )
+
+    root = str(tmp_path)
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "fr"][i % 3], "text": f"doc {i}"}
+        for i in range(90)
+    ]
+    m = checkpointed_write_partitioned(
+        rd_.from_items(rows), root, "docs", "lang"
+    )
+    assert m["rows"] == 90 and len(m["partitions"]) == 3
+    assert is_complete(root, "docs")
+    assert read_table(root, "docs").count() == 90
+
+    # completed table → whole write skipped
+    m2 = checkpointed_write_partitioned(rd_.from_items(rows), root, "docs", "lang")
+    assert m2["skipped"] is True
+
+    # simulate a crash that lost the 'fr' partition mid-write
+    fr = os.path.join(root, "docs", "lang=fr")
+    os.remove(os.path.join(fr, "_SUCCESS"))
+    os.remove(os.path.join(root, "docs", "_SUCCESS"))
+    before = {
+        p: os.path.getmtime(os.path.join(root, "docs", p))
+        for p in ("lang=en", "lang=de")
+    }
+    m3 = checkpointed_write_partitioned(rd_.from_items(rows), root, "docs", "lang")
+    by_part = {p["partition"]: p for p in m3["partitions"]}
+    assert by_part["lang=en"]["skipped"] and by_part["lang=de"]["skipped"]
+    assert not by_part["lang=fr"]["skipped"]
+    after = {
+        p: os.path.getmtime(os.path.join(root, "docs", p))
+        for p in ("lang=en", "lang=de")
+    }
+    assert before == after  # completed partitions untouched
+    assert read_table(root, "docs").count() == 90
+    assert is_complete(root, "docs")
