@@ -1003,7 +1003,7 @@ WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
 SELECT doc_id, (s // {step})::BIGINT AS chunk_idx,
        substr(text, s + 1, {CHUNK_SIZE}) AS chunk_text,
        length(substr(text, s + 1, {CHUNK_SIZE}))::BIGINT AS n_chars
-FROM d, LATERAL unnest(range(0, greatest(n, 1), {step})) AS u(s)
+FROM d, LATERAL unnest(range(0, greatest(n - {CHUNK_OVERLAP}, 1), {step})) AS u(s)
 """
 
 

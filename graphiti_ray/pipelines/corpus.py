@@ -170,6 +170,14 @@ def clean_corpus(
     )
 
 
+def _hash_threshold(rate: float) -> str:
+    """8-hex-char md5 prefix threshold for a keep rate. Rate ≥ 1 must keep
+    EVERY row: the comparison is lexicographic, so 'g' (> 'f') beats every
+    hash, whereas the naive nine-digit '100000000' would sort BELOW
+    'ffffffff' and keep almost nothing."""
+    return "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
+
+
 def deterministic_sample(
     ds: rd.Dataset, fraction: float, id_col: str = "doc_id"
 ) -> rd.Dataset:
@@ -180,7 +188,7 @@ def deterministic_sample(
     too big to shuffle."""
     import hashlib
 
-    threshold = format(int(fraction * 16**8), "08x")
+    threshold = _hash_threshold(fraction)
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -212,14 +220,8 @@ def stratified_sample(
     ``default_rate``."""
     import hashlib
 
-    def thr(rate: float) -> str:
-        # rate ≥ 1 must keep EVERY row: the comparison is lexicographic
-        # over 8 hex chars, so 'g' (> 'f') beats every hash, whereas the
-        # naive 9-digit '100000000' would sort BELOW 'ffffffff'
-        return "g" if rate >= 1.0 else format(int(rate * 16**8), "08x")
-
-    thresholds = {s: thr(r) for s, r in rates.items()}
-    default_thr = thr(default_rate)
+    thresholds = {s: _hash_threshold(r) for s, r in rates.items()}
+    default_thr = _hash_threshold(default_rate)
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()

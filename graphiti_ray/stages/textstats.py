@@ -301,10 +301,13 @@ class RedactPII:
     stands when its pass runs) with compiled patterns held per actor."""
 
     def __init__(self, text_col="text", id_col="doc_id"):
+        # re.ASCII: DuckDB's RE2 \d and \b are ASCII-only — without the
+        # flag Python's Unicode-aware \d would match e.g. Arabic-Indic
+        # digits that the oracle's identical pattern would not
         self.passes = [
-            (re.compile(PII_EMAIL), "<EMAIL>"),
-            (re.compile(PII_IPV4), "<IP>"),
-            (re.compile(PII_PHONE), "<PHONE>"),
+            (re.compile(PII_EMAIL, re.ASCII), "<EMAIL>"),
+            (re.compile(PII_IPV4, re.ASCII), "<IP>"),
+            (re.compile(PII_PHONE, re.ASCII), "<PHONE>"),
         ]
         self.text_col, self.id_col = text_col, id_col
 
@@ -341,11 +344,15 @@ def chunk_text_windows(
 ) -> list[str]:
     """Pure chunking kernel: fixed windows of ``size`` chars starting
     every ``size - overlap`` chars; an empty text still yields its one
-    empty chunk. Invariant (property-tested): chunk[0] + the
-    overlap-stripped tails reconstructs the text byte-for-byte."""
+    empty chunk. Grid starts stop at ``len - overlap`` so a tail that is
+    PURE overlap (fully contained in the previous window) is never
+    emitted as a duplicated training chunk. Invariants (property-
+    tested): chunk[0] + the overlap-stripped tails reconstructs the text
+    byte-for-byte, and no chunk is a suffix-subset of its predecessor."""
     assert 0 <= overlap < size
     step = size - overlap
-    return [text[s : s + size] for s in range(0, max(len(text), 1), step)]
+    n = len(text)
+    return [text[s : s + size] for s in range(0, max(n - overlap, 1), step)]
 
 
 def chunk_documents(

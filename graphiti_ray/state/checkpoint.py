@@ -112,17 +112,50 @@ def checkpointed_write_partitioned(
 
     out = table_dir(root, name)
     if is_complete(root, name):
-        return {"table": name, "skipped": True}
-    ds = ds.materialize()
+        return {"table": name, "skipped": True, "rows": table_rows(root, name)}
+
+    materialized = False
     if values is None:
-        values = sorted(ds.unique(partition_col))
+        ds = ds.materialize()  # unavoidable: the value set needs one pass
+        materialized = True
+        values = ds.unique(partition_col)
+        if any(v is None for v in values):
+            raise ValueError(
+                f"partition column {partition_col!r} contains nulls — "
+                "null rows would match no <col>=<val> subtree and be lost"
+            )
+        values = sorted(values)
     os.makedirs(out, exist_ok=True)
+
+    # a stale <col>=<val> subtree from a prior run whose value is no longer
+    # in play would be read back by read_table but excluded from the
+    # manifest total — refuse rather than silently disagree
+    expected = {f"{partition_col}={v}" for v in values}
+    stale = [
+        d
+        for d in os.listdir(out)
+        if d.startswith(f"{partition_col}=") and d not in expected
+    ]
+    if stale:
+        raise ValueError(
+            f"stale partition subtree(s) {stale} under {out} not covered by "
+            "the current values — remove them or pass a covering values list"
+        )
+
+    pending = [
+        v
+        for v in values
+        if not os.path.exists(os.path.join(out, f"{partition_col}={v}", SUCCESS))
+    ]
+    if pending and not materialized:
+        ds = ds.materialize()  # once; each partition write filters from it
+        materialized = True
 
     parts: list[dict] = []
     for v in values:
         pname = f"{partition_col}={v}"
         pdir = os.path.join(out, pname)
-        if os.path.exists(os.path.join(pdir, SUCCESS)):
+        if v not in pending:
             parts.append(
                 {"partition": pname, "skipped": True, "rows": parquet_row_count(pdir)}
             )
@@ -153,6 +186,13 @@ def checkpointed_write_partitioned(
         parts.append({"partition": pname, "skipped": False, "rows": rows})
 
     total = sum(p["rows"] for p in parts)
+    if materialized and total != ds.count():
+        # rows outside `values` (or nulls with an explicit list) matched no
+        # partition — a durability primitive must never lose them silently
+        raise ValueError(
+            f"partitioned write of {name!r} covered {total} of {ds.count()} "
+            f"rows — {partition_col!r} has values outside {values!r}"
+        )
     with open(os.path.join(out, MANIFEST), "w") as f:
         json.dump(
             {
@@ -253,10 +293,14 @@ def read_table(root: str, name: str, columns: list[str] | None = None) -> rd.Dat
 def read_table_pandas(root: str, name: str, columns: list[str] | None = None):
     """Driver-local pandas read for SMALL checkpointed tables (vocabulary-
     sized sidecars like canonical_map): plain pyarrow, no Ray execution.
-    Never call on a corpus-sized table."""
+    Never call on a corpus-sized table. Same one-level partition-subtree
+    walk as ``read_table``."""
     d = table_dir(root, name)
     files = sorted(
-        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        os.path.join(dirpath, f)
+        for dirpath, _dirs, fnames in os.walk(d)
+        for f in fnames
+        if f.endswith(".parquet")
     )
     import pyarrow as pa
 

@@ -268,3 +268,35 @@ def test_partitioned_write_resumes_at_partition_granularity(ray_session, tmp_pat
     assert before == after  # completed partitions untouched
     assert read_table(root, "docs").count() == 90
     assert is_complete(root, "docs")
+
+
+def test_partitioned_write_refuses_silent_row_loss(ray_session, tmp_path):
+    """The durability primitive is LOUD: null partition values, explicit
+    values that don't cover the data, and stale subtrees all raise
+    instead of stamping a lossy _SUCCESS."""
+    import os
+
+    import pytest as _pytest
+    import ray.data as rd_
+
+    from graphiti_ray.state.checkpoint import checkpointed_write_partitioned
+
+    with _pytest.raises(ValueError, match="nulls"):
+        checkpointed_write_partitioned(
+            rd_.from_items([{"doc_id": 1, "lang": None}, {"doc_id": 2, "lang": "en"}]),
+            str(tmp_path), "t1", "lang",
+        )
+
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2]} for i in range(10)]
+    with _pytest.raises(ValueError, match="outside"):
+        checkpointed_write_partitioned(
+            rd_.from_items(rows), str(tmp_path), "t2", "lang", values=["en"]
+        )
+
+    checkpointed_write_partitioned(rd_.from_items(rows), str(tmp_path), "t3", "lang")
+    os.remove(os.path.join(tmp_path, "t3", "_SUCCESS"))
+    with _pytest.raises(ValueError, match="stale"):
+        checkpointed_write_partitioned(
+            rd_.from_items([r for r in rows if r["lang"] == "en"]),
+            str(tmp_path), "t3", "lang",
+        )

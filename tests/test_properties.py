@@ -264,3 +264,6 @@ def test_chunk_grid_reconstructs_document(t):
     rebuilt = chunks[0] + "".join(c[CHUNK_OVERLAP:] for c in chunks[1:])
     assert rebuilt == t or (t == "" and rebuilt == "")
     assert all(len(c) <= CHUNK_SIZE for c in chunks)
+    # no chunk after the first is pure overlap (a subset of its
+    # predecessor): every tail is strictly longer than the overlap
+    assert all(len(c) > CHUNK_OVERLAP for c in chunks[1:])

@@ -447,6 +447,12 @@ def test_chunk_documents_grid_and_overlap(ray_session):
     # empty doc still yields its one empty chunk
     d2 = out[out.doc_id == 2]
     assert len(d2) == 1 and d2.iloc[0].chunk_text == ""
+    # a doc of exactly one window emits ONE chunk — the pure-overlap tail
+    # (grid start 448 on a 512-char doc) is never duplicated
+    from graphiti_ray.stages.textstats import chunk_text_windows
+
+    assert chunk_text_windows("x" * 512) == ["x" * 512]
+    assert len(chunk_text_windows("x" * 513)) == 2
 
 
 def test_decontaminate_flags_overlap_only(ray_session):
