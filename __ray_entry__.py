@@ -1188,6 +1188,15 @@ def _q_media_wav(sf_dir: str):
     )
 
 
+_LANG_STATS_ORACLE = """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id)::BIGINT AS min_doc_id,
+       max(doc_id)::BIGINT AS max_doc_id
+FROM documents GROUP BY lang
+"""
+
 _KNN_ORACLE = """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1501,6 +1510,32 @@ def _q_lang_doc_stats(sf_dir: str):
     from graphiti_ray.pipelines.relational import lang_doc_stats
 
     return lang_doc_stats(sf_dir)
+
+
+def _q_lang_doc_stats_salted(sf_dir: str):
+    """The same per-language stats through the SALTED two-phase aggregate
+    (ops.salted_aggregate — the hub-key skew treatment): rows spread over
+    (lang, salt) reducers first, partials recombine on lang. One oracle,
+    two shuffle strategies — the salted path must be value-identical."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import salted_aggregate
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return salted_aggregate(
+        docs,
+        ["lang"],
+        {
+            "n_docs": ("doc_id", "count"),
+            "sum_chars": ("n_chars", "sum"),
+            "min_doc_id": ("doc_id", "min"),
+            "max_doc_id": ("doc_id", "max"),
+        },
+        salt_buckets=8,
+        salt_source="doc_id",
+    )
 
 
 def _q_graph_degree(sf_dir: str):
@@ -2034,6 +2069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_customers": _q_top_customers,
         "lang_doc_stats": _q_lang_doc_stats,
+        "lang_doc_stats_salted": _q_lang_doc_stats_salted,
         "graph_degree": _q_graph_degree,
         "episode_windows": _q_episode_windows,
         "rrf_fusion": _q_rrf_fusion,
@@ -2677,14 +2713,10 @@ GROUP BY 1, 2, 3
 ORDER BY sum_total_cents DESC, o.o_custkey ASC
 LIMIT 10
 """,
-        "lang_doc_stats": """
-SELECT lang,
-       count(*)::BIGINT AS n_docs,
-       sum(n_chars)::BIGINT AS sum_chars,
-       min(doc_id)::BIGINT AS min_doc_id,
-       max(doc_id)::BIGINT AS max_doc_id
-FROM documents GROUP BY lang
-""",
+        "lang_doc_stats": _LANG_STATS_ORACLE,
+        # the salted two-phase path must equal the plain groupby — one
+        # oracle, two shuffle strategies
+        "lang_doc_stats_salted": _LANG_STATS_ORACLE,
         "graph_degree": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

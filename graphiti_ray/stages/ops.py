@@ -835,3 +835,74 @@ def distinct_by_key(
         if last is not None:
             prev_last = last
     return rd.from_arrow_refs(out_refs)
+
+
+# --- salted aggregation ------------------------------------------------------
+
+
+def salted_aggregate(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_buckets: int = 16,
+    salt_source: str | None = None,
+) -> rd.Dataset:
+    """Two-phase aggregate for skewed keys — the literal "salted keys"
+    treatment for hub entities (SURVEY §4): rows first aggregate under
+    (key, salt) so a hot key spreads over ``salt_buckets`` reducers, then
+    the per-salt partials combine in a second, ``salt_buckets``-times
+    smaller groupby on the key alone.
+
+    ``aggs``: output column → (input column, fn), fn ∈ {"sum", "count",
+    "min", "max"} — the associative aggregates a two-phase split is exact
+    for (count re-combines via sum). ``salt_source`` picks the salting
+    hash input (a column whose values spread WITHIN a hot key, e.g. a
+    doc id); default salts on a deterministic per-batch row index, which
+    spreads every key uniformly without reading any column.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    assert all(fn in ("sum", "count", "min", "max") for _, fn in aggs.values())
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if salt_source is not None:
+            src = batch.column(salt_source).to_numpy(zero_copy_only=False)
+            salt = (src.astype(np.int64) * 1099511628211) % salt_buckets
+        else:
+            salt = np.arange(n, dtype=np.int64) % salt_buckets
+        return batch.append_column("_salt", pa.array(salt, pa.int64()))
+
+    # phase 1: partial aggregates under (key, salt)
+    phase1_aggs = []
+    for out_col, (in_col, fn) in aggs.items():
+        if fn == "count":
+            phase1_aggs.append(Sum("_one", alias_name=out_col))
+        elif fn == "sum":
+            phase1_aggs.append(Sum(in_col, alias_name=out_col))
+        elif fn == "min":
+            phase1_aggs.append(Min(in_col, alias_name=out_col))
+        else:
+            phase1_aggs.append(Max(in_col, alias_name=out_col))
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    if any(fn == "count" for _, fn in aggs.values()):
+        salted = salted.map_batches(
+            add_one, batch_format="pyarrow", zero_copy_batch=True
+        )
+    partial = salted.groupby(key_cols + ["_salt"]).aggregate(*phase1_aggs)
+
+    # phase 2: combine partials (count → sum of partial counts; min/max/sum
+    # are idempotent under re-aggregation)
+    phase2_aggs = []
+    for out_col, (_in_col, fn) in aggs.items():
+        cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[fn]
+        phase2_aggs.append(cls(out_col, alias_name=out_col))
+    return partial.groupby(key_cols).aggregate(*phase2_aggs)

@@ -406,3 +406,58 @@ def test_sorted_run_map_carry_overflow_raises_or_truncates(ray_session):
         ds, ["k"], count_rows, order_cols=["v"], carry_cap=10_000
     ).to_pandas()
     assert dict(zip(full["k"], full["n"])) == {"hot": 200, "z": 1}
+
+
+def test_salted_aggregate_matches_plain_groupby(ray_session):
+    """Two-phase salted aggregation is exact for associative aggregates:
+    a heavily skewed key (one hub holding 80% of rows) must produce the
+    same sums/counts/mins/maxes as a plain single-shuffle groupby."""
+    import numpy as np
+    import ray.data as rd_
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from graphiti_ray.stages.ops import salted_aggregate
+
+    rng = np.random.RandomState(3)
+    rows = [
+        {
+            "k": "hub" if i % 5 else f"tail{i % 37}",
+            "v": int(rng.randint(0, 1000)),
+            "rid": i,
+        }
+        for i in range(4000)
+    ]
+    ds = rd_.from_items(rows).repartition(8)
+    got = (
+        salted_aggregate(
+            ds,
+            ["k"],
+            {
+                "n": ("v", "count"),
+                "total": ("v", "sum"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+            },
+            salt_buckets=8,
+            salt_source="rid",
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    want = (
+        rd_.from_items(rows)
+        .groupby("k")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("v", alias_name="total"),
+            Min("v", alias_name="lo"),
+            Max("v", alias_name="hi"),
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    assert list(got.index) == list(want.index)
+    for c in ("n", "total", "lo", "hi"):
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
