@@ -1512,6 +1512,47 @@ def _q_lang_doc_stats(sf_dir: str):
     return lang_doc_stats(sf_dir)
 
 
+def _q_docs_hll(sf_dir: str):
+    """HyperLogLog register table over the documents' text column —
+    distinct-text cardinality without a distinct shuffle (per-batch
+    register partials → max-groupby over ≤ 4096 keys). Oracle: the same
+    md5-derived hash, bucket split and leading-zero rank in SQL (rank
+    via a generated power-of-two CASE ladder — no float log)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import hll_registers
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return hll_registers(docs, "text")
+
+
+def _hll_oracle_sql() -> str:
+    from graphiti_ray.stages.sketch import HLL_P
+
+    low_bits = 64 - HLL_P
+    ladder = " ".join(
+        f"WHEN low >= {1 << k}::UBIGINT THEN {low_bits - k}"
+        for k in range(low_bits - 1, -1, -1)
+    )
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h FROM documents
+),
+parts AS (
+  SELECT (h >> {low_bits})::BIGINT AS bucket,
+         (h & {(1 << low_bits) - 1}::UBIGINT) AS low
+  FROM h
+),
+ranked AS (
+  SELECT bucket,
+         CASE WHEN low = 0::UBIGINT THEN {low_bits + 1} {ladder}
+              ELSE {low_bits + 1} END AS rank
+  FROM parts
+)
+SELECT bucket, max(rank)::BIGINT AS max_rank FROM ranked GROUP BY 1
+"""
+
+
 def _q_lang_doc_stats_salted(sf_dir: str):
     """The same per-language stats through the SALTED two-phase aggregate
     (ops.salted_aggregate — the hub-key skew treatment): rows spread over
@@ -2070,6 +2111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "lang_doc_stats": _q_lang_doc_stats,
         "lang_doc_stats_salted": _q_lang_doc_stats_salted,
+        "docs_hll": _q_docs_hll,
         "graph_degree": _q_graph_degree,
         "episode_windows": _q_episode_windows,
         "rrf_fusion": _q_rrf_fusion,
@@ -2717,6 +2759,8 @@ LIMIT 10
         # the salted two-phase path must equal the plain groupby — one
         # oracle, two shuffle strategies
         "lang_doc_stats_salted": _LANG_STATS_ORACLE,
+        # HyperLogLog registers, bit-for-bit
+        "docs_hll": _hll_oracle_sql(),
         "graph_degree": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -1,0 +1,92 @@
+"""Cardinality sketch: distributed HyperLogLog over a column.
+
+The prompt-level ask ("a novel sketch" as a custom operator): estimate
+the number of DISTINCT values in a column without a distinct shuffle.
+Two-phase associative shape — per-batch register partials (one
+``np.maximum.at`` pass), NARROW (bucket, max_rank) rows, one max-groupby
+over at most 2^p keys — so the corpus streams and the reduce is
+register-sized regardless of input size.
+
+Everything up to the registers is integer-deterministic (md5-based
+hash, exact float64 ``frexp`` bit-length on < 2^52 values), so the
+DuckDB oracle reproduces the register table bit-for-bit; the float
+estimate is a pure driver-side function of the registers whose accuracy
+(~1.04/sqrt(2^p)) is pytest-asserted against the exact distinct count.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Max
+
+HLL_P = 12  # 4096 registers → ~1.6% standard error
+
+
+def hll_hash64(value) -> int:
+    """First 16 hex chars of md5(str(value)) as a big-endian uint64 —
+    chosen because DuckDB reproduces it exactly with
+    ('0x' || substr(md5(v), 1, 16))::UBIGINT."""
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:16], 16)
+
+
+def hll_registers(ds: rd.Dataset, col: str, p: int = HLL_P) -> rd.Dataset:
+    """(bucket, max_rank) register rows — only buckets that were hit.
+    bucket = top p hash bits; rank = leading-zero count of the low
+    (64-p) bits + 1 (the classic HLL register update)."""
+    m = 1 << p
+    low_bits = 64 - p
+    low_mask = np.uint64((1 << low_bits) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        if not vals:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "max_rank": pa.array([], pa.int64()),
+                }
+            )
+        h = np.array([hll_hash64(v) for v in vals], dtype=np.uint64)
+        bucket = (h >> np.uint64(low_bits)).astype(np.int64)
+        low = h & low_mask
+        # bit_length via frexp: exact for values < 2^52 (all fit float64)
+        bl = np.zeros(len(low), dtype=np.int64)
+        nz = low != 0
+        bl[nz] = np.frexp(low[nz].astype(np.float64))[1]
+        rank = low_bits - bl + 1
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rank)
+        hit = np.nonzero(regs)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(hit, pa.int64()),
+                "max_rank": pa.array(regs[hit], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Max("max_rank", alias_name="max_rank"))
+    )
+
+
+def hll_estimate(registers, p: int = HLL_P) -> float:
+    """Standard HLL estimator (Flajolet et al.) with the small-range
+    linear-counting correction. ``registers``: pandas DataFrame with
+    (bucket, max_rank) rows for hit buckets."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.float64)
+    regs[registers["bucket"].to_numpy()] = registers["max_rank"].to_numpy()
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.power(2.0, -regs))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)
+    return float(est)

@@ -461,3 +461,22 @@ def test_salted_aggregate_matches_plain_groupby(ray_session):
     assert list(got.index) == list(want.index)
     for c in ("n", "total", "lo", "hi"):
         assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+
+
+def test_hll_estimate_within_expected_error(ray_session):
+    """HLL registers are deterministic across runs and the estimate lands
+    within ~3 standard errors (1.04/sqrt(4096) ≈ 1.6%) of the exact
+    distinct count on a duplicated-value stream."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.sketch import hll_estimate, hll_registers
+
+    n_distinct = 12345
+    rows = [{"v": i % n_distinct} for i in range(30000)]
+    regs = hll_registers(rd_.from_items(rows).repartition(6), "v").to_pandas()
+    est = hll_estimate(regs)
+    assert abs(est - n_distinct) / n_distinct < 0.05, est
+    regs2 = hll_registers(rd_.from_items(rows), "v").to_pandas()
+    a = regs.sort_values("bucket").reset_index(drop=True)
+    b = regs2.sort_values("bucket").reset_index(drop=True)
+    assert a.equals(b)  # partitioning-independent registers
