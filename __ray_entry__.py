@@ -1553,6 +1553,55 @@ SELECT bucket, max(rank)::BIGINT AS max_rank FROM ranked GROUP BY 1
 """
 
 
+def _q_tokens_cms(sf_dir: str):
+    """Count-min sketch registers over the corpus token stream — heavy-
+    hitter frequencies without a vocabulary-sized state (4 hash rows ×
+    2048 counters). Oracle: the identical md5-derived bucket arithmetic
+    and per-(row, bucket) counts in SQL."""
+    import re as _re
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import cms_registers
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    ws = _re.compile(r"\s+", _re.ASCII)  # RE2-compatible split, oracle twin
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = [
+            tok
+            for t in batch.column("text").to_pylist()
+            for tok in ws.split(t)
+            if tok
+        ]
+        return pa.table({"token": pa.array(toks, pa.string())})
+
+    tokens = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return cms_registers(tokens, "token")
+
+
+def _cms_oracle_sql() -> str:
+    from graphiti_ray.stages.sketch import CMS_DEPTH, CMS_WIDTH
+
+    return f"""
+WITH toks AS (
+  SELECT t AS token
+  FROM documents, LATERAL unnest(string_split_regex(text, '\\s+')) AS u(t)
+  WHERE t <> ''
+),
+h AS (SELECT ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h FROM toks),
+slots AS (
+  SELECT r, ((h >> (16 * r)) & 65535::UBIGINT) % {CMS_WIDTH} AS bucket
+  FROM h, LATERAL unnest(range(0, {CMS_DEPTH})) AS u(r)
+)
+SELECT r::BIGINT AS sketch_row, bucket::BIGINT AS bucket,
+       count(*)::BIGINT AS n
+FROM slots GROUP BY 1, 2
+"""
+
+
 def _q_lang_doc_stats_salted(sf_dir: str):
     """The same per-language stats through the SALTED two-phase aggregate
     (ops.salted_aggregate — the hub-key skew treatment): rows spread over
@@ -2112,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats": _q_lang_doc_stats,
         "lang_doc_stats_salted": _q_lang_doc_stats_salted,
         "docs_hll": _q_docs_hll,
+        "tokens_cms": _q_tokens_cms,
         "graph_degree": _q_graph_degree,
         "episode_windows": _q_episode_windows,
         "rrf_fusion": _q_rrf_fusion,
@@ -2761,6 +2811,8 @@ LIMIT 10
         "lang_doc_stats_salted": _LANG_STATS_ORACLE,
         # HyperLogLog registers, bit-for-bit
         "docs_hll": _hll_oracle_sql(),
+        # count-min sketch registers, bit-for-bit
+        "tokens_cms": _cms_oracle_sql(),
         "graph_degree": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

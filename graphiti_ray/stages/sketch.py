@@ -1,7 +1,8 @@
-"""Cardinality sketch: distributed HyperLogLog over a column.
+"""Distributed sketches: HyperLogLog cardinality + count-min frequency.
 
-The prompt-level ask ("a novel sketch" as a custom operator): estimate
-the number of DISTINCT values in a column without a distinct shuffle.
+The custom-sketch operators of a corpus-stats pipeline: estimate the
+number of DISTINCT values (HLL) and per-value frequencies / heavy
+hitters (CMS) without a distinct shuffle or a vocabulary-sized state.
 Two-phase associative shape — per-batch register partials (one
 ``np.maximum.at`` pass), NARROW (bucket, max_rank) rows, one max-groupby
 over at most 2^p keys — so the corpus streams and the reduce is
@@ -73,6 +74,68 @@ def hll_registers(ds: rd.Dataset, col: str, p: int = HLL_P) -> rd.Dataset:
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .aggregate(Max("max_rank", alias_name="max_rank"))
+    )
+
+
+CMS_WIDTH = 2048  # counters per hash row
+CMS_DEPTH = 4  # independent hash rows; estimate = min over rows
+
+
+def cms_registers(
+    ds: rd.Dataset, col: str, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> rd.Dataset:
+    """Count-min sketch registers over a column: for each of ``depth``
+    md5-derived hash rows, per-batch partial counters (one bincount),
+    then a sum-groupby bounded at depth × width keys — heavy-hitter
+    frequency estimation without materializing the value vocabulary.
+    Registers are exact integers (the same md5 hash the DuckDB twin
+    computes), so the sketch itself is oracle-checkable; only the
+    ``cms_estimate`` min-over-rows read-out is approximate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        o_row, o_bucket, o_count = [], [], []
+        if vals:
+            h = np.array([hll_hash64(v) for v in vals], dtype=np.uint64)
+            for r in range(depth):
+                # row r uses 16 independent md5 bits (depth ≤ 4 × 16 = 64)
+                buckets = ((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) % width
+                counts = np.bincount(buckets.astype(np.int64), minlength=width)
+                hit = np.nonzero(counts)[0]
+                o_row.extend([r] * len(hit))
+                o_bucket.extend(hit.tolist())
+                o_count.extend(counts[hit].tolist())
+        return pa.table(
+            {
+                "sketch_row": pa.array(o_row, pa.int64()),
+                "bucket": pa.array(o_bucket, pa.int64()),
+                "n": pa.array(o_count, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["sketch_row", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def cms_estimate(
+    registers, value, width: int = CMS_WIDTH, depth: int = CMS_DEPTH
+) -> int:
+    """Point frequency estimate: min over the value's counters (classic
+    CMS read-out — an overestimate, never an underestimate)."""
+    h = np.uint64(hll_hash64(value))
+    lut = {
+        (int(r), int(b)): int(c)
+        for r, b, c in zip(
+            registers["sketch_row"], registers["bucket"], registers["n"]
+        )
+    }
+    return min(
+        lut.get((r, int((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) % width), 0)
+        for r in range(depth)
     )
 
 

@@ -480,3 +480,26 @@ def test_hll_estimate_within_expected_error(ray_session):
     a = regs.sort_values("bucket").reset_index(drop=True)
     b = regs2.sort_values("bucket").reset_index(drop=True)
     assert a.equals(b)  # partitioning-independent registers
+
+
+def test_cms_never_underestimates_and_is_tight_for_heavy_hitters(ray_session):
+    """CMS point estimates are ≥ the true count for every value (min over
+    rows of pure over-counts) and exact for a dominant heavy hitter when
+    the sketch is far from saturated."""
+    from collections import Counter
+
+    import ray.data as rd_
+
+    from graphiti_ray.stages.sketch import cms_estimate, cms_registers
+
+    values = (["the"] * 3000) + [f"tok{i % 200}" for i in range(2000)]
+    truth = Counter(values)
+    regs = cms_registers(
+        rd_.from_items([{"v": v} for v in values]).repartition(5), "v"
+    ).to_pandas()
+    for v in ("the", "tok0", "tok199", "absent-token"):
+        est = cms_estimate(regs, v)
+        assert est >= truth.get(v, 0), v
+    # 201 distinct values in 4x2048 counters → collisions are unlikely to
+    # hit the SAME bucket in all 4 rows: the heavy hitter reads back exact
+    assert cms_estimate(regs, "the") == 3000
