@@ -1602,6 +1602,31 @@ FROM slots GROUP BY 1, 2
 """
 
 
+def _q_docs_bloom(sf_dir: str):
+    """Bloom-filter bit table over document texts (4 md5-derived bits per
+    value in a 32768-bit filter) — streaming membership state for
+    later probes. Oracle: the identical bit arithmetic in SQL."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import bloom_bits
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bloom_bits(docs, "text")
+
+
+def _bloom_oracle_sql() -> str:
+    from graphiti_ray.stages.sketch import BLOOM_BITS, BLOOM_K
+
+    return f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h FROM documents
+)
+SELECT DISTINCT
+       (((h >> (16 * r)) & 65535::UBIGINT) % {BLOOM_BITS})::BIGINT AS bit
+FROM h, LATERAL unnest(range(0, {BLOOM_K})) AS u(r)
+"""
+
+
 def _q_lang_doc_stats_salted(sf_dir: str):
     """The same per-language stats through the SALTED two-phase aggregate
     (ops.salted_aggregate — the hub-key skew treatment): rows spread over
@@ -2162,6 +2187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_stats_salted": _q_lang_doc_stats_salted,
         "docs_hll": _q_docs_hll,
         "tokens_cms": _q_tokens_cms,
+        "docs_bloom": _q_docs_bloom,
         "graph_degree": _q_graph_degree,
         "episode_windows": _q_episode_windows,
         "rrf_fusion": _q_rrf_fusion,
@@ -2813,6 +2839,8 @@ LIMIT 10
         "docs_hll": _hll_oracle_sql(),
         # count-min sketch registers, bit-for-bit
         "tokens_cms": _cms_oracle_sql(),
+        # bloom-filter bit set, exact
+        "docs_bloom": _bloom_oracle_sql(),
         "graph_degree": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -139,6 +139,54 @@ def cms_estimate(
     )
 
 
+BLOOM_BITS = 1 << 15  # 32768-bit filter
+BLOOM_K = 4  # hash functions per value
+
+
+def bloom_bits(
+    ds: rd.Dataset, col: str, m: int = BLOOM_BITS, k: int = BLOOM_K
+) -> rd.Dataset:
+    """Bloom-filter bit table over a column: the k md5-derived 16-bit
+    slices of each value's hash (same slicing as the count-min rows)
+    set bits mod ``m``; per-batch partial bitsets union through one
+    distinct — output is the sorted set of lit bits (≤ m narrow rows).
+    Integer-exact end to end, so the DuckDB twin reproduces the bit set
+    exactly; membership semantics (no false negatives, bounded false
+    positives) are pytest-asserted via ``bloom_contains``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        if not vals:
+            return pa.table({"bit": pa.array([], pa.int64())})
+        h = np.array([hll_hash64(v) for v in vals], dtype=np.uint64)
+        bits = np.concatenate(
+            [
+                (((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) % m).astype(np.int64)
+                for r in range(k)
+            ]
+        )
+        return pa.table({"bit": pa.array(np.unique(bits), pa.int64())})
+
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    return distinct_by_key(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "bit",
+    )
+
+
+def bloom_contains(
+    bits: set, value, m: int = BLOOM_BITS, k: int = BLOOM_K
+) -> bool:
+    """Membership probe: True iff every one of the value's k bits is lit
+    (definitely-absent when False; maybe-present when True)."""
+    h = np.uint64(hll_hash64(value))
+    return all(
+        int((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) % m in bits
+        for r in range(k)
+    )
+
+
 def hll_estimate(registers, p: int = HLL_P) -> float:
     """Standard HLL estimator (Flajolet et al.) with the small-range
     linear-counting correction. ``registers``: pandas DataFrame with

@@ -503,3 +503,24 @@ def test_cms_never_underestimates_and_is_tight_for_heavy_hitters(ray_session):
     # 201 distinct values in 4x2048 counters → collisions are unlikely to
     # hit the SAME bucket in all 4 rows: the heavy hitter reads back exact
     assert cms_estimate(regs, "the") == 3000
+
+
+def test_bloom_no_false_negatives_bounded_false_positives(ray_session):
+    """Every inserted value probes True; the false-positive rate on
+    absent values stays near the (1-e^{-kn/m})^k analytic bound."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.sketch import bloom_bits, bloom_contains
+
+    inserted = [f"member{i}" for i in range(2000)]
+    bits = set(
+        r["bit"]
+        for r in bloom_bits(
+            rd_.from_items([{"v": v} for v in inserted]).repartition(4), "v"
+        ).take_all()
+    )
+    assert all(bloom_contains(bits, v) for v in inserted)  # no false negs
+    probes = [f"absent{i}" for i in range(4000)]
+    fp = sum(bloom_contains(bits, v) for v in probes) / len(probes)
+    # k=4, n=2000, m=32768 → (1 - e^{-kn/m})^4 ≈ 0.23%; allow 4x slack
+    assert fp < 0.01, fp
