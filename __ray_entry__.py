@@ -1653,6 +1653,49 @@ def _q_lang_doc_stats_salted(sf_dir: str):
     )
 
 
+def _q_graph_pagerank(sf_dir: str):
+    """Simplified PageRank (5 fixed rounds, dangling mass evaporates)
+    over the merged edge list — the iterative join+sum graph shape.
+    Oracle: the recurrence unrolled as 5 SQL CTE rounds with the same
+    repr-interpolated float constants, so per-round arithmetic is
+    bit-compatible (only the sum order differs, ~1e-15 ≪ round(6))."""
+    from graphiti_ray.stages.graph import pagerank
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    return pagerank(tables["edges"], damping=0.85, rounds=5)
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, rounds: int = 5) -> str:
+    base_expr = f"{1.0 - damping!r} / nn.n"
+    parts = [
+        "nodes AS (SELECT subj_uuid AS x FROM merged_id "
+        "UNION SELECT obj_uuid FROM merged_id)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "od AS (SELECT subj_uuid AS s, count(*) AS od FROM merged_id GROUP BY 1)",
+        "e AS (SELECT subj_uuid AS s, obj_uuid AS t FROM merged_id)",
+        "r0 AS (SELECT x AS node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""r{k} AS (
+  SELECT n0.x AS node, {base_expr} + {damping!r} * coalesce(a.acc, 0) AS pr
+  FROM nodes n0 CROSS JOIN nn
+  LEFT JOIN (SELECT e.t AS node, sum(r.pr / od.od) AS acc
+             FROM e JOIN r{k - 1} r ON r.node = e.s JOIN od ON od.s = e.s
+             GROUP BY 1) a ON a.node = n0.x
+)"""
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+{chain}
+SELECT node AS entity_uuid, pr AS rank FROM r{rounds}
+"""
+
+
 def _q_graph_degree(sf_dir: str):
     from graphiti_ray.stages.graph import node_degrees
 
@@ -2189,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_cms": _q_tokens_cms,
         "docs_bloom": _q_docs_bloom,
         "graph_degree": _q_graph_degree,
+        "graph_pagerank": _q_graph_pagerank,
         "episode_windows": _q_episode_windows,
         "rrf_fusion": _q_rrf_fusion,
         "graph_components": _q_graph_components,
@@ -2841,6 +2885,8 @@ LIMIT 10
         "tokens_cms": _cms_oracle_sql(),
         # bloom-filter bit set, exact
         "docs_bloom": _bloom_oracle_sql(),
+        # simplified PageRank unrolled: 5 join+sum CTE rounds
+        "graph_pagerank": _pagerank_oracle_sql(),
         "graph_degree": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

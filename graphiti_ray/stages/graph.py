@@ -366,3 +366,117 @@ def build_communities(
     # affected groups' membership rows (edges.py:374-388 + group_id field)
     has_member = joined.map_batches(member_edges, batch_format="pyarrow")
     return {"communities": communities, "community_edges": has_member}
+
+
+def pagerank(
+    edges: rd.Dataset,
+    damping: float = 0.85,
+    rounds: int = 5,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """Simplified PageRank over the directed edge list: fixed round count
+    (so a SQL twin can unroll the recurrence), uniform 1/N start, and
+    NO dangling-mass redistribution — rank flowing into sink nodes
+    evaporates, the standard simplification when the twin must stay a
+    pure per-round join+sum. Multi-edges contribute once per edge row.
+
+    Per round (all dataset-side): contributions = edge ⋈ ranks on src
+    (pr / outdeg per edge row) UNION a zero row per node (so sinks and
+    isolated nodes survive the groupby without an outer join), one
+    sum-groupby on dst, then rank = (1-d)/N + d·acc. Two shuffles per
+    round — the same iterative shape as label_propagation.
+    """
+    import numpy as np
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    def col_as(batch: pa.Table, c: str) -> pa.Table:
+        return pa.table({"node": batch.column(c)})
+
+    nodes = distinct_by_key(
+        edges.map_batches(
+            lambda t: pa.concat_tables([col_as(t, src), col_as(t, dst)]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "node",
+    ).materialize()
+    n = nodes.count()
+    base = (1.0 - damping) / n
+
+    outdeg = edges.groupby(src).aggregate(Count(alias_name="od"))
+    msgs = safe_join(
+        edges.select_columns([src, dst]).map_batches(
+            lambda t: t.rename_columns(["s", "t"]), batch_format="pyarrow"
+        ),
+        outdeg.map_batches(
+            lambda t: t.rename_columns(["s", "od"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("s",),
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t, _p=1.0 / n: t.append_column(
+            "pr", pa.array(np.full(t.num_rows, _p), pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    zero_rows = nodes.map_batches(
+        lambda t: t.append_column(
+            "contrib", pa.array(np.zeros(t.num_rows), pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(rounds):
+        joined = safe_join(
+            msgs,
+            ranks.map_batches(
+                lambda t: t.rename_columns(["s", "pr"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("s",),
+        )
+        contribs = joined.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t.column("t"),
+                    "contrib": pa.array(
+                        t.column("pr").to_numpy(zero_copy_only=False)
+                        / t.column("od").to_numpy(zero_copy_only=False),
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).union(zero_rows)
+        ranks = (
+            contribs.groupby("node")
+            .aggregate(Sum("contrib", alias_name="acc"))
+            .map_batches(
+                lambda t, _b=base, _d=damping: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "pr": pa.array(
+                            _b
+                            + _d * t.column("acc").to_numpy(zero_copy_only=False),
+                            pa.float64(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return ranks.map_batches(
+        lambda t: pa.table(
+            {"entity_uuid": t.column("node"), "rank": t.column("pr")}
+        ),
+        batch_format="pyarrow",
+    )

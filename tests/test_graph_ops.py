@@ -99,3 +99,43 @@ def test_label_propagation_50k_nodes_round_time(ray_session):
     wall = time.monotonic() - t0
     assert n_labeled == n
     assert wall < 90, f"2 LPA rounds on 50k nodes took {wall:.1f}s"
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """Distributed rounds vs a dense numpy evaluation of the same
+    recurrence (simplified PageRank, dangling mass evaporates): equal to
+    float tolerance; the hub out-ranks leaves."""
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import pagerank
+
+    # star into 'hub' + a chain + a sink
+    pairs = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "d"),
+             ("d", "e"), ("a", "b")]
+    edges = rd_.from_items(
+        [{"subj_uuid": s, "obj_uuid": t} for s, t in pairs]
+    )
+    got = {
+        r["entity_uuid"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, rounds=5).take_all()
+    }
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, _t in pairs:
+        outdeg[idx[s]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(5):
+        acc = np.zeros(n)
+        for s, t in pairs:
+            acc[idx[t]] += pr[idx[s]] / outdeg[idx[s]]
+        pr = (1.0 - 0.85) / n + 0.85 * acc
+    for v in nodes:
+        assert abs(got[v] - pr[idx[v]]) < 1e-9, v
+    # the hub out-ranks each of its in-neighbors (rank flows downhill
+    # through the funnel, so d/e legitimately rank above the hub)
+    assert all(got["hub"] > got[v] for v in ("a", "b", "c"))
+    assert sum(got.values()) <= 1.0 + 1e-9  # evaporating dangling mass
