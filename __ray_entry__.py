@@ -1696,6 +1696,34 @@ SELECT node AS entity_uuid, pr AS rank FROM r{rounds}
 """
 
 
+def _q_graph_triangles(sf_dir: str):
+    """Per-node triangle counts over the CO-MENTION graph (two entities
+    are adjacent iff some episode mentions both — the fact edge graph is
+    near-bipartite and triangle-free) via the classic wedge-join
+    formulation (two hash joins, no all-pairs). Oracle: the co-mention
+    pair build + a three-way ordered self-join in SQL."""
+    from graphiti_ray.stages.graph import triangle_counts
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ment = tables["mentions"].select_columns(["episode_uuid", "entity_uuid"])
+    right = ment.map_batches(
+        lambda t: t.rename_columns(["episode_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    co = safe_join(
+        ment,
+        right,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("episode_uuid",),
+    ).map_batches(
+        lambda t: t.select(["entity_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    return triangle_counts(co, src="entity_uuid", dst="entity_b")
+
+
 def _q_graph_degree(sf_dir: str):
     from graphiti_ray.stages.graph import node_degrees
 
@@ -2233,6 +2261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bloom": _q_docs_bloom,
         "graph_degree": _q_graph_degree,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
         "episode_windows": _q_episode_windows,
         "rrf_fusion": _q_rrf_fusion,
         "graph_components": _q_graph_components,
@@ -2887,6 +2916,37 @@ LIMIT 10
         "docs_bloom": _bloom_oracle_sql(),
         # simplified PageRank unrolled: 5 join+sum CTE rounds
         "graph_pagerank": _pagerank_oracle_sql(),
+        # triangles over the co-mention graph: ordered three-way
+        # self-join; each triangle credits its three vertices
+        "graph_triangles": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+mu AS (
+  SELECT m.episode_uuid,
+         md5(m.group_id || '|' || lower(c.canonical)) AS eu
+  FROM ment m
+  JOIN canon c ON c.group_id = m.group_id AND c.name = m.name
+),
+und AS (
+  SELECT DISTINCT least(x.eu, y.eu) AS a, greatest(x.eu, y.eu) AS b
+  FROM mu x JOIN mu y
+    ON x.episode_uuid = y.episode_uuid AND x.eu <> y.eu
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+verts AS (
+  SELECT a AS v FROM tri UNION ALL
+  SELECT b FROM tri UNION ALL
+  SELECT c FROM tri
+)
+SELECT v AS entity_uuid, count(*)::BIGINT AS n_triangles
+FROM verts GROUP BY 1
+""",
         "graph_degree": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

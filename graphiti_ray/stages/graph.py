@@ -480,3 +480,88 @@ def pagerank(
         ),
         batch_format="pyarrow",
     )
+
+
+def triangle_counts(
+    edges: rd.Dataset, src: str = "subj_uuid", dst: str = "obj_uuid"
+) -> rd.Dataset:
+    """Per-node triangle participation counts over the UNDIRECTED distinct
+    edge set (self-loops dropped): the classic two-join formulation —
+    orient every edge low<high, build wedges by a self-join on the low
+    endpoint, close each wedge with a join against the edge set keyed on
+    its (b, c) pair. Output: (entity_uuid, n_triangles) for nodes in ≥1
+    triangle. Both joins are hash-partitioned; no all-pairs anywhere."""
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    def orient(batch: pa.Table) -> pa.Table:
+        s = batch.column(src)
+        t = batch.column(dst)
+        a = pc.min_element_wise(s, t)
+        b = pc.max_element_wise(s, t)
+        tbl = pa.table({"a": a, "b": b})
+        tbl = tbl.filter(pc.not_equal(tbl.column("a"), tbl.column("b")))
+        return tbl.append_column(
+            "ek",
+            pc.binary_join_element_wise(tbl.column("a"), tbl.column("b"), "|"),
+        )
+
+    e = distinct_by_key(
+        edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True),
+        "ek",
+    ).materialize()
+
+    parts = default_join_partitions()
+    wedges = safe_join(
+        e.select_columns(["a", "b"]),
+        e.select_columns(["a", "b"]).map_batches(
+            lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=parts,
+        on=("a",),
+    )
+
+    def keep_ordered_wedges(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("b"), t.column("c")))
+        return t.append_column(
+            "ek",
+            pc.binary_join_element_wise(t.column("b"), t.column("c"), "|"),
+        )
+
+    wedges = wedges.map_batches(keep_ordered_wedges, batch_format="pyarrow")
+    closed = safe_join(
+        wedges,
+        e.select_columns(["ek"]).map_batches(
+            lambda t: t.append_column(
+                "_hit", pa.array([1] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=parts,
+        on=("ek",),
+    )
+
+    def explode_vertices(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity_uuid": pa.concat_arrays(
+                    [
+                        batch.column("a").combine_chunks(),
+                        batch.column("b").combine_chunks(),
+                        batch.column("c").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    return (
+        closed.map_batches(
+            explode_vertices, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("entity_uuid")
+        .aggregate(Count(alias_name="n_triangles"))
+    )

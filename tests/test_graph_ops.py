@@ -139,3 +139,28 @@ def test_pagerank_matches_dense_reference(ray_session):
     # through the funnel, so d/e legitimately rank above the hub)
     assert all(got["hub"] > got[v] for v in ("a", "b", "c"))
     assert sum(got.values()) <= 1.0 + 1e-9  # evaporating dangling mass
+
+
+def test_triangle_counts_toy_graph(ray_session):
+    """One triangle + a dangling edge: exactly the triangle's vertices
+    counted once each; direction and duplicate edges are irrelevant
+    (undirected distinct orientation)."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import triangle_counts
+
+    edges = rd_.from_items(
+        [
+            {"subj_uuid": "a", "obj_uuid": "b"},
+            {"subj_uuid": "b", "obj_uuid": "a"},  # duplicate, reversed
+            {"subj_uuid": "b", "obj_uuid": "c"},
+            {"subj_uuid": "c", "obj_uuid": "a"},
+            {"subj_uuid": "c", "obj_uuid": "d"},  # dangles
+            {"subj_uuid": "e", "obj_uuid": "e"},  # self-loop dropped
+        ]
+    )
+    out = {
+        r["entity_uuid"]: r["n_triangles"]
+        for r in triangle_counts(edges).take_all()
+    }
+    assert out == {"a": 1, "b": 1, "c": 1}
