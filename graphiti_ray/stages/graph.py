@@ -392,18 +392,25 @@ def pagerank(
     from graphiti_ray.stages.link import default_join_partitions, safe_join
     from graphiti_ray.stages.ops import distinct_by_key
 
-    def col_as(batch: pa.Table, c: str) -> pa.Table:
-        return pa.table({"node": batch.column(c)})
-
+    # endpoints via the module's shared symmetric flattening
     nodes = distinct_by_key(
-        edges.map_batches(
-            lambda t: pa.concat_tables([col_as(t, src), col_as(t, dst)]),
+        _symmetric(edges, src, dst).map_batches(
+            lambda t: pa.table({"node": t.column("x")}),
             batch_format="pyarrow",
             zero_copy_batch=True,
         ),
         "node",
     ).materialize()
     n = nodes.count()
+    if n == 0:  # empty graph → empty ranking, not a ZeroDivisionError
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_uuid": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.float64()),
+                }
+            )
+        )
     base = (1.0 - damping) / n
 
     outdeg = edges.groupby(src).aggregate(Count(alias_name="od"))
@@ -486,55 +493,151 @@ def triangle_counts(
     edges: rd.Dataset, src: str = "subj_uuid", dst: str = "obj_uuid"
 ) -> rd.Dataset:
     """Per-node triangle participation counts over the UNDIRECTED distinct
-    edge set (self-loops dropped): the classic two-join formulation —
-    orient every edge low<high, build wedges by a self-join on the low
-    endpoint, close each wedge with a join against the edge set keyed on
-    its (b, c) pair. Output: (entity_uuid, n_triangles) for nodes in ≥1
-    triangle. Both joins are hash-partitioned; no all-pairs anywhere."""
+    edge set (self-loops dropped), via DEGREE-ORDERED wedge counting: each
+    edge is oriented from its lower-(degree, id) endpoint to the higher
+    one, wedges are built by a self-join on the LOW endpoint, and a wedge
+    closes iff its (x, y) pair appears in the oriented edge set. Degree
+    orientation bounds the wedge count at O(m^1.5) even with hub nodes —
+    the lexicographic variant blows up quadratically on a hub's edge list.
+    Each triangle is found exactly once (at its minimum-(degree, id)
+    vertex). Output: (entity_uuid, n_triangles) for nodes in ≥ 1
+    triangle; triangle-free inputs return an empty, schema-stable result
+    instead of tripping Ray's empty-side join."""
+    import numpy as np
     import pyarrow.compute as pc
 
     from graphiti_ray.stages.link import default_join_partitions, safe_join
     from graphiti_ray.stages.ops import distinct_by_key
 
-    def orient(batch: pa.Table) -> pa.Table:
-        s = batch.column(src)
-        t = batch.column(dst)
+    def pair_key(a, b):
+        # collision-free pair key for ARBITRARY string ids: the length
+        # prefix pins where `a` ends, so ("x|y","z") and ("x","y|z")
+        # cannot produce the same key (a plain separator join would)
+        return pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(a), pa.string()), a, b, ":"
+        )
+
+    def orient_by_id(batch: pa.Table) -> pa.Table:
+        s, t = batch.column(src), batch.column(dst)
         a = pc.min_element_wise(s, t)
         b = pc.max_element_wise(s, t)
         tbl = pa.table({"a": a, "b": b})
         tbl = tbl.filter(pc.not_equal(tbl.column("a"), tbl.column("b")))
-        return tbl.append_column(
-            "ek",
-            pc.binary_join_element_wise(tbl.column("a"), tbl.column("b"), "|"),
-        )
+        return tbl.append_column("ek", pair_key(tbl.column("a"), tbl.column("b")))
 
     e = distinct_by_key(
-        edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True),
+        edges.map_batches(orient_by_id, batch_format="pyarrow", zero_copy_batch=True),
         "ek",
     ).materialize()
 
+    empty = pa.table(
+        {
+            "entity_uuid": pa.array([], pa.string()),
+            "n_triangles": pa.array([], pa.int64()),
+        }
+    )
+    if e.count() == 0:
+        return rd.from_arrow(empty)
+
     parts = default_join_partitions()
+    # undirected degrees over the DISTINCT edge set
+    deg = (
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t.column("a").combine_chunks(),
+                            t.column("b").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
+
+    def joined_deg(side: str, out: str) -> rd.Dataset:
+        return deg.map_batches(
+            lambda t, _s=side, _o=out: pa.table(
+                {_s: t.column("node"), _o: t.column("deg")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    ed = safe_join(
+        safe_join(
+            e.select_columns(["a", "b"]),
+            joined_deg("a", "da"),
+            join_type="inner",
+            num_partitions=parts,
+            on=("a",),
+        ),
+        joined_deg("b", "db"),
+        join_type="inner",
+        num_partitions=parts,
+        on=("b",),
+    )
+
+    def orient_by_degree(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a").to_pylist(), dtype=object)
+        b = np.asarray(t.column("b").to_pylist(), dtype=object)
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        # lower (degree, id) endpoint becomes the wedge pivot
+        a_first = (da < db) | ((da == db) & (a < b))
+        lo = np.where(a_first, a, b)
+        hi = np.where(a_first, b, a)
+        dhi = np.where(a_first, db, da)
+        out = pa.table(
+            {
+                "lo": pa.array(lo.tolist(), pa.string()),
+                "hi": pa.array(hi.tolist(), pa.string()),
+                "dhi": pa.array(dhi, pa.int64()),
+            }
+        )
+        return out.append_column(
+            "ok", pair_key(out.column("lo"), out.column("hi"))
+        )
+
+    e_or = ed.map_batches(orient_by_degree, batch_format="pyarrow").materialize()
+
     wedges = safe_join(
-        e.select_columns(["a", "b"]),
-        e.select_columns(["a", "b"]).map_batches(
-            lambda t: t.rename_columns(["a", "c"]), batch_format="pyarrow"
+        e_or.select_columns(["lo", "hi", "dhi"]),
+        e_or.select_columns(["lo", "hi", "dhi"]).map_batches(
+            lambda t: t.rename_columns(["lo", "hi2", "dhi2"]),
+            batch_format="pyarrow",
         ),
         join_type="inner",
         num_partitions=parts,
-        on=("a",),
+        on=("lo",),
     )
 
     def keep_ordered_wedges(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.less(t.column("b"), t.column("c")))
-        return t.append_column(
-            "ek",
-            pc.binary_join_element_wise(t.column("b"), t.column("c"), "|"),
+        # (deg, id)-ordered so each unordered wedge pair emits once, and
+        # the closing edge — if it exists — is oriented exactly hi → hi2
+        keep = pc.or_(
+            pc.less(t.column("dhi"), t.column("dhi2")),
+            pc.and_(
+                pc.equal(t.column("dhi"), t.column("dhi2")),
+                pc.less(t.column("hi"), t.column("hi2")),
+            ),
         )
+        t = t.filter(keep)
+        return t.append_column("ok", pair_key(t.column("hi"), t.column("hi2")))
 
-    wedges = wedges.map_batches(keep_ordered_wedges, batch_format="pyarrow")
+    wedges = wedges.map_batches(
+        keep_ordered_wedges, batch_format="pyarrow"
+    ).materialize()
+    if wedges.count() == 0:  # triangle-free graph — nothing to close
+        return rd.from_arrow(empty)
+
     closed = safe_join(
-        wedges,
-        e.select_columns(["ek"]).map_batches(
+        wedges.select_columns(["lo", "hi", "hi2", "ok"]),
+        e_or.select_columns(["ok"]).map_batches(
             lambda t: t.append_column(
                 "_hit", pa.array([1] * t.num_rows, pa.int64())
             ),
@@ -542,7 +645,7 @@ def triangle_counts(
         ),
         join_type="inner",
         num_partitions=parts,
-        on=("ek",),
+        on=("ok",),
     )
 
     def explode_vertices(batch: pa.Table) -> pa.Table:
@@ -550,18 +653,20 @@ def triangle_counts(
             {
                 "entity_uuid": pa.concat_arrays(
                     [
-                        batch.column("a").combine_chunks(),
-                        batch.column("b").combine_chunks(),
-                        batch.column("c").combine_chunks(),
+                        batch.column("lo").combine_chunks(),
+                        batch.column("hi").combine_chunks(),
+                        batch.column("hi2").combine_chunks(),
                     ]
                 )
             }
         )
 
-    return (
+    counted = (
         closed.map_batches(
             explode_vertices, batch_format="pyarrow", zero_copy_batch=True
         )
         .groupby("entity_uuid")
         .aggregate(Count(alias_name="n_triangles"))
+        .materialize()
     )
+    return counted if counted.count() else rd.from_arrow(empty)

@@ -855,12 +855,16 @@ def salted_aggregate(
 
     ``aggs``: output column → (input column, fn), fn ∈ {"sum", "count",
     "min", "max"} — the associative aggregates a two-phase split is exact
-    for (count re-combines via sum). ``salt_source`` picks the salting
-    hash input (a column whose values spread WITHIN a hot key, e.g. a
-    doc id); default salts on a deterministic per-batch row index, which
-    spreads every key uniformly without reading any column.
+    for (count re-combines via sum). "count" has SQL count(col) semantics
+    (non-null values of the input column); pass ``None`` as the input
+    column for count(*). ``salt_source`` picks the salting hash input (an
+    INTEGER column whose values spread WITHIN a hot key, e.g. a doc id —
+    non-integer columns are rejected loudly); default salts on a
+    deterministic per-batch row index, which spreads every key uniformly
+    without reading any column.
     """
     import numpy as np
+    import pyarrow.compute as pc
 
     from ray.data.aggregate import Max, Min, Sum
 
@@ -870,16 +874,25 @@ def salted_aggregate(
         n = batch.num_rows
         if salt_source is not None:
             src = batch.column(salt_source).to_numpy(zero_copy_only=False)
+            if not np.issubdtype(src.dtype, np.integer):
+                raise TypeError(
+                    f"salt_source {salt_source!r} must be an integer column "
+                    f"(got {src.dtype}); omit it to salt on the row index"
+                )
             salt = (src.astype(np.int64) * 1099511628211) % salt_buckets
         else:
             salt = np.arange(n, dtype=np.int64) % salt_buckets
         return batch.append_column("_salt", pa.array(salt, pa.int64()))
 
-    # phase 1: partial aggregates under (key, salt)
+    # phase 1: partial aggregates under (key, salt). Counts sum an
+    # indicator column so count(col) skips nulls exactly like SQL.
+    count_cols = {
+        out: in_col for out, (in_col, fn) in aggs.items() if fn == "count"
+    }
     phase1_aggs = []
     for out_col, (in_col, fn) in aggs.items():
         if fn == "count":
-            phase1_aggs.append(Sum("_one", alias_name=out_col))
+            phase1_aggs.append(Sum(f"_nn_{out_col}", alias_name=out_col))
         elif fn == "sum":
             phase1_aggs.append(Sum(in_col, alias_name=out_col))
         elif fn == "min":
@@ -887,15 +900,19 @@ def salted_aggregate(
         else:
             phase1_aggs.append(Max(in_col, alias_name=out_col))
 
-    def add_one(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
-        )
+    def add_indicators(batch: pa.Table) -> pa.Table:
+        for out_col, in_col in count_cols.items():
+            if in_col is None:  # count(*)
+                ind = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+            else:  # count(col): 1 where non-null
+                ind = pc.cast(pc.is_valid(batch.column(in_col)), pa.int64())
+            batch = batch.append_column(f"_nn_{out_col}", ind)
+        return batch
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
-    if any(fn == "count" for _, fn in aggs.values()):
+    if count_cols:
         salted = salted.map_batches(
-            add_one, batch_format="pyarrow", zero_copy_batch=True
+            add_indicators, batch_format="pyarrow", zero_copy_batch=True
         )
     partial = salted.groupby(key_cols + ["_salt"]).aggregate(*phase1_aggs)
 

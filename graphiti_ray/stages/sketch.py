@@ -77,6 +77,14 @@ def hll_registers(ds: rd.Dataset, col: str, p: int = HLL_P) -> rd.Dataset:
     )
 
 
+def _hash_slice(h, r: int, m: int):
+    """The shared 16-bit md5 slice → bucket formula used by BOTH the
+    register writers and the read-out probes (CMS and Bloom): keeping
+    write and read in one function is what makes the
+    never-underestimate / no-false-negative guarantees hold."""
+    return ((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) % m
+
+
 CMS_WIDTH = 2048  # counters per hash row
 CMS_DEPTH = 4  # independent hash rows; estimate = min over rows
 
@@ -100,7 +108,7 @@ def cms_registers(
             h = np.array([hll_hash64(v) for v in vals], dtype=np.uint64)
             for r in range(depth):
                 # row r uses 16 independent md5 bits (depth ≤ 4 × 16 = 64)
-                buckets = ((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) % width
+                buckets = _hash_slice(h, r, width)
                 counts = np.bincount(buckets.astype(np.int64), minlength=width)
                 hit = np.nonzero(counts)[0]
                 o_row.extend([r] * len(hit))
@@ -134,8 +142,7 @@ def cms_estimate(
         )
     }
     return min(
-        lut.get((r, int((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) % width), 0)
-        for r in range(depth)
+        lut.get((r, int(_hash_slice(h, r, width))), 0) for r in range(depth)
     )
 
 
@@ -160,10 +167,7 @@ def bloom_bits(
             return pa.table({"bit": pa.array([], pa.int64())})
         h = np.array([hll_hash64(v) for v in vals], dtype=np.uint64)
         bits = np.concatenate(
-            [
-                (((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) % m).astype(np.int64)
-                for r in range(k)
-            ]
+            [_hash_slice(h, r, m).astype(np.int64) for r in range(k)]
         )
         return pa.table({"bit": pa.array(np.unique(bits), pa.int64())})
 
@@ -181,10 +185,7 @@ def bloom_contains(
     """Membership probe: True iff every one of the value's k bits is lit
     (definitely-absent when False; maybe-present when True)."""
     h = np.uint64(hll_hash64(value))
-    return all(
-        int((h >> np.uint64(16 * r)) & np.uint64(0xFFFF)) % m in bits
-        for r in range(k)
-    )
+    return all(int(_hash_slice(h, r, m)) in bits for r in range(k))
 
 
 def hll_estimate(registers, p: int = HLL_P) -> float:

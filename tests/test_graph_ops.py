@@ -164,3 +164,30 @@ def test_triangle_counts_toy_graph(ray_session):
         for r in triangle_counts(edges).take_all()
     }
     assert out == {"a": 1, "b": 1, "c": 1}
+
+
+def test_pagerank_empty_graph_and_triangle_key_collisions(ray_session):
+    """Edge cases: an empty edge set yields an empty ranking (no
+    ZeroDivisionError), and node ids containing the pair-key separator
+    can't collide (length-prefixed keys)."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import pagerank, triangle_counts
+
+    empty = rd_.from_items([]).map_batches(
+        lambda t: t, batch_format="pandas"
+    )
+    import pyarrow as pa
+
+    empty_edges = rd_.from_arrow(
+        pa.table(
+            {"subj_uuid": pa.array([], pa.string()),
+             "obj_uuid": pa.array([], pa.string())}
+        )
+    )
+    assert pagerank(empty_edges).count() == 0
+
+    # with a plain '|' join, edges (x|y, z) and (x, y|z) would share a key
+    edges = _edges([("x|y", "z"), ("x", "y|z")])
+    out = triangle_counts(edges).take_all()
+    assert out == []  # two disjoint edges — no phantom triangles

@@ -524,3 +524,39 @@ def test_bloom_no_false_negatives_bounded_false_positives(ray_session):
     fp = sum(bloom_contains(bits, v) for v in probes) / len(probes)
     # k=4, n=2000, m=32768 → (1 - e^{-kn/m})^4 ≈ 0.23%; allow 4x slack
     assert fp < 0.01, fp
+
+
+def test_salted_aggregate_count_skips_nulls_and_rejects_string_salt(ray_session):
+    """count(col) semantics: nulls in the counted column don't count;
+    count(*) via in_col=None does; a non-integer salt_source fails loudly
+    at the argument, not as an opaque numpy error."""
+    import pytest as _pytest
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import salted_aggregate
+
+    rows = [
+        {"k": "a", "v": 1, "rid": 0},
+        {"k": "a", "v": None, "rid": 1},
+        {"k": "a", "v": 3, "rid": 2},
+        {"k": "b", "v": None, "rid": 3},
+    ]
+    out = (
+        salted_aggregate(
+            rd_.from_items(rows),
+            ["k"],
+            {"n_v": ("v", "count"), "n_all": (None, "count")},
+            salt_buckets=4,
+        )
+        .to_pandas()
+        .set_index("k")
+    )
+    assert out.loc["a"].n_v == 2 and out.loc["a"].n_all == 3
+    assert out.loc["b"].n_v == 0 and out.loc["b"].n_all == 1
+
+    with _pytest.raises((TypeError, Exception)) as exc:
+        salted_aggregate(
+            rd_.from_items(rows), ["k"], {"n": (None, "count")},
+            salt_source="k",
+        ).to_pandas()
+    assert "integer column" in str(exc.value)
