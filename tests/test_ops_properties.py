@@ -560,3 +560,46 @@ def test_salted_aggregate_count_skips_nulls_and_rejects_string_salt(ray_session)
             salt_source="k",
         ).to_pandas()
     assert "integer column" in str(exc.value)
+
+
+def test_sketches_merge_associatively(ray_session):
+    """The property that makes every sketch shuffle-safe: registers built
+    from A ∪ B equal the pointwise merge (max / sum / union) of registers
+    built from A and B separately — so partial aggregation over any
+    partitioning is exact."""
+    import pandas as pd
+    import ray.data as rd_
+
+    from graphiti_ray.stages.sketch import bloom_bits, cms_registers, hll_registers
+
+    a_rows = [{"v": f"a{i % 300}"} for i in range(600)]
+    b_rows = [{"v": f"b{i % 200}"} for i in range(400)]
+
+    def hll(rows):
+        return (
+            hll_registers(rd_.from_items(rows), "v")
+            .to_pandas()
+            .set_index("bucket")["max_rank"]
+        )
+
+    ha, hb, hu = hll(a_rows), hll(b_rows), hll(a_rows + b_rows)
+    merged = pd.concat([ha, hb]).groupby(level=0).max()
+    assert merged.sort_index().equals(hu.sort_index())
+
+    def cms(rows):
+        return (
+            cms_registers(rd_.from_items(rows), "v")
+            .to_pandas()
+            .set_index(["sketch_row", "bucket"])["n"]
+        )
+
+    ca, cb, cu = cms(a_rows), cms(b_rows), cms(a_rows + b_rows)
+    merged = pd.concat([ca, cb]).groupby(level=[0, 1]).sum()
+    assert merged.sort_index().equals(cu.sort_index())
+
+    def bloom(rows):
+        return set(
+            r["bit"] for r in bloom_bits(rd_.from_items(rows), "v").take_all()
+        )
+
+    assert bloom(a_rows) | bloom(b_rows) == bloom(a_rows + b_rows)
