@@ -38,6 +38,13 @@ DEFAULT_MIN_CHARS = 150
 DEFAULT_MAX_CHARS = 450
 DEFAULT_MIN_WORDS = 30
 
+# near-dup drop ids broadcast bound: below, the drop set ships as ONE sorted
+# int64 Arrow array (ray.put once, pc.is_in per batch — ~16 MB at the bound);
+# above, the removal is a hash-partitioned ANTI-join on the component table,
+# so a web-scale drop set (10^8-10^9 ids ≈ corpus-sized) never lands on the
+# driver. Same two-path contract as link.BROADCAST_LIMIT.
+NEAR_DUP_DROP_BROADCAST_LIMIT = 2_000_000
+
 
 def _gate_batch(
     batch: pa.Table,
@@ -136,13 +143,11 @@ def clean_corpus(
     """Full cleaning: gates → exact dedup → MinHash near-dup removal
     (keep each near-dup component's min doc_id). Output: (doc_id,).
 
-    The near-dup drop set is component-count sized (tiny relative to the
-    corpus), so it applies as a broadcast anti-filter — the winners table
-    never shuffles again. The winners keep their text through the exact
-    dedup (sort-distinct carries whole rows), so the near-dup stage feeds
-    straight off them with no second corpus scan."""
-    import ray
-
+    The winners keep their text through the exact dedup (sort-distinct
+    carries whole rows), so the near-dup stage feeds straight off them with
+    no second corpus scan. Drop-set application is size-gated (see
+    ``NEAR_DUP_DROP_BROADCAST_LIMIT``): broadcast ``pc.is_in`` below the
+    bound, distributed anti-join above it — never a driver Python set."""
     from graphiti_ray.stages.dedup import minhash_near_dup
 
     winners = _gated_winners(docs, langs, min_chars, max_chars, min_words)
@@ -151,22 +156,77 @@ def clean_corpus(
     clusters = minhash_near_dup(
         winners.select_columns(["doc_id", "text"]), threshold=near_dup_threshold
     )
-    drops = frozenset(
-        r["doc_id"] for r in clusters.take_all() if r["doc_id"] != r["component"]
-    )
-    dref = ray.put(drops)
-
-    def drop_near_dups(batch: pa.Table, _ref=dref) -> pa.Table:
-        from graphiti_ray.stages.link import _cached_lut
-
-        s = _cached_lut(_ref)
-        mask = pa.array([d not in s for d in batch.column("doc_id").to_pylist()])
-        return batch.filter(mask)
-
-    return winners.map_batches(
-        drop_near_dups, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(
+    kept = _apply_near_dup_drops(winners, clusters)
+    return kept.map_batches(
         lambda t: pa.table({"doc_id": t.column("doc_id")}), batch_format="pyarrow"
+    )
+
+
+def _apply_near_dup_drops(winners: rd.Dataset, clusters: rd.Dataset) -> rd.Dataset:
+    """Remove near-dup losers (component members that are not the component
+    representative) from ``winners``.
+
+    At web scale the loser set is a large fraction of the corpus, so it must
+    never become a driver-side Python set. Two paths:
+
+    - ``n_drops <= NEAR_DUP_DROP_BROADCAST_LIMIT``: the ids ship as one
+      sorted int64 Arrow array (``ray.put`` once per run) and each batch
+      filters with vectorized ``pc.is_in`` — the incremental upsert's exact
+      pattern (pipelines/incremental.py).
+    - above the bound: hash-partitioned ``left_anti`` join against the loser
+      table (reference analogue: the dedup fixpoint family,
+      bulk_utils.py:357-396, whose uuid_map is graph-sized state).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    def losers_only(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(
+            pc.equal(batch.column("doc_id"), batch.column("component"))
+        )
+        return pa.table({"doc_id": batch.filter(keep).column("doc_id")})
+
+    drops = clusters.map_batches(
+        losers_only, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_drops = drops.count()
+    if n_drops == 0:
+        return winners
+
+    if n_drops <= NEAR_DUP_DROP_BROADCAST_LIMIT:
+        ids = np.sort(
+            np.concatenate(
+                [
+                    b.column("doc_id").to_numpy(zero_copy_only=False)
+                    for b in drops.iter_batches(batch_format="pyarrow")
+                ]
+            )
+        )
+        dref = ray.put(pa.array(ids, pa.int64()))
+
+        def drop_near_dups(batch: pa.Table, _ref=dref) -> pa.Table:
+            from graphiti_ray.stages.link import _cached_lut
+
+            return batch.filter(
+                pc.invert(
+                    pc.is_in(batch.column("doc_id"), value_set=_cached_lut(_ref))
+                )
+            )
+
+        return winners.map_batches(
+            drop_near_dups, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    return safe_join(
+        winners,
+        drops,
+        join_type="left_anti",
+        num_partitions=default_join_partitions(),
+        on=("doc_id",),
     )
 
 

@@ -175,8 +175,9 @@ def episode_entity_edges(edges: rd.Dataset) -> rd.Dataset:
     def collect_block(tbl: pa.Table) -> pa.Table:
         """COMPLETE episode runs, rows sorted by (episode_uuid, edge_uuid)
         — one Python call per block, not per episode (episode count is
-        corpus-sized)."""
-        import numpy as np
+        corpus-sized). Fully Arrow: run detection, the per-run edge list
+        assembly (ListArray from run offsets) and the join all stay in C++."""
+        import pyarrow.compute as pc
 
         if tbl.num_rows == 0:
             return pa.table(
@@ -185,21 +186,19 @@ def episode_entity_edges(edges: rd.Dataset) -> rd.Dataset:
                     "entity_edges": pa.array([], pa.string()),
                 }
             )
-        from graphiti_ray.stages.ops import _run_starts
+        from graphiti_ray.stages.ops import _col_array, _table_run_starts
 
-        eps = np.array(tbl.column("episode_uuid").to_pylist(), dtype=object)
-        edges_arr = tbl.column("edge_uuid").to_pylist()
-        starts = _run_starts(eps)
+        starts = _table_run_starts(tbl, ["episode_uuid"])
+        lists = pa.ListArray.from_arrays(
+            pa.array(starts, pa.int32()), _col_array(tbl, "edge_uuid")
+        )
         return pa.table(
             {
-                "episode_uuid": pa.array(eps[starts[:-1]].tolist(), pa.string()),
-                "entity_edges": pa.array(
-                    [
-                        ",".join(edges_arr[s:e])  # already sorted by edge_uuid
-                        for s, e in zip(starts[:-1], starts[1:])
-                    ],
-                    pa.string(),
+                "episode_uuid": tbl.column("episode_uuid").take(
+                    pa.array(starts[:-1], pa.int64())
                 ),
+                # edge uuids already sorted by the range sort
+                "entity_edges": pc.binary_join(lists, ","),
             }
         )
 

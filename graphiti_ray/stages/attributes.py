@@ -124,7 +124,6 @@ def current_edge_attributes(
 def _winner_block(tbl: pa.Table, pred_attr: dict[str, str]) -> pa.Table:
     """Run ENDS of (subj_uuid, pred) runs sorted by (valid_at, obj) — the
     latest-then-lexicographically-last winner per entity/predicate."""
-    import numpy as np
     import pandas as pd
 
     if tbl.num_rows == 0:
@@ -135,20 +134,21 @@ def _winner_block(tbl: pa.Table, pred_attr: dict[str, str]) -> pa.Table:
                 "attr_value": pa.array([], pa.string()),
             }
         )
-    from graphiti_ray.stages.ops import _run_starts
+    from graphiti_ray.stages.ops import _table_run_starts
 
-    subj = np.array(tbl.column("subj_uuid").to_pylist(), dtype=object)
-    pred = np.array(tbl.column("pred").to_pylist(), dtype=object)
-    starts = _run_starts(subj, pred)
-    ends = starts[1:] - 1  # last row of each run
-    obj = np.array(tbl.column("obj_canonical").to_pylist(), dtype=object)
+    starts = _table_run_starts(tbl, ["subj_uuid", "pred"])
+    ends = pa.array(starts[1:] - 1, pa.int64())  # last row of each run
+    pred_ends = tbl.column("pred").take(ends)
     return pa.table(
         {
-            "uuid": pa.array(subj[ends].tolist(), pa.string()),
+            "uuid": tbl.column("subj_uuid").take(ends),
             "attr_name": pa.array(
-                pd.Series(pred[ends]).map(pred_attr).tolist(), pa.string()
+                pd.Series(pred_ends.to_numpy(zero_copy_only=False))
+                .map(pred_attr)
+                .tolist(),
+                pa.string(),
             ),
-            "attr_value": pa.array(obj[ends].tolist(), pa.string()),
+            "attr_value": tbl.column("obj_canonical").take(ends),
         }
     )
 

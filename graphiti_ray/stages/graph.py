@@ -158,19 +158,28 @@ def _vote_block(tbl: pa.Table) -> pa.Table:
     )
     if tbl.num_rows == 0:
         return empty
-    from graphiti_ray.stages.ops import _run_starts
+    import pyarrow.compute as pc
 
-    x = np.array(tbl.column("x").to_pylist(), dtype=object)
-    comm = np.array(tbl.column("nbr_comm").to_pylist(), dtype=object)
+    from graphiti_ray.stages.ops import _table_run_starts
+
+    xa, ca = tbl.column("x"), tbl.column("nbr_comm")
     w = tbl.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
     # current label per node: the zero-weight self row (one per node)
-    self_mask = w == 0
-    old = pd.Series(comm[self_mask], index=x[self_mask])
-    # per-(node, community) weight segments
-    seg_starts = _run_starts(x, comm)[:-1]
+    self_mask = pa.array(w == 0)
+    old = pd.Series(
+        pc.filter(ca, self_mask).to_numpy(zero_copy_only=False),
+        index=pc.filter(xa, self_mask).to_numpy(zero_copy_only=False),
+    )
+    # per-(node, community) weight segments — Arrow-native run detection
+    seg_starts = _table_run_starts(tbl, ["x", "nbr_comm"])[:-1]
     seg_sum = np.add.reduceat(w, seg_starts)
+    idx = pa.array(seg_starts, pa.int64())
     seg = pd.DataFrame(
-        {"x": x[seg_starts], "comm": comm[seg_starts], "w": seg_sum}
+        {
+            "x": xa.take(idx).to_numpy(zero_copy_only=False),
+            "comm": ca.take(idx).to_numpy(zero_copy_only=False),
+            "w": seg_sum,
+        }
     )
     # the reference tallies REAL neighbor rows only; a community present
     # solely via the zero-weight self row (sum 0) never wins
@@ -294,8 +303,6 @@ def build_communities(
         """COMPLETE community runs (sorted_run_map contract, rows sorted by
         (community, name)): one Python call per BLOCK of communities; the
         per-run work is the A5 tree reduction itself."""
-        import numpy as np
-
         if tbl.num_rows == 0:
             return pa.table(
                 {
@@ -306,13 +313,13 @@ def build_communities(
                     "n_members": pa.array([], pa.int64()),
                 }
             )
-        from graphiti_ray.stages.ops import _run_starts
+        from graphiti_ray.stages.ops import _table_run_starts
 
-        comm = np.array(tbl.column("community").to_pylist(), dtype=object)
+        comm = tbl.column("community").to_pylist()
         names = tbl.column("name").to_pylist()
         summaries = tbl.column("summary").to_pylist()
         groups = tbl.column("group_id").to_pylist()
-        starts = _run_starts(comm)
+        starts = _table_run_starts(tbl, ["community"])
         uuids, out_names, out_groups, out_sums, counts = [], [], [], [], []
         for s, e in zip(starts[:-1], starts[1:]):
             # pairwise tree reduction of member summaries (A5 shape)

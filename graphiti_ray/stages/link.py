@@ -209,8 +209,6 @@ def _resolve_block(tbl: pa.Table) -> pa.Table:
     dispatch per host — at web scale group count is host count (millions),
     so the per-group slicing layer matters even though the rule work
     itself is per-vocabulary Python."""
-    import numpy as np
-
     if tbl.num_rows == 0:
         return pa.table(
             {
@@ -222,11 +220,10 @@ def _resolve_block(tbl: pa.Table) -> pa.Table:
                 "mention_count": pa.array([], pa.int64()),
             }
         )
-    from graphiti_ray.stages.ops import _run_starts
+    from graphiti_ray.stages.ops import _table_run_starts
 
     df = tbl.to_pandas()
-    groups = np.array(tbl.column("group_id").to_pylist(), dtype=object)
-    starts = _run_starts(groups)
+    starts = _table_run_starts(tbl, ["group_id"])
     frames = [
         resolve_group(df.iloc[s:e]) for s, e in zip(starts[:-1], starts[1:])
     ]
@@ -280,12 +277,11 @@ def _nodes_block(tbl: pa.Table, attribute_extractors: dict | None) -> pa.Table:
                 "attributes": pa.array([], pa.string()),
             }
         )
-    from graphiti_ray.stages.ops import _run_starts
+    from graphiti_ray.stages.ops import _table_run_starts
 
-    groups = np.array(tbl.column("group_id").to_pylist(), dtype=object)
-    uuids = np.array(tbl.column("entity_uuid").to_pylist(), dtype=object)
-    starts = _run_starts(groups, uuids)
+    starts = _table_run_starts(tbl, ["group_id", "entity_uuid"])
     firsts = starts[:-1]
+    firsts_idx = pa.array(firsts, pa.int64())
     counts = tbl.column("mention_count").to_numpy(zero_copy_only=False)
     sums = np.add.reduceat(counts.astype(np.int64), firsts)
     canon_arr = tbl.column("canonical").to_pylist()
@@ -312,9 +308,9 @@ def _nodes_block(tbl: pa.Table, attribute_extractors: dict | None) -> pa.Table:
         label_offsets.append(len(labels_flat))
     return pa.table(
         {
-            "uuid": pa.array(uuids[firsts].tolist(), pa.string()),
+            "uuid": tbl.column("entity_uuid").take(firsts_idx),
             "name": pa.array(names, pa.string()),
-            "group_id": pa.array(groups[firsts].tolist(), pa.string()),
+            "group_id": tbl.column("group_id").take(firsts_idx),
             "labels": pa.ListArray.from_arrays(
                 pa.array(label_offsets, pa.int32()),
                 pa.array(labels_flat, pa.string()),
@@ -697,13 +693,11 @@ def fuzzy_merge_pairs(
         batch_format="pyarrow",
     )
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+    def run_pairs(group_id: str, names: list[str], rows: list) -> None:
         import zlib
 
-        names = sorted(set(g["canonical"]))
-        group_id = g["group_id"].iloc[0]
         if len(names) < 2:
-            return pd.DataFrame(columns=["group_id", "a", "b", "cosine"])
+            return
         # block to keep candidate sets sub-quadratic on big vocabularies
         if len(names) > max_group:
             buckets: dict[int, list[str]] = {}
@@ -716,7 +710,6 @@ def fuzzy_merge_pairs(
             cand_sets = [sorted(set(v)) for v in buckets.values() if len(v) > 1]
         else:
             cand_sets = [names]
-        rows = []
         seen = set()
         for cset in cand_sets:
             vecs = embed_texts([n.lower() for n in cset]).astype(np.float64)
@@ -729,9 +722,48 @@ def fuzzy_merge_pairs(
                 if pair not in seen:
                     seen.add(pair)
                     rows.append((group_id, pair[0], pair[1], float(round(s, 6))))
-        return pd.DataFrame(rows, columns=["group_id", "a", "b", "cosine"])
 
-    return ents.groupby("group_id").map_groups(per_group, batch_format="pandas")
+    def pairs_block(tbl: pa.Table) -> pa.Table:
+        """COMPLETE group runs (sorted_run_map contract) — one Python call
+        per block of groups, not a map_groups dispatch per group_id (the
+        round-3 verdict's last opt-in per-key dispatch site)."""
+        empty = pa.table(
+            {
+                "group_id": pa.array([], pa.string()),
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        starts = _table_run_starts(tbl, ["group_id"])
+        gids = tbl.column("group_id").to_pylist()
+        canon_names = tbl.column("canonical").to_pylist()
+        rows: list[tuple] = []
+        for s, e in zip(starts[:-1], starts[1:]):
+            # names arrive sorted by the range sort; set() drops the
+            # cross-batch duplicates the per-batch combiner can leave
+            run_pairs(gids[s], sorted(set(canon_names[s:e])), rows)
+        if not rows:
+            return empty
+        g, a, b, c = zip(*rows)
+        return pa.table(
+            {
+                "group_id": pa.array(list(g), pa.string()),
+                "a": pa.array(list(a), pa.string()),
+                "b": pa.array(list(b), pa.string()),
+                "cosine": pa.array(list(c), pa.float64()),
+            }
+        )
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    return sorted_run_map(
+        ents, key_cols=["group_id"], order_cols=["canonical"], block_fn=pairs_block
+    )
 
 
 def apply_fuzzy_merges(canon: rd.Dataset, pairs: rd.Dataset) -> rd.Dataset:

@@ -71,6 +71,59 @@ def _block_run_info(block, part_cols: list[str], value_col: str):
     return (p0, v0, nv, run_len == n), tail
 
 
+def _col_array(block: pa.Table, name: str) -> pa.Array:
+    """One contiguous Array for a table column (chunk-merged)."""
+    col = block.column(name)
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _table_run_starts(block: pa.Table, cols: list[str]) -> "np.ndarray":  # noqa: F821
+    """Start offsets of adjacent equal-key runs over Arrow columns (plus a
+    final sentinel) — Arrow ``not_equal`` kernels on the raw columns, no
+    ``to_pylist`` → object-dtype round-trip (string-key comparisons stay in
+    C++). Null keys compare equal to adjacent nulls (the object-array
+    semantics this replaces)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = block.num_rows
+    change = np.zeros(max(0, n - 1), dtype=bool)
+    for c in cols:
+        col = _col_array(block, c)
+        hi, lo = col.slice(1), col.slice(0, n - 1)
+        neq = pc.fill_null(pc.not_equal(hi, lo), False).to_numpy(
+            zero_copy_only=False
+        )
+        # null vs non-null is a run change; null vs null is not
+        valid_flip = pc.xor(pc.is_valid(hi), pc.is_valid(lo)).to_numpy(
+            zero_copy_only=False
+        )
+        change |= neq | valid_flip
+    return np.concatenate([[0], np.nonzero(change)[0] + 1, [n]])
+
+
+def _rows_equal_at(block: pa.Table, cols: list[str], ia, ib) -> "np.ndarray":  # noqa: F821
+    """Vectorized multi-column row equality between index vectors ``ia`` and
+    ``ib`` (null==null counts as equal), via Arrow take + equal kernels."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    eq = np.ones(len(ia), dtype=bool)
+    ia_arr = pa.array(ia, pa.int64())
+    ib_arr = pa.array(ib, pa.int64())
+    for c in cols:
+        col = _col_array(block, c)
+        a, b = col.take(ia_arr), col.take(ib_arr)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b)).to_numpy(
+            zero_copy_only=False
+        )
+        eq &= (
+            pc.fill_null(pc.equal(a, b), False).to_numpy(zero_copy_only=False)
+            | both_null
+        )
+    return eq
+
+
 @ray.remote
 def _lead_block(
     block,
@@ -86,7 +139,10 @@ def _lead_block(
     has no greater value) — computed driver-side from every later block's
     run summary, so an equal-value run straddling any number of block
     boundaries still finds its lead. Requires a prior global sort by
-    (part_cols..., order_cols...)."""
+    (part_cols..., order_cols...).
+
+    Fully Arrow-native: run detection, run-first gathers and the final
+    repeat-take all run on Arrow buffers — no object-dtype key arrays."""
     import numpy as np
 
     block = _as_arrow(block)
@@ -97,27 +153,29 @@ def _lead_block(
     # value (equal-value runs are skipped — reference kernel semantics).
     # Vectorized run formulation: rows with equal (part, value) form runs;
     # a run's lead is the NEXT run's value when the partition continues.
-    vals = np.array(block.column(value_col).to_pylist(), dtype=object)
-    parts = [
-        np.array(block.column(c).to_pylist(), dtype=object) for c in part_cols
-    ]
-    starts = _run_starts(*parts, vals)
+    starts = _table_run_starts(block, part_cols + [value_col])
     firsts = starts[:-1]
     run_len = np.diff(starts)
     n_runs = len(firsts)
-    run_lead = np.empty(n_runs, dtype=object)
-    run_lead[:] = None
+    vals = _col_array(block, value_col)
     if n_runs > 1:
-        same_part = np.ones(n_runs - 1, dtype=bool)
-        for p in parts:
-            same_part &= p[firsts[1:]] == p[firsts[:-1]]
-        nxt = vals[firsts[1:]]
-        run_lead[:-1][same_part] = nxt[same_part]
-    if boundary_lead is not None:
-        # patch exactly the trailing (part, value) run
-        run_lead[-1] = boundary_lead
-    lead = np.repeat(run_lead, run_len)
-    return block.append_column(out_col, pa.array(lead.tolist(), out_type))
+        import pyarrow.compute as pc
+
+        same_part = _rows_equal_at(block, part_cols, firsts[1:], firsts[:-1])
+        next_vals = vals.take(pa.array(firsts[1:], pa.int64()))
+        head = pc.if_else(
+            pa.array(same_part), next_vals, pa.scalar(None, vals.type)
+        )
+    else:
+        head = pa.array([], vals.type)
+    # the trailing run's lead comes only from the boundary exchange
+    run_lead = pa.concat_arrays(
+        [head, pa.array([boundary_lead], vals.type)]
+    ).cast(out_type)
+    lead = run_lead.take(
+        pa.array(np.repeat(np.arange(n_runs), run_len), pa.int64())
+    )
+    return block.append_column(out_col, lead)
 
 
 def _resolve_boundary_lead(i: int, infos: list) -> object:
@@ -226,14 +284,12 @@ def _lag_list_block(
     n = block.num_rows
     if n == 0:
         return block.append_column(out_col, pa.array([], pa.list_(pa.string())))
-    parts = [
-        np.array(block.column(c).to_pylist(), dtype=object) for c in part_cols
-    ]
-    first_part = tuple(p[0] for p in parts)
+    first_part = tuple(block.column(c)[0].as_py() for c in part_cols)
     seed = [v for p, v in (prev_tail or []) if p == first_part][-k:]
     m = len(seed)
-    ext = np.array(seed + block.column(value_col).to_pylist(), dtype=object)
-    starts = _run_starts(*parts)  # partition run starts (row coords)
+    vals = _col_array(block, value_col).cast(pa.string())
+    ext = pa.concat_arrays([pa.array(seed, pa.string()), vals])
+    starts = _table_run_starts(block, part_cols)  # partition starts (row coords)
     run_len = np.diff(starts)
     part_start = starts[:-1] + m  # partition starts in extended coords
     part_start[0] = 0  # first partition reaches back into the seed
@@ -245,7 +301,7 @@ def _lag_list_block(
     gather = np.repeat(lo, counts) + (
         np.arange(int(offsets[-1])) - np.repeat(offsets[:-1], counts)
     )
-    flat = pa.array(ext[gather].tolist(), pa.string())
+    flat = ext.take(pa.array(gather, pa.int64()))
     lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
     return block.append_column(out_col, lists)
 
@@ -585,17 +641,6 @@ def sorted_asof_join(
     return rd.from_arrow_refs(out_refs)
 
 
-def _run_starts(*cols) -> "np.ndarray":  # noqa: F821
-    """Start offsets of adjacent equal-key runs (plus final sentinel)."""
-    import numpy as np
-
-    n = len(cols[0])
-    change = np.zeros(max(0, n - 1), dtype=bool)
-    for c in cols:
-        change |= c[1:] != c[:-1]
-    return np.concatenate([[0], np.nonzero(change)[0] + 1, [n]])
-
-
 def top_k_per_group(
     ds: rd.Dataset,
     keys: list[str],
@@ -616,18 +661,13 @@ def top_k_per_group(
         n = tbl.num_rows
         if n == 0:
             return tbl.append_column(rank_col, pa.array([], pa.int64()))
-        key_arrays = [
-            np.array(tbl.column(c).to_pylist(), dtype=object) for c in keys
-        ]
-        starts = _run_starts(*key_arrays)
-        take, ranks = [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            m = min(k, e - s)
-            take.append(np.arange(s, s + m))
-            ranks.append(np.arange(1, m + 1))
-        idx = np.concatenate(take)
+        starts = _table_run_starts(tbl, keys)
+        firsts = starts[:-1]
+        m = np.minimum(np.diff(starts), k)
+        ranks = np.arange(int(m.sum())) - np.repeat(np.cumsum(m) - m, m) + 1
+        idx = np.repeat(firsts, m) + ranks - 1
         return tbl.take(pa.array(idx, pa.int64())).append_column(
-            rank_col, pa.array(np.concatenate(ranks), pa.int64())
+            rank_col, pa.array(ranks, pa.int64())
         )
 
     return sorted_run_map(
@@ -674,11 +714,8 @@ def group_quantiles(
                     "quantile_value": pa.array([], val_type),
                 }
             )
-        key_arrays = [
-            np.array(tbl.column(c).to_pylist(), dtype=object) for c in keys
-        ]
         vals = tbl.column(value_col).to_numpy(zero_copy_only=False)
-        starts = _run_starts(*key_arrays)
+        starts = _table_run_starts(tbl, keys)
         firsts = starts[:-1]
         sizes = np.diff(starts)
         n_runs = len(firsts)
@@ -687,16 +724,12 @@ def group_quantiles(
         idx = (
             firsts[:, None] + np.floor(q_arr[None, :] * (sizes[:, None] - 1))
         ).astype(np.int64)
-        take_keys = np.repeat(firsts, len(qs))
-        return pa.table(
-            {
-                **{
-                    c: pa.array(arr[take_keys].tolist(), tbl.schema.field(c).type)
-                    for c, arr in zip(keys, key_arrays)
-                },
-                "q": pa.array(np.tile(q_arr, n_runs), pa.float64()),
-                "quantile_value": pa.array(vals[idx.reshape(-1)], val_type),
-            }
+        take_keys = pa.array(np.repeat(firsts, len(qs)), pa.int64())
+        out = tbl.select(keys).take(take_keys)
+        return out.append_column(
+            "q", pa.array(np.tile(q_arr, n_runs), pa.float64())
+        ).append_column(
+            "quantile_value", pa.array(vals[idx.reshape(-1)], val_type)
         )
 
     return sorted_run_map(ds, keys, kernel, order_cols=[value_col])

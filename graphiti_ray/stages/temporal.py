@@ -101,8 +101,6 @@ def _merge_finalize_block(tbl: pa.Table, run_ts: datetime) -> pa.Table:
     provenance unions across the run's combiner partials. One Python call
     per BLOCK, not per edge key — the former ``map_groups(finalize)`` paid
     a Python dispatch per distinct edge (billions at 100×)."""
-    import numpy as np
-
     if tbl.num_rows == 0:
         return pa.table(
             {
@@ -120,10 +118,9 @@ def _merge_finalize_block(tbl: pa.Table, run_ts: datetime) -> pa.Table:
                 "created_at": pa.array([], pa.timestamp("us")),
             }
         )
-    from graphiti_ray.stages.ops import _run_starts
+    from graphiti_ray.stages.ops import _table_run_starts
 
-    keys = [np.array(tbl.column(c).to_pylist(), dtype=object) for c in EDGE_KEY]
-    starts = _run_starts(*keys)
+    starts = _table_run_starts(tbl, list(EDGE_KEY))
     firsts = starts[:-1]
     head = tbl.take(pa.array(firsts, pa.int64()))
     eps = tbl.column("episodes").to_pylist()

@@ -217,6 +217,23 @@ def test_clean_corpus_full_pipeline(ray_session):
         assert dropped in comps and comps[dropped] != dropped
 
 
+def test_clean_corpus_anti_join_path(ray_session, monkeypatch):
+    """Above NEAR_DUP_DROP_BROADCAST_LIMIT the drop set applies as a
+    distributed left_anti join (no driver materialization); forcing the
+    bound to 0 must produce exactly the broadcast path's survivor set."""
+    import ray.data as rd_
+
+    import graphiti_ray.pipelines.corpus as corpus
+
+    docs = rd_.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "text"]
+    )
+    broadcast = set(r["doc_id"] for r in corpus.clean_corpus(docs).take_all())
+    monkeypatch.setattr(corpus, "NEAR_DUP_DROP_BROADCAST_LIMIT", 0)
+    anti = set(r["doc_id"] for r in corpus.clean_corpus(docs).take_all())
+    assert anti == broadcast and len(anti) > 0
+
+
 def test_deterministic_sample_stability(ray_session):
     import ray.data as rd_
 

@@ -374,15 +374,12 @@ def test_sorted_run_map_carry_overflow_raises_or_truncates(ray_session):
     ds = rd.from_items(rows).repartition(20)
 
     def count_rows(tbl: pa.Table) -> pa.Table:
-        import numpy as np
+        from graphiti_ray.stages.ops import _table_run_starts
 
-        from graphiti_ray.stages.ops import _run_starts
-
-        keys = np.array(tbl.column("k").to_pylist(), dtype=object)
-        starts = _run_starts(keys)
+        starts = _table_run_starts(tbl, ["k"])
         return pa.table(
             {
-                "k": pa.array(keys[starts[:-1]].tolist(), pa.string()),
+                "k": tbl.column("k").take(pa.array(starts[:-1], pa.int64())),
                 "n": pa.array((starts[1:] - starts[:-1]).tolist(), pa.int64()),
             }
         )
