@@ -57,16 +57,28 @@ def _headline(sf_dir: str) -> dict:
     out_root = "/tmp/graphiti_ray_bench/kg"
     shutil.rmtree(out_root, ignore_errors=True)
 
+    # noise telemetry: co-tenant CPU steal on this hypervisor swings wall
+    # time up to 4x (BASELINE.md noise notes); recording the 1-min loadavg
+    # around each run makes the JSON artifact self-adjudicating — a slow
+    # sample with high recorded load is machine noise, not a regression
     timings: dict[str, float] = {}
+    load_before = os.getloadavg()[0]
     t0 = time.perf_counter()
-    run_kg(sf_dir, out_root, replicate=replicate, num_blocks=max(16, 2 * cpus))
+    metrics = run_kg(sf_dir, out_root, replicate=replicate, num_blocks=max(16, 2 * cpus))
     timings["kg_build"] = round(time.perf_counter() - t0, 3)
+    load_after = os.getloadavg()[0]
 
     n_edges = parquet_row_count(table_dir(out_root, "edges"))
     n_triples = 2 * n_docs  # raw extracted triples (2 facts per page)
 
     return {
         "timings": timings,
+        "stage_walls": {
+            m["table"]: round(m["wall_sec"], 3)
+            for m in metrics
+            if not m.get("skipped") and "wall_sec" in m
+        },
+        "loadavg": [round(load_before, 2), round(load_after, 2)],
         "n_docs": n_docs,
         "n_edges": n_edges,
         "n_triples": n_triples,
@@ -136,17 +148,22 @@ def run_once() -> dict:
     for _ in range(warmup):
         _headline(sf_dir)
 
-    # co-tenant CPU steal on this hypervisor swings wall time up to 2-3x
+    # co-tenant CPU steal on this hypervisor swings wall time up to 4x
     # run-to-run (BASELINE.md noise note); best-of-N with min wall is the
     # standard least-interference estimator for the headline build; the
-    # median is reported alongside for a noise-robust second read
-    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
+    # TRUE median (middle-two mean for even N) is reported alongside for a
+    # noise-robust second read, and per-run loadavg adjudicates slow samples
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "3"))
     heads = [_headline(sf_dir) for _ in range(repeats)]
     head = min(heads, key=lambda h: h["timings"]["kg_build"])
     queries = dict(head["timings"])
     extra_runs = [_extras(sf_dir) for _ in range(repeats)]
     for name in extra_runs[0]:
         queries[name] = min(r[name] for r in extra_runs)
+
+    walls = sorted(h["timings"]["kg_build"] for h in heads)
+    n = len(walls)
+    median = walls[n // 2] if n % 2 else (walls[n // 2 - 1] + walls[n // 2]) / 2
 
     total = head["timings"]["kg_build"]
     result = {
@@ -157,9 +174,9 @@ def run_once() -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "kg_build_all_runs": [h["timings"]["kg_build"] for h in heads],
-        "kg_build_median": round(
-            sorted(h["timings"]["kg_build"] for h in heads)[len(heads) // 2], 3
-        ),
+        "kg_build_median": round(median, 3),
+        "kg_build_stage_walls": head["stage_walls"],
+        "loadavg_per_run": [h["loadavg"] for h in heads],
         "docs_per_sec": round(head["n_docs"] / total, 2),
         "triples_per_sec": round(head["n_triples"] / total, 2),
         "n_edges": head["n_edges"],

@@ -164,30 +164,35 @@ def run_kg(
     }
     metrics: list[dict] = []
 
-    def stage(name, make, **kw):
+    def stage(name, make, **kw) -> rd.Dataset:
+        """Write-or-skip one checkpointed table; returns it as a Dataset.
+        A FRESH write materializes once and hands the object-store blocks
+        straight to both the parquet sink and the next stage — no re-scan
+        of the just-written files this run (the object store spills under
+        pressure, so pinning a table is safe at any scale). A SKIPPED
+        (resume) stage reads back from parquet — durability unchanged."""
         if is_complete(out_root, name):
             metrics.append({"table": name, "skipped": True})
-        else:
-            metrics.append(checkpointed_write(make(), out_root, name, lineage, **kw))
+            return read_table(out_root, name)
+        ds = make().materialize()
+        metrics.append(checkpointed_write(ds, out_root, name, lineage, **kw))
+        return ds
 
-    stage(
+    episodes = stage(
         "episodes",
         lambda: episodes_dataset(
             pages_dataset(sf_dir, replicate=replicate, num_blocks=num_blocks),
             run_ts=run_ts,
         ),
     )
-    episodes = read_table(out_root, "episodes")
 
-    stage(
+    extracted = stage(
         "extracted",
         lambda: extracted_dataset(episodes, concurrency=nlp_concurrency),
     )
-    extracted = read_table(out_root, "extracted")
     mentions, triples = split_extracted(extracted)
 
-    stage("canonical_map", lambda: canonical_map(mentions))
-    canon = read_table(out_root, "canonical_map")
+    canon = stage("canonical_map", lambda: canonical_map(mentions))
 
     def make_nodes():
         nodes = nodes_from_canonical(canon)
@@ -234,12 +239,11 @@ def run_kg(
                 pool.submit(stage, "mention_edges", make_mention_edges),
                 pool.submit(stage, "edges", make_edges),
             ]
-            for f in futs:
-                f.result()
+            nodes_ds, _m_edges_ds, edges_ds = [f.result() for f in futs]
     else:
-        stage("nodes", make_nodes)
+        nodes_ds = stage("nodes", make_nodes)
         stage("mention_edges", make_mention_edges)
-        stage("edges", make_edges)
+        edges_ds = stage("edges", make_edges)
 
     if node_summaries:
         # M5 digest over the checkpointed edges; rewrite the nodes table
@@ -248,11 +252,10 @@ def run_kg(
         from graphiti_ray.state.checkpoint import replace_table
 
         nodes2 = with_node_summaries(
-            read_table(out_root, "nodes"),
-            read_table(out_root, "edges"),
-            num_partitions=num_partitions,
+            nodes_ds, edges_ds, num_partitions=num_partitions
         )
         replace_table(out_root, "nodes", nodes2)
+        nodes_ds = read_table(out_root, "nodes")  # replaced on disk → re-read
         metrics.append({"table": "nodes", "summarized": True})
 
     if typed_attributes:
@@ -261,10 +264,9 @@ def run_kg(
         from graphiti_ray.stages.attributes import with_typed_attributes
         from graphiti_ray.state.checkpoint import replace_table
 
-        nodes3 = with_typed_attributes(
-            read_table(out_root, "nodes"), read_table(out_root, "edges")
-        )
+        nodes3 = with_typed_attributes(nodes_ds, edges_ds)
         replace_table(out_root, "nodes", nodes3)
+        nodes_ds = read_table(out_root, "nodes")
         metrics.append({"table": "nodes", "typed_attributes": True})
 
     if communities and not (
@@ -274,9 +276,7 @@ def run_kg(
         # one label-propagation pass feeds both tables
         from graphiti_ray.stages.graph import build_communities
 
-        comm = build_communities(
-            read_table(out_root, "nodes"), read_table(out_root, "edges")
-        )
+        comm = build_communities(nodes_ds, edges_ds)
         stage("communities", lambda: comm["communities"])
         stage("community_edges", lambda: comm["community_edges"])
     elif communities:
