@@ -770,6 +770,26 @@ def _q_dedup_embedding(sf_dir: str):
     return embedding_near_dup_exact(emb, threshold=0.45)
 
 
+def _q_dedup_embedding_lsh_full(sf_dir: str):
+    """Full-recall gate for the LSH embedding near-dup path (the
+    knn_ivf_full trick): n_planes=0 + n_tables=1 + max_bucket >= n puts
+    every vector in ONE bucket, so the LSH candidate set is all pairs and
+    the output must equal embedding_near_dup_exact value-for-value — the
+    oracle certifies the whole LSH machinery (bucketize → union →
+    sorted_run_map pair kernel → cross-table Max dedup). Partial-plane
+    recall is the pytest-covered approximation knob
+    (tests/test_dedup.py). Reference semantics: D2/J1 dedup candidates,
+    search_utils.py:662-750."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import embedding_near_dup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup(
+        emb, threshold=0.45, n_planes=0, n_tables=1, max_bucket=1_000_000
+    )
+
+
 def _q_dedup_ngram(sf_dir: str):
     """Exact n-gram Jaccard near-dup pairs (rarity-filtered bottom-k
     blocking + full-set intersection verification) — the exact member of
@@ -2229,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_embedding": _q_dedup_embedding,
+        "dedup_embedding_lsh_full": _q_dedup_embedding_lsh_full,
         "dedup_ngram": _q_dedup_ngram,
         "docs_chunks": _q_docs_chunks,
         "docs_decontaminate": _q_docs_decontaminate,
@@ -2691,6 +2712,16 @@ SELECT user_id, window_start,
 FROM exploded GROUP BY 1, 2
 """,
         "dedup_embedding": """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]), 6) >= 0.45
+""",
+        # full-probe LSH must reproduce the exact all-pairs result — the
+        # same SQL twin gates both paths
+        "dedup_embedding_lsh_full": """
 SELECT a.vec_id AS a, b.vec_id AS b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]), 6) AS cosine

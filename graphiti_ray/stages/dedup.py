@@ -70,21 +70,24 @@ SMALL_LSH_COUNT_LIMIT = 1_000_000
 TRUNCATION_STATS: dict[str, dict[str, int]] = {}
 
 
-def _record_truncation(op: str, counts: pd.Series) -> None:
+def _record_truncation(
+    op: str, counts: pd.Series, cap: int | None = None
+) -> None:
     """Log + record bucket-cap drops from a driver-side bucket-size series."""
-    over = counts[counts > MAX_BUCKET]
+    cap = MAX_BUCKET if cap is None else cap
+    over = counts[counts > cap]
     stats = {
         "hot_buckets": int(len(over)),
-        "truncated_docs": int((over - MAX_BUCKET).sum()),
+        "truncated_docs": int((over - cap).sum()),
     }
     TRUNCATION_STATS[op] = stats
     if stats["hot_buckets"]:
         logger.warning(
-            "%s: %d LSH bucket(s) over MAX_BUCKET=%d; %d doc slot(s) truncated "
-            "(recall loss — raise MAX_BUCKET or add bands/planes)",
+            "%s: %d LSH bucket(s) over cap=%d; %d doc slot(s) truncated "
+            "(recall loss — raise the cap or add bands/planes)",
             op,
             stats["hot_buckets"],
-            MAX_BUCKET,
+            cap,
             stats["truncated_docs"],
         )
 
@@ -1062,6 +1065,7 @@ def embedding_near_dup(
     n_planes: int | None = None,
     seed: int = 42,
     n_tables: int = 2,
+    max_bucket: int = MAX_BUCKET,
 ) -> rd.Dataset:
     """Cosine near-dup pairs via random-hyperplane LSH buckets.
 
@@ -1072,6 +1076,14 @@ def embedding_near_dup(
     Bucket truncations are counted + logged (TRUNCATION_STATS). Output:
     (a, b, cosine). Approximate by construction — the exact baseline is
     :func:`embedding_near_dup_exact`.
+
+    Full-recall gate (the ``knn_ivf_full`` trick): ``n_planes=0,
+    n_tables=1, max_bucket >= n`` collapses every vector into ONE bucket,
+    so the candidate set is all pairs and the output must equal
+    ``embedding_near_dup_exact`` value-for-value — the oracle row that
+    certifies the whole LSH machinery (bucketize → union → sorted_run_map
+    pair kernel → cross-table Max dedup). Partial-plane recall is the
+    pytest-covered approximation knob.
     """
     emb = emb.materialize()
     if n_planes is None:
@@ -1133,6 +1145,7 @@ def embedding_near_dup(
     _record_truncation(
         "embedding_lsh",
         counts.set_index("bucket")["c"] if len(counts) else pd.Series(dtype="int64"),
+        cap=max_bucket,
     )
 
     from graphiti_ray.stages.ops import sorted_run_map
@@ -1141,8 +1154,11 @@ def embedding_near_dup(
         rows,
         key_cols=["bucket"],
         order_cols=["vec_id"],
-        block_fn=functools.partial(_embedding_block_pairs, threshold=threshold),
-        on_carry_overflow="truncate",  # bucket pair kernel caps at MAX_BUCKET
+        block_fn=functools.partial(
+            _embedding_block_pairs, threshold=threshold, max_bucket=max_bucket
+        ),
+        carry_cap=max(65536, max_bucket),
+        on_carry_overflow="truncate",  # bucket pair kernel caps at max_bucket
     )
     # the same pair can fire in several hash TABLES → one small dedup agg
     from ray.data.aggregate import Max
@@ -1150,7 +1166,9 @@ def embedding_near_dup(
     return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
 
 
-def _embedding_block_pairs(tbl: pa.Table, threshold: float) -> pa.Table:
+def _embedding_block_pairs(
+    tbl: pa.Table, threshold: float, max_bucket: int = MAX_BUCKET
+) -> pa.Table:
     """Vectorized cosine-verified pairs over all bucket runs in a sorted
     block (float64 + round(6) before thresholding, oracle-aligned)."""
     empty = pa.table(
@@ -1165,7 +1183,7 @@ def _embedding_block_pairs(tbl: pa.Table, threshold: float) -> pa.Table:
         return empty
     bucket = tbl.column("bucket").to_numpy(zero_copy_only=False)
     ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
-    px, py = _run_pair_indices(_run_starts(bucket))
+    px, py = _run_pair_indices(_run_starts(bucket), cap=max_bucket)
     if len(px) == 0:
         return empty
     # zero-copy parse: equal-width rows stored in offset order → one view

@@ -134,6 +134,30 @@ def test_embedding_near_dup(ray_session):
     assert (0, 1) in set(zip(out.a, out.b))
 
 
+def test_embedding_lsh_full_probe_equals_exact(ray_session):
+    """n_planes=0 + n_tables=1 + uncapped bucket ⇒ the LSH path's candidate
+    set is all pairs, so its output must EQUAL the exact baseline; and any
+    partial-plane configuration's pairs must be a SUBSET of the exact ones
+    (LSH only prunes candidates — the cosine verify is shared)."""
+    from graphiti_ray.stages.dedup import embedding_near_dup, embedding_near_dup_exact
+
+    emb = rd.read_parquet(
+        "/root/testdata/sf0.01/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    exact = embedding_near_dup_exact(emb, threshold=0.45).to_pandas()
+    exact_pairs = set(zip(exact.a, exact.b))
+
+    full = embedding_near_dup(
+        emb, threshold=0.45, n_planes=0, n_tables=1, max_bucket=1_000_000
+    ).to_pandas()
+    assert set(zip(full.a, full.b)) == exact_pairs and len(exact_pairs) > 0
+    merged = full.merge(exact, on=["a", "b"], suffixes=("_lsh", "_exact"))
+    assert (merged.cosine_lsh == merged.cosine_exact).all()
+
+    partial = embedding_near_dup(emb, threshold=0.45, n_planes=6, n_tables=2).to_pandas()
+    assert set(zip(partial.a, partial.b)) <= exact_pairs
+
+
 def test_truncation_counter_fires_on_hot_bucket(ray_session):
     """A bucket over MAX_BUCKET must be counted + logged, never silent."""
     from graphiti_ray.stages.dedup import MAX_BUCKET, TRUNCATION_STATS, minhash_near_dup
