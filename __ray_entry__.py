@@ -103,21 +103,9 @@ canon AS (
   LEFT JOIN ff ON ff.group_id = s.group_id AND ff.tok = s.name
 )"""
 
-_RESOLVED_CTE = """
-resolved AS (
-  SELECT b.group_id, b.valid_at, md5(b.url) AS episode_uuid,
-         cs.canonical AS subj_canonical, b.pred1 AS pred,
-         co.canonical AS obj_canonical
-  FROM base b
-  JOIN canon cs ON cs.group_id = b.group_id AND cs.name = b.subj1
-  JOIN canon co ON co.group_id = b.group_id AND co.name = b.obj1
-  UNION ALL
-  SELECT b.group_id, b.valid_at, md5(b.url),
-         cs.canonical, b.pred2, co.canonical
-  FROM base b
-  JOIN canon cs ON cs.group_id = b.group_id AND cs.name = b.subj2
-  JOIN canon co ON co.group_id = b.group_id AND co.name = b.obj2
-),
+# merge + temporal-invalidation tail, shared by every fixture's resolved
+# head (text pages and message conversations produce the same edge algebra)
+_MERGE_INV_TAIL = """
 merged AS (
   SELECT group_id,
          md5(group_id || '|' || lower(subj_canonical)) AS subj_uuid,
@@ -147,6 +135,81 @@ subj_inv AS (
            ORDER BY valid_at, uuid) AS inv
   FROM merged_id WHERE pred IN ('WORKS_AT', 'CEO_OF', 'LOCATED_IN')
 )"""
+
+_RESOLVED_CTE = (
+    """
+resolved AS (
+  SELECT b.group_id, b.valid_at, md5(b.url) AS episode_uuid,
+         cs.canonical AS subj_canonical, b.pred1 AS pred,
+         co.canonical AS obj_canonical
+  FROM base b
+  JOIN canon cs ON cs.group_id = b.group_id AND cs.name = b.subj1
+  JOIN canon co ON co.group_id = b.group_id AND co.name = b.obj1
+  UNION ALL
+  SELECT b.group_id, b.valid_at, md5(b.url),
+         cs.canonical, b.pred2, co.canonical
+  FROM base b
+  JOIN canon cs ON cs.group_id = b.group_id AND cs.name = b.subj2
+  JOIN canon co ON co.group_id = b.group_id AND co.name = b.obj2
+),"""
+    + _MERGE_INV_TAIL
+)
+
+# --- message-source fixture CTEs (sources/messages.py spec msg1): each doc
+# yields a 2-message conversation; message k's episode uuid is
+# md5(url || '#m<k>'), its event time valid_at + k minutes, and its SPEAKER
+# (always a full person name) is extracted as a mention alongside the
+# body's entities — so speakers join alias resolution, and the same
+# _CANON_CTE + merge/invalidation tail apply unchanged.
+_MSG_BASE_CTE = f"""
+base AS (
+  SELECT doc_id,
+         {spec.SQL_GROUP_ID} AS group_id,
+         {spec.SQL_URL} AS url,
+         {spec.SQL_VALID_AT} AS valid_at0,
+         {spec.SQL_VALID_AT} + INTERVAL 1 MINUTE AS valid_at1,
+         {spec.PERSONS_FULL_SQL}[((doc_id + 5) % 8) + 1] AS speaker0,
+         {spec.PERSONS_FULL_SQL}[((doc_id + 2) % 8) + 1] AS speaker1,
+         ({spec.SQL_SUBJ_SURFACE}) AS subj1,
+         ({spec.SQL_PRED1}) AS pred1,
+         ({spec.SQL_OBJ1_SURFACE}) AS obj1,
+         ({spec.SQL_SUBJ2_SURFACE}) AS subj2,
+         'LOCATED_IN' AS pred2,
+         ({spec.SQL_OBJ2_SURFACE}) AS obj2
+  FROM documents
+)"""
+
+_MSG_MENTIONS_CTE = """
+ment AS (
+  SELECT DISTINCT episode_uuid, group_id, name, valid_at FROM (
+    SELECT md5(url || '#m0') AS episode_uuid, group_id,
+           speaker0 AS name, valid_at0 AS valid_at FROM base
+    UNION ALL SELECT md5(url || '#m0'), group_id, subj1, valid_at0 FROM base
+    UNION ALL SELECT md5(url || '#m0'), group_id, obj1, valid_at0 FROM base
+    UNION ALL SELECT md5(url || '#m1'), group_id, speaker1, valid_at1 FROM base
+    UNION ALL SELECT md5(url || '#m1'), group_id, subj2, valid_at1 FROM base
+    UNION ALL SELECT md5(url || '#m1'), group_id, obj2, valid_at1 FROM base
+  )
+)"""
+
+_MSG_RESOLVED_CTE = (
+    """
+resolved AS (
+  SELECT b.group_id, b.valid_at0 AS valid_at, md5(b.url || '#m0') AS episode_uuid,
+         cs.canonical AS subj_canonical, b.pred1 AS pred,
+         co.canonical AS obj_canonical
+  FROM base b
+  JOIN canon cs ON cs.group_id = b.group_id AND cs.name = b.subj1
+  JOIN canon co ON co.group_id = b.group_id AND co.name = b.obj1
+  UNION ALL
+  SELECT b.group_id, b.valid_at1, md5(b.url || '#m1'),
+         cs.canonical, b.pred2, co.canonical
+  FROM base b
+  JOIN canon cs ON cs.group_id = b.group_id AND cs.name = b.subj2
+  JOIN canon co ON co.group_id = b.group_id AND co.name = b.obj2
+),"""
+    + _MERGE_INV_TAIL
+)
 
 
 def _lpa_rounds_sql(n_rounds: int = 10) -> str:
@@ -593,6 +656,58 @@ def _q_kg_edges(sf_dir: str):
             "episode_count",
         ]
     )
+
+
+def _q_kg_edges_messages(sf_dir: str):
+    """kg_edges over the MESSAGE-source fixture (sources/messages.py spec
+    msg1): every doc becomes a 2-message conversation whose episodes carry
+    the reference's "role(role_type): content" body format (ingest.py:79);
+    the extractor pulls the SPEAKER (before the colon) as an entity
+    (prompts/extract_nodes.py:98) plus the body's relations, and the same
+    linking + temporal pipeline runs. The oracle re-derives the whole graph
+    — speakers included in alias resolution — from documents with SQL."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.kg import build_kg_from_episodes
+    from graphiti_ray.sources.messages import (
+        message_episodes,
+        messages_from_documents,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    eps = message_episodes(messages_from_documents(docs))
+    tables = build_kg_from_episodes(eps, embeddings=False)
+    return tables["edges"].select_columns(
+        [
+            "uuid",
+            "group_id",
+            "subj_canonical",
+            "pred",
+            "obj_canonical",
+            "valid_at",
+            "invalid_at",
+            "episode_count",
+        ]
+    )
+
+
+def _q_kg_mentions_messages(sf_dir: str):
+    """M1 mentions over the message fixture — the row that proves the
+    speaker-extraction rule (the speaker mention exists even when the
+    speaker never appears in any message body,
+    prompts/extract_nodes.py:98)."""
+    import ray.data as rd
+
+    from graphiti_ray.sources.messages import (
+        message_episodes,
+        messages_from_documents,
+    )
+    from graphiti_ray.stages.nlp import mentions_dataset
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    eps = message_episodes(messages_from_documents(docs))
+    m = mentions_dataset(eps)
+    return m.select_columns(["episode_uuid", "group_id", "name", "valid_at"])
 
 
 def _q_kg_edges_incremental(sf_dir: str):
@@ -2243,6 +2358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "kg_edges_messages": _q_kg_edges_messages,
+        "kg_mentions_messages": _q_kg_mentions_messages,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_edges_ingest_queue": _q_kg_edges_ingest_queue,
         "dedup_exact": _q_dedup_exact,
@@ -2349,6 +2466,25 @@ FROM canon
 GROUP BY group_id, md5(group_id || '|' || lower(canonical))
 """,
         "kg_edges": _KG_EDGES_ORACLE,
+        # message-source fixture: same edge algebra, speaker mentions join
+        # alias resolution, message k's event time = valid_at + k minutes
+        "kg_edges_messages": f"""
+WITH {_MSG_BASE_CTE.lstrip()},
+{_MSG_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_MSG_RESOLVED_CTE.lstrip()}
+SELECT m.uuid, m.group_id, m.subj_canonical, m.pred, m.obj_canonical,
+       m.valid_at, coalesce(p.inv, s.inv) AS invalid_at,
+       m.episode_count::BIGINT AS episode_count
+FROM merged_id m
+LEFT JOIN pair_inv p USING (uuid)
+LEFT JOIN subj_inv s USING (uuid)
+""",
+        "kg_mentions_messages": f"""
+WITH {_MSG_BASE_CTE.lstrip()},
+{_MSG_MENTIONS_CTE.lstrip()}
+SELECT episode_uuid, group_id, name, valid_at FROM ment
+""",
         # incremental build must converge to the SAME edges as the batch
         # build — one oracle, two engine paths
         "kg_edges_incremental": _KG_EDGES_ORACLE,

@@ -85,7 +85,33 @@ def build_kg(
     double the work. At production scale use ``run_kg`` (parquet checkpoint
     instead of object-store pin).
     """
-    episodes = episodes_dataset(pages, run_ts=run_ts).materialize()
+    episodes = episodes_dataset(pages, run_ts=run_ts)
+    return build_kg_from_episodes(
+        episodes,
+        run_ts=run_ts,
+        num_partitions=num_partitions,
+        nlp_concurrency=nlp_concurrency,
+        embeddings=embeddings,
+        node_summaries=node_summaries,
+        typed_attributes=typed_attributes,
+    )
+
+
+def build_kg_from_episodes(
+    episodes: rd.Dataset,
+    run_ts: datetime = DEFAULT_RUN_TS,
+    num_partitions: int | None = None,
+    nlp_concurrency=None,
+    embeddings: bool = True,
+    node_summaries: bool = False,
+    typed_attributes: bool = False,
+) -> dict[str, rd.Dataset]:
+    """Same as :func:`build_kg` but from an EPISODES_SCHEMA dataset — any
+    EpisodeType mix (text / message / json, sources/messages.py) flows
+    through the one extraction → linking → temporal pipeline, matching the
+    reference where add_episode handles all EpisodeTypes uniformly after
+    per-source extraction prompts (graphiti.py:267-484)."""
+    episodes = episodes.materialize()
     extracted = extracted_dataset(episodes, concurrency=nlp_concurrency).materialize()
     mentions, triples = split_extracted(extracted)
 

@@ -68,6 +68,46 @@ OBJ_LABEL = {
     "ACQUIRED": "Organization",
 }
 
+# message episode body: "role(role_type): content" (nodes.py:57-79 says a
+# message's content is "actor: content"; the server formats it with the
+# role_type parenthetical, ingest.py:79 — we parse that exact shape)
+_MSG_PREFIX_RE = re.compile(r"^([^:()]+)\(([^()]*)\): ")
+
+
+def split_message(content: str) -> tuple[str | None, str]:
+    """(speaker, body) of a message episode; (None, content) if the
+    role prefix is absent (defensive: treat as plain text)."""
+    m = _MSG_PREFIX_RE.match(content)
+    if not m:
+        return None, content
+    return m.group(1).strip(), content[m.end() :]
+
+
+# json episode extraction key-rule (the deterministic stand-in for
+# prompts/extract_nodes.py:118-167 "extract entities from a JSON document"):
+# a record with subject/predicate/object string fields yields the two
+# entity mentions and one triple; the predicate verb is snake_case and
+# SCREAMING_SNAKEs into the edge predicate (prompts/extract_edges.py:26).
+_JSON_TRIPLE_KEYS = ("subject", "predicate", "object")
+
+
+def extract_json_record(content: str):
+    """Parse a json episode body → (subj, PRED, obj) or None."""
+    import json
+
+    try:
+        rec = json.loads(content)
+    except (ValueError, TypeError):
+        return None
+    if not isinstance(rec, dict):
+        return None
+    vals = [rec.get(k) for k in _JSON_TRIPLE_KEYS]
+    if not all(isinstance(v, str) and v for v in vals):
+        return None
+    subj, verb, obj = vals
+    return subj, verb.upper(), obj
+
+
 # Explicit in-text date patterns (M4 stand-in). Year-only → Jan 1.
 _MONTHS = (
     "January|February|March|April|May|June|July|"
@@ -115,17 +155,51 @@ class MentionExtractor:
         groups = batch.column("group_id").to_pylist()
         contents = batch.column("content").to_pylist()
         valid_ats = batch.column("valid_at").to_pylist()
+        srcs = (
+            batch.column("source").to_pylist()
+            if "source" in batch.column_names
+            else ["text"] * batch.num_rows
+        )
 
         out_ep, out_g, out_name, out_label, out_ts = [], [], [], [], []
-        for ep, g, content, ts in zip(ep_uuids, groups, contents, valid_ats):
+        for ep, g, content, ts, src in zip(
+            ep_uuids, groups, contents, valid_ats, srcs
+        ):
+            seen: set[str] = set()
+            scan = content
+            if src == "json":
+                rec = extract_json_record(content)
+                if rec is not None:
+                    subj, pred, obj = rec
+                    for nm, lab in (
+                        (subj, SUBJ_LABEL.get(pred) or label_for_name(subj)),
+                        (obj, OBJ_LABEL.get(pred) or label_for_name(obj)),
+                    ):
+                        if nm in seen:
+                            continue
+                        seen.add(nm)
+                        out_ep.append(ep)
+                        out_g.append(g)
+                        out_name.append(nm)
+                        out_label.append(lab)
+                        out_ts.append(ts)
+                    continue
+            elif src == "message":
+                speaker, scan = split_message(content)
+                if speaker is not None:
+                    seen.add(speaker)
+                    out_ep.append(ep)
+                    out_g.append(g)
+                    out_name.append(speaker)
+                    out_label.append("Person")
+                    out_ts.append(ts)
             # role-based labels from relation matches take priority
             role_label: dict[str, str] = {}
             for rx, pred in self.rel_res:
-                for m in rx.finditer(content):
+                for m in rx.finditer(scan):
                     role_label.setdefault(m.group(1), SUBJ_LABEL[pred])
                     role_label.setdefault(m.group(2), OBJ_LABEL[pred])
-            seen: set[str] = set()
-            for m in self.ent_re.finditer(content):
+            for m in self.ent_re.finditer(scan):
                 name = m.group(0)
                 if name in NER_STOPWORDS or name in seen:
                     continue
@@ -164,11 +238,34 @@ class TripleExtractor:
         groups = batch.column("group_id").to_pylist()
         contents = batch.column("content").to_pylist()
         valid_ats = batch.column("valid_at").to_pylist()
+        srcs = (
+            batch.column("source").to_pylist()
+            if "source" in batch.column_names
+            else ["text"] * batch.num_rows
+        )
 
         o_ep, o_g, o_s, o_p, o_o, o_f, o_ts = [], [], [], [], [], [], []
-        for ep, g, content, ts in zip(ep_uuids, groups, contents, valid_ats):
+        for ep, g, content, ts, src in zip(
+            ep_uuids, groups, contents, valid_ats, srcs
+        ):
+            scan = content
+            if src == "json":
+                rec = extract_json_record(content)
+                if rec is not None:
+                    subj, pred, obj = rec
+                    verb = pred.lower().replace("_", " ")
+                    o_ep.append(ep)
+                    o_g.append(g)
+                    o_s.append(subj)
+                    o_p.append(pred)
+                    o_o.append(obj)
+                    o_f.append(f"{subj} {verb} {obj}.")
+                    o_ts.append(ts)
+                    continue
+            elif src == "message":
+                _speaker, scan = split_message(content)
             for rx, pred in self.rel_res:
-                for m in rx.finditer(content):
+                for m in rx.finditer(scan):
                     fact = m.group(0) + "."  # sentence-final period
                     o_ep.append(ep)
                     o_g.append(g)
@@ -178,7 +275,7 @@ class TripleExtractor:
                     o_f.append(fact)
                     # explicit dates trail the matched clause ("... since
                     # March 2021."); scan a short window, same paragraph only
-                    tail = content[m.end() : m.end() + 40].split("\n", 1)[0]
+                    tail = scan[m.end() : m.end() + 40].split("\n", 1)[0]
                     explicit = parse_explicit_date(tail)
                     o_ts.append(explicit if explicit is not None else ts)
         return pa.table(
@@ -195,6 +292,15 @@ class TripleExtractor:
 
 
 _NLP_COLS = ["uuid", "group_id", "content", "valid_at"]
+
+
+def _nlp_cols(ds: rd.Dataset) -> list[str]:
+    """The NLP projection; ``source`` rides along when present so the
+    extractors can apply per-EpisodeType rules (message speaker, json
+    key-rule). Episode datasets built by this repo always carry it; bare
+    test fixtures without it default to text semantics."""
+    names = ds.schema().names
+    return _NLP_COLS + (["source"] if "source" in names else [])
 
 
 class CombinedExtractor:
@@ -216,48 +322,98 @@ class CombinedExtractor:
         groups = batch.column("group_id").to_pylist()
         contents = batch.column("content").to_pylist()
         valid_ats = batch.column("valid_at").to_pylist()
+        srcs = (
+            batch.column("source").to_pylist()
+            if "source" in batch.column_names
+            else ["text"] * batch.num_rows
+        )
 
         kind, o_ep, o_g, o_ts = [], [], [], []
         o_name, o_label = [], []
         o_s, o_p, o_o, o_f = [], [], [], []
-        for ep, g, content, ts in zip(ep_uuids, groups, contents, valid_ats):
+
+        def emit_mention(ep, g, ts, name, label):
+            kind.append("m")
+            o_ep.append(ep)
+            o_g.append(g)
+            o_ts.append(ts)
+            o_name.append(name)
+            o_label.append(label)
+            o_s.append(None)
+            o_p.append(None)
+            o_o.append(None)
+            o_f.append(None)
+
+        def emit_triple(ep, g, ts, s, p, o, fact):
+            kind.append("t")
+            o_ep.append(ep)
+            o_g.append(g)
+            o_ts.append(ts)
+            o_name.append(None)
+            o_label.append(None)
+            o_s.append(s)
+            o_p.append(p)
+            o_o.append(o)
+            o_f.append(fact)
+
+        for ep, g, content, ts, src in zip(
+            ep_uuids, groups, contents, valid_ats, srcs
+        ):
+            seen: set[str] = set()
+            scan = content
+            if src == "json":
+                # key-rule extraction for EpisodeType.json
+                # (prompts/extract_nodes.py:118-167 stand-in)
+                rec = extract_json_record(content)
+                if rec is not None:
+                    subj, pred, obj = rec
+                    emit_mention(
+                        ep, g, ts, subj, SUBJ_LABEL.get(pred) or label_for_name(subj)
+                    )
+                    if obj != subj:
+                        emit_mention(
+                            ep, g, ts, obj, OBJ_LABEL.get(pred) or label_for_name(obj)
+                        )
+                    verb = pred.lower().replace("_", " ")
+                    emit_triple(ep, g, ts, subj, pred, obj, f"{subj} {verb} {obj}.")
+                    continue
+                # unparsable json: fall through to the text scan
+            elif src == "message":
+                # the speaker (before the colon) is ALWAYS extracted, as
+                # the first entity (prompts/extract_nodes.py:98); relation
+                # and entity scans then cover the message body only
+                speaker, scan = split_message(content)
+                if speaker is not None:
+                    seen.add(speaker)
+                    emit_mention(ep, g, ts, speaker, "Person")
             # ONE relation scan, reused for role labels AND triples
             rel_matches = [
-                (pred, m) for rx, pred in self.rel_res for m in rx.finditer(content)
+                (pred, m) for rx, pred in self.rel_res for m in rx.finditer(scan)
             ]
             role_label: dict[str, str] = {}
             for pred, m in rel_matches:
                 role_label.setdefault(m.group(1), SUBJ_LABEL[pred])
                 role_label.setdefault(m.group(2), OBJ_LABEL[pred])
-            seen: set[str] = set()
-            for m in self.ent_re.finditer(content):
+            for m in self.ent_re.finditer(scan):
                 name = m.group(0)
                 if name in NER_STOPWORDS or name in seen:
                     continue
                 seen.add(name)
-                kind.append("m")
-                o_ep.append(ep)
-                o_g.append(g)
-                o_ts.append(ts)
-                o_name.append(name)
-                o_label.append(role_label.get(name) or label_for_name(name))
-                o_s.append(None)
-                o_p.append(None)
-                o_o.append(None)
-                o_f.append(None)
+                emit_mention(
+                    ep, g, ts, name, role_label.get(name) or label_for_name(name)
+                )
             for pred, m in rel_matches:
-                kind.append("t")
-                o_ep.append(ep)
-                o_g.append(g)
-                tail = content[m.end() : m.end() + 40].split("\n", 1)[0]
+                tail = scan[m.end() : m.end() + 40].split("\n", 1)[0]
                 explicit = parse_explicit_date(tail)
-                o_ts.append(explicit if explicit is not None else ts)
-                o_name.append(None)
-                o_label.append(None)
-                o_s.append(m.group(1))
-                o_p.append(pred)
-                o_o.append(m.group(2))
-                o_f.append(m.group(0) + ".")
+                emit_triple(
+                    ep,
+                    g,
+                    explicit if explicit is not None else ts,
+                    m.group(1),
+                    pred,
+                    m.group(2),
+                    m.group(0) + ".",
+                )
         return pa.table(
             {
                 "row_kind": pa.array(kind, pa.string()),
@@ -334,10 +490,10 @@ def extracted_dataset(
     episodes: rd.Dataset, concurrency=DEFAULT_POOL, compute: str = "tasks"
 ) -> rd.Dataset:
     if compute == "tasks":
-        return episodes.select_columns(_NLP_COLS).map_batches(
+        return episodes.select_columns(_nlp_cols(episodes)).map_batches(
             _combined_extract_fn, batch_format="pyarrow", zero_copy_batch=True
         )
-    return episodes.select_columns(_NLP_COLS).map_batches(
+    return episodes.select_columns(_nlp_cols(episodes)).map_batches(
         CombinedExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -346,7 +502,7 @@ def extracted_dataset(
 
 
 def mentions_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Dataset:
-    return episodes.select_columns(_NLP_COLS).map_batches(
+    return episodes.select_columns(_nlp_cols(episodes)).map_batches(
         MentionExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -355,7 +511,7 @@ def mentions_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Datas
 
 
 def triples_dataset(episodes: rd.Dataset, concurrency=DEFAULT_POOL) -> rd.Dataset:
-    return episodes.select_columns(_NLP_COLS).map_batches(
+    return episodes.select_columns(_nlp_cols(episodes)).map_batches(
         TripleExtractor,
         batch_format="pyarrow",
         zero_copy_batch=True,
