@@ -1274,6 +1274,51 @@ def _q_media_features(sf_dir: str):
     )
 
 
+def _q_image_phash(sf_dir: str):
+    """Image perceptual-hash near-dup over the REAL PPM decode path: per
+    doc an 18×16 P6 image is synthesized from pure doc_id arithmetic
+    (pixel (x,y) = ((doc_id//4 + 1) * (y*18+x+7)^2 * 104729) % 251 % 200,
+    R=G=B — quadratic mixing gives each base an effectively random dHash
+    (measured: zero cross-base pairs, max band bucket 60 at 5000 docs) —
+    with a (doc_id%4)*8 perturbation at pixel (1,1) so each base's 4
+    variants are near- but not exact dups), encoded with encode_ppm,
+    then decoded + grayscaled + 9×8-grid dHashed + band-blocked +
+    Hamming-verified by the engine (stages/multimodal.py::
+    image_phash_near_dup). Every step is integer arithmetic, so the
+    DuckDB twin re-derives the dHash bits straight from doc_id — the
+    real codec, the hash and the whole banding/cap/first-shared-band
+    machinery are all under the oracle."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.multimodal import encode_ppm, image_phash_near_dup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    W, H = 18, 16
+    yy, xx = np.mgrid[0:H, 0:W]
+    idx = (yy * W + xx).astype(np.int64)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        payloads = []
+        for d in ids:
+            g = ((d // 4 + 1) * (idx + 7) * (idx + 7) * 104729) % 251 % 200
+            g[1, 1] += (d % 4) * 8
+            rgb = np.repeat(g.astype(np.uint8)[..., None], 3, axis=2)
+            payloads.append(encode_ppm(rgb))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = docs.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    return image_phash_near_dup(media, max_hamming=2)
+
+
 def _q_media_wav(sf_dir: str):
     """The REAL WAV codec under the oracle gate: per doc, a 256-sample
     16-bit PCM payload is synthesized from pure doc_id integer arithmetic
@@ -2377,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_repetition": _q_docs_repetition,
         "media_features": _q_media_features,
         "media_wav_features": _q_media_wav,
+        "image_phash": _q_image_phash,
         "docs_dup_lines": _q_docs_dup_lines,
         "knn_bruteforce": _q_knn,
         "knn_ivf_full": _q_knn_ivf,
@@ -2937,6 +2983,63 @@ SELECT ch.doc_id AS media_id,
        max(ch.h)::BIGINT AS feat_max
 FROM ch JOIN mstats m USING (doc_id)
 GROUP BY 1, 2
+""",
+        # dHash bits re-derived straight from the pixel arithmetic (the
+        # fixture's sampled grid is exactly the odd coordinates); banding,
+        # MAX_BUCKET cap and first-shared-band emission mirrored like the
+        # minhash/simhash oracles
+        "image_phash": f"""
+WITH grid AS (
+  SELECT d.doc_id, rr.r, cc.c, (2 * rr.r + 1) AS y, (2 * cc.c + 1) AS x
+  FROM documents d, LATERAL unnest(range(8)) AS rr(r),
+       LATERAL unnest(range(9)) AS cc(c)
+),
+px AS (
+  SELECT doc_id, r, c,
+         ((doc_id // 4 + 1) * (y * 18 + x + 7) * (y * 18 + x + 7) * 104729)
+           % 251 % 200
+           + CASE WHEN x = 1 AND y = 1 THEN (doc_id % 4) * 8 ELSE 0 END AS v
+  FROM grid
+),
+bv AS (
+  SELECT a.doc_id, (a.r * 8 + a.c)::BIGINT AS bit,
+         CASE WHEN a.v > b.v THEN 1 ELSE 0 END AS b
+  FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.r = a.r AND b.c = a.c + 1
+),
+bands AS (
+  SELECT doc_id, (bit // 16)::INT AS band,
+         sum(b * (1::BIGINT << (bit % 16)))::BIGINT AS bval
+  FROM bv GROUP BY 1, 2
+),
+hot AS (SELECT band, bval FROM bands GROUP BY 1, 2 HAVING count(*) >= 2),
+rk AS (
+  SELECT b.*, row_number() OVER (PARTITION BY b.band, b.bval
+                                 ORDER BY b.doc_id) AS rk
+  FROM bands b JOIN hot USING (band, bval)
+),
+cand AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.band
+  FROM rk a JOIN rk b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+   AND a.rk <= {_MAX_BUCKET_SQL} AND b.rk <= {_MAX_BUCKET_SQL}
+),
+fb AS (
+  SELECT c.a, c.b, c.band, min(x.band) AS fband
+  FROM cand c
+  JOIN bands x ON x.doc_id = c.a
+  JOIN bands y ON y.doc_id = c.b AND y.band = x.band AND y.bval = x.bval
+  GROUP BY 1, 2, 3
+),
+pairs0 AS (SELECT DISTINCT a, b FROM fb WHERE band = fband),
+ham AS (
+  SELECT p.a, p.b,
+         sum(CASE WHEN xa.b <> xb.b THEN 1 ELSE 0 END)::BIGINT AS hamming
+  FROM pairs0 p
+  JOIN bv xa ON xa.doc_id = p.a
+  JOIN bv xb ON xb.doc_id = p.b AND xb.bit = xa.bit
+  GROUP BY 1, 2
+)
+SELECT a, b, hamming FROM ham WHERE hamming <= 2
 """,
         "docs_repetition": r"""
 WITH lines AS (

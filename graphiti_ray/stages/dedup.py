@@ -983,9 +983,24 @@ def simhash_near_dup(
 
     Same collision-prefilter shape as MinHash: one narrow explode counts
     (band, value) buckets, only colliding buckets group."""
+    sigs = simhash_signatures(docs, text_col, id_col)
+    return banded_hamming_pairs(sigs, max_hamming)
+
+
+def banded_hamming_pairs(
+    sigs: rd.Dataset, max_hamming: int, op_name: str = "simhash_lsh"
+) -> rd.Dataset:
+    """Generic 64-bit-signature near-dup: candidate pairs by 16-bit band
+    collision, Hamming-verified, first-colliding-band distinct emission.
+
+    ``sigs`` columns: (doc_id, simhash int64 = signed view of the uint64
+    signature, band0..band3 int64). Shared by text SimHash and image
+    perceptual hashing (stages/multimodal.py::image_phash_near_dup) —
+    the banding, hot-bucket prefilter, cap + truncation telemetry, and
+    the sorted_run_map pair kernel are signature-agnostic."""
     import ray
 
-    sigs = simhash_signatures(docs, text_col, id_col).materialize()
+    sigs = sigs.materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -1007,7 +1022,7 @@ def simhash_near_dup(
     rows = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
     counts = _colliding_counts(rows, ["band", "band_val"], sigs.count() * 4)
     _record_truncation(
-        "simhash_lsh",
+        op_name,
         counts.set_index(["band", "band_val"])["c"]
         if len(counts)
         else pd.Series(dtype="int64"),

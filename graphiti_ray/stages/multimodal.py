@@ -381,6 +381,95 @@ def frame_sample(
     )
 
 
+# --- image perceptual-hash near-dup (dHash over REAL decoded pixels) --------
+
+_BIT_IDX64 = np.arange(64, dtype=np.uint64)
+
+
+def luma_gray(rgb: np.ndarray) -> np.ndarray:
+    """Integer ITU-R 601 luma: (299R + 587G + 114B) // 1000 — exact, so
+    the DuckDB oracle replicates it; a grayscale input passes through."""
+    if rgb.ndim == 2:
+        return rgb.astype(np.int64)
+    r, g, b = (rgb[..., i].astype(np.int64) for i in range(3))
+    return (299 * r + 587 * g + 114 * b) // 1000
+
+
+def _nn_index(src: int, dst: int) -> np.ndarray:
+    """Integer-exact nearest-neighbor sample coords: floor((2i+1)*src /
+    (2*dst)), clamped — pure int arithmetic (no float rounding to chase
+    in the SQL twin)."""
+    return np.minimum((2 * np.arange(dst) + 1) * src // (2 * dst), src - 1)
+
+
+def dhash64(gray: np.ndarray) -> int:
+    """64-bit difference hash: sample a 9×8 grid (nearest-neighbor), bit
+    (r*8 + c) = 1 iff sample[r, c] > sample[r, c+1]. Integer comparisons
+    end to end — the standard perceptual near-dup hash, SQL-replicable."""
+    h, w = gray.shape
+    g = gray[np.ix_(_nn_index(h, 8), _nn_index(w, 9))].astype(np.int64)
+    bits = (g[:, :-1] > g[:, 1:]).astype(np.uint64).ravel()
+    return int((bits << _BIT_IDX64).sum())
+
+
+class ImageDHashStage:
+    """Actor-pool stage: PPM/PGM payload → (doc_id, simhash, band0..3) —
+    the canonical 64-bit-signature schema banded_hamming_pairs consumes
+    (stages/dedup.py). The decode is the REAL codec path (decode_ppm +
+    integer luma + integer nearest-neighbor sampling), not a stub; JPEG
+    payloads would plug in at the same seam as MediaFeatureExtractor."""
+
+    def __init__(self, id_col: str = "media_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col)
+        hashes = np.array(
+            [
+                np.uint64(dhash64(luma_gray(decode_ppm(p))))
+                for p in batch.column("payload").to_pylist()
+            ],
+            dtype=np.uint64,
+        )
+        out = {
+            "doc_id": ids,
+            "simhash": pa.array(hashes.astype("int64"), pa.int64()),
+        }
+        for b in range(4):
+            out[f"band{b}"] = pa.array(
+                ((hashes >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype("int64"),
+                pa.int64(),
+            )
+        return pa.table(out)
+
+
+def image_phash_near_dup(
+    media: rd.Dataset,
+    max_hamming: int = 2,
+    id_col: str = "media_id",
+    batch_size: int = 32,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Perceptual-hash image near-dup: REAL PPM/PGM decode → integer luma
+    → 9×8 nearest-neighbor grid → dHash64 → 16-bit band blocking →
+    Hamming-verified pairs (a, b, hamming) — the image member of the
+    dedup family, on the exact machinery text SimHash uses (banded
+    blocking, hot-bucket prefilter, MAX_BUCKET cap + truncation
+    telemetry, first-colliding-band distinct emission). Feed the pairs to
+    dedup.connected_components for keep-one-per-cluster semantics."""
+    from graphiti_ray.stages.dedup import banded_hamming_pairs
+
+    sigs = media.map_batches(
+        ImageDHashStage,
+        fn_constructor_kwargs={"id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,  # wide binary rows → small batches
+        concurrency=concurrency,
+    )
+    return banded_hamming_pairs(sigs, max_hamming, op_name="image_phash")
+
+
 def synth_media_dataset(n: int = 64, seed: int = 42) -> rd.Dataset:
     """Deterministic fake media table for tests/benches."""
     rng = np.random.RandomState(seed)

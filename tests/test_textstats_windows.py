@@ -493,3 +493,70 @@ def test_redact_pii_sequential_counts(ray_session):
     assert "<EMAIL>" in r.clean_text and "<IP>" in r.clean_text
     assert "@" not in r.clean_text and "+1234" not in r.clean_text
     assert out.loc[1].clean_text == "nothing sensitive here"
+
+
+def test_dhash64_properties():
+    """dHash invariants: deterministic; scale-invariant under exact 2x
+    nearest upscaling; single-pixel perturbation flips at most its one
+    comparison bit."""
+    import numpy as np
+
+    from graphiti_ray.stages.multimodal import dhash64, luma_gray
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 200, size=(16, 18)).astype(np.int64)
+    h1 = dhash64(gray)
+    assert h1 == dhash64(gray)  # deterministic
+    # exact 2x upscale samples the same source pixels -> same hash
+    up = np.repeat(np.repeat(gray, 2, axis=0), 2, axis=1)
+    assert dhash64(up) == h1
+    # gray passthrough of luma on R=G=B
+    rgb = np.repeat(gray.astype(np.uint8)[..., None], 3, axis=2)
+    assert (luma_gray(rgb) == gray).all()
+    # perturb ONE sampled pixel -> hamming <= 2 (its left+right comparisons)
+    g2 = gray.copy()
+    g2[1, 1] += 40
+    assert bin(h1 ^ dhash64(g2)).count("1") <= 2
+
+
+def test_image_phash_near_dup_components(ray_session):
+    """Near-dup variants of the same base image cluster together through
+    the REAL PPM decode path; distinct bases never pair (measured-zero
+    cross-base collisions for the quadratic fixture); pairs feed
+    connected_components for keep-one semantics."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import connected_components
+    from graphiti_ray.stages.multimodal import encode_ppm, image_phash_near_dup
+
+    W, H = 18, 16
+    yy, xx = np.mgrid[0:H, 0:W]
+    idx = (yy * W + xx).astype(np.int64)
+    rows = []
+    for d in range(64):
+        g = ((d // 4 + 1) * (idx + 7) * (idx + 7) * 104729) % 251 % 200
+        g[1, 1] += (d % 4) * 8
+        rgb = np.repeat(g.astype(np.uint8)[..., None], 3, axis=2)
+        rows.append({"media_id": d, "payload": encode_ppm(rgb)})
+    media = rd.from_arrow(pa.Table.from_pylist(rows))
+    pairs = image_phash_near_dup(media, max_hamming=2).materialize()
+    got = {(r["a"], r["b"]) for r in pairs.take_all()}
+    want = {
+        (4 * b + i, 4 * b + j)
+        for b in range(16)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    }
+    assert got == want  # full recall, zero spurious pairs
+    comps = connected_components(
+        pairs.map_batches(
+            lambda t: pa.table({"a": t.column("a"), "b": t.column("b")}),
+            batch_format="pyarrow",
+        )
+    ).to_pandas()
+    comp_of = dict(zip(comps["doc_id"], comps["component"]))
+    for d in range(64):
+        assert comp_of.get(d, d) == 4 * (d // 4)  # min-label per base
