@@ -2396,61 +2396,22 @@ def _q_search_hybrid(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDERING IS COVERAGE ROTATION: the driver checks a prefix of this
+    # dict (50 of 63 in round 3), so queries never yet covered by a driver
+    # file come FIRST (this round's new rows, then the 13 the r03 file
+    # missed), the core suite follows, and queries already value-proven in
+    # an earlier round's CORRECTNESS file rotate to the tail.
     return {
-        "kg_episodes": _q_kg_episodes,
-        "kg_mentions": _q_kg_mentions,
-        "kg_mentions_reflexion": _q_kg_mentions_reflexion,
-        "kg_triples_raw": _q_kg_triples_raw,
-        "kg_nodes": _q_kg_nodes,
-        "kg_edges": _q_kg_edges,
+        # new this round
         "kg_edges_messages": _q_kg_edges_messages,
         "kg_mentions_messages": _q_kg_mentions_messages,
-        "kg_edges_incremental": _q_kg_edges_incremental,
-        "kg_edges_ingest_queue": _q_kg_edges_ingest_queue,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_embedding": _q_dedup_embedding,
         "dedup_embedding_lsh_full": _q_dedup_embedding_lsh_full,
-        "dedup_ngram": _q_dedup_ngram,
-        "docs_chunks": _q_docs_chunks,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "docs_pii": _q_docs_pii,
-        "text_tokens": _q_text_tokens,
-        "text_quality": _q_text_quality,
-        "text_langid": _q_text_langid,
-        "docs_repetition": _q_docs_repetition,
-        "media_features": _q_media_features,
-        "media_wav_features": _q_media_wav,
         "image_phash": _q_image_phash,
-        "docs_dup_lines": _q_docs_dup_lines,
-        "knn_bruteforce": _q_knn,
-        "knn_ivf_full": _q_knn_ivf,
-        "events_tumbling": _q_events_tumbling,
-        "events_asof": _q_events_asof,
-        "events_topk": _q_events_topk,
-        "events_quantiles": _q_events_quantiles,
-        "events_sliding": _q_events_sliding,
-        "events_session": _q_events_session,
-        "docs_quality_filter": _q_docs_quality_filter,
-        "corpus_clean": _q_corpus_clean,
-        "docs_sample": _q_docs_sample,
-        "docs_stratified": _q_docs_stratified,
-        "pricing_summary": _q_pricing_summary,
-        "top_customers": _q_top_customers,
-        "lang_doc_stats": _q_lang_doc_stats,
-        "lang_doc_stats_salted": _q_lang_doc_stats_salted,
-        "docs_hll": _q_docs_hll,
-        "tokens_cms": _q_tokens_cms,
-        "docs_bloom": _q_docs_bloom,
-        "graph_degree": _q_graph_degree,
-        "graph_pagerank": _q_graph_pagerank,
-        "graph_triangles": _q_graph_triangles,
-        "episode_windows": _q_episode_windows,
-        "rrf_fusion": _q_rrf_fusion,
-        "graph_components": _q_graph_components,
-        "kg_point_in_time": _q_kg_point_in_time,
-        "kg_node_attributes": _q_kg_node_attributes,
+        # green in r02 but rotated out of the r03 driver file
+        "kg_communities": _q_kg_communities,
+        "search_hybrid": _q_search_hybrid,
+        "docs_bm25": _q_docs_bm25,
+        # builder-oracle-only until now — never in a driver file
         "episode_entity_edges": _q_episode_entity_edges,
         "graph_bfs": _q_graph_bfs,
         "search_mmr": _q_search_mmr,
@@ -2461,9 +2422,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_pairs": _q_fuzzy_pairs,
         "docs_lucene": _q_docs_lucene,
         "docs_fingerprint": _q_docs_fingerprint,
-        "kg_communities": _q_kg_communities,
-        "search_hybrid": _q_search_hybrid,
-        "docs_bm25": _q_docs_bm25,
+        # core suite (r03-green)
+        "kg_episodes": _q_kg_episodes,
+        "kg_mentions": _q_kg_mentions,
+        "kg_triples_raw": _q_kg_triples_raw,
+        "kg_nodes": _q_kg_nodes,
+        "kg_edges": _q_kg_edges,
+        "kg_edges_incremental": _q_kg_edges_incremental,
+        "kg_point_in_time": _q_kg_point_in_time,
+        "kg_node_attributes": _q_kg_node_attributes,
+        "episode_windows": _q_episode_windows,
+        "graph_components": _q_graph_components,
+        "graph_degree": _q_graph_degree,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_triangles": _q_graph_triangles,
+        "rrf_fusion": _q_rrf_fusion,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_embedding": _q_dedup_embedding,
+        "dedup_ngram": _q_dedup_ngram,
+        "knn_bruteforce": _q_knn,
+        "knn_ivf_full": _q_knn_ivf,
+        "corpus_clean": _q_corpus_clean,
+        "docs_chunks": _q_docs_chunks,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_pii": _q_docs_pii,
+        "docs_stratified": _q_docs_stratified,
+        "docs_hll": _q_docs_hll,
+        "tokens_cms": _q_tokens_cms,
+        "docs_bloom": _q_docs_bloom,
+        "pricing_summary": _q_pricing_summary,
+        "top_customers": _q_top_customers,
+        "lang_doc_stats": _q_lang_doc_stats,
+        "events_tumbling": _q_events_tumbling,
+        # value-proven in an earlier round's driver file → rotation tail
+        "events_asof": _q_events_asof,
+        "events_topk": _q_events_topk,
+        "events_quantiles": _q_events_quantiles,
+        "events_sliding": _q_events_sliding,
+        "events_session": _q_events_session,
+        "docs_quality_filter": _q_docs_quality_filter,
+        "docs_sample": _q_docs_sample,
+        "lang_doc_stats_salted": _q_lang_doc_stats_salted,
+        "text_tokens": _q_text_tokens,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "docs_repetition": _q_docs_repetition,
+        "docs_dup_lines": _q_docs_dup_lines,
+        "media_features": _q_media_features,
+        "media_wav_features": _q_media_wav,
+        "kg_mentions_reflexion": _q_kg_mentions_reflexion,
+        "kg_edges_ingest_queue": _q_kg_edges_ingest_queue,
     }
 
 
