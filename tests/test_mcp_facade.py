@@ -223,3 +223,86 @@ def test_stdio_notifications_are_never_answered(kg_root):
     assert srv.handle({"jsonrpc": "2.0", "method": "tools/list"}) is None
     assert srv.handle({"jsonrpc": "2.0",
                        "method": "some/unknown_notification"}) is None
+
+
+def test_http_sse_transport_roundtrip(kg_root):
+    """SSE/HTTP transport (serving/mcp_http.py — the reference's default
+    deploy shape): GET /sse yields the session endpoint event, JSON-RPC
+    POSTs are acked 202 and their responses arrive on the event stream;
+    initialize → tools/list → tools/call round-trips end to end."""
+    import http.client
+    import json
+    import threading
+
+    from graphiti_ray.serving.mcp_http import MCPHttpServer
+
+    srv = MCPHttpServer(GraphitiFacade(kg_root), port=0)
+    host, port = srv.address
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        sse = http.client.HTTPConnection(host, port, timeout=30)
+        sse.request("GET", "/sse")
+        stream = sse.getresponse()
+        assert stream.status == 200
+        assert stream.getheader("Content-Type") == "text/event-stream"
+
+        def read_event():
+            event, data = None, []
+            while True:
+                line = stream.fp.readline().decode("utf-8").rstrip("\n")
+                if line == "" and (event or data):
+                    return event, "\n".join(data)
+                if line.startswith("event: "):
+                    event = line[len("event: "):]
+                elif line.startswith("data: "):
+                    data.append(line[len("data: "):])
+
+        event, endpoint = read_event()
+        assert event == "endpoint" and endpoint.startswith("/messages?session_id=")
+
+        def post(msg):
+            c = http.client.HTTPConnection(host, port, timeout=30)
+            c.request(
+                "POST", endpoint, body=json.dumps(msg),
+                headers={"Content-Type": "application/json"},
+            )
+            r = c.getresponse()
+            assert r.status == 202
+            r.read()
+            c.close()
+
+        post({"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}})
+        event, data = read_event()
+        init = json.loads(data)
+        assert event == "message" and init["id"] == 1
+        assert init["result"]["serverInfo"]["name"] == "graphiti-ray"
+
+        # notification: acked but never answered on the stream
+        post({"jsonrpc": "2.0", "method": "notifications/initialized"})
+
+        post({"jsonrpc": "2.0", "id": 2, "method": "tools/list"})
+        event, data = read_event()
+        tools = json.loads(data)
+        assert tools["id"] == 2  # the notification produced no frame
+        names = {tool["name"] for tool in tools["result"]["tools"]}
+        assert "get_status" in names
+
+        post({
+            "jsonrpc": "2.0", "id": 3, "method": "tools/call",
+            "params": {"name": "get_status", "arguments": {}},
+        })
+        event, data = read_event()
+        call = json.loads(data)
+        assert call["id"] == 3 and call["result"]["isError"] is False
+        payload = json.loads(call["result"]["content"][0]["text"])
+        assert payload.get("status") == "ok"
+
+        # unknown session → 404
+        c = http.client.HTTPConnection(host, port, timeout=30)
+        c.request("POST", "/messages?session_id=nope", body="{}")
+        assert c.getresponse().status == 404
+        c.close()
+        sse.close()
+    finally:
+        srv.shutdown()
