@@ -162,6 +162,42 @@ def cross_encoder_model_loader(model_name: str | None = None):
     return loader
 
 
+def openai_reranker_loader():
+    """ST4: the reference's SECOND reranker family — a boolean-classifier
+    reranker scored by token log-probabilities (cross_encoder/
+    openai_reranker_client.py:34-121: one "is PASSAGE relevant to QUERY?"
+    prompt per passage, max_tokens=1, logit_bias restricting the answer to
+    True/False, score = P(True) recovered from top_logprobs). The
+    deterministic stand-in keeps that exact SHAPE: each passage is
+    classified INDEPENDENTLY (no pairwise model like the BGE scorer), the
+    "logprob" is a bounded relevance log-odds from query-token overlap,
+    and the returned score is the classifier's P(True) =
+    sigmoid(log-odds) ∈ (0, 1) — downstream ranking consumes
+    probabilities exactly as with the reference. A real OpenAI client
+    plugs in at this same ``model_loader`` seam
+    (pipelines/search.py::cross_encoder_rerank / CrossEncoderStage)."""
+
+    def loader():
+        import math
+
+        def score(query: str, passages: list[str]) -> list[float]:
+            q_toks = set(query.lower().split())
+            out = []
+            for p in passages:
+                toks = (p or "").lower().split()
+                overlap = sum(1 for t in toks if t in q_toks)
+                # bounded log-odds in [-2, 2]: all-overlap → P ≈ .88,
+                # no overlap → P ≈ .12; never exactly 0/1 (a logprob
+                # classifier can't be certain from one token)
+                log_odds = 4.0 * overlap / max(1, len(toks)) - 2.0
+                out.append(1.0 / (1.0 + math.exp(-log_odds)))
+            return out
+
+        return score
+
+    return loader
+
+
 def default_cross_encoder_loader():
     """Env-flag dispatch for ST3/ST4: the real CrossEncoder loader when
     ``$GRAPHITI_RAY_CROSS_ENCODER_MODEL`` is set and importable, else None

@@ -106,3 +106,40 @@ def test_real_model_embedding_shape(ray_session, monkeypatch):
     assert mat.shape[0] == 4 and mat.shape[1] >= 128
     assert np.allclose(np.linalg.norm(mat, axis=1), 1.0, atol=1e-5)
     assert ModelEmbedder.LOAD_COUNTS  # constructed through the seam
+
+
+def test_openai_style_reranker_probability_classifier(ray_session):
+    """ST4 concrete second scorer: per-passage boolean classifier whose
+    scores are probabilities in (0, 1) (openai_reranker_client.py:34-121
+    shape — independent classification, P(True) from log-odds), pluggable
+    at the same model_loader seam as the BGE-style scorer."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.search import cross_encoder_rerank
+    from graphiti_ray.stages.models import openai_reranker_loader
+
+    score = openai_reranker_loader()()
+    scores = score("alice smith", ["alice smith", "unrelated words here", ""])
+    assert all(0.0 < s < 1.0 for s in scores)  # probabilities, never certain
+    assert scores[0] > scores[1]  # full overlap outranks none
+    # independent classification: a passage's score ignores the others
+    assert score("alice smith", ["alice smith"])[0] == scores[0]
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "uuid": pa.array(["a", "b", "c"], pa.string()),
+                "fact": pa.array(
+                    ["alice smith works", "bob jones sleeps", "alice smith"],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = cross_encoder_rerank(
+        ds, "alice smith", "fact", limit=3, model_loader=openai_reranker_loader()
+    ).to_pandas()
+    assert list(out["uuid"]) == ["c", "a", "b"]  # ranked by P(relevant)
+    assert out["ce_score"].between(0, 1, inclusive="neither").all()
