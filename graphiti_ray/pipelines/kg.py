@@ -200,8 +200,15 @@ def run_kg(
         if is_complete(out_root, name):
             metrics.append({"table": name, "skipped": True})
             return read_table(out_root, name)
+        import time
+
+        t0 = time.perf_counter()
         ds = make().materialize()
-        metrics.append(checkpointed_write(ds, out_root, name, lineage, **kw))
+        m = checkpointed_write(ds, out_root, name, lineage, **kw)
+        # the stage's wall is compute (materialize) + sink, not just the
+        # parquet flush — bench.py surfaces these per-stage walls
+        m["wall_sec"] = time.perf_counter() - t0
+        metrics.append(m)
         return ds
 
     episodes = stage(
