@@ -24,6 +24,18 @@ import sys
 import time
 
 
+def _machine_busy_jiffies() -> int:
+    """Whole-machine busy CPU jiffies (user+nice+system+irq+softirq+steal)
+    from /proc/stat. Delta/wall ≈ average cores busy — the decisive signal
+    for adjudicating a slow sample: low busy-cores ⇒ I/O- or serial-bound,
+    busy≈ncpu but slow ⇒ co-tenant steal."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    # cpu user nice system idle iowait irq softirq steal ...
+    vals = [int(x) for x in parts[1:]]
+    return vals[0] + vals[1] + vals[2] + vals[5] + vals[6] + (vals[7] if len(vals) > 7 else 0)
+
+
 def _headline(sf_dir: str) -> dict:
     """Full KG build: read documents → pages → ... → parquet tables."""
     import ray
@@ -61,11 +73,24 @@ def _headline(sf_dir: str) -> dict:
     # time up to 4x (BASELINE.md noise notes); recording the 1-min loadavg
     # around each run makes the JSON artifact self-adjudicating — a slow
     # sample with high recorded load is machine noise, not a regression
+    # block count must scale with the replicated corpus, not just the cpu
+    # count: replicate_documents multiplies rows INSIDE each block, so a
+    # fixed 2×cpus block count at replicate=640 means 100k-doc (~30 MB
+    # text) blocks — giant sort runs and object-store spill. ~25k docs per
+    # block keeps block size constant as replicate grows (the 100-TB rule:
+    # pick a block SIZE target and derive the count).
+    num_blocks = max(16, 2 * cpus, n_docs // 25_000)
+
     timings: dict[str, float] = {}
     load_before = os.getloadavg()[0]
+    jiffies0 = _machine_busy_jiffies()
     t0 = time.perf_counter()
-    metrics = run_kg(sf_dir, out_root, replicate=replicate, num_blocks=max(16, 2 * cpus))
-    timings["kg_build"] = round(time.perf_counter() - t0, 3)
+    metrics = run_kg(sf_dir, out_root, replicate=replicate, num_blocks=num_blocks)
+    wall = time.perf_counter() - t0
+    timings["kg_build"] = round(wall, 3)
+    # avg cores busy machine-wide during the build (jiffy = 1/USER_HZ sec)
+    hz = os.sysconf("SC_CLK_TCK")
+    busy_cores = (_machine_busy_jiffies() - jiffies0) / hz / wall
     load_after = os.getloadavg()[0]
 
     n_edges = parquet_row_count(table_dir(out_root, "edges"))
@@ -79,6 +104,7 @@ def _headline(sf_dir: str) -> dict:
             if not m.get("skipped") and "wall_sec" in m
         },
         "loadavg": [round(load_before, 2), round(load_after, 2)],
+        "busy_cores_avg": round(busy_cores, 2),
         "n_docs": n_docs,
         "n_edges": n_edges,
         "n_triples": n_triples,
@@ -157,9 +183,12 @@ def run_once() -> dict:
     heads = [_headline(sf_dir) for _ in range(repeats)]
     head = min(heads, key=lambda h: h["timings"]["kg_build"])
     queries = dict(head["timings"])
-    extra_runs = [_extras(sf_dir) for _ in range(repeats)]
-    for name in extra_runs[0]:
-        queries[name] = min(r[name] for r in extra_runs)
+    # --scaling subprocesses measure only the headline; the secondary
+    # pipelines would just burn scaling wall-clock after the measurement
+    if os.environ.get("GRAFT_BENCH_EXTRAS", "1") != "0":
+        extra_runs = [_extras(sf_dir) for _ in range(repeats)]
+        for name in extra_runs[0]:
+            queries[name] = min(r[name] for r in extra_runs)
 
     walls = sorted(h["timings"]["kg_build"] for h in heads)
     n = len(walls)
@@ -177,6 +206,7 @@ def run_once() -> dict:
         "kg_build_median": round(median, 3),
         "kg_build_stage_walls": head["stage_walls"],
         "loadavg_per_run": [h["loadavg"] for h in heads],
+        "busy_cores_per_run": [h["busy_cores_avg"] for h in heads],
         "docs_per_sec": round(head["n_docs"] / total, 2),
         "triples_per_sec": round(head["n_triples"] / total, 2),
         "n_edges": head["n_edges"],
@@ -191,9 +221,25 @@ def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         # scaling does best-of-N at THIS level (GRAFT_SCALE_REPEATS);
         # the inner headline must run exactly once per subprocess
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_REPEATS="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_REPEATS="1",
+            GRAFT_BENCH_EXTRAS="0",
+        )
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # HARD-cap the level to ncpu physical cores. Ray's num_cpus only
+        # limits concurrent task slots — pyarrow/IO thread pools and the
+        # raylet/object-store processes run outside it, and /proc/stat
+        # telemetry shows a "4-cpu" level actually burning ~7 cores (so
+        # t_lo comes out fast and the (t_lo/t_hi)/(hi/lo) formula divides
+        # by a parallelism ratio the machine never expressed). taskset is
+        # inherited by every forked Ray process, so the whole level — fair
+        # cluster-of-N-cores proxy — sees exactly ncpu cores.
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -201,9 +247,11 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # scaling needs compute to dominate constant per-stage overheads, so
-    # default to a larger deterministic replication than the plain bench
-    os.environ.setdefault("GRAFT_BENCH_REPLICATE", "160")
+    # scaling needs compute to dominate constant per-stage overheads (the
+    # ~5 s of driver orchestration + stage barriers is fixed, so on a small
+    # input it alone caps measurable efficiency at ~0.7), so default to a
+    # larger deterministic replication than the plain bench
+    os.environ.setdefault("GRAFT_BENCH_REPLICATE", "640")
     # N vs 4N parallelism levels. Default 4 vs 16 rather than 8 vs 32: this
     # sandbox advertises 32 vCPUs but measured wall time INVERTS between 16
     # and 32 (hypervisor overcommit), so 8→32 would measure the hypervisor,
@@ -229,6 +277,17 @@ def run_scaling() -> dict:
         f"throughput_docs_sec_{lo}": r_lo["docs_per_sec"],
         f"throughput_docs_sec_{hi}": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        # per-level noise + saturation telemetry (same adjudication story as
+        # run_once): busy_cores ≈ ncpu ⇒ CPU-bound and the efficiency number
+        # is about the engine; busy_cores ≪ ncpu at the hi level ⇒ the box's
+        # single disk (parquet sink + object-store spill), not the engine,
+        # is the ceiling
+        f"loadavg_{lo}": [r["loadavg_per_run"] for r in runs_lo],
+        f"loadavg_{hi}": [r["loadavg_per_run"] for r in runs_hi],
+        f"busy_cores_{lo}": [r["busy_cores_per_run"] for r in runs_lo],
+        f"busy_cores_{hi}": [r["busy_cores_per_run"] for r in runs_hi],
+        f"stage_walls_{lo}": r_lo["kg_build_stage_walls"],
+        f"stage_walls_{hi}": r_hi["kg_build_stage_walls"],
         "sf": r_hi["sf"],
     }
 

@@ -223,6 +223,11 @@ def run_kg(
         "extracted",
         lambda: extracted_dataset(episodes, concurrency=nlp_concurrency),
     )
+    # episodes' only consumer is the extracted stage — drop the reference so
+    # its materialized blocks can be evicted instead of staying pinned in
+    # the object store for the rest of the run (at replicate=640 that's the
+    # difference between streaming headroom and a spill storm)
+    episodes = None
     mentions, triples = split_extracted(extracted)
 
     canon = stage("canonical_map", lambda: canonical_map(mentions))

@@ -646,16 +646,22 @@ def apply_canonical_broadcast(triples: rd.Dataset, lut_ref) -> rd.Dataset:
 
 
 def mention_edges_broadcast(mentions: rd.Dataset, lut_ref) -> rd.Dataset:
-    """MENTIONS edges via broadcast map + exact distinct.
+    """MENTIONS edges via broadcast map + exact ZERO-SHUFFLE distinct.
 
     The per-batch seen-set removes almost all duplicates; an episode whose
-    rows straddle a batch boundary can still emit the same (episode, entity)
-    twice when two aliases map to one entity, so an exact distinct follows —
-    sort + adjacent dedup (ops.distinct_by_key): an order of magnitude
-    cheaper than a per-key groupby aggregate, and exact because the uuid is
-    a content hash (equal uuid ⇒ identical row).
+    rows straddle a batch/block boundary can still emit the same
+    (episode, entity) twice when two aliases map to one entity. Those
+    duplicates can only occur within one episode's contiguous run of rows
+    (extraction emits each episode's mentions together, and every
+    order-preserving hop keeps them contiguous within a block), so the
+    exact distinct is ops.distinct_by_key_contiguous — per-block dedup plus
+    a boundary fix for episodes split across blocks. mention_edges is the
+    LARGEST table of the build (≈4 rows/doc with long content-hash uuids);
+    replacing the old sort-based distinct with the contiguous kernel
+    removes the build's single biggest all-to-all shuffle. Exact because
+    the uuid is a content hash (equal uuid ⇒ identical row).
     """
-    from graphiti_ray.stages.ops import distinct_by_key
+    from graphiti_ray.stages.ops import distinct_by_key_contiguous
 
     import functools
 
@@ -666,7 +672,7 @@ def mention_edges_broadcast(mentions: rd.Dataset, lut_ref) -> rd.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    return distinct_by_key(mapped, "uuid")
+    return distinct_by_key_contiguous(mapped, "uuid", "episode_uuid")
 
 
 # --- fuzzy merge path (J1 cosine re-rank / D2 semantic dedup) ---------------

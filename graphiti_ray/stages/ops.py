@@ -870,6 +870,102 @@ def distinct_by_key(
     return rd.from_arrow_refs(out_refs)
 
 
+@ray.remote
+def _dedup_block_hash(block, key: str) -> pa.Table:
+    """Keep the first row per key WITHIN one block (keys need not be
+    adjacent). Vectorized: np.unique first-occurrence indices."""
+    import numpy as np
+
+    block = _as_arrow(block)
+    if block.num_rows == 0:
+        return block
+    arr = block.column(key).to_numpy(zero_copy_only=False)
+    _, first_idx = np.unique(arr, return_index=True)
+    if len(first_idx) == block.num_rows:
+        return block
+    return block.take(pa.array(np.sort(first_idx)))
+
+
+@ray.remote(num_returns=2)
+def _split_dedup_block(block, key: str, run_col: str, values: pa.Array):
+    """(clean rows deduped-by-key, raw rows whose run straddles blocks)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    block = _as_arrow(block)
+    if block.num_rows == 0:
+        return block, block
+    m = pc.is_in(block.column(run_col), value_set=values)
+    dirty = block.filter(m)
+    clean = block.filter(pc.invert(m))
+    if clean.num_rows:
+        arr = clean.column(key).to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(arr, return_index=True)
+        if len(first_idx) != clean.num_rows:
+            clean = clean.take(pa.array(np.sort(first_idx)))
+    return clean, dirty
+
+
+def distinct_by_key_contiguous(ds: rd.Dataset, key: str, run_col: str) -> rd.Dataset:
+    """Exact one-row-per-key distinct with ZERO shuffle, for datasets where
+    equal keys can only occur inside one contiguous run of ``run_col``
+    (e.g. per-episode extraction output: all of an episode's rows are
+    emitted together, and ``run_col`` values are globally unique runs).
+
+    Where :func:`distinct_by_key` pays a full sort shuffle of the corpus,
+    this pays one cheap metadata pass plus a per-block local dedup:
+
+    1. per block, read (first, last) ``run_col`` values — a run that was
+       split across blocks (by an upstream output-block split or parquet
+       row-group boundary) must appear as a boundary value of ≥2 blocks,
+       so counting boundary values finds every straddling run without
+       assuming anything about BLOCK order (safe under
+       ``preserve_order=False``; only within-block row order is assumed);
+    2. no straddlers (the common case): per-block first-per-key dedup and
+       done — no rows move;
+    3. else: straddler rows (≤ runs-per-boundary × rows-per-run, i.e.
+       O(num_blocks), never corpus-sized) are split out with ``pc.is_in``,
+       exact-deduped once on the driver, and appended as one extra block.
+
+    Rows with equal ``key`` must be interchangeable (true for content-hash
+    uuids: equal key ⇒ identical row), since which duplicate survives
+    depends on block delivery order."""
+    from collections import Counter
+
+    import numpy as np
+
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return mat
+    edges = ray.get([_block_edge_keys.remote(r, run_col) for r in refs])
+    seen: Counter = Counter()
+    for first, last in edges:
+        if first is None:
+            continue
+        seen[first] += 1
+        if last != first:
+            seen[last] += 1
+    straddlers = sorted(k for k, n in seen.items() if n >= 2)
+    if not straddlers:
+        return rd.from_arrow_refs([_dedup_block_hash.remote(r, key) for r in refs])
+
+    values = pa.array(straddlers)
+    clean_refs, dirty_refs = [], []
+    for r in refs:
+        c, d = _split_dedup_block.remote(r, key, run_col, values)
+        clean_refs.append(c)
+        dirty_refs.append(d)
+    dirty_tables = [t for t in ray.get(dirty_refs) if t.num_rows]
+    dirty = pa.concat_tables(dirty_tables).combine_chunks()
+    arr = dirty.column(key).to_numpy(zero_copy_only=False)
+    _, first_idx = np.unique(arr, return_index=True)
+    dirty = dirty.take(pa.array(np.sort(first_idx)))
+    return rd.from_arrow_refs(clean_refs).union(rd.from_arrow(dirty))
+
+
 # --- salted aggregation ------------------------------------------------------
 
 

@@ -9,7 +9,12 @@ from hypothesis import given, settings, strategies as st
 
 import ray.data as rd
 
-from graphiti_ray.stages.ops import distinct_by_key, sorted_lag_list, sorted_lead
+from graphiti_ray.stages.ops import (
+    distinct_by_key,
+    distinct_by_key_contiguous,
+    sorted_lag_list,
+    sorted_lead,
+)
 
 rows_strategy = st.lists(
     st.tuples(
@@ -117,6 +122,61 @@ def test_distinct_by_key_matches_pandas(ray_session, keys, nblocks):
     out = distinct_by_key(ds, "k").to_pandas()
     assert sorted(out.k) == sorted(df.k.drop_duplicates())
     assert (out.payload == out.k + "!").all()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 3), min_size=1, max_size=5),
+        min_size=1,
+        max_size=12,
+    ),
+    st.integers(1, 9),
+)
+@settings(max_examples=15, deadline=None)
+def test_distinct_contiguous_matches_pandas(ray_session, runs, nblocks):
+    # precondition of the kernel: equal keys only within one contiguous run
+    # (keys prefixed by run id); repartition splits runs across blocks at
+    # arbitrary points — the boundary-fix path must still be exact
+    rows = []
+    for ri, ks in enumerate(runs):
+        for k in ks:
+            rows.append((f"r{ri:02d}", f"r{ri:02d}-k{k}"))
+    df = pd.DataFrame(rows, columns=["run", "k"])
+    df["payload"] = df.k + "!"
+    ds = rd.from_pandas(df).repartition(nblocks)
+    out = distinct_by_key_contiguous(ds, "k", "run").to_pandas()
+    assert sorted(out.k) == sorted(df.k.drop_duplicates())
+    assert (out.payload == out.k + "!").all()
+
+
+def test_distinct_contiguous_run_spans_three_blocks(ray_session):
+    import pyarrow as pa
+    import ray
+
+    # run B spans three blocks (middle block is ENTIRELY run B), with a
+    # duplicate key in its first and last fragment — the straddler must be
+    # found by boundary counting alone, without assuming block order
+    t1 = pa.table({"run": ["A", "B", "B"], "k": ["a1", "b1", "b2"]})
+    t2 = pa.table({"run": ["B", "B"], "k": ["b3", "b1"]})
+    t3 = pa.table({"run": ["B", "C"], "k": ["b2", "c1"]})
+    ds = rd.from_arrow_refs([ray.put(t) for t in (t1, t2, t3)])
+    out = distinct_by_key_contiguous(ds, "k", "run").to_pandas()
+    assert sorted(out.k) == ["a1", "b1", "b2", "b3", "c1"]
+
+
+def test_distinct_contiguous_empty_and_single_block(ray_session):
+    import pyarrow as pa
+    import ray
+
+    empty = pa.table({"run": pa.array([], pa.string()), "k": pa.array([], pa.string())})
+    assert distinct_by_key_contiguous(
+        rd.from_arrow_refs([ray.put(empty)]), "k", "run"
+    ).count() == 0
+    one = pa.table({"run": ["A", "A", "A"], "k": ["x", "y", "x"]})
+    out = distinct_by_key_contiguous(
+        rd.from_arrow_refs([ray.put(one)]), "k", "run"
+    ).to_pandas()
+    assert sorted(out.k) == ["x", "y"]
 
 
 @given(
