@@ -21,6 +21,37 @@ import ray
 import ray.data as rd
 
 
+_SORT_BLOCK_BYTES = 32 << 20
+_SORT_BLOCK_ROWS = 65_536
+
+
+def _sort_coalesced(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Range sort with a size-justified shuffle width.
+
+    Ray's sort inherits its partition count P from the INPUT block count,
+    and the all-to-all pays O(P²) small-object transfers (each of P reduce
+    tasks fetches P map outputs): measured ~11 s for a 380-row sort at
+    P=128 vs ~2 s at P=4 — pure fixed latency, independent of bytes and of
+    CPU count. Combiner-collapsed tables (merged edges, invalidation keys)
+    inherit the corpus's block count, so their sorts were the serial term
+    capping kg_build's scaling efficiency. Coalesce the input down to the
+    partition count its bytes/rows actually justify before sorting;
+    corpus-sized inputs keep their full width. Sort is a pipeline breaker
+    anyway, so materializing the input first adds no extra pass."""
+    mat = ds.materialize()
+    nblocks = mat.num_blocks()
+    if nblocks > 8:
+        rows = mat.count()
+        size = mat.size_bytes() or 0
+        target = min(
+            nblocks,
+            max(1, size // _SORT_BLOCK_BYTES, rows // _SORT_BLOCK_ROWS),
+        )
+        if target < nblocks // 2:
+            mat = mat.repartition(target).materialize()
+    return mat.sort(cols).materialize()
+
+
 def _as_arrow(block) -> pa.Table:
     """Blocks may be pandas (from_pandas / map_groups lineages; empty blocks
     skip map_batches conversion passes) — normalize inside the remote fns."""
@@ -226,7 +257,7 @@ def sorted_lead(
     # arrow-normalize first: from_pandas/map_groups lineages carry pandas
     # blocks, and the remote block fns operate on arrow tables
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    mat = ds.sort(part_cols + order_cols).materialize()
+    mat = _sort_coalesced(ds, part_cols + order_cols)
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
@@ -323,7 +354,7 @@ def sorted_lag_list(
     partition spanning >2 blocks is fine because each block seeds from its
     immediate predecessor's tail, which already accumulated the carry."""
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    mat = ds.sort(part_cols + order_cols).materialize()
+    mat = _sort_coalesced(ds, part_cols + order_cols)
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
@@ -436,7 +467,7 @@ def sorted_run_map(
     """
     assert on_carry_overflow in ("error", "truncate")
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    mat = ds.sort(key_cols + (order_cols or [])).materialize()
+    mat = _sort_coalesced(ds, key_cols + (order_cols or []))
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
@@ -615,7 +646,7 @@ def sorted_asof_join(
         right.map_batches(tag_right, batch_format="pyarrow")
     )
     tagged = tagged.map_batches(lambda t: t, batch_format="pyarrow")
-    mat = tagged.sort(by + [ts_col, side]).materialize()
+    mat = _sort_coalesced(tagged, by + [ts_col, side])
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
@@ -791,7 +822,7 @@ def sorted_prefix_sum(
     intervals covering it). Hub partitions spanning many blocks cost one
     integer of carry each."""
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    mat = ds.sort(by + order_cols).materialize()
+    mat = _sort_coalesced(ds, by + order_cols)
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)
@@ -854,7 +885,7 @@ def distinct_by_key(
     order (e.g. ``order_cols=["doc_id"]`` → min-id winner); without, rows
     with equal keys must be interchangeable."""
     ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
-    mat = ds.sort([key] + (order_cols or [])).materialize()
+    mat = _sort_coalesced(ds, [key] + (order_cols or []))
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         refs.extend(bundle.block_refs)

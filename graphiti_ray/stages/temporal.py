@@ -54,10 +54,14 @@ def _add_inval_key(batch: pa.Table, with_mode: bool) -> pa.Table:
     """Vectorized invalidation-partition key: pair classes key on
     (group, subj, obj, class); subj classes on (group, subj, pred);
     non-exclusive predicates get a singleton key (no-op partition).
-    Pandas string kernels throughout — no per-row Python loop."""
+    Only the key columns round-trip through pandas — the fat provenance
+    payload (``episodes`` can be MBs per row on replicated corpora) stays
+    in its Arrow buffers untouched."""
     import numpy as np
 
-    df = batch.to_pandas()
+    df = batch.select(
+        ["group_id", "subj_uuid", "pred", "obj_uuid", "uuid"]
+    ).to_pandas()
     mode = df["pred"].map(_PRED_MODE).fillna("none")
     pair_key = (
         "pair|" + df["group_id"] + "|" + df["subj_uuid"] + "|" + df["obj_uuid"]
@@ -65,12 +69,15 @@ def _add_inval_key(batch: pa.Table, with_mode: bool) -> pa.Table:
     )
     subj_key = "subj|" + df["group_id"] + "|" + df["subj_uuid"] + "|" + df["pred"]
     none_key = "none|" + df["uuid"]
-    df["inval_key"] = np.select(
+    key = np.select(
         [mode.eq("pair"), mode.eq("subj")], [pair_key, subj_key], default=none_key
     )
+    out = batch.append_column("inval_key", pa.array(key, pa.string()))
     if with_mode:
-        df["inval_mode"] = mode
-    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+        out = out.append_column(
+            "inval_mode", pa.array(mode.to_numpy(), pa.string())
+        )
+    return out
 
 
 def _combine_partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -418,7 +418,9 @@ def test_group_quantiles_matches_reference(ray_session, rows, nblocks):
     assert got == want
 
 
-def test_sorted_run_map_carry_overflow_raises_or_truncates(ray_session):
+def test_sorted_run_map_carry_overflow_raises_or_truncates(
+    ray_session, monkeypatch
+):
     """A run continuing past carry_cap beyond its starting block must RAISE
     by default (silent row loss was the old behavior) and only truncate on
     explicit opt-in."""
@@ -427,7 +429,13 @@ def test_sorted_run_map_carry_overflow_raises_or_truncates(ray_session):
 
     import ray.data as rd
 
+    import graphiti_ray.stages.ops as ops
     from graphiti_ray.stages.ops import sorted_run_map
+
+    # the sort right-sizing would coalesce these 201 tiny rows into one
+    # block (no boundaries → no carry); pin the width so the overflow
+    # protocol is actually exercised
+    monkeypatch.setattr(ops, "_SORT_BLOCK_ROWS", 4)
 
     # one giant key run spread over many tiny blocks + one small run
     rows = [{"k": "hot", "v": i} for i in range(200)] + [{"k": "z", "v": 0}]
