@@ -262,8 +262,14 @@ def run_scaling() -> dict:
     # run-to-run (BASELINE.md noise note); best-of-N with min wall per
     # level is the standard least-interference estimator
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
-    runs_lo = [run(lo) for _ in range(repeats)]
-    runs_hi = [run(hi) for _ in range(repeats)]
+    # INTERLEAVE the levels (lo, hi, lo, hi, ...): the box's budget swings
+    # drift over minutes, so sampling all-lo-then-all-hi lets one slow
+    # window land entirely on one level and corrupt the ratio; alternating
+    # gives both levels the same noise exposure before the per-level min
+    runs_lo, runs_hi = [], []
+    for _ in range(repeats):
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     r_lo = min(runs_lo, key=lambda r: r["value"])
     r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
