@@ -1876,6 +1876,52 @@ SELECT node AS entity_uuid, pr AS rank FROM r{rounds}
 """
 
 
+def _q_graph_kcore(sf_dir: str):
+    """2-core of the merged edge graph by iterative peeling (4 bounded
+    rounds, early-stop on fixpoint — extra SQL rounds are then no-ops, the
+    pagerank unroll convention). Degrees via the per-batch partial + keyed
+    sum; survivor filtering via two hash semi-joins per round, never a
+    driver node set."""
+    from graphiti_ray.stages.graph import k_core
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    return k_core(tables["edges"], k=2, rounds=4)
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 4) -> str:
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one 3× (FROM + two IN-subqueries), so
+    # an R-round unroll would otherwise expand to 3^R scans of the base
+    # prelude — measured as an fd-exhaustion blowup, not just slowness
+    parts = [
+        "e0 AS MATERIALIZED (SELECT subj_uuid AS s, obj_uuid AS t FROM merged_id)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""d{r - 1} AS MATERIALIZED (
+  SELECT x, count(*) AS deg
+  FROM (SELECT s AS x FROM e{r - 1} UNION ALL SELECT t FROM e{r - 1})
+  GROUP BY 1
+),
+k{r - 1} AS MATERIALIZED (SELECT x FROM d{r - 1} WHERE deg >= {k}),
+e{r} AS MATERIALIZED (
+  SELECT s, t FROM e{r - 1}
+  WHERE s IN (SELECT x FROM k{r - 1}) AND t IN (SELECT x FROM k{r - 1})
+)"""
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+{chain}
+SELECT x AS entity_uuid, count(*)::BIGINT AS degree
+FROM (SELECT s AS x FROM e{rounds} UNION ALL SELECT t FROM e{rounds})
+GROUP BY 1
+"""
+
+
 def _q_graph_triangles(sf_dir: str):
     """Per-node triangle counts over the CO-MENTION graph (two entities
     are adjacent iff some episode mentions both — the fact edge graph is
@@ -2395,6 +2441,131 @@ def _q_search_hybrid(sf_dir: str):
     return res.edges[["uuid", "group_id", "pred", "fact"]]
 
 
+def _q_docs_dup_spans(sf_dir: str):
+    """Intra-corpus duplicated-span measurement (Lee et al. 2022
+    diagnostic): per doc, the count and fraction of its distinct char
+    32-gram hashes that occur in ≥1 OTHER doc. The gram df comes from
+    ops.annotate_run_lengths — ONE range sort of the gram stream plus an
+    O(num_blocks) boundary exchange, no groupby+join-back (hub grams cost
+    one integer of carry per block boundary). Oracle: the same Horner
+    shingle hashes, df via GROUP BY, probe join back."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import duplicated_ngram_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return duplicated_ngram_stats(docs)
+
+
+def _dup_spans_oracle_sql() -> str:
+    from graphiti_ray.stages.dedup import DUPSPAN_K
+
+    k = DUPSPAN_K
+    p_pow = [pow(_POLY_INT, j, _M64) for j in range(k)]
+    terms = " + ".join(
+        [f"b * {p_pow[k - 1]}::HUGEINT"]
+        + [f"lead(b, {j}) OVER w * {p_pow[k - 1 - j]}::HUGEINT" for j in range(1, k)]
+    )
+    return rf"""
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents
+            WHERE length(text) >= {k}),
+bytes AS (
+  SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
+  FROM lt, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
+),
+sh0 AS (
+  SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS h64, i, n
+  FROM bytes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+shingles AS (
+  SELECT DISTINCT doc_id, (h64 % 2305843009213693952::HUGEINT)::BIGINT AS h
+  FROM sh0 WHERE i <= n - {k - 1}
+),
+df AS (SELECT h, count(*) AS df FROM shingles GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM shingles GROUP BY 1),
+dup AS (
+  SELECT s.doc_id, count(*) AS n_dup
+  FROM shingles s JOIN df USING (h) WHERE df.df >= 2 GROUP BY 1
+)
+SELECT t.doc_id, t.n_grams,
+       coalesce(d.n_dup, 0)::BIGINT AS n_dup_grams,
+       coalesce(d.n_dup, 0)::DOUBLE / t.n_grams AS dup_fraction
+FROM tot t LEFT JOIN dup d USING (doc_id)
+"""
+
+
+def _q_docs_tfidf(sf_dir: str):
+    """Per-doc TF-IDF top-3 keywords — df via annotate_run_lengths (no
+    vocabulary broadcast, no driver dict), per-doc top-k via
+    sorted_run_map. Scores rounded to 1e-6 before ranking on BOTH sides so
+    ordering never hinges on libm ulp agreement."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import tfidf_keywords
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_keywords(docs)
+
+
+_TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM documents
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM toks),
+tf AS (
+  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf
+  FROM toks, LATERAL unnest(tk) AS u(t)
+  GROUP BY 1, 2
+),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term, round(tf.tf * ln(nn.n / dfs.df), 6) AS score
+  FROM tf JOIN dfs USING (term) CROSS JOIN nn
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, rank::BIGINT AS rank, term, score
+FROM ranked WHERE rank <= 3
+"""
+
+
+def _q_docs_pack(sf_dir: str):
+    """Sequence packing for training-batch assembly: hash-sharded streams,
+    doc-granular contiguous quota fill (pack_id = exclusive-prefix-tokens
+    // budget) — the shuffle-free equivalent of greedy first-fit, built on
+    ops.sorted_prefix_sum (one sort + one integer of carry per boundary)."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import pack_sequences
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_sequences(docs)
+
+
+_PACK_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(regexp_extract_all(lower(text), '\w+'))::BIGINT AS n_tokens
+  FROM documents
+),
+summed AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+           - n_tokens AS prefix
+  FROM toks
+)
+SELECT doc_id, shard::BIGINT AS shard, n_tokens,
+       (prefix // 512)::BIGINT AS pack_id,
+       (prefix % 512)::BIGINT AS pack_offset
+FROM summed
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING IS COVERAGE ROTATION: the driver checks a prefix of this
     # dict (50 of 63 in round 3), so queries never yet covered by a driver
@@ -2403,6 +2574,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "docs_dup_spans": _q_docs_dup_spans,
+        "docs_tfidf": _q_docs_tfidf,
+        "graph_kcore": _q_graph_kcore,
+        "docs_pack": _q_docs_pack,
         "kg_edges_messages": _q_kg_edges_messages,
         "kg_mentions_messages": _q_kg_mentions_messages,
         "dedup_embedding_lsh_full": _q_dedup_embedding_lsh_full,
@@ -3196,6 +3371,7 @@ LIMIT 10
         "docs_bloom": _bloom_oracle_sql(),
         # simplified PageRank unrolled: 5 join+sum CTE rounds
         "graph_pagerank": _pagerank_oracle_sql(),
+        "graph_kcore": _kcore_oracle_sql(),
         # triangles over the co-mention graph: ordered three-way
         # self-join; each triangle credits its three vertices
         "graph_triangles": f"""
@@ -3328,6 +3504,9 @@ GROUP BY 1, 2
         "docs_chunks": _chunks_oracle_sql(),
         # train/test 8-gram overlap decontamination
         "docs_decontaminate": _decon_oracle_sql(),
+        "docs_dup_spans": _dup_spans_oracle_sql(),
+        "docs_tfidf": _TFIDF_ORACLE,
+        "docs_pack": _PACK_ORACLE,
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

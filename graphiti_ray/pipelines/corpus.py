@@ -106,11 +106,11 @@ def _gated_winners(
     )
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5(t.encode("utf-8")).hexdigest()
-            for t in batch.column("text").to_pylist()
-        ]
-        return batch.append_column("text_hash", pa.array(hashes, pa.string()))
+        from graphiti_ray.stages.dedup import md5_hex_column
+
+        return batch.append_column(
+            "text_hash", pa.array(md5_hex_column(batch.column("text")), pa.string())
+        )
 
     hashed = gated.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
     return distinct_by_key(hashed, "text_hash", order_cols=["doc_id"])
@@ -297,3 +297,79 @@ def stratified_sample(
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- sequence packing (training-batch assembly) ------------------------------
+
+PACK_BUDGET_TOKENS = 512
+PACK_SHARDS = 8
+
+
+def pack_sequences(
+    docs: rd.Dataset,
+    budget_tokens: int = PACK_BUDGET_TOKENS,
+    n_shards: int = PACK_SHARDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Document-granular contiguous sequence packing for training-batch
+    assembly: docs are hash-sharded (``doc_id % n_shards`` — each shard is
+    an independent packing stream, the unit of parallelism), ordered by
+    doc_id within the shard, and assigned ``pack_id = prefix_tokens //
+    budget`` where ``prefix_tokens`` is the exclusive running token count.
+    A pack therefore fills until its cumulative quota crosses the budget;
+    the straddling doc overflows its pack and the next pack starts at the
+    quota line. This contiguous-quota rule is the SHUFFLE-FREE equivalent
+    of greedy first-fit (which is order-sequential and cannot scale past
+    one stream): the only distributed primitive it needs is
+    ``ops.sorted_prefix_sum`` — one range sort plus one integer of carry
+    per block boundary, hub shards free.
+
+    Output: (doc_id, shard, n_tokens, pack_id, pack_offset) — pack_offset
+    is the doc's start position in its pack's token stream (offsets past
+    ``budget_tokens`` mark the overflow doc of each pack).
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import sorted_prefix_sum
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        n_tok = texts.str.lower().str.count(r"\w+").astype("int64")
+        ids = batch.column(id_col)
+        shard = pc.subtract(
+            ids, pc.multiply(pc.divide(ids, n_shards), n_shards)
+        )  # ids ≥ 0: truncated div reconstructs %, which pyarrow lacks
+        return pa.table(
+            {
+                "doc_id": ids,
+                "shard": shard,
+                "n_tokens": pa.array(n_tok.to_numpy(), pa.int64()),
+            }
+        )
+
+    toks = docs.map_batches(tokenize, batch_format="pyarrow", zero_copy_batch=True)
+    summed = sorted_prefix_sum(
+        toks, by=["shard"], order_cols=["doc_id"], delta_col="n_tokens",
+        out_col="cum_tokens",
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cum = batch.column("cum_tokens").to_numpy(zero_copy_only=False)
+        tok = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        prefix = cum - tok  # exclusive prefix
+        pack = prefix // budget_tokens
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shard": batch.column("shard"),
+                "n_tokens": batch.column("n_tokens"),
+                "pack_id": pa.array(pack, pa.int64()),
+                "pack_offset": pa.array(
+                    prefix - pack * budget_tokens, pa.int64()
+                ),
+            }
+        )
+
+    return summed.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

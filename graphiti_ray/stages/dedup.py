@@ -158,32 +158,39 @@ def _band_hashes(sig_mat: np.ndarray) -> np.ndarray:
 # --- exact dedup -----------------------------------------------------------
 
 
+def md5_hex_column(col: pa.ChunkedArray | pa.Array) -> list[str]:
+    """md5 hex digests over a string column's utf-8 payload straight out
+    of the arrow buffers — no per-row Python str materialization / encode
+    round-trip (the digest itself is C; this removes the object churn
+    around it)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    col = pc.cast(col, pa.large_binary())
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    mv = memoryview(col.buffers()[2]) if col.buffers()[2] is not None else b""
+    md5 = hashlib.md5
+    return [md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(col))]
+
+
 def exact_dedup_documents(
     docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> rd.Dataset:
     """One winner (min id) per distinct text: hash column per batch
     (vectorized), then a hash aggregate keyed on the digest. Output:
     (text_hash, keep_id, dup_count)."""
-    import hashlib
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        # md5 over the utf-8 payload straight out of the arrow buffer —
-        # no per-row Python str materialization / encode round-trip (the
-        # digest itself is C; this removes the object churn around it)
-        col = pc.cast(batch.column(text_col), pa.large_binary()).combine_chunks()
-        offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[
-            col.offset : col.offset + len(col) + 1
-        ]
-        mv = memoryview(col.buffers()[2]) if col.buffers()[2] is not None else b""
-        md5 = hashlib.md5
-        hashes = [
-            md5(mv[offs[i] : offs[i + 1]]).hexdigest() for i in range(len(col))
-        ]
         return pa.table(
             {
-                "text_hash": pa.array(hashes, pa.string()),
+                "text_hash": pa.array(
+                    md5_hex_column(batch.column(text_col)), pa.string()
+                ),
                 id_col: batch.column(id_col),
             }
         )
@@ -1284,3 +1291,92 @@ def embedding_near_dup_exact(
         )
 
     return emb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- intra-corpus duplicated-span measurement --------------------------------
+
+DUPSPAN_K = 32  # char n-gram width (Lee et al. 2022 use 50 BPE tokens; 32
+#                 chars is the same order on this corpus's ~5-char words)
+
+
+def duplicated_ngram_stats(
+    docs: rd.Dataset,
+    k: int = DUPSPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-document duplicated-span measurement (the "Deduplicating
+    Training Data Makes Language Models Better" diagnostic): for every doc,
+    how many of its DISTINCT char-k-gram hashes occur in at least one
+    OTHER document, and what fraction of the doc that is. Unlike
+    :func:`decontaminate` (corpus vs a small probe set) this is
+    corpus-vs-itself, so the gram df cannot be broadcast — it comes from
+    :func:`~graphiti_ray.stages.ops.annotate_run_lengths`: one range sort
+    of the gram stream (hub grams span blocks for one integer of carry
+    each, no grouped materialization), then a per-batch combiner and one
+    doc-keyed reduce whose input is already collapsed to ≤ one row per doc
+    per batch. Docs shorter than ``k`` chars are excluded (cf. the
+    ngram_jaccard_pairs convention; reference analogue: dedup candidate
+    framing in graphiti_core/utils/bulk_utils.py:291-362).
+
+    Output: (doc_id, n_grams, n_dup_grams, dup_fraction).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.ops import annotate_run_lengths
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.utf8_length(batch.column(text_col)), k)
+        batch = batch.filter(keep)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        hs = [shingle_hashes(t, k) for t in texts]
+        counts = np.array([len(h) for h in hs], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "h": pa.array(
+                    np.concatenate(hs) if hs else np.zeros(0, np.int64), pa.int64()
+                ),
+                "n_grams": pa.array(np.repeat(counts, counts), pa.int64()),
+            }
+        )
+
+    grams = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    flagged = annotate_run_lengths(grams, ["h"], out_col="df")
+
+    def combine(batch: pa.Table) -> pa.Table:
+        dup = pc.cast(pc.greater_equal(batch.column("df"), 2), pa.int64())
+        t = pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": batch.column("n_grams"),
+                "dup": dup,
+            }
+        )
+        return t.group_by(["doc_id", "n_grams"]).aggregate([("dup", "sum")])
+
+    partial = flagged.map_batches(
+        combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    total = partial.groupby(["doc_id", "n_grams"]).aggregate(
+        Sum("dup_sum", alias_name="n_dup_grams")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        frac = pc.divide(
+            pc.cast(batch.column("n_dup_grams"), pa.float64()),
+            pc.cast(batch.column("n_grams"), pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": batch.column("n_grams"),
+                "n_dup_grams": batch.column("n_dup_grams"),
+                "dup_fraction": frac,
+            }
+        )
+
+    return total.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -677,3 +677,87 @@ def triangle_counts(
         .materialize()
     )
     return counted if counted.count() else rd.from_arrow(empty)
+
+
+def k_core(
+    edges: rd.Dataset,
+    k: int = 2,
+    rounds: int = 6,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """k-core decomposition by iterative peeling with a FIXED round bound
+    (so a SQL twin can unroll the recurrence, the pagerank convention):
+    each round recomputes undirected degrees and drops every node with
+    degree < k plus its incident edges; early-stops when a round removes
+    nothing (further rounds are no-ops, so an R-round SQL unroll still
+    matches). Degree counts incident edge ROWS (multi-edges count each).
+
+    All dataset-side: degrees via the per-batch partial + keyed sum
+    (node_degrees), survivor filtering via two hash semi-joins per round
+    (src then dst) — no driver-resident node set, so a web-scale peel
+    where most of the graph survives never materializes on one machine.
+
+    Returns (entity_uuid, degree): the surviving nodes with their degree
+    inside the final core.
+    """
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    cur = edges.select_columns([src, dst]).map_batches(
+        lambda t: t.rename_columns(["s", "t"]), batch_format="pyarrow"
+    ).materialize()
+
+    n_edges = cur.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        deg = node_degrees(cur, "s", "t").materialize()
+        keep = deg.map_batches(
+            lambda t, _k=k: t.filter(pc.greater_equal(t.column("degree"), _k)),
+            batch_format="pyarrow",
+        ).materialize()
+        n_keep = keep.count()
+        if n_keep == 0:  # everything peeled — joining on an empty side
+            n_edges = 0  # trips Arrow's hash shuffle, so short-circuit
+            break
+        if n_keep == deg.count():  # fixpoint: nothing peeled — skip the
+            break  # two joins the round would waste
+        nxt = safe_join(
+            cur,
+            keep.map_batches(
+                lambda t: pa.table({"s": t.column("entity_uuid")}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("s",),
+        )
+        nxt = safe_join(
+            nxt.map_batches(
+                lambda t: t.select(["s", "t"]), batch_format="pyarrow"
+            ),
+            keep.map_batches(
+                lambda t: pa.table({"t": t.column("entity_uuid")}),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("t",),
+        ).map_batches(lambda t: t.select(["s", "t"]), batch_format="pyarrow")
+        nxt = nxt.materialize()
+        cur, n_edges = nxt, nxt.count()
+
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_uuid": pa.array([], pa.string()),
+                    "degree": pa.array([], pa.int64()),
+                }
+            )
+        )
+    # final degrees inside the core (NOT re-filtered: after convergence all
+    # are ≥ k; before convergence the SQL twin reports the same R-round cut)
+    return node_degrees(cur, "s", "t")

@@ -1083,3 +1083,104 @@ def salted_aggregate(
         cls = {"sum": Sum, "count": Sum, "min": Min, "max": Max}[fn]
         phase2_aggs.append(cls(out_col, alias_name=out_col))
     return partial.groupby(key_cols).aggregate(*phase2_aggs)
+
+
+# --- run-length annotation ---------------------------------------------------
+
+
+@ray.remote
+def _block_key_summary(block, key_cols: list[str]):
+    """(first_key, head_run_len, last_key, tail_run_len, n_rows) for the
+    run-length boundary exchange; None for an empty block. Key comparisons
+    run on Arrow kernels (no per-row Python)."""
+    import numpy as np
+
+    block = _as_arrow(block)
+    n = block.num_rows
+    if n == 0:
+        return None
+    starts = _table_run_starts(block, key_cols)
+    head_len = int(starts[1] - starts[0])
+    tail_len = int(starts[-1] - starts[-2])
+    first = tuple(block.column(c)[0].as_py() for c in key_cols)
+    last = tuple(block.column(c)[-1].as_py() for c in key_cols)
+    return first, head_len, last, tail_len, n
+
+
+@ray.remote
+def _run_len_block(
+    block, key_cols: list[str], out_col: str, prefix_extra: int, suffix_extra: int
+) -> pa.Table:
+    """Append the GLOBAL run length of each row's key. ``prefix_extra`` /
+    ``suffix_extra`` are the counts of equal-key rows in preceding /
+    following blocks (resolved driver-side); they extend the block's first
+    / last run — the same run when the block is a single run."""
+    import numpy as np
+
+    block = _as_arrow(block)
+    n = block.num_rows
+    if n == 0:
+        return block.append_column(out_col, pa.array([], pa.int64()))
+    starts = _table_run_starts(block, key_cols)
+    run_len = np.diff(starts).astype(np.int64)
+    run_len[0] += prefix_extra
+    run_len[-1] += suffix_extra
+    out = np.repeat(run_len, np.diff(starts))
+    return block.append_column(out_col, pa.array(out, pa.int64()))
+
+
+def annotate_run_lengths(
+    ds: rd.Dataset, key_cols: list[str], out_col: str = "run_len"
+) -> rd.Dataset:
+    """Append each row's GLOBAL key frequency (document frequency when rows
+    are per-doc-distinct) as ``out_col`` — one range sort on ``key_cols``
+    plus an O(num_blocks) summary exchange, NO groupby and NO join back.
+
+    This is the hub-safe exact-df primitive: a key spanning any number of
+    blocks (a stopword-grade hot n-gram) costs one integer of carry per
+    boundary, never a grouped materialization — where a
+    ``groupby(key).count + join`` pays two corpus shuffles, this pays the
+    one sort it needs anyway. Rows come back sorted by ``key_cols``."""
+    ds = ds.map_batches(lambda t: t, batch_format="pyarrow")
+    mat = _sort_coalesced(ds, key_cols)
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return mat
+    infos = ray.get([_block_key_summary.remote(r, key_cols) for r in refs])
+
+    def chain_extra(i: int, direction: int) -> int:
+        """Equal-key rows for block i's boundary run in neighbours along
+        ``direction`` (-1 = preceding, +1 = following), walking through
+        single-run and empty blocks."""
+        if infos[i] is None:
+            return 0
+        key = infos[i][0] if direction < 0 else infos[i][2]
+        extra = 0
+        j = i + direction
+        while 0 <= j < len(infos):
+            info = infos[j]
+            if info is None:  # empty block is transparent
+                j += direction
+                continue
+            first, head_len, last, tail_len, n = info
+            near_key, near_len = (last, tail_len) if direction < 0 else (
+                first,
+                head_len,
+            )
+            if near_key != key:
+                break
+            extra += near_len
+            if near_len != n:  # run ends inside block j
+                break
+            j += direction
+        return extra
+
+    out_refs = [
+        _run_len_block.remote(
+            r, key_cols, out_col, chain_extra(i, -1), chain_extra(i, +1)
+        )
+        for i, r in enumerate(refs)
+    ]
+    return rd.from_arrow_refs(out_refs)

@@ -424,3 +424,124 @@ def fingerprints(docs, **kw):
 
 def repetition_stats(docs, **kw):
     return _stage(RepetitionStats, docs, **kw)
+
+
+# --- TF-IDF keyword extraction -----------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(
+    docs: rd.Dataset,
+    top_k: int = TFIDF_TOP_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-document TF-IDF keyword extraction: the ``top_k`` terms of each
+    doc by ``round(tf * ln(N / df), 6)``, ties broken by term — the
+    corpus-keyword operator a search/labeling pipeline wants next to BM25
+    (reference analogue: the fulltext query path, search_utils.py's BM25
+    family; this is its document-side dual).
+
+    Fully distributed at every step — no vocabulary broadcast and no
+    driver dict: term df comes from
+    :func:`~graphiti_ray.stages.ops.annotate_run_lengths` (one term-sorted
+    pass; rows are per-doc-distinct so the run length IS the df), the
+    per-doc top-k from one ``sorted_run_map`` over (doc_id, -score) runs.
+    Scores are rounded to 1e-6 BEFORE ranking on both the engine and the
+    SQL twin, so the ordering never hinges on sub-ulp libm agreement.
+
+    Output: (doc_id, rank, term, score), rank 1-based.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import annotate_run_lengths, sorted_run_map
+
+    n_docs = float(docs.count())
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        ids = pd.Series(batch.column(id_col).to_pylist())
+        toks = texts.str.lower().str.findall(r"\w+")
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        tf = (
+            pd.DataFrame({"d": ids.iloc[ex.index].to_numpy(), "t": ex.to_numpy()})
+            .groupby(["d", "t"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(tf["d"].to_numpy(), pa.int64()),
+                "term": pa.array(tf["t"].to_numpy(), pa.string()),
+                "tf": pa.array(tf["tf"].to_numpy(), pa.int64()),
+            }
+        )
+
+    tf_rows = docs.map_batches(explode_tf, batch_format="pyarrow", zero_copy_batch=True)
+    with_df = annotate_run_lengths(tf_rows, ["term"], out_col="df")
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tf * np.log(n_docs / df), 6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "term": batch.column("term"),
+                "score": pa.array(s, pa.float64()),
+                "neg_score": pa.array(-s, pa.float64()),
+            }
+        )
+
+    scored = with_df.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    def top_block(tbl: pa.Table) -> pa.Table:
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        starts = _table_run_starts(tbl, ["doc_id"])
+        firsts, lens = starts[:-1], np.diff(starts)
+        take_n = np.minimum(lens, top_k)
+        idx = np.repeat(firsts, take_n) + (
+            np.arange(int(take_n.sum()))
+            - np.repeat(np.concatenate([[0], np.cumsum(take_n)[:-1]]), take_n)
+        )
+        rank = (
+            np.arange(int(take_n.sum()))
+            - np.repeat(np.concatenate([[0], np.cumsum(take_n)[:-1]]), take_n)
+            + 1
+        )
+        out = tbl.take(pa.array(idx, pa.int64()))
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "rank": pa.array(rank, pa.int64()),
+                "term": out.column("term"),
+                "score": out.column("score"),
+            }
+        )
+
+    return sorted_run_map(
+        scored,
+        key_cols=["doc_id"],
+        order_cols=["neg_score", "term"],
+        block_fn=top_block,
+    )

@@ -428,3 +428,69 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     assert 25 <= by_lang.get("en", 0) <= 75  # deterministic ~half
     out2 = stratified_sample(rd_.from_items(rows), {"de": 1.0, "en": 0.5}).to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_duplicated_ngram_stats(ray_session):
+    """Docs sharing a 32-char span report matching dup-gram counts; a doc
+    with all-unique content reports zero; short docs are excluded."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.dedup import duplicated_ngram_stats
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        {"doc_id": 0, "text": shared + " alpha unique tail zero zero"},
+        {"doc_id": 1, "text": shared + " beta different ending here!"},
+        {"doc_id": 2, "text": "completely unrelated content with no overlap at all xyzzy"},
+        {"doc_id": 3, "text": "short"},  # < k chars: excluded
+    ]
+    out = (
+        duplicated_ngram_stats(rd_.from_items(rows), k=32)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert 3 not in out.index
+    assert out.loc[2, "n_dup_grams"] == 0 and out.loc[2, "dup_fraction"] == 0.0
+    # independent reference: distinct grams + pairwise intersections
+    import numpy as np_
+
+    from graphiti_ray.stages.dedup import shingle_hashes
+
+    g = {r["doc_id"]: shingle_hashes(r["text"], 32) for r in rows[:3]}
+    shared01 = np_.intersect1d(g[0], g[1])
+    assert len(shared01) > 0
+    for d in (0, 1):
+        assert out.loc[d, "n_grams"] == len(g[d])
+        assert out.loc[d, "n_dup_grams"] == len(shared01)
+        assert out.loc[d, "dup_fraction"] == len(shared01) / len(g[d])
+
+
+def test_pack_sequences_quota_rule(ray_session):
+    """Contiguous-quota packing: pack_id = exclusive prefix // budget per
+    shard, offsets restart at the quota line, one-doc-per-shard inputs
+    pack alone."""
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.corpus import pack_sequences
+
+    # one shard (n_shards=1), budget 10, token counts 4,4,4,4 → prefixes
+    # 0,4,8,12 → packs 0,0,0,1 (the 8-prefix doc straddles and overflows)
+    rows = [{"doc_id": i, "text": "a b c d"} for i in range(4)]
+    out = (
+        pack_sequences(rd_.from_items(rows), budget_tokens=10, n_shards=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out.pack_id) == [0, 0, 0, 1]
+    assert list(out.pack_offset) == [0, 4, 8, 2]
+    assert (out.n_tokens == 4).all()
+    assert (out.shard == 0).all()
+
+    # sharding: docs split into independent streams by doc_id % n
+    out2 = (
+        pack_sequences(rd_.from_items(rows), budget_tokens=10, n_shards=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out2.shard) == [0, 1, 0, 1]
+    assert list(out2.pack_id) == [0, 0, 0, 0]

@@ -191,3 +191,35 @@ def test_pagerank_empty_graph_and_triangle_key_collisions(ray_session):
     edges = _edges([("x|y", "z"), ("x", "y|z")])
     out = triangle_counts(edges).take_all()
     assert out == []  # two disjoint edges — no phantom triangles
+
+
+def test_k_core_peels_tail_and_keeps_clique(ray_session):
+    """Classic 2-core: a triangle with a pendant path. Peeling removes the
+    path (degree-1 ends cascade) and keeps the triangle, where every node
+    has degree 2."""
+    from graphiti_ray.stages.graph import k_core
+
+    edges = pd.DataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),  # triangle = the 2-core
+            ("c", "d"), ("d", "e"),  # pendant path, peeled in 2 rounds
+        ],
+        columns=["subj_uuid", "obj_uuid"],
+    )
+    out = k_core(rd.from_pandas(edges), k=2, rounds=6).to_pandas()
+    assert sorted(out.entity_uuid) == ["a", "b", "c"]
+    assert (out.degree == 2).all()
+
+
+def test_k_core_empty_and_whole_graph(ray_session):
+    """k=1 keeps every non-isolated node; a high k empties the graph
+    without a ZeroDivision/schema error."""
+    from graphiti_ray.stages.graph import k_core
+
+    edges = pd.DataFrame(
+        [("a", "b"), ("b", "c")], columns=["subj_uuid", "obj_uuid"]
+    )
+    full = k_core(rd.from_pandas(edges), k=1, rounds=4).to_pandas()
+    assert sorted(full.entity_uuid) == ["a", "b", "c"]
+    empty = k_core(rd.from_pandas(edges), k=5, rounds=4).to_pandas()
+    assert len(empty) == 0

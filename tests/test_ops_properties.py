@@ -668,3 +668,36 @@ def test_sketches_merge_associatively(ray_session):
         )
 
     assert bloom(a_rows) | bloom(b_rows) == bloom(a_rows + b_rows)
+
+
+@given(
+    st.lists(st.integers(0, 8), min_size=1, max_size=40),
+    st.integers(1, 6),
+)
+@settings(max_examples=15, deadline=None)
+def test_annotate_run_lengths_matches_counter(ray_session, keys, nblocks):
+    """Global key frequency via the sort + boundary-exchange kernel must
+    equal a plain Counter, for runs straddling any number of blocks."""
+    from collections import Counter
+
+    from graphiti_ray.stages.ops import annotate_run_lengths
+
+    df = pd.DataFrame({"k": keys, "rid": range(len(keys))})
+    ds = rd.from_pandas(df).repartition(nblocks)
+    out = annotate_run_lengths(ds, ["k"], out_col="df").to_pandas()
+    want = Counter(keys)
+    assert len(out) == len(keys)
+    for r in out.itertuples(index=False):
+        assert r.df == want[r.k], (r.k, r.df, want[r.k])
+
+
+def test_annotate_run_lengths_hot_key_spanning_all_blocks(ray_session):
+    """A key occupying every block (the stopword-gram case) accumulates the
+    full chain of carries from both directions."""
+    from graphiti_ray.stages.ops import annotate_run_lengths
+
+    df = pd.DataFrame({"k": [7] * 500 + [1, 2, 3], "rid": range(503)})
+    ds = rd.from_pandas(df.sample(frac=1, random_state=0)).repartition(8)
+    out = annotate_run_lengths(ds, ["k"], out_col="df").to_pandas()
+    assert (out.loc[out.k == 7, "df"] == 500).all()
+    assert (out.loc[out.k != 7, "df"] == 1).all()

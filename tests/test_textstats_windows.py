@@ -560,3 +560,27 @@ def test_image_phash_near_dup_components(ray_session):
     comp_of = dict(zip(comps["doc_id"], comps["component"]))
     for d in range(64):
         assert comp_of.get(d, d) == 4 * (d // 4)  # min-label per base
+
+
+def test_tfidf_keywords(ray_session):
+    """Rank ordering, tie-breaks, and the distributed df against a direct
+    computation on a corpus small enough to verify by hand."""
+    import math
+
+    import ray.data as rd_
+
+    from graphiti_ray.stages.textstats import tfidf_keywords
+
+    rows = [
+        {"doc_id": 0, "text": "apple apple banana cherry"},
+        {"doc_id": 1, "text": "banana cherry cherry date"},
+        {"doc_id": 2, "text": "apple elderberry elderberry elderberry date"},
+    ]
+    out = tfidf_keywords(rd_.from_items(rows), top_k=2).to_pandas()
+    # doc 2: elderberry tf=3 df=1 → 3*ln(3); apple/date tf=1 df=2 → ln(1.5)
+    d2 = out[out.doc_id == 2].sort_values("rank")
+    assert list(d2["term"]) == ["elderberry", "apple"]  # apple < date tie-break
+    assert abs(d2.iloc[0]["score"] - round(3 * math.log(3), 6)) < 1e-9
+    # every doc emits exactly min(top_k, n_distinct_terms) rows
+    assert out.groupby("doc_id").size().tolist() == [2, 2, 2]
+    assert set(out["rank"]) == {1, 2}
