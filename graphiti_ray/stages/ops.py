@@ -1150,37 +1150,43 @@ def annotate_run_lengths(
         return mat
     infos = ray.get([_block_key_summary.remote(r, key_cols) for r in refs])
 
-    def chain_extra(i: int, direction: int) -> int:
-        """Equal-key rows for block i's boundary run in neighbours along
-        ``direction`` (-1 = preceding, +1 = following), walking through
-        single-run and empty blocks."""
-        if infos[i] is None:
-            return 0
-        key = infos[i][0] if direction < 0 else infos[i][2]
-        extra = 0
-        j = i + direction
-        while 0 <= j < len(infos):
+    def chain_extras(direction: int) -> list[int]:
+        """Equal-key rows for every block's boundary run accumulated from
+        its neighbours along ``direction`` (-1 = preceding, +1 =
+        following) — ONE linear pass with a (key, count) carry, so a hot
+        key occupying thousands of consecutive single-run blocks costs
+        O(num_blocks) total, not O(num_blocks²)."""
+        order = range(len(infos)) if direction > 0 else range(
+            len(infos) - 1, -1, -1
+        )
+        extras = [0] * len(infos)
+        carry_key, carry = None, 0
+        for j in order:
             info = infos[j]
-            if info is None:  # empty block is transparent
-                j += direction
+            if info is None:  # empty block is transparent to the chain
                 continue
             first, head_len, last, tail_len, n = info
-            near_key, near_len = (last, tail_len) if direction < 0 else (
+            # key/len on the side FACING the accumulated carry, and on the
+            # side the carry continues from
+            near_key, near_len = (first, head_len) if direction > 0 else (
+                last,
+                tail_len,
+            )
+            far_key, far_len = (last, tail_len) if direction > 0 else (
                 first,
                 head_len,
             )
-            if near_key != key:
-                break
-            extra += near_len
-            if near_len != n:  # run ends inside block j
-                break
-            j += direction
-        return extra
+            extras[j] = carry if near_key == carry_key else 0
+            if head_len == n:  # single-run block: chain may pass through
+                carry = (carry + n) if near_key == carry_key else n
+                carry_key = near_key
+            else:
+                carry_key, carry = far_key, far_len
+        return extras
 
+    prefix, suffix = chain_extras(+1), chain_extras(-1)
     out_refs = [
-        _run_len_block.remote(
-            r, key_cols, out_col, chain_extra(i, -1), chain_extra(i, +1)
-        )
+        _run_len_block.remote(r, key_cols, out_col, prefix[i], suffix[i])
         for i, r in enumerate(refs)
     ]
     return rd.from_arrow_refs(out_refs)
