@@ -24,6 +24,15 @@ import ray.data as rd
 _SORT_BLOCK_BYTES = 32 << 20
 _SORT_BLOCK_ROWS = 65_536
 
+# driver-local sort fast path: below these caps the whole input is one
+# small table (a combiner-collapsed keyset, never a corpus), and Ray's
+# distributed sort would pay 2 extra materialize barriers plus an O(P²)
+# small-object exchange on it — measured ~0.5-1.5 s of pure latency per
+# barrier at 16 cpus, the serial floor of the edges/mention stages. Same
+# bounded-driver-path contract as dedup.SMALL_CC_LIMIT / BROADCAST_LIMIT.
+SMALL_SORT_ROWS = 262_144
+SMALL_SORT_BYTES = 64 << 20
+
 
 def _sort_coalesced(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
     """Range sort with a size-justified shuffle width.
@@ -34,15 +43,33 @@ def _sort_coalesced(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
     P=128 vs ~2 s at P=4 — pure fixed latency, independent of bytes and of
     CPU count. Combiner-collapsed tables (merged edges, invalidation keys)
     inherit the corpus's block count, so their sorts were the serial term
-    capping kg_build's scaling efficiency. Coalesce the input down to the
-    partition count its bytes/rows actually justify before sorting;
-    corpus-sized inputs keep their full width. Sort is a pipeline breaker
-    anyway, so materializing the input first adds no extra pass."""
+    capping kg_build's scaling efficiency. Three tiers:
+
+    - ≤ SMALL_SORT_ROWS/BYTES: one driver-local pyarrow ``sort_by``
+      (null_placement matches Ray's at_end) — no shuffle, no extra
+      barriers;
+    - small-but-not-tiny: coalesce to the partition count the bytes/rows
+      justify, then distributed sort;
+    - corpus-sized: distributed sort at full width.
+
+    Sort is a pipeline breaker anyway, so materializing the input first
+    adds no extra pass."""
     mat = ds.materialize()
     nblocks = mat.num_blocks()
     if nblocks > 8:
         rows = mat.count()
         size = mat.size_bytes() or 0
+        if rows <= SMALL_SORT_ROWS and size <= SMALL_SORT_BYTES:
+            refs = []
+            for bundle in mat.iter_internal_ref_bundles():
+                refs.extend(bundle.block_refs)
+            tables = [_as_arrow(b) for b in ray.get(refs)]
+            tables = [t for t in tables if t.num_rows] or tables[:1]
+            tbl = pa.concat_tables(tables, promote_options="default")
+            tbl = tbl.combine_chunks().sort_by(
+                [(c, "ascending") for c in cols]
+            )
+            return rd.from_arrow(tbl).materialize()
         target = min(
             nblocks,
             max(1, size // _SORT_BLOCK_BYTES, rows // _SORT_BLOCK_ROWS),

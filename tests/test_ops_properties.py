@@ -26,6 +26,44 @@ rows_strategy = st.lists(
 )
 
 
+class _sort_path:
+    """Pin ops._sort_coalesced's path: rows=0 forces the DISTRIBUTED sort
+    (boundary-exchange machinery), a huge value forces the driver-local
+    small-sort fast path. Context manager, hypothesis-safe."""
+
+    def __init__(self, rows: int):
+        self.rows = rows
+
+    def __enter__(self):
+        import graphiti_ray.stages.ops as ops_mod
+
+        self._mod, self._old = ops_mod, ops_mod.SMALL_SORT_ROWS
+        ops_mod.SMALL_SORT_ROWS = self.rows
+        return self
+
+    def __exit__(self, *exc):
+        self._mod.SMALL_SORT_ROWS = self._old
+        return False
+
+
+_force_distributed_sort = lambda: _sort_path(0)  # noqa: E731
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _distributed_boundary_machinery():
+    """These property tests exist to stress the distributed boundary
+    exchange; the driver-local small-sort fast path would collapse every
+    small input to one block and bypass the very carry logic under test.
+    Forced off for the module; tests that want the fast path pin it with
+    ``_sort_path(10**9)``."""
+    import graphiti_ray.stages.ops as ops_mod
+
+    old = ops_mod.SMALL_SORT_ROWS
+    ops_mod.SMALL_SORT_ROWS = 0
+    yield
+    ops_mod.SMALL_SORT_ROWS = old
+
+
 @given(rows_strategy, st.integers(1, 6))
 @settings(max_examples=15, deadline=None)
 def test_sorted_lead_matches_pandas(ray_session, rows, nblocks):
@@ -683,12 +721,14 @@ def test_annotate_run_lengths_matches_counter(ray_session, keys, nblocks):
     from graphiti_ray.stages.ops import annotate_run_lengths
 
     df = pd.DataFrame({"k": keys, "rid": range(len(keys))})
-    ds = rd.from_pandas(df).repartition(nblocks)
-    out = annotate_run_lengths(ds, ["k"], out_col="df").to_pandas()
     want = Counter(keys)
-    assert len(out) == len(keys)
-    for r in out.itertuples(index=False):
-        assert r.df == want[r.k], (r.k, r.df, want[r.k])
+    for rows_cap in (0, 10**9):  # distributed path AND driver fast path
+        ds = rd.from_pandas(df).repartition(nblocks)
+        with _sort_path(rows_cap):
+            out = annotate_run_lengths(ds, ["k"], out_col="df").to_pandas()
+        assert len(out) == len(keys)
+        for r in out.itertuples(index=False):
+            assert r.df == want[r.k], (rows_cap, r.k, r.df, want[r.k])
 
 
 def test_annotate_run_lengths_hot_key_spanning_all_blocks(ray_session):
@@ -698,6 +738,46 @@ def test_annotate_run_lengths_hot_key_spanning_all_blocks(ray_session):
 
     df = pd.DataFrame({"k": [7] * 500 + [1, 2, 3], "rid": range(503)})
     ds = rd.from_pandas(df.sample(frac=1, random_state=0)).repartition(8)
-    out = annotate_run_lengths(ds, ["k"], out_col="df").to_pandas()
+    with _force_distributed_sort():
+        out = annotate_run_lengths(ds, ["k"], out_col="df").to_pandas()
     assert (out.loc[out.k == 7, "df"] == 500).all()
     assert (out.loc[out.k != 7, "df"] == 1).all()
+
+
+def test_small_sort_fast_path_matches_distributed(ray_session):
+    """The driver-local small-sort tier must be result-identical to the
+    distributed sort for every primitive built on _sort_coalesced."""
+    import pyarrow as pa
+
+    from graphiti_ray.stages.ops import annotate_run_lengths, distinct_by_key
+
+    df = pd.DataFrame(
+        {
+            "k": [i % 7 for i in range(300)],
+            "v": [i % 13 for i in range(300)],
+            "rid": range(300),
+        }
+    )
+
+    def run(rows_cap):
+        ds = rd.from_pandas(df).repartition(9)
+        with _sort_path(rows_cap):
+            lead = sorted_lead(
+                ds, ["k"], ["v", "rid"], "v", out_col="nxt", out_type=pa.int64()
+            ).to_pandas()
+            dk = distinct_by_key(
+                rd.from_pandas(df).repartition(9), "k", order_cols=["rid"]
+            ).to_pandas()
+            rl = annotate_run_lengths(
+                rd.from_pandas(df).repartition(9), ["k"], out_col="df"
+            ).to_pandas()
+        key = ["k", "v", "rid"]
+        return (
+            lead.sort_values(key).reset_index(drop=True),
+            dk.sort_values("k").reset_index(drop=True),
+            rl.sort_values(key).reset_index(drop=True),
+        )
+
+    fast, dist = run(10**9), run(0)
+    for f, d in zip(fast, dist):
+        pd.testing.assert_frame_equal(f[sorted(f.columns)], d[sorted(d.columns)])
