@@ -9,12 +9,13 @@ tested. The codec step has THREE modes:
   bytes — integer arithmetic the DuckDB oracle replicates exactly;
 - ``"real"``: honest decoders for the formats the standard library +
   numpy can handle with zero extra deps — WAV audio (``wave`` module,
-  8/16/32-bit PCM) and binary PPM/PGM images (P6/P5) including a real
-  nearest-neighbor resize. Formats needing external codecs (JPEG, MP4)
-  raise ``NotImplementedError`` at the documented seam where
+  8/16/32-bit PCM), binary PPM/PGM images (P6/P5) and uncompressed
+  24-bit BI_RGB BMP (bottom-up or top-down, padded rows), including a
+  real nearest-neighbor resize. Formats needing external codecs (JPEG,
+  MP4) raise ``NotImplementedError`` at the documented seam where
   PIL/torchaudio/ffmpeg plug in;
-- ``"auto"``: sniff the payload magic — decode WAV/PPM/PGM for real,
-  fall back to the stub for everything else.
+- ``"auto"``: sniff the payload magic — decode WAV/PPM/PGM/BMP for
+  real, fall back to the stub for everything else.
 
 Batch sizing: payloads are wide — callers should pass a small
 ``batch_size`` (default 32) so batch × concurrency fits worker heaps
@@ -52,13 +53,16 @@ def payload_chunk_hashes(payload: bytes, dim: int) -> np.ndarray:
 
 
 def sniff_format(payload: bytes) -> str:
-    """Best-effort container sniff: 'wav' | 'ppm' | 'pgm' | 'unknown'."""
+    """Best-effort container sniff: 'wav' | 'ppm' | 'pgm' | 'bmp' |
+    'unknown'."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":
         return "pgm"
+    if payload[:2] == b"BM":
+        return "bmp"
     return "unknown"
 
 
@@ -117,6 +121,58 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     else:
         magic, (h, w) = b"P5", arr.shape
     return magic + f"\n{w} {h}\n255\n".encode() + arr.astype(np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Real zero-dep decoder for the uncompressed 24-bit BI_RGB BMP
+    (BITMAPINFOHEADER+): bottom-up (or top-down when biHeight < 0) row
+    order, BGR byte order, rows padded to 4 bytes. Returns (h, w, 3)
+    uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER (OS/2) BMP not supported")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp}, comp={comp})")
+    bottom_up, h = h > 0, abs(h)
+    stride = (w * 3 + 3) & ~3
+    buf = np.frombuffer(payload, np.uint8, count=stride * h, offset=data_off)
+    img = buf.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[..., ::-1]
+    if bottom_up:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """uint8 (h, w, 3) RGB → 24-bit BI_RGB BMP bytes (bottom-up, padded)."""
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    raster = np.zeros((h, stride), np.uint8)
+    raster[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # flip + BGR
+    body = raster.tobytes()
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(body)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + body
 
 
 def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
@@ -188,6 +244,8 @@ class MediaFeatureExtractor:
                 return _chunk_ints(samples, self.dim)
             if fmt in ("ppm", "pgm"):
                 return _chunk_ints(decode_ppm(payload), self.dim)
+            if fmt == "bmp":
+                return _chunk_ints(decode_bmp(payload), self.dim)
         except Exception:
             # magic sniffed but the body is corrupt/truncated (or a text
             # blob that happens to start with 'P6'/RIFF): auto degrades to
@@ -280,8 +338,13 @@ class MediaResize:
     def _resize(self, payload: bytes) -> bytes:
         if self.decode == "stub":
             return self._stub_resize(payload)
-        if sniff_format(payload) in ("ppm", "pgm"):
+        fmt = sniff_format(payload)
+        if fmt in ("ppm", "pgm", "bmp"):
             try:
+                if fmt == "bmp":
+                    return encode_bmp(
+                        resize_nearest(decode_bmp(payload), self.width, self.height)
+                    )
                 return encode_ppm(
                     resize_nearest(decode_ppm(payload), self.width, self.height)
                 )
@@ -294,7 +357,7 @@ class MediaResize:
             return self._stub_resize(payload)
         raise NotImplementedError(
             "real resize for this format needs PIL (not in this container); "
-            "PPM/PGM resize natively — or use decode='auto'"
+            "PPM/PGM/BMP resize natively — or use decode='auto'"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -413,11 +476,12 @@ def dhash64(gray: np.ndarray) -> int:
 
 
 class ImageDHashStage:
-    """Actor-pool stage: PPM/PGM payload → (doc_id, simhash, band0..3) —
-    the canonical 64-bit-signature schema banded_hamming_pairs consumes
-    (stages/dedup.py). The decode is the REAL codec path (decode_ppm +
-    integer luma + integer nearest-neighbor sampling), not a stub; JPEG
-    payloads would plug in at the same seam as MediaFeatureExtractor."""
+    """Actor-pool stage: PPM/PGM/BMP payload → (doc_id, simhash, band0..3)
+    — the canonical 64-bit-signature schema banded_hamming_pairs consumes
+    (stages/dedup.py). The decode is the REAL codec path (decode_ppm /
+    decode_bmp + integer luma + integer nearest-neighbor sampling), not a
+    stub; JPEG payloads would plug in at the same seam as
+    MediaFeatureExtractor."""
 
     def __init__(self, id_col: str = "media_id"):
         self.id_col = id_col
@@ -426,7 +490,15 @@ class ImageDHashStage:
         ids = batch.column(self.id_col)
         hashes = np.array(
             [
-                np.uint64(dhash64(luma_gray(decode_ppm(p))))
+                np.uint64(
+                    dhash64(
+                        luma_gray(
+                            decode_bmp(p)
+                            if sniff_format(p) == "bmp"
+                            else decode_ppm(p)
+                        )
+                    )
+                )
                 for p in batch.column("payload").to_pylist()
             ],
             dtype=np.uint64,

@@ -584,3 +584,46 @@ def test_tfidf_keywords(ray_session):
     # every doc emits exactly min(top_k, n_distinct_terms) rows
     assert out.groupby("doc_id").size().tolist() == [2, 2, 2]
     assert set(out["rank"]) == {1, 2}
+
+
+def test_bmp_codec_roundtrip_and_dhash():
+    """Real BMP decode: encode→decode roundtrip is exact (incl. row padding
+    for non-multiple-of-4 widths and the BGR/bottom-up conventions), a
+    top-down (negative height) file decodes identically, corrupt bodies
+    raise, and the dHash pipeline accepts BMP next to PPM."""
+    import numpy as np
+
+    from graphiti_ray.stages.multimodal import (
+        decode_bmp,
+        dhash64,
+        encode_bmp,
+        encode_ppm,
+        luma_gray,
+        resize_nearest,
+        sniff_format,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)  # w=7: padded
+    payload = encode_bmp(img)
+    assert sniff_format(payload) == "bmp"
+    assert np.array_equal(decode_bmp(payload), img)
+
+    # top-down variant: flip rows in the body, negate biHeight
+    flipped = bytearray(encode_bmp(img[::-1]))
+    flipped[22:26] = (-5).to_bytes(4, "little", signed=True)
+    assert np.array_equal(decode_bmp(bytes(flipped)), img)
+
+    with __import__("pytest").raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 12 + (12).to_bytes(4, "little") + b"\x00" * 24)
+
+    # same pixels through BMP and PPM give the same dhash
+    h_bmp = dhash64(luma_gray(decode_bmp(payload)))
+    from graphiti_ray.stages.multimodal import decode_ppm
+
+    h_ppm = dhash64(luma_gray(decode_ppm(encode_ppm(img))))
+    assert h_bmp == h_ppm
+
+    # resize path keeps the format decodeable
+    small = encode_bmp(resize_nearest(img, 4, 3))
+    assert decode_bmp(small).shape == (3, 4, 3)
