@@ -7,15 +7,17 @@ tested. The codec step has THREE modes:
 
 - ``"stub"`` (default): deterministic fake feature vector from the payload
   bytes — integer arithmetic the DuckDB oracle replicates exactly;
-- ``"real"``: honest decoders for the formats the standard library +
-  numpy can handle with zero extra deps — WAV audio (``wave`` module,
-  8/16/32-bit PCM), binary PPM/PGM images (P6/P5) and uncompressed
-  24-bit BI_RGB BMP (bottom-up or top-down, padded rows), including a
-  real nearest-neighbor resize. Formats needing external codecs (JPEG,
-  MP4) raise ``NotImplementedError`` at the documented seam where
+- ``"real"``: honest decoders with zero extra deps — WAV audio
+  (``wave`` module, 8/16/32-bit PCM), binary PPM/PGM images (P6/P5),
+  uncompressed 24-bit BI_RGB BMP (bottom-up or top-down, padded rows)
+  and baseline sequential JPEG (``functions/jpeg.py`` — a full
+  pure-numpy Annex-K Huffman + DCT codec, 4:4:4/4:2:2/4:2:0, restart
+  markers), including a real nearest-neighbor resize. Formats needing
+  external codecs (progressive JPEG, MP4 video) raise
+  ``NotImplementedError`` at the documented seam where
   PIL/torchaudio/ffmpeg plug in;
-- ``"auto"``: sniff the payload magic — decode WAV/PPM/PGM/BMP for
-  real, fall back to the stub for everything else.
+- ``"auto"``: sniff the payload magic — decode WAV/PPM/PGM/BMP/JPEG
+  for real, fall back to the stub for everything else.
 
 Batch sizing: payloads are wide — callers should pass a small
 ``batch_size`` (default 32) so batch × concurrency fits worker heaps
@@ -54,7 +56,7 @@ def payload_chunk_hashes(payload: bytes, dim: int) -> np.ndarray:
 
 def sniff_format(payload: bytes) -> str:
     """Best-effort container sniff: 'wav' | 'ppm' | 'pgm' | 'bmp' |
-    'unknown'."""
+    'jpeg' | 'unknown'."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload[:2] == b"P6":
@@ -63,7 +65,26 @@ def sniff_format(payload: bytes) -> str:
         return "pgm"
     if payload[:2] == b"BM":
         return "bmp"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     return "unknown"
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Unified image decode dispatch over the real zero-dep codecs:
+    PPM/PGM (binary), 24-bit BMP, and baseline JPEG
+    (functions/jpeg.py — full Annex-K Huffman + DCT decoder). Returns
+    uint8 (h, w, 3) or (h, w)."""
+    fmt = sniff_format(payload)
+    if fmt in ("ppm", "pgm"):
+        return decode_ppm(payload)
+    if fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt == "jpeg":
+        from graphiti_ray.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError(f"not a decodable image payload: {fmt}")
 
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
@@ -242,10 +263,8 @@ class MediaFeatureExtractor:
             if fmt == "wav":
                 samples, _sr = decode_wav(payload)
                 return _chunk_ints(samples, self.dim)
-            if fmt in ("ppm", "pgm"):
-                return _chunk_ints(decode_ppm(payload), self.dim)
-            if fmt == "bmp":
-                return _chunk_ints(decode_bmp(payload), self.dim)
+            if fmt in ("ppm", "pgm", "bmp", "jpeg"):
+                return _chunk_ints(decode_image(payload), self.dim)
         except Exception:
             # magic sniffed but the body is corrupt/truncated (or a text
             # blob that happens to start with 'P6'/RIFF): auto degrades to
@@ -257,9 +276,9 @@ class MediaFeatureExtractor:
         if self.decode == "auto":
             return payload_chunk_hashes(payload, self.dim)
         raise NotImplementedError(
-            "real decode for this format needs PIL/ffmpeg (not in this "
-            "container); WAV and PPM/PGM decode natively — or use "
-            "decode='auto' to stub-fallback other formats"
+            "real decode for this format needs ffmpeg/PIL (not in this "
+            "container); WAV, PPM/PGM, BMP and baseline JPEG decode "
+            "natively — or use decode='auto' to stub-fallback other formats"
         )
 
     def _decode(self, payload: bytes) -> np.ndarray:
@@ -339,15 +358,18 @@ class MediaResize:
         if self.decode == "stub":
             return self._stub_resize(payload)
         fmt = sniff_format(payload)
-        if fmt in ("ppm", "pgm", "bmp"):
+        if fmt in ("ppm", "pgm", "bmp", "jpeg"):
             try:
-                if fmt == "bmp":
-                    return encode_bmp(
-                        resize_nearest(decode_bmp(payload), self.width, self.height)
-                    )
-                return encode_ppm(
-                    resize_nearest(decode_ppm(payload), self.width, self.height)
+                resized = resize_nearest(
+                    decode_image(payload), self.width, self.height
                 )
+                if fmt == "bmp":
+                    return encode_bmp(resized)
+                if fmt == "jpeg":
+                    from graphiti_ray.functions.jpeg import encode_jpeg
+
+                    return encode_jpeg(resized)
+                return encode_ppm(resized)
             except Exception:
                 # sniffed-but-corrupt body: auto degrades, real is loud
                 if self.decode != "auto":
@@ -356,8 +378,9 @@ class MediaResize:
         if self.decode == "auto":
             return self._stub_resize(payload)
         raise NotImplementedError(
-            "real resize for this format needs PIL (not in this container); "
-            "PPM/PGM/BMP resize natively — or use decode='auto'"
+            "real resize for this format needs ffmpeg/PIL (not in this "
+            "container); PPM/PGM/BMP/JPEG resize natively — or use "
+            "decode='auto'"
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -478,10 +501,11 @@ def dhash64(gray: np.ndarray) -> int:
 class ImageDHashStage:
     """Actor-pool stage: PPM/PGM/BMP payload → (doc_id, simhash, band0..3)
     — the canonical 64-bit-signature schema banded_hamming_pairs consumes
-    (stages/dedup.py). The decode is the REAL codec path (decode_ppm /
-    decode_bmp + integer luma + integer nearest-neighbor sampling), not a
-    stub; JPEG payloads would plug in at the same seam as
-    MediaFeatureExtractor."""
+    (stages/dedup.py). The decode is the REAL codec path (decode_image:
+    PPM/PGM, BMP, or the functions/jpeg.py baseline JPEG decoder + integer
+    luma + integer nearest-neighbor sampling), not a stub. The oracle row
+    runs on PPM (bit-exact pixels → SQL-replicable); JPEG near-dup is
+    pytest-covered (DCT is float-lossy, so no value-exact SQL twin)."""
 
     def __init__(self, id_col: str = "media_id"):
         self.id_col = id_col
@@ -490,15 +514,7 @@ class ImageDHashStage:
         ids = batch.column(self.id_col)
         hashes = np.array(
             [
-                np.uint64(
-                    dhash64(
-                        luma_gray(
-                            decode_bmp(p)
-                            if sniff_format(p) == "bmp"
-                            else decode_ppm(p)
-                        )
-                    )
-                )
+                np.uint64(dhash64(luma_gray(decode_image(p))))
                 for p in batch.column("payload").to_pylist()
             ],
             dtype=np.uint64,

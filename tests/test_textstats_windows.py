@@ -627,3 +627,156 @@ def test_bmp_codec_roundtrip_and_dhash():
     # resize path keeps the format decodeable
     small = encode_bmp(resize_nearest(img, 4, 3))
     assert decode_bmp(small).shape == (3, 4, 3)
+
+
+def _psnr(a, b):
+    import numpy as np
+
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def test_jpeg_codec_roundtrip():
+    """Real baseline JPEG codec (functions/jpeg.py): encode→decode
+    round-trips a smooth image above 35 dB PSNR across quality levels,
+    both subsampling layouts (4:4:4 / 4:2:0), restart intervals, odd
+    dimensions and grayscale; a flat color block is exact; progressive
+    SOF2 raises at the documented seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graphiti_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from graphiti_ray.stages.multimodal import decode_image, sniff_format
+
+    yy, xx = np.mgrid[0:45, 0:77]
+    img = (
+        np.stack(
+            [
+                xx * 255 / 76,
+                yy * 255 / 44,
+                128 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0),
+            ],
+            axis=-1,
+        )
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+    for quality, sub, ri, floor in [
+        (95, "444", 0, 45.0),
+        (85, "444", 3, 40.0),
+        (85, "420", 0, 34.0),
+        (60, "420", 5, 32.0),
+    ]:
+        enc = encode_jpeg(img, quality, sub, restart_interval=ri)
+        assert sniff_format(enc) == "jpeg"
+        dec = decode_jpeg(enc)
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > floor
+        assert np.array_equal(decode_image(enc), dec)
+
+    # flat color block: every 8x8 is DC-only → exact round-trip
+    flat = np.full((16, 24, 3), (200, 30, 90), np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat, 90)), flat)
+
+    # grayscale single-component scan
+    g = (yy * 255 / 44).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, 90))
+    assert dg.shape == g.shape and _psnr(g, dg) > 40.0
+
+    # progressive (SOF2) is the documented seam
+    prog = bytearray(encode_jpeg(img, 85))
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="SOF"):
+        decode_jpeg(bytes(prog))
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_media_stages(ray_session):
+    """JPEG payloads flow through the real-decode paths end to end:
+    media_features(decode='real') extracts pixel-derived features,
+    media_resize re-encodes a real JPEG at the target size, and
+    image_phash_near_dup clusters a JPEG re-encode of an image with its
+    PPM original (perceptual hash survives DCT loss)."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from graphiti_ray.functions.jpeg import encode_jpeg
+    from graphiti_ray.stages.multimodal import (
+        decode_image,
+        encode_ppm,
+        image_phash_near_dup,
+        media_features,
+        media_resize,
+        sniff_format,
+    )
+
+    rng = np.random.RandomState(11)
+    # distinct blocky images with ENFORCED horizontal contrast: adjacent
+    # cells alternate dark/bright bands (gap ≥ 55 luma), so the dHash grid
+    # comparisons sit far from their decision boundary and survive JPEG
+    # quantization noise (banded blocking only guarantees recall at
+    # hamming ≤ 3 with 4 bands — the fixture must keep dup pairs there).
+    # A plain gradient would NOT work: every gradient dhashes to all-zeros.
+    # 9 grid columns so each of dHash's 9 sample columns lands in a
+    # DISTINCT cell (8 columns would put two samples in one cell — an
+    # equal-pair comparison that flips on ±1 of codec noise). Cells walk
+    # randomly over 4 well-separated gray levels with adjacent cells
+    # always on different levels: every horizontal comparison has ≥ 75
+    # luma of margin (JPEG-noise-proof bit) but a per-image random
+    # DIRECTION (so distinct images get far-apart hashes — a fixed
+    # dark/bright checkerboard would hash every image identically).
+    def blocky():
+        levels = np.array([15, 90, 165, 240], dtype=np.uint8)
+        idx = np.zeros((6, 9), dtype=np.int64)
+        idx[:, 0] = rng.randint(0, 4, 6)
+        for c in range(1, 9):
+            step = rng.randint(1, 4, 6)  # never 0 → never equal-adjacent
+            idx[:, c] = (idx[:, c - 1] + step) % 4
+        gray = levels[idx]
+        grid = np.repeat(gray[..., None], 3, axis=2)
+        return np.repeat(np.repeat(grid, 5, 0), 5, 1)
+
+    base = [blocky() for _ in range(4)]
+
+    rows = []
+    for i, img in enumerate(base):
+        rows.append(
+            {
+                "media_id": 2 * i,
+                "mime": "image/x-portable-pixmap",
+                "payload": encode_ppm(img),
+                "meta": "{}",
+            }
+        )
+        rows.append(
+            {
+                "media_id": 2 * i + 1,
+                "mime": "image/jpeg",
+                "payload": encode_jpeg(img, quality=95),
+                "meta": "{}",
+            }
+        )
+    media = rd.from_items(rows)
+
+    feats = media_features(media, decode_stub=False).take_all()
+    assert len(feats) == 8
+    assert all(len(r["feature"]) == 32 for r in feats)
+
+    resized = media_resize(media, width=16, height=12, decode_stub=False)
+    for r in resized.take_all():
+        fmt = sniff_format(r["payload"])
+        assert fmt in ("ppm", "jpeg")
+        assert decode_image(r["payload"]).shape == (12, 16, 3)
+
+    pairs = image_phash_near_dup(media, max_hamming=6).take_all()
+    got = {(r["a"], r["b"]) for r in pairs}
+    for i in range(4):  # each JPEG re-encode pairs with its PPM original
+        assert (2 * i, 2 * i + 1) in got
+    # distinct images don't collapse into one cluster
+    cross = {p for p in got if p[0] // 2 != p[1] // 2}
+    assert len(cross) <= 1
