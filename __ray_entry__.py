@@ -1420,6 +1420,83 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(emb, n_queries=32, k=10, n_clusters=8, nprobe=8)
 
 
+def _q_embeddings_kmeans(sf_dir: str):
+    """Distributed Lloyd's k-means over the FULL embedding corpus (not a
+    driver sample) — the clustering primitive behind SemDeDup-style
+    semantic bucketing and data-mixing strata. Per iteration: broadcast
+    k×dim centroids, one streaming map_batches pass emits per-block
+    partial (sum, count) in long format, groupby(cid, pos).sum reduces to
+    k×(dim+1) rows, the driver folds only that. Integer-lattice
+    arithmetic (floor(v*1000), exact int squared-L2, floor-divide
+    centroid update, argmin ties → lowest cid) makes the DuckDB twin
+    value-exact with zero float-associativity risk."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import kmeans_assign
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_assign(emb, k=8, n_iters=3)
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3) -> str:
+    """Lloyd's unrolled in SQL (the PageRank-oracle trick): vectors in
+    long (vec_id, pos, x) form on the engine's integer lattice; each
+    round is assign (exact int squared-L2, ORDER BY d2, cid ties) then
+    update (floor(sum/count), empty clusters vanish from the GROUP BY);
+    the final round emits (vec_id, cluster, dist)."""
+    parts = [
+        f"""
+vx AS (
+  SELECT vec_id, i AS pos,
+         floor(embedding[i]::DOUBLE * 1000)::BIGINT AS x
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+c0 AS (
+  SELECT r.rn - 1 AS cid, v.pos, v.x AS c
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings) r
+  JOIN vx v USING (vec_id)
+  WHERE r.rn <= {k}
+)"""
+    ]
+    for t in range(n_iters - 1):
+        parts.append(f"""
+a{t} AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+  FROM (
+    SELECT v.vec_id, c.cid, sum((v.x - c.c) * (v.x - c.c)) AS d2
+    FROM vx v JOIN c{t} c USING (pos)
+    GROUP BY 1, 2
+  )
+),
+c{t + 1} AS (
+  SELECT a.cid, v.pos,
+         floor(sum(v.x)::DOUBLE / count(*))::BIGINT AS c
+  FROM a{t} a JOIN vx v USING (vec_id)
+  WHERE a.rk = 1
+  GROUP BY 1, 2
+)""")
+    final_c = f"c{n_iters - 1}"
+    return (
+        "WITH "
+        + ",".join(p.strip() for p in parts)
+        + f""",
+fin AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+  FROM (
+    SELECT v.vec_id, c.cid, sum((v.x - c.c) * (v.x - c.c)) AS d2
+    FROM vx v JOIN {final_c} c USING (pos)
+    GROUP BY 1, 2
+  )
+)
+SELECT vec_id, cid::BIGINT AS cluster, d2::BIGINT AS dist
+FROM fin WHERE rk = 1
+"""
+    )
+
+
 def _q_events_tumbling(sf_dir: str):
     import ray.data as rd
     import pyarrow as pa
@@ -2574,6 +2651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "embeddings_kmeans": _q_embeddings_kmeans,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_tfidf": _q_docs_tfidf,
         "graph_kcore": _q_graph_kcore,
@@ -3507,6 +3585,9 @@ GROUP BY 1, 2
         "docs_dup_spans": _dup_spans_oracle_sql(),
         "docs_tfidf": _TFIDF_ORACLE,
         "docs_pack": _PACK_ORACLE,
+        # Lloyd's unrolled (assign → floor-divide update) on the integer
+        # lattice; ties and empty clusters identical on both sides
+        "embeddings_kmeans": _kmeans_oracle_sql(),
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

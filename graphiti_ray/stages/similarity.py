@@ -265,3 +265,126 @@ def knn_lsh(
     return candidates.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pandas"
     )
+
+
+# --- distributed Lloyd's k-means (integer lattice, oracle-exact) -------------
+
+KMEANS_QUANT = 1000
+
+
+def kmeans_assign(
+    emb: rd.Dataset,
+    k: int = 8,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Distributed Lloyd's k-means over an embedding column — the
+    clustering primitive of training-data curation (SemDeDup-style
+    semantic bucketing, data-mixing strata, IVF index builds that need
+    the FULL corpus rather than a driver sample).
+
+    Shape per iteration (the blessed combiner → keyed-reduce pattern):
+    centroids broadcast via ``ray.put`` (k×dim, tiny) → one streaming
+    ``map_batches`` pass emits per-block partial sums in long format
+    (cid, pos, s; pos -1 carries the member count) → ``groupby(cid,
+    pos).sum`` reduces k×(dim+1) keys → the driver folds that k×(dim+1)
+    row table into the next centroid matrix. No all-to-all over the
+    data, no driver residency beyond k×dim.
+
+    Arithmetic is on an INTEGER lattice so the DuckDB oracle is
+    value-exact with zero float-associativity risk: vectors quantize as
+    ``floor(v * 1000)`` (int64), distances are exact integer squared-L2,
+    centroid updates are ``floor(sum / count)``, and argmin ties break
+    to the lowest cluster id (= SQL ``ORDER BY d, cid``). Empty clusters
+    drop (both sides). Init = the k lowest-``id_col`` vectors.
+
+    Output: (vec_id, cluster, dist) — final-iteration assignment with
+    its exact integer squared distance.
+
+    Reference analogue: community clustering over node embeddings
+    (graphiti_core/utils/maintenance/community_operations.py builds
+    communities via label propagation; k-means is the embedding-space
+    counterpart a corpus pipeline needs).
+    """
+    import ray
+
+    from graphiti_ray.stages.embed import column_to_matrix
+
+    init = emb.sort(id_col).limit(k).to_pandas()
+    cents = np.stack(
+        [
+            np.floor(np.asarray(v, np.float64) * KMEANS_QUANT).astype(np.int64)
+            for v in init[vec_col]
+        ]
+    )
+    cids = np.arange(len(cents), dtype=np.int64)
+    dim = cents.shape[1]
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        x = column_to_matrix(batch.column(vec_col), dtype=np.float64)
+        return np.floor(x * KMEANS_QUANT).astype(np.int64)
+
+    def _assign(x: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # exact integer squared-L2; argmin returns the FIRST minimum →
+        # lowest cluster id on ties (cids stay ascending)
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        return a, d2[np.arange(len(a)), a]
+
+    for _ in range(n_iters - 1):
+        ref = ray.put((cids, cents))
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _ray
+
+            cids_, c = _ray.get(_ref)
+            x = _quant(batch)
+            a, _ = _assign(x, c)
+            kk = len(cids_)
+            sums = np.zeros((kk, dim), np.int64)
+            np.add.at(sums, a, x)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            # long format: pos -1 row carries the count, pos 0..dim-1 the sums
+            vals = np.concatenate([counts[:, None], sums], axis=1).ravel()
+            return pa.table(
+                {
+                    "cid": pa.array(np.repeat(cids_, dim + 1), pa.int64()),
+                    "pos": pa.array(
+                        np.tile(np.arange(-1, dim), kk), pa.int64()
+                    ),
+                    "s": pa.array(vals, pa.int64()),
+                }
+            )
+
+        reduced = (
+            emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["cid", "pos"])
+            .sum("s")
+            .to_pandas()
+        )  # k×(dim+1) rows — the keyed reduce's output is centroid-sized
+        piv = reduced.pivot(index="cid", columns="pos", values="sum(s)")
+        piv = piv.sort_index()
+        n = piv[-1].to_numpy()
+        keep = n > 0  # empty clusters drop (SQL twin: absent from GROUP BY)
+        sums = piv[[p for p in range(dim)]].to_numpy()[keep]
+        cids = piv.index.to_numpy()[keep].astype(np.int64)
+        cents = np.floor(sums / n[keep][:, None]).astype(np.int64)
+
+    ref = ray.put((cids, cents))
+
+    def final(batch: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _ray
+
+        cids_, c = _ray.get(_ref)
+        x = _quant(batch)
+        a, d = _assign(x, c)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(cids_[a], pa.int64()),
+                "dist": pa.array(d, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)

@@ -294,6 +294,49 @@ def test_knn_ivf_recall_and_exact_at_full_probe(ray_session):
     assert hits / len(exact) >= 0.7
 
 
+def test_kmeans_assign_matches_sequential_lloyds(ray_session):
+    """Distributed k-means (combiner → keyed reduce per round) must equal
+    a single-process Lloyd's on the same integer lattice, including
+    argmin tie-break to lowest cid and empty-cluster drop."""
+    import numpy as np
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import KMEANS_QUANT, kmeans_assign
+
+    rng = np.random.default_rng(7)
+    n, dim, k, iters = 120, 6, 5, 4
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": x[i].tolist()} for i in range(n)]
+    ).repartition(7)
+    out = (
+        kmeans_assign(ds, k=k, n_iters=iters)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # sequential twin
+    xq = np.floor(x.astype(np.float64) * KMEANS_QUANT).astype(np.int64)
+    cents = xq[np.argsort(np.arange(n))[:k]].copy()
+    cids = np.arange(k, dtype=np.int64)
+    for _ in range(iters - 1):
+        d2 = ((xq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        sums = np.zeros((len(cids), dim), np.int64)
+        np.add.at(sums, a, xq)
+        counts = np.bincount(a, minlength=len(cids))
+        keep = counts > 0
+        cents = np.floor(sums[keep] / counts[keep][:, None]).astype(np.int64)
+        cids = cids[keep]
+    d2 = ((xq[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    assert out.cluster.to_numpy().tolist() == cids[a].tolist()
+    assert out.dist.to_numpy().tolist() == d2[np.arange(n), a].tolist()
+    # every surviving cluster is non-trivial on this fixture
+    assert out.cluster.nunique() >= 2
+
+
 def _wav_bytes(freq=440.0, sr=8000, n=800, ch=1):
     """Deterministic 16-bit PCM WAV via the stdlib writer."""
     import io
