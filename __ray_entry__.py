@@ -1438,12 +1438,13 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_assign(emb, k=8, n_iters=3)
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3) -> str:
-    """Lloyd's unrolled in SQL (the PageRank-oracle trick): vectors in
-    long (vec_id, pos, x) form on the engine's integer lattice; each
-    round is assign (exact int squared-L2, ORDER BY d2, cid ties) then
-    update (floor(sum/count), empty clusters vanish from the GROUP BY);
-    the final round emits (vec_id, cluster, dist)."""
+def _kmeans_ctes(k: int = 8, n_iters: int = 3) -> str:
+    """Shared WITH-prefix: Lloyd's unrolled in SQL (the PageRank-oracle
+    trick): vectors in long (vec_id, pos, x) form on the engine's integer
+    lattice; each round is assign (exact int squared-L2, ORDER BY d2, cid
+    ties) then update (floor(sum/count), empty clusters vanish from the
+    GROUP BY); ``fin`` holds the final-round distances with rk=1 the
+    assignment."""
     parts = [
         f"""
 vx AS (
@@ -1490,11 +1491,76 @@ fin AS (
     FROM vx v JOIN {final_c} c USING (pos)
     GROUP BY 1, 2
   )
-)
+)"""
+    )
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iters: int = 3) -> str:
+    return (
+        _kmeans_ctes(k, n_iters)
+        + """
 SELECT vec_id, cid::BIGINT AS cluster, d2::BIGINT AS dist
 FROM fin WHERE rk = 1
 """
     )
+
+
+def _semdedup_oracle_sql(
+    k: int = 8, n_iters: int = 3, t_num: int = 7, t_den: int = 20
+) -> str:
+    """SemDeDup twin: final k-means assignment from the shared Lloyd's
+    CTEs, then within-cluster pairwise EXACT integer dominance —
+    cos >= t  <=>  dot > 0 AND t_den^2*dot^2 >= t_num^2*|x|^2*|y|^2 —
+    with keep = no similar LOWER-id neighbor in the same cluster."""
+    return (
+        _kmeans_ctes(k, n_iters)
+        + f""",
+asn AS (SELECT vec_id, cid FROM fin WHERE rk = 1),
+norms AS (SELECT vec_id, sum(x * x)::HUGEINT AS nn FROM vx GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         sum(va.x::HUGEINT * vb.x::HUGEINT) AS dot
+  FROM asn a
+  JOIN asn b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+  JOIN vx va ON va.vec_id = a.vec_id
+  JOIN vx vb ON vb.vec_id = b.vec_id AND vb.pos = va.pos
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT d.ia, d.ib
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.ia
+  JOIN norms nb ON nb.vec_id = d.ib
+  WHERE d.dot > 0
+    AND {t_den * t_den}::HUGEINT * d.dot * d.dot
+        >= {t_num * t_num}::HUGEINT * na.nn * nb.nn
+),
+agg AS (
+  SELECT ia AS vec_id, count(*)::BIGINT AS n_dups,
+         bool_or(ib < ia) AS dominated
+  FROM sim GROUP BY 1
+)
+SELECT a.vec_id, a.cid::BIGINT AS cluster,
+       coalesce(g.n_dups, 0)::BIGINT AS n_dups,
+       NOT coalesce(g.dominated, FALSE) AS keep
+FROM asn a LEFT JOIN agg g USING (vec_id)
+"""
+    )
+
+
+def _q_embeddings_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) over the embedding corpus: distributed
+    k-means bucketing, then within-cluster cosine dominance via one range
+    sort + sorted_run_map (pairwise work O(sum c_i^2), never O(n^2)).
+    keep=false iff a LOWER-id same-cluster vector sits at cosine >= 7/20;
+    the threshold test is exact int64 (t_den^2*dot^2 vs t_num^2*n1*n2), so
+    the SQL twin shares the kmeans CTEs and adds pure-integer joins."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import semantic_dedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, k=8, n_iters=3, t_num=7, t_den=20)
 
 
 def _q_events_tumbling(sf_dir: str):
@@ -2651,6 +2717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "embeddings_semdedup": _q_embeddings_semdedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
         "docs_dup_spans": _q_docs_dup_spans,
         "docs_tfidf": _q_docs_tfidf,
@@ -3588,6 +3655,8 @@ GROUP BY 1, 2
         # Lloyd's unrolled (assign → floor-divide update) on the integer
         # lattice; ties and empty clusters identical on both sides
         "embeddings_kmeans": _kmeans_oracle_sql(),
+        # SemDeDup: same Lloyd's CTEs + exact-integer cosine dominance
+        "embeddings_semdedup": _semdedup_oracle_sql(),
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

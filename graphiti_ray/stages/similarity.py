@@ -278,6 +278,7 @@ def kmeans_assign(
     n_iters: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_vector: bool = False,
 ) -> rd.Dataset:
     """Distributed Lloyd's k-means over an embedding column — the
     clustering primitive of training-data curation (SemDeDup-style
@@ -379,12 +380,103 @@ def kmeans_assign(
         cids_, c = _ray.get(_ref)
         x = _quant(batch)
         a, d = _assign(x, c)
+        cols = {
+            id_col: batch.column(id_col),
+            "cluster": pa.array(cids_[a], pa.int64()),
+            "dist": pa.array(d, pa.int64()),
+        }
+        if keep_vector:
+            cols[vec_col] = batch.column(vec_col)
+        return pa.table(cols)
+
+    return emb.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- SemDeDup: k-means bucketing + within-cluster cosine dominance ----------
+
+SEMDEDUP_NORM_BOUND = 150_000_000  # quantized norm^2 cap keeping den^2*dot^2 in int64
+
+
+def semantic_dedup(
+    emb: rd.Dataset,
+    k: int = 8,
+    n_iters: int = 3,
+    t_num: int = 7,
+    t_den: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    carry_cap: int = 65536,
+) -> rd.Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means bucket the corpus, then search for
+    near-duplicates ONLY within a cluster — pairwise work drops from
+    O(n^2) to O(sum c_i^2), and with k grown proportionally to n the
+    expected cluster stays constant-sized, which is the published
+    algorithm's scale argument. Clustering is the distributed
+    ``kmeans_assign`` above (full corpus, not a driver sample); the
+    within-cluster pass is one range sort on ``cluster`` +
+    ``sorted_run_map`` (no per-group Python dispatch).
+
+    Dedup rule (deterministic, SQL-expressible): a vector is DOMINATED —
+    ``keep = false`` — iff some same-cluster vector with a LOWER id has
+    cosine >= t with it. ``n_dups`` counts all same-cluster neighbors at
+    or above the threshold. The threshold t = t_num/t_den is evaluated
+    EXACTLY on the integer lattice: cos(x, y) >= t  <=>  dot > 0  and
+    t_den^2 * dot^2 >= t_num^2 * |x|^2 * |y|^2, all int64 (guarded by
+    ``SEMDEDUP_NORM_BOUND``; requires t_den <= 20), so the DuckDB twin
+    needs no float comparison at all.
+
+    Output: (id_col, cluster, n_dups, keep).
+
+    Reference analogue: semantic node dedup / duplicate resolution
+    (graphiti_core/utils/maintenance/node_operations.py resolves
+    near-duplicate entities via embedding similarity); this is the
+    corpus-scale counterpart over documents.
+    """
+    assert t_den <= 20, "t_den > 20 can overflow the int64 dominance test"
+    from graphiti_ray.stages.embed import column_to_matrix
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    assigned = kmeans_assign(
+        emb, k=k, n_iters=n_iters, vec_col=vec_col, id_col=id_col, keep_vector=True
+    ).drop_columns(["dist"])
+
+    td2 = t_den * t_den
+    tn2 = t_num * t_num
+
+    def _kernel(tbl: pa.Table) -> pa.Table:
+        clusters = tbl.column("cluster").to_numpy()
+        ids = tbl.column(id_col).to_numpy()
+        x = np.floor(
+            column_to_matrix(tbl.column(vec_col), dtype=np.float64) * KMEANS_QUANT
+        ).astype(np.int64)
+        n_dups = np.zeros(len(ids), np.int64)
+        keep = np.ones(len(ids), bool)
+        starts = np.flatnonzero(np.r_[True, clusters[1:] != clusters[:-1]])
+        bounds = np.r_[starts, len(ids)]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            xi = x[s:e]
+            g = xi @ xi.T  # exact int64 gram
+            nn = np.diagonal(g).copy()
+            if nn.max() > SEMDEDUP_NORM_BOUND:
+                raise ValueError(
+                    "semantic_dedup: quantized norm^2 exceeds the int64-safe "
+                    "bound — lower KMEANS_QUANT or pre-normalize the vectors"
+                )
+            cond = (g > 0) & (td2 * g * g >= tn2 * np.outer(nn, nn))
+            np.fill_diagonal(cond, False)
+            run_ids = ids[s:e]
+            n_dups[s:e] = cond.sum(axis=1)
+            keep[s:e] = ~(cond & (run_ids[None, :] < run_ids[:, None])).any(axis=1)
         return pa.table(
             {
-                id_col: batch.column(id_col),
-                "cluster": pa.array(cids_[a], pa.int64()),
-                "dist": pa.array(d, pa.int64()),
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": pa.array(clusters, pa.int64()),
+                "n_dups": pa.array(n_dups, pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
             }
         )
 
-    return emb.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+    return sorted_run_map(assigned, ["cluster"], _kernel, carry_cap=carry_cap)

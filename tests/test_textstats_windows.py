@@ -337,6 +337,58 @@ def test_kmeans_assign_matches_sequential_lloyds(ray_session):
     assert out.cluster.nunique() >= 2
 
 
+def test_semantic_dedup_matches_bruteforce_dominance(ray_session):
+    """SemDeDup: within-cluster exact-integer cosine dominance must match
+    a single-process twin — planted near-duplicate pairs are dropped
+    (higher id loses), singletons keep."""
+    import numpy as np
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import (
+        KMEANS_QUANT,
+        kmeans_assign,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 90, 8
+    x = rng.normal(size=(n, dim))
+    # plant near-dup pairs: vectors 2i+1 ~= 2i for the first 20 ids
+    for i in range(10):
+        x[2 * i + 1] = x[2 * i] + rng.normal(scale=0.01, size=dim)
+    x = (x / np.linalg.norm(x, axis=1, keepdims=True)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": x[i].tolist()} for i in range(n)]
+    ).repartition(5)
+    k, iters, tn, td = 4, 3, 19, 20
+    out = (
+        semantic_dedup(ds, k=k, n_iters=iters, t_num=tn, t_den=td)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    asn = (
+        kmeans_assign(ds, k=k, n_iters=iters)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.cluster.tolist() == asn.cluster.tolist()
+
+    xq = np.floor(x.astype(np.float64) * KMEANS_QUANT).astype(np.int64)
+    g = xq @ xq.T
+    nn = np.diagonal(g)
+    same = asn.cluster.to_numpy()[:, None] == asn.cluster.to_numpy()[None, :]
+    cond = same & (g > 0) & (td * td * g * g >= tn * tn * np.outer(nn, nn))
+    np.fill_diagonal(cond, False)
+    ids = np.arange(n)
+    assert out.n_dups.tolist() == cond.sum(axis=1).tolist()
+    expect_keep = ~(cond & (ids[None, :] < ids[:, None])).any(axis=1)
+    assert out.keep.tolist() == expect_keep.tolist()
+    # the planted twins straddle: at least some drops happened
+    assert (~out.keep).sum() >= 5
+
+
 def _wav_bytes(freq=440.0, sr=8000, n=800, ch=1):
     """Deterministic 16-bit PCM WAV via the stdlib writer."""
     import io
