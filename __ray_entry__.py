@@ -1548,6 +1548,50 @@ FROM asn a LEFT JOIN agg g USING (vec_id)
     )
 
 
+def _q_docs_lm_score(sf_dir: str):
+    """Corpus-trained Laplace bigram LM quality scoring (CCNet shape):
+    bigram counts via two annotate_run_lengths passes (one sort each, no
+    groupby+join-back), per-bigram log-probs quantized to an int 1e-6
+    lattice BEFORE the per-doc sum so the reduction is exact integer
+    addition on both engines."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import bigram_lm_scores
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bigram_lm_scores(docs)
+
+
+_LM_SCORE_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM documents
+),
+vocab AS (
+  SELECT count(DISTINCT t) AS v FROM toks, LATERAL unnest(tk) AS u(t)
+),
+bi AS (
+  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, len(tk))) AS u(i)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+lp AS (
+  SELECT b.doc_id,
+         round(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + v.v)) * 1000000)::BIGINT
+           AS lp6
+  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vocab v
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(lp6)::BIGINT AS sum_lp6,
+       -- round-half-away-from-zero of sum/n in EXACT integer arithmetic
+       -- (the ratio can land exactly on a .5 lattice point)
+       (CASE WHEN sum(lp6) < 0
+             THEN -((-2 * sum(lp6) + count(*)) // (2 * count(*)))
+             ELSE (2 * sum(lp6) + count(*)) // (2 * count(*)) END
+       )::DOUBLE / 1000000 AS avg_logp
+FROM lp GROUP BY 1
+"""
+
+
 def _q_embeddings_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) over the embedding corpus: distributed
     k-means bucketing, then within-cluster cosine dominance via one range
@@ -2717,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "docs_lm_score": _q_docs_lm_score,
         "embeddings_semdedup": _q_embeddings_semdedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
         "docs_dup_spans": _q_docs_dup_spans,
@@ -3657,6 +3702,8 @@ GROUP BY 1, 2
         "embeddings_kmeans": _kmeans_oracle_sql(),
         # SemDeDup: same Lloyd's CTEs + exact-integer cosine dominance
         "embeddings_semdedup": _semdedup_oracle_sql(),
+        # Laplace bigram LM: int-lattice log-probs summed exactly
+        "docs_lm_score": _LM_SCORE_ORACLE,
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

@@ -545,3 +545,124 @@ def tfidf_keywords(
         order_cols=["neg_score", "term"],
         block_fn=top_block,
     )
+
+
+# --- bigram language-model quality scoring (CCNet-style) --------------------
+
+
+def bigram_lm_scores(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """CCNet-style LM quality scoring (Wenzek et al. 2019,
+    arXiv:1911.00359): score every document by the average log-probability
+    of its token bigrams under a Laplace-smoothed bigram model trained on
+    THE CORPUS ITSELF — the standard self-supervised quality signal when
+    no external KenLM is available.  p(w2|w1) = (c(w1,w2) + 1) /
+    (c(w1·) + V), with c(w1·) the count of w1 as a bigram context and V
+    the corpus vocabulary size.
+
+    Fully distributed: the bigram stream is counted by TWO
+    :func:`~graphiti_ray.stages.ops.annotate_run_lengths` passes — (w1,w2)
+    then its prefix (w1) — each one range sort + an O(num_blocks) boundary
+    exchange, never a groupby+join-back; V comes from a distinct pass over
+    per-block-deduped tokens.  No model table is ever driver-resident or
+    broadcast: counts ride ON the occurrence rows.
+
+    Determinism across engines: per-bigram log-probs are quantized to an
+    integer 1e-6 lattice (lp6 = round(ln(p)·1e6)) BEFORE the per-doc sum,
+    so the reduction is exact int64 addition — no float-associativity
+    hazard between Ray's hash aggregation order and SQL's.  avg_logp is
+    the rounded quotient of exact integers.
+
+    Output: (doc_id, n_bigrams, sum_lp6, avg_logp) — docs with fewer than
+    two tokens emit nothing (no bigrams, no score).
+
+    Reference analogue: episode quality heuristics feeding extraction
+    (graphiti_core prompts filter junk text ad hoc); this is the
+    corpus-scale scoring operator a training-data pipeline gates on.
+    """
+    import pandas as pd
+
+    from graphiti_ray.stages.ops import annotate_run_lengths, distinct_by_key
+
+    def explode_bi(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        toks = texts.str.lower().str.findall(r"\w+")
+        lens = toks.str.len().to_numpy()
+        n_bi = np.maximum(lens - 1, 0)
+        doc_rep = np.repeat(ids, n_bi)
+        w1: list[str] = []
+        w2: list[str] = []
+        for t, m in zip(toks, n_bi):
+            if m:
+                w1.extend(t[:-1])
+                w2.extend(t[1:])
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+            }
+        )
+
+    bi = docs.map_batches(explode_bi, batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode_tokens_distinct(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        toks = texts.str.lower().str.findall(r"\w+")
+        uniq = list({t for lst in toks for t in lst})
+        return pa.table({"t": pa.array(uniq, pa.string())})
+
+    vocab = int(
+        distinct_by_key(
+            docs.map_batches(
+                explode_tokens_distinct, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "t",
+        ).count()
+    )
+
+    with_c2 = annotate_run_lengths(bi, ["w1", "w2"], out_col="c2")
+    with_c1 = annotate_run_lengths(with_c2, ["w1"], out_col="c1")
+
+    def score(batch: pa.Table) -> pa.Table:
+        c2 = batch.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        lp6 = np.rint(np.log((c2 + 1.0) / (c1 + vocab)) * 1e6).astype(np.int64)
+        # per-block partial (combiner) so the global reduce is doc-count-sized
+        df = pd.DataFrame(
+            {"doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False), "lp6": lp6}
+        )
+        g = df.groupby("doc_id", sort=False)["lp6"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "n": pa.array(g["count"].to_numpy(), pa.int64()),
+                "s": pa.array(g["sum"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partial = with_c1.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    reduced = partial.groupby("doc_id").sum(["n", "s"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("sum(s)").to_numpy(zero_copy_only=False).astype(np.int64)
+        # round-half-away-from-zero of s/n in EXACT integer arithmetic:
+        # s/n can land exactly on a .5 lattice point (it's a ratio of
+        # ints), where float round() rules diverge between engines
+        q = (2 * np.abs(s) + n) // (2 * n)
+        avg = np.where(s < 0, -q, q).astype(np.float64) / 1e6
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bigrams": pa.array(n, pa.int64()),
+                "sum_lp6": pa.array(s, pa.int64()),
+                "avg_logp": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return reduced.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

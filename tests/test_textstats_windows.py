@@ -875,3 +875,55 @@ def test_jpeg_media_stages(ray_session):
     # distinct images don't collapse into one cluster
     cross = {p for p in got if p[0] // 2 != p[1] // 2}
     assert len(cross) <= 1
+
+
+def test_bigram_lm_scores_matches_sequential(ray_session):
+    """Corpus-trained Laplace bigram LM: distributed run-length counting +
+    int-lattice log-prob sums must equal a single-process model; docs with
+    fewer than two tokens emit nothing."""
+    import numpy as np
+    import ray.data as rd
+    import re as _re
+    from collections import Counter
+
+    from graphiti_ray.stages.textstats import bigram_lm_scores
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat sat",
+        "a dog barked at the cat",
+        "the the the the",
+        "single",
+        "",
+        "punctuation, and words! mix 42 here",
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(4)
+    out = (
+        bigram_lm_scores(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+    toks = [_re.findall(r"\w+", t.lower()) for t in texts]
+    vocab = len({w for tk in toks for w in tk})
+    bis = [(w1, w2) for tk in toks for w1, w2 in zip(tk, tk[1:])]
+    c2 = Counter(bis)
+    c1 = Counter(w1 for w1, _ in bis)
+    expect = {}
+    for i, tk in enumerate(toks):
+        pairs = list(zip(tk, tk[1:]))
+        if not pairs:
+            continue
+        lp6 = [
+            int(np.rint(np.log((c2[p] + 1) / (c1[p[0]] + vocab)) * 1e6))
+            for p in pairs
+        ]
+        s, n = sum(lp6), len(lp6)
+        q = (2 * abs(s) + n) // (2 * n)
+        expect[i] = (n, s, (-q if s < 0 else q) / 1e6)
+
+    assert out.doc_id.tolist() == sorted(expect)
+    for _, row in out.iterrows():
+        n, s, avg = expect[row.doc_id]
+        assert (row.n_bigrams, row.sum_lp6) == (n, s)
+        assert row.avg_logp == avg
