@@ -2682,6 +2682,72 @@ FROM tot t LEFT JOIN dup d USING (doc_id)
 """
 
 
+def _q_docs_dedup_spans(sf_dir: str):
+    """Lee et al. 2022 duplicated-span REMOVAL (docs_dup_spans is the
+    diagnostic; this is the transform): chars covered by a char-32-gram
+    occurring at >=2 positions corpus-wide are cut. Gram df via
+    annotate_run_lengths, per-doc start lists via sorted_run_map, one
+    LEFT hash join back, vectorized difference-array mask per doc."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import remove_duplicated_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return remove_duplicated_spans(docs)
+
+
+def _dedup_spans_oracle_sql() -> str:
+    from graphiti_ray.stages.dedup import DUPSPAN_K
+
+    k = DUPSPAN_K
+    p_pow = [pow(_POLY_INT, j, _M64) for j in range(k)]
+    terms = " + ".join(
+        [f"b * {p_pow[k - 1]}::HUGEINT"]
+        + [f"lead(b, {j}) OVER w * {p_pow[k - 1 - j]}::HUGEINT" for j in range(1, k)]
+    )
+    return rf"""
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+long AS (SELECT doc_id, t FROM lt WHERE length(t) >= {k}),
+bytes AS (
+  SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
+  FROM long, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
+),
+sh0 AS (
+  SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS h64, i, n
+  FROM bytes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+pg AS (
+  SELECT doc_id, i, (h64 % 2305843009213693952::HUGEINT)::BIGINT AS h
+  FROM sh0 WHERE i <= n - {k - 1}
+),
+df AS (SELECT h, count(*) AS c FROM pg GROUP BY 1),
+dupstart AS (SELECT pg.doc_id, pg.i FROM pg JOIN df USING (h) WHERE df.c >= 2),
+chars AS (
+  SELECT l.doc_id, u.j, substr(l.t, u.j, 1) AS ch
+  FROM lt l, LATERAL unnest(range(1, length(l.t) + 1)) AS u(j)
+),
+flag AS (
+  SELECT c.doc_id, c.j, c.ch,
+         max(CASE WHEN s.i IS NOT NULL THEN 1 ELSE 0 END)
+           OVER (PARTITION BY c.doc_id ORDER BY c.j
+                 ROWS BETWEEN {k - 1} PRECEDING AND CURRENT ROW) AS cov
+  FROM chars c
+  LEFT JOIN dupstart s ON s.doc_id = c.doc_id AND s.i = c.j
+),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(ch, '' ORDER BY j) FILTER (WHERE cov = 0), '')
+           AS cleaned_text,
+         sum(cov)::BIGINT AS n_removed
+  FROM flag GROUP BY 1
+)
+SELECT l.doc_id, coalesce(a.cleaned_text, l.t) AS cleaned_text,
+       coalesce(a.n_removed, 0)::BIGINT AS n_removed
+FROM lt l LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def _q_docs_tfidf(sf_dir: str):
     """Per-doc TF-IDF top-3 keywords — df via annotate_run_lengths (no
     vocabulary broadcast, no driver dict), per-doc top-k via
@@ -2761,6 +2827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "docs_dedup_spans": _q_docs_dedup_spans,
         "docs_lm_score": _q_docs_lm_score,
         "embeddings_semdedup": _q_embeddings_semdedup,
         "embeddings_kmeans": _q_embeddings_kmeans,
@@ -3704,6 +3771,8 @@ GROUP BY 1, 2
         "embeddings_semdedup": _semdedup_oracle_sql(),
         # Laplace bigram LM: int-lattice log-probs summed exactly
         "docs_lm_score": _LM_SCORE_ORACLE,
+        # Lee et al. span removal: same Horner grams, window coverage mask
+        "docs_dedup_spans": _dedup_spans_oracle_sql(),
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

@@ -1380,3 +1380,138 @@ def duplicated_ngram_stats(
         )
 
     return total.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def remove_duplicated_spans(
+    docs: rd.Dataset,
+    k: int = DUPSPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Exact duplicated-span REMOVAL — the transform of "Deduplicating
+    Training Data Makes Language Models Better" (Lee et al. 2022,
+    arXiv:2107.06499), where :func:`duplicated_ngram_stats` is the
+    diagnostic: every character covered by a char-``k``-gram that occurs
+    at ≥2 positions ANYWHERE in the corpus (other docs or elsewhere in
+    the same doc) is cut from the document.
+
+    Dataflow (all corpus-sized steps streaming): positional gram hashes →
+    :func:`~graphiti_ray.stages.ops.annotate_run_lengths` for the global
+    occurrence count (one range sort, hub grams cost one carry each) →
+    filter to duplicated starts → per-doc start lists via
+    ``sorted_run_map`` (carried as ','-joined strings — the repo's ragged
+    payload convention) → one hash LEFT join back onto the docs table →
+    a vectorized coverage mask per doc (difference-array cumsum, no
+    per-char Python). Only the duplicated-start rows — a small fraction
+    of the gram stream — survive past the filter.
+
+    Case/byte convention matches the rest of the shingle family: grams
+    are hashed over ``lower(text)`` UTF-8 bytes, and removal is applied
+    to the LOWERED text (byte-level; the corpus convention is ASCII, cf.
+    the docs_dup_spans oracle).
+
+    Output: (doc_id, cleaned_text, n_removed) — every input doc appears,
+    untouched when nothing was duplicated or the doc is shorter than
+    ``k``.
+    """
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import annotate_run_lengths, sorted_run_map
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.utf8_length(batch.column(text_col)), k)
+        batch = batch.filter(keep)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        hs = [shingle_hash_seq(t, k) for t in texts]
+        counts = np.array([len(h) for h in hs], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "pos": pa.array(
+                    np.concatenate([np.arange(c, dtype=np.int64) for c in counts])
+                    if len(counts)
+                    else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+                "h": pa.array(
+                    np.concatenate(hs) if hs else np.zeros(0, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    grams = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    flagged = annotate_run_lengths(grams, ["h"], out_col="df")
+    dup_starts = flagged.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("df"), 2)).select(
+            ["doc_id", "pos"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def collect(tbl: pa.Table) -> pa.Table:
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "starts_csv": pa.array([], pa.string()),
+                }
+            )
+        starts = _table_run_starts(tbl, ["doc_id"])
+        ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = tbl.column("pos").to_numpy(zero_copy_only=False)
+        out_ids, out_csv = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            out_ids.append(int(ids[s]))
+            out_csv.append(",".join(map(str, pos[s:e])))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "starts_csv": pa.array(out_csv, pa.string()),
+            }
+        )
+
+    pos_lists = sorted_run_map(dup_starts, ["doc_id"], collect, order_cols=["pos"])
+
+    left = docs.select_columns([id_col, text_col])
+    if id_col != "doc_id":  # gram/pos rows hard-name the key; align the left side
+        left = left.rename_columns({id_col: "doc_id"})
+    joined = safe_join(
+        left,
+        pos_lists,
+        join_type="left_outer",
+        num_partitions=default_join_partitions(),
+        on=("doc_id",),
+    )
+
+    def apply_mask(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        csvs = batch.column("starts_csv").to_pylist()
+        cleaned, removed = [], np.zeros(len(ids), np.int64)
+        for r, (t, csv) in enumerate(zip(texts, csvs)):
+            tl = (t or "").lower()
+            if not csv:
+                cleaned.append(tl)
+                continue
+            tb = np.frombuffer(tl.encode("utf-8", "ignore"), dtype=np.uint8)
+            starts = np.fromiter((int(x) for x in csv.split(",")), dtype=np.int64)
+            d = np.zeros(len(tb) + 1, np.int64)
+            np.add.at(d, starts, 1)
+            np.add.at(d, np.minimum(starts + k, len(tb)), -1)
+            covered = np.cumsum(d[:-1]) > 0
+            removed[r] = int(covered.sum())
+            cleaned.append(tb[~covered].tobytes().decode("utf-8", "ignore"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cleaned_text": pa.array(cleaned, pa.string()),
+                "n_removed": pa.array(removed, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(apply_mask, batch_format="pyarrow", zero_copy_batch=True)

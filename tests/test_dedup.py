@@ -494,3 +494,72 @@ def test_pack_sequences_quota_rule(ray_session):
     )
     assert list(out2.shard) == [0, 1, 0, 1]
     assert list(out2.pack_id) == [0, 0, 0, 0]
+
+
+def test_remove_duplicated_spans_planted(ray_session):
+    """Lee et al. span removal: a 40-char span planted in two docs is cut
+    from BOTH (plus the k-gram bleed into surrounding chars), unique docs
+    and sub-k docs come back untouched (lowered)."""
+    import numpy as np
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import DUPSPAN_K, remove_duplicated_spans
+
+    k = DUPSPAN_K
+    rng = np.random.default_rng(5)
+
+    def rand_text(n):
+        return "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), n))
+
+    span = "THE EXACT SAME BOILERPLATE SENTENCE HERE!!!"  # 43 chars > k
+    u0, u1, u2 = rand_text(120), rand_text(120), rand_text(120)
+    texts = [
+        u0 + span + rand_text(60),
+        u1 + span + rand_text(60),
+        u2,          # unique, len >= k: untouched
+        "short",     # < k: untouched
+        "",
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(3)
+    out = (
+        remove_duplicated_spans(ds, k=k)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.doc_id.tolist() == [0, 1, 2, 3, 4]
+    # the planted span is gone from both carriers
+    assert span.lower() not in out.cleaned_text[0]
+    assert span.lower() not in out.cleaned_text[1]
+    # at least the span's k-grams' coverage is removed from each
+    assert (out.n_removed[:2] >= len(span)).all()
+    # untouched docs come back as their lowered selves, n_removed 0
+    assert out.cleaned_text[2] == u2.lower() and out.n_removed[2] == 0
+    assert out.cleaned_text[3] == "short" and out.n_removed[3] == 0
+    assert out.cleaned_text[4] == "" and out.n_removed[4] == 0
+
+    # brute-force twin: positional k-gram df over the whole fixture
+    from graphiti_ray.stages.dedup import shingle_hash_seq
+    from collections import Counter
+
+    occ = Counter()
+    for t in texts:
+        if len(t) >= k:
+            occ.update(map(int, shingle_hash_seq(t, k)))
+    for i, t in enumerate(texts):
+        tl = t.lower()
+        if len(tl) < k:
+            expect = tl
+            n_rm = 0
+        else:
+            hs = shingle_hash_seq(t, k)
+            covered = np.zeros(len(tl), bool)
+            for p, h in enumerate(map(int, hs)):
+                if occ[h] >= 2:
+                    covered[p : p + k] = True
+            expect = "".join(c for c, m in zip(tl, covered) if not m)
+            n_rm = int(covered.sum())
+        assert out.cleaned_text[i] == expect
+        assert out.n_removed[i] == n_rm
