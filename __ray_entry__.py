@@ -1592,6 +1592,54 @@ FROM lp GROUP BY 1
 """
 
 
+def _q_docs_dsir(sf_dir: str):
+    """DSIR importance weights toward the lang='en' target slice: per-doc
+    sum of quantized unigram log-ratios ln(p_target) - ln(p_raw), both
+    Laplace-smoothed. Counts ride on the occurrence rows via two
+    annotate_run_lengths passes — no count table built, joined or
+    broadcast — and the reduction is exact int64."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import dsir_importance_weights
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return dsir_importance_weights(docs, target_col="lang", target_value="en")
+
+
+_DSIR_ORACLE = r"""
+WITH occ AS (
+  SELECT d.doc_id, d.lang = 'en' AS tgt, t
+  FROM documents d,
+       LATERAL unnest(regexp_extract_all(lower(d.text), '\w+')) AS u(t)
+),
+consts AS (
+  SELECT count(DISTINCT t) AS v,
+         count(*) AS nr,
+         count(*) FILTER (WHERE tgt) AS nt
+  FROM occ
+),
+cnt AS (
+  SELECT t, count(*) AS cr, count(*) FILTER (WHERE tgt) AS ct
+  FROM occ GROUP BY 1
+),
+lp AS (
+  SELECT o.doc_id,
+         round((ln((c.ct + 1)::DOUBLE / (k.nt + k.v))
+                - ln((c.cr + 1)::DOUBLE / (k.nr + k.v))) * 1000000)::BIGINT
+           AS w6
+  FROM occ o JOIN cnt c USING (t) CROSS JOIN consts k
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(w6)::BIGINT AS sum_liw6,
+       (CASE WHEN sum(w6) < 0
+             THEN -((-2 * sum(w6) + count(*)) // (2 * count(*)))
+             ELSE (2 * sum(w6) + count(*)) // (2 * count(*)) END
+       )::DOUBLE / 1000000 AS avg_liw
+FROM lp GROUP BY 1
+"""
+
+
 def _q_embeddings_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023) over the embedding corpus: distributed
     k-means bucketing, then within-cluster cosine dominance via one range
@@ -2827,6 +2875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "docs_dsir": _q_docs_dsir,
         "docs_dedup_spans": _q_docs_dedup_spans,
         "docs_lm_score": _q_docs_lm_score,
         "embeddings_semdedup": _q_embeddings_semdedup,
@@ -3773,6 +3822,8 @@ GROUP BY 1, 2
         "docs_lm_score": _LM_SCORE_ORACLE,
         # Lee et al. span removal: same Horner grams, window coverage mask
         "docs_dedup_spans": _dedup_spans_oracle_sql(),
+        # DSIR: int-lattice unigram log-ratios, exact integer reduction
+        "docs_dsir": _DSIR_ORACLE,
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

@@ -666,3 +666,136 @@ def bigram_lm_scores(
         )
 
     return reduced.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- DSIR importance weights (data-mixing / importance resampling) ----------
+
+
+def dsir_importance_weights(
+    docs: rd.Dataset,
+    target_col: str = "lang",
+    target_value: str = "en",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much more likely its tokens are under the
+    TARGET domain's unigram distribution than under the raw corpus's —
+    the importance-resampling signal used to up-sample target-like data
+    into a training mix.  Both distributions are Laplace-smoothed over the
+    shared vocabulary; the target set is the rows where ``target_col ==
+    target_value`` (DSIR's hashed-n-gram features reduce to plain
+    unigrams at this vocabulary size — documented substitution).
+
+    log w(doc) = Σ_tokens [ ln p_target(t) − ln p_raw(t) ],
+    p_target(t) = (c_t(t)+1)/(N_t+V),  p_raw(t) = (c_r(t)+1)/(N_r+V).
+
+    Distribution counts ride ON the occurrence rows via two
+    :func:`~graphiti_ray.stages.ops.annotate_run_lengths` passes —
+    (token, is_target) then its prefix (token) — so c_t for a non-target
+    row is ``c_r − c_group``; no count table is ever built, joined or
+    broadcast.  Per-token log-ratios are quantized to an int 1e-6 lattice
+    before the per-doc sum (exact int64 reduction, no float-associativity
+    hazard), and the average uses exact-integer half-away-from-zero
+    rounding like :func:`bigram_lm_scores`.
+
+    Output: (doc_id, n_tokens, sum_liw6, avg_liw) — token-less docs emit
+    nothing.
+    """
+    import pandas as pd
+
+    from graphiti_ray.stages.ops import annotate_run_lengths, distinct_by_key
+
+    def explode_occ(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        tgt = np.asarray(
+            [v == target_value for v in batch.column(target_col).to_pylist()],
+            dtype=bool,
+        )
+        toks = texts.str.lower().str.findall(r"\w+")
+        lens = toks.str.len().to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                "tgt": pa.array(np.repeat(tgt, lens), pa.bool_()),
+                "t": pa.array(
+                    [w for lst in toks for w in lst], pa.string()
+                ),
+            }
+        )
+
+    occ = docs.map_batches(explode_occ, batch_format="pyarrow", zero_copy_batch=True)
+
+    def distinct_tokens(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        toks = texts.str.lower().str.findall(r"\w+")
+        return pa.table({"t": pa.array(list({w for lst in toks for w in lst}))})
+
+    vocab = int(
+        distinct_by_key(
+            docs.map_batches(
+                distinct_tokens, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "t",
+        ).count()
+    )
+    import pyarrow.compute as pc
+
+    n_raw = int(occ.count())
+    n_tgt = int(
+        occ.map_batches(
+            lambda t: pa.table({"n": pa.array([pc.sum(pc.cast(t.column("tgt"), pa.int64())).as_py() or 0])}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).sum("n")
+    )
+
+    with_cg = annotate_run_lengths(occ, ["t", "tgt"], out_col="cg")
+    with_cr = annotate_run_lengths(with_cg, ["t"], out_col="cr")
+
+    def score(batch: pa.Table) -> pa.Table:
+        cg = batch.column("cg").to_numpy(zero_copy_only=False).astype(np.float64)
+        cr = batch.column("cr").to_numpy(zero_copy_only=False).astype(np.float64)
+        tgt = batch.column("tgt").to_numpy(zero_copy_only=False)
+        ct = np.where(tgt, cg, cr - cg)
+        liw6 = np.rint(
+            (
+                np.log((ct + 1.0) / (n_tgt + vocab))
+                - np.log((cr + 1.0) / (n_raw + vocab))
+            )
+            * 1e6
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+                "liw6": liw6,
+            }
+        )
+        g = df.groupby("doc_id", sort=False)["liw6"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+                "n": pa.array(g["count"].to_numpy(), pa.int64()),
+                "s": pa.array(g["sum"].to_numpy(), pa.int64()),
+            }
+        )
+
+    partial = with_cr.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    reduced = partial.groupby("doc_id").sum(["n", "s"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n)").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = batch.column("sum(s)").to_numpy(zero_copy_only=False).astype(np.int64)
+        q = (2 * np.abs(s) + n) // (2 * n)
+        avg = np.where(s < 0, -q, q).astype(np.float64) / 1e6
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n, pa.int64()),
+                "sum_liw6": pa.array(s, pa.int64()),
+                "avg_liw": pa.array(avg, pa.float64()),
+            }
+        )
+
+    return reduced.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

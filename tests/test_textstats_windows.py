@@ -927,3 +927,61 @@ def test_bigram_lm_scores_matches_sequential(ray_session):
         n, s, avg = expect[row.doc_id]
         assert (row.n_bigrams, row.sum_lp6) == (n, s)
         assert row.avg_logp == avg
+
+
+def test_dsir_importance_weights_direction_and_exactness(ray_session):
+    """DSIR: target-vocab docs must score positive, off-target negative;
+    values must equal a single-process twin exactly."""
+    import numpy as np
+    import re as _re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import dsir_importance_weights
+
+    docs = [
+        (0, "alpha beta gamma alpha beta", "tgt"),
+        (1, "alpha gamma gamma beta alpha beta", "tgt"),
+        (2, "delta epsilon zeta delta", "raw"),
+        (3, "epsilon zeta zeta delta epsilon", "raw"),
+        (4, "alpha delta", "raw"),  # mixed
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t, "lang": l} for i, t, l in docs]
+    ).repartition(3)
+    out = (
+        dsir_importance_weights(ds, target_col="lang", target_value="tgt")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    toks = {i: _re.findall(r"\w+", t.lower()) for i, t, _ in docs}
+    occ = [(w, l == "tgt") for i, t, l in docs for w in toks[i]]
+    v = len({w for w, _ in occ})
+    nr = len(occ)
+    nt = sum(1 for _, f in occ if f)
+    cr = Counter(w for w, _ in occ)
+    ct = Counter(w for w, f in occ if f)
+    for i, t, _ in docs:
+        w6 = [
+            int(
+                np.rint(
+                    (
+                        np.log((ct[w] + 1) / (nt + v))
+                        - np.log((cr[w] + 1) / (nr + v))
+                    )
+                    * 1e6
+                )
+            )
+            for w in toks[i]
+        ]
+        s, n = sum(w6), len(w6)
+        q = (2 * abs(s) + n) // (2 * n)
+        row = out[out.doc_id == i].iloc[0]
+        assert (row.n_tokens, row.sum_liw6) == (n, s)
+        assert row.avg_liw == (-q if s < 0 else q) / 1e6
+    # direction: pure-target docs positive, pure-raw negative
+    assert (out[out.doc_id.isin([0, 1])].avg_liw > 0).all()
+    assert (out[out.doc_id.isin([2, 3])].avg_liw < 0).all()
