@@ -1592,6 +1592,48 @@ FROM lp GROUP BY 1
 """
 
 
+def _q_docs_pmi(sf_dir: str):
+    """Top-50 PMI collocations, support >= 5: per-block combiner -> one
+    corpus groupby to the type table; marginals are type-table groupbys
+    joined back; support gate BEFORE the global sort+limit. PMI on the
+    int 1e-6 lattice before ranking, ties -> (w1, w2)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import pmi_collocations
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pmi_collocations(docs, top_k=50, min_count=5)
+
+
+_PMI_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM documents
+),
+bi AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, len(tk))) AS u(i)
+),
+types AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bi GROUP BY 1, 2),
+tot AS (SELECT sum(n_pair)::DOUBLE AS n FROM types),
+lm AS (SELECT w1, sum(n_pair)::DOUBLE AS a FROM types GROUP BY 1),
+rm AS (SELECT w2, sum(n_pair)::DOUBLE AS b FROM types GROUP BY 1),
+scored AS (
+  SELECT t.w1, t.w2, t.n_pair,
+         round(ln(t.n_pair * tot.n / (lm.a * rm.b)) * 1000000)::BIGINT AS pmi6
+  FROM types t JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+  WHERE t.n_pair >= 5
+),
+ranked AS (
+  SELECT w1, w2, n_pair, pmi6,
+         row_number() OVER (ORDER BY pmi6 DESC, w1, w2) AS rank
+  FROM scored
+)
+SELECT rank::BIGINT AS rank, w1, w2, n_pair,
+       pmi6::DOUBLE / 1000000 AS pmi
+FROM ranked WHERE rank <= 50
+"""
+
+
 def _q_docs_dsir(sf_dir: str):
     """DSIR importance weights toward the lang='en' target slice: per-doc
     sum of quantized unigram log-ratios ln(p_target) - ln(p_raw), both
@@ -2875,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "docs_pmi": _q_docs_pmi,
         "docs_dsir": _q_docs_dsir,
         "docs_dedup_spans": _q_docs_dedup_spans,
         "docs_lm_score": _q_docs_lm_score,
@@ -3824,6 +3867,8 @@ GROUP BY 1, 2
         "docs_dedup_spans": _dedup_spans_oracle_sql(),
         # DSIR: int-lattice unigram log-ratios, exact integer reduction
         "docs_dsir": _DSIR_ORACLE,
+        # PMI collocations: type-table marginals, lattice-ranked top-50
+        "docs_pmi": _PMI_ORACLE,
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

@@ -159,6 +159,24 @@ def _extras(sf_dir: str) -> dict[str, float]:
         timed("corpus_clean", lambda: clean_corpus(docs3).count())
     except ImportError:
         pass
+
+    try:
+        from graphiti_ray.stages.dedup import remove_duplicated_spans
+        from graphiti_ray.stages.similarity import semantic_dedup
+        from graphiti_ray.stages.textstats import bigram_lm_scores
+        import ray.data as rd
+
+        docs4 = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        timed("dedup_spans", lambda: remove_duplicated_spans(docs4).count())
+        timed("lm_score", lambda: bigram_lm_scores(docs4).count())
+        emb2 = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        timed("semdedup", lambda: semantic_dedup(emb2).count())
+    except ImportError:
+        pass
     return timings
 
 

@@ -799,3 +799,118 @@ def dsir_importance_weights(
         )
 
     return reduced.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- PMI collocation mining --------------------------------------------------
+
+
+def pmi_collocations(
+    docs: rd.Dataset,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-level collocation mining: the ``top_k`` adjacent token pairs
+    by pointwise mutual information, support-gated at ``min_count`` —
+    the classic phrase-discovery pass (Mikolov et al. 2013 build word2vec
+    phrases this way) a tokenizer/vocab pipeline runs before training.
+
+    pmi(w1,w2) = ln( c(w1,w2) · N / (c(w1,·) · c(·,w2)) ) over the
+    corpus bigram stream of N occurrences.
+
+    Distributed shape: per-block partial bigram counts (combiner) → ONE
+    corpus-scale ``groupby(w1,w2).sum`` to the type table; the marginals
+    are two groupbys OVER THE TYPE TABLE (types ≪ occurrences) joined
+    back with hash joins; the support filter runs BEFORE the global
+    sort+limit so only gated candidates shuffle.  PMI is quantized to an
+    int 1e-6 lattice before ranking (ties → (w1, w2) order) — the same
+    cross-engine determinism rule as TF-IDF.
+
+    Returns a small pandas DataFrame (rank, w1, w2, n_pair, pmi) — the
+    result is top_k rows by construction, the one legitimately
+    driver-sized output in this family.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        toks = texts.str.lower().str.findall(r"\w+")
+        w1: list[str] = []
+        w2: list[str] = []
+        for t in toks:
+            if len(t) > 1:
+                w1.extend(t[:-1])
+                w2.extend(t[1:])
+        tbl = pa.table(
+            {"w1": pa.array(w1, pa.string()), "w2": pa.array(w2, pa.string())}
+        )
+        # combiner: collapse within-block duplicates before the shuffle
+        return tbl.group_by(["w1", "w2"]).aggregate([([], "count_all")]).rename_columns(
+            ["w1", "w2", "c"]
+        )
+
+    partial = docs.map_batches(
+        explode_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    types = partial.groupby(["w1", "w2"]).sum("c")  # → w1, w2, sum(c)
+    types = types.map_batches(
+        lambda t: t.rename_columns(["w1", "w2", "n_pair"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    n_total = int(types.sum("n_pair"))
+    left_marg = types.groupby("w1").sum("n_pair").map_batches(
+        lambda t: t.rename_columns(["w1", "n_left"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    right_marg = types.groupby("w2").sum("n_pair").map_batches(
+        lambda t: t.rename_columns(["w2", "n_right"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    gated = types.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_pair"), min_count)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nparts = default_join_partitions()
+    joined = safe_join(
+        safe_join(
+            gated, left_marg, join_type="inner", num_partitions=nparts, on=("w1",)
+        ),
+        right_marg,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("w2",),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_pair").to_numpy(zero_copy_only=False).astype(np.float64)
+        a = batch.column("n_left").to_numpy(zero_copy_only=False).astype(np.float64)
+        b = batch.column("n_right").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi6 = np.rint(np.log(c * float(n_total) / (a * b)) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n_pair": batch.column("n_pair"),
+                "pmi6": pa.array(pmi6, pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    top = (
+        scored.sort(["pmi6", "w1", "w2"], descending=[True, False, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["pmi"] = top.pop("pmi6").astype(np.float64) / 1e6
+    return top[["rank", "w1", "w2", "n_pair", "pmi"]]

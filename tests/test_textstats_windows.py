@@ -985,3 +985,52 @@ def test_dsir_importance_weights_direction_and_exactness(ray_session):
     # direction: pure-target docs positive, pure-raw negative
     assert (out[out.doc_id.isin([0, 1])].avg_liw > 0).all()
     assert (out[out.doc_id.isin([2, 3])].avg_liw < 0).all()
+
+
+def test_pmi_collocations_matches_sequential(ray_session):
+    """PMI top-k: the distributed type-table pipeline must match a
+    single-process count over a corpus with planted collocations."""
+    import numpy as np
+    import re as _re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import pmi_collocations
+
+    base = "filler words appear here and there sometimes randomly placed"
+    texts = [f"{base} new york city" for _ in range(6)] + [
+        f"{base} machine learning model" for _ in range(6)
+    ] + ["york new", "learning machine"]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(4)
+    out = pmi_collocations(ds, top_k=10, min_count=5)
+
+    pairs = Counter()
+    for t in texts:
+        tk = _re.findall(r"\w+", t.lower())
+        pairs.update(zip(tk, tk[1:]))
+    n = sum(pairs.values())
+    left = Counter()
+    right = Counter()
+    for (a, b), c in pairs.items():
+        left[a] += c
+        right[b] += c
+    scored = [
+        (int(np.rint(np.log(c * n / (left[a] * right[b])) * 1e6)), a, b, c)
+        for (a, b), c in pairs.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expect = scored[:10]
+    assert len(out) == len(expect)
+    for i, (pmi6, a, b, c) in enumerate(expect):
+        row = out.iloc[i]
+        assert (row.w1, row.w2, row.n_pair) == (a, b, c)
+        assert row.pmi == pmi6 / 1e6
+        assert row["rank"] == i + 1
+    # the planted collocations rank above the filler bigrams
+    top_pairs = set(zip(out.w1[:4], out.w2[:4]))
+    assert {("new", "york"), ("york", "city"), ("machine", "learning"),
+            ("learning", "model")} & top_pairs
