@@ -2153,6 +2153,78 @@ SELECT node AS entity_uuid, pr AS rank FROM r{rounds}
 """
 
 
+def _q_graph_hits(sf_dir: str):
+    """HITS hubs & authorities (4 fixed rounds, per-round L1
+    normalization keeping magnitudes ~1/N so the engines' 1e-15
+    sum-order noise stays far below the round(6) compare) over the
+    merged edge list — the pagerank unroll convention with a scalar
+    normalizer per half-round."""
+    from graphiti_ray.stages.graph import hits
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    return hits(tables["edges"], rounds=4)
+
+
+def _hits_oracle_sql(rounds: int = 4) -> str:
+    # every round CTE is referenced twice (value + L1 normalizer), so
+    # WITHOUT `AS MATERIALIZED` DuckDB's CTE inlining duplicates the whole
+    # upstream chain per reference — 2^(2·rounds) base scans (measured:
+    # fd exhaustion at rounds=4). The k-core oracle's convention.
+    parts = [
+        "nodes AS MATERIALIZED (SELECT subj_uuid AS x FROM merged_id "
+        "UNION SELECT obj_uuid FROM merged_id)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "e AS MATERIALIZED (SELECT subj_uuid AS s, obj_uuid AS t FROM merged_id)",
+        "h0 AS MATERIALIZED "
+        "(SELECT x AS node, 1.0 / nn.n AS sc FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""a{k}r AS MATERIALIZED (
+  SELECT n0.x AS node, coalesce(m.acc, 0) AS v
+  FROM nodes n0 LEFT JOIN (
+    SELECT e.t AS node, sum(h.sc) AS acc
+    FROM e JOIN h{k - 1} h ON h.node = e.s GROUP BY 1
+  ) m ON m.node = n0.x
+)"""
+        )
+        parts.append(
+            f"a{k}n AS (SELECT CASE WHEN sum(v) = 0 THEN 1 ELSE sum(v) END AS z"
+            f" FROM a{k}r)"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED "
+            f"(SELECT node, v / a{k}n.z AS sc FROM a{k}r CROSS JOIN a{k}n)"
+        )
+        parts.append(
+            f"""h{k}r AS MATERIALIZED (
+  SELECT n0.x AS node, coalesce(m.acc, 0) AS v
+  FROM nodes n0 LEFT JOIN (
+    SELECT e.s AS node, sum(a.sc) AS acc
+    FROM e JOIN a{k} a ON a.node = e.t GROUP BY 1
+  ) m ON m.node = n0.x
+)"""
+        )
+        parts.append(
+            f"h{k}n AS (SELECT CASE WHEN sum(v) = 0 THEN 1 ELSE sum(v) END AS z"
+            f" FROM h{k}r)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED "
+            f"(SELECT node, v / h{k}n.z AS sc FROM h{k}r CROSS JOIN h{k}n)"
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+{chain}
+SELECT h.node AS entity_uuid, h.sc AS hub, a.sc AS authority
+FROM h{rounds} h JOIN a{rounds} a USING (node)
+"""
+
+
 def _q_graph_kcore(sf_dir: str):
     """2-core of the merged edge graph by iterative peeling (4 bounded
     rounds, early-stop on fixpoint — extra SQL rounds are then no-ops, the
@@ -2917,6 +2989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "graph_hits": _q_graph_hits,
         "docs_pmi": _q_docs_pmi,
         "docs_dsir": _q_docs_dsir,
         "docs_dedup_spans": _q_docs_dedup_spans,
@@ -3869,6 +3942,8 @@ GROUP BY 1, 2
         "docs_dsir": _DSIR_ORACLE,
         # PMI collocations: type-table marginals, lattice-ranked top-50
         "docs_pmi": _PMI_ORACLE,
+        # HITS: 4 unrolled rounds, L1-normalized half-steps
+        "graph_hits": _hits_oracle_sql(),
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

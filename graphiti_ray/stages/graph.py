@@ -496,6 +496,142 @@ def pagerank(
     )
 
 
+def hits(
+    edges: rd.Dataset,
+    rounds: int = 4,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over the directed edge
+    list, fixed round count with per-round L1 normalization so a SQL twin
+    can unroll the recurrence and magnitudes stay bounded near 1/N
+    (unnormalized HITS grows exponentially, which would push the two
+    engines' ~1e-15 sum-order differences past the round(6) compare —
+    the pagerank convention, stated there, extended with a scalar-sum
+    normalizer per half-round).
+
+    Per round: authority(t) = Σ_{s→t} hub(s), normalized by Σ authority;
+    then hub(s) = Σ_{s→t} authority(t), normalized by Σ hub. Uniform 1/N
+    start; nodes with no in-edges (resp. out-edges) keep score 0 via the
+    zero-row union, never an outer join. Two joins + two groupbys + two
+    scalar reduces per round — the same dataset-side iterative shape as
+    :func:`pagerank`. Multi-edges contribute once per edge row.
+
+    Output: (entity_uuid, hub, authority) after ``rounds`` rounds.
+    """
+    import numpy as np
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    nodes = distinct_by_key(
+        _symmetric(edges, src, dst).map_batches(
+            lambda t: pa.table({"node": t.column("x")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "node",
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_uuid": pa.array([], pa.string()),
+                    "hub": pa.array([], pa.float64()),
+                    "authority": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    e = edges.select_columns([src, dst]).map_batches(
+        lambda t: t.rename_columns(["s", "t"]), batch_format="pyarrow"
+    ).materialize()
+    nparts = default_join_partitions()
+
+    def _zero(col: str) -> rd.Dataset:
+        return nodes.map_batches(
+            lambda t, _c=col: pa.table(
+                {
+                    "node": t.column("node"),
+                    _c: pa.array(np.zeros(t.num_rows), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    zero_rows = _zero("v").materialize()
+
+    def _push(scores: rd.Dataset, score_col: str, join_key: str, out_key: str):
+        """One half-round: join scores onto edges at ``join_key``, sum the
+        pushed mass at ``out_key``, L1-normalize by the global sum."""
+        joined = safe_join(
+            e,
+            scores.map_batches(
+                lambda t, _k=join_key: t.rename_columns([_k, "sc"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=nparts,
+            on=(join_key,),
+        )
+        contrib = joined.map_batches(
+            lambda t, _o=out_key: pa.table(
+                {"node": t.column(_o), "v": t.column("sc")}
+            ),
+            batch_format="pyarrow",
+        ).union(zero_rows)
+        acc = contrib.groupby("node").aggregate(Sum("v", alias_name="acc")).materialize()
+        total = float(acc.sum("acc"))
+        norm = total if total != 0.0 else 1.0
+        return acc.map_batches(
+            lambda t, _n=norm: pa.table(
+                {
+                    "node": t.column("node"),
+                    "sc": pa.array(
+                        t.column("acc").to_numpy(zero_copy_only=False) / _n,
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    hub = nodes.map_batches(
+        lambda t, _p=1.0 / n: t.append_column(
+            "sc", pa.array(np.full(t.num_rows, _p), pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = hub
+    for _ in range(rounds):
+        auth = _push(hub, "sc", "s", "t")  # authority ← hubs pointing in
+        hub = _push(auth, "sc", "t", "s")  # hub ← authorities pointed at
+
+    merged = safe_join(
+        hub.map_batches(
+            lambda t: t.rename_columns(["node", "hub"]), batch_format="pyarrow"
+        ),
+        auth.map_batches(
+            lambda t: t.rename_columns(["node", "authority"]),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("node",),
+    )
+    return merged.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_uuid": t.column("node"),
+                "hub": t.column("hub"),
+                "authority": t.column("authority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def triangle_counts(
     edges: rd.Dataset, src: str = "subj_uuid", dst: str = "obj_uuid"
 ) -> rd.Dataset:

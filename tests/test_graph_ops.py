@@ -223,3 +223,53 @@ def test_k_core_empty_and_whole_graph(ray_session):
     assert sorted(full.entity_uuid) == ["a", "b", "c"]
     empty = k_core(rd.from_pandas(edges), k=5, rounds=4).to_pandas()
     assert len(empty) == 0
+
+
+def test_hits_matches_dense_reference(ray_session):
+    """HITS: the distributed join+sum rounds must match a dense numpy
+    power iteration with the same per-half-round L1 normalization."""
+    import numpy as np
+
+    from graphiti_ray.stages.graph import hits
+
+    edges = pd.DataFrame(
+        [
+            ("a", "b"), ("a", "c"), ("a", "d"),   # a is a strong hub
+            ("b", "d"), ("c", "d"),               # d is a strong authority
+            ("e", "a"),
+        ],
+        columns=["subj_uuid", "obj_uuid"],
+    )
+    rounds = 4
+    out = (
+        hits(rd.from_pandas(edges), rounds=rounds)
+        .to_pandas()
+        .sort_values("entity_uuid")
+        .reset_index(drop=True)
+    )
+
+    nodes = sorted(set(edges.subj_uuid) | set(edges.obj_uuid))
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, t in edges.itertuples(index=False):
+        A[idx[s], idx[t]] += 1.0
+    h = np.full(n, 1.0 / n)
+    for _ in range(rounds):
+        a = A.T @ h
+        a = a / (a.sum() or 1.0)
+        h = A @ a
+        h = h / (h.sum() or 1.0)
+    assert out.entity_uuid.tolist() == nodes
+    assert np.allclose(out.hub.to_numpy(), h, atol=1e-12)
+    assert np.allclose(out.authority.to_numpy(), a, atol=1e-12)
+    # structure: a tops hubs, d tops authorities
+    assert out.loc[out.hub.idxmax(), "entity_uuid"] == "a"
+    assert out.loc[out.authority.idxmax(), "entity_uuid"] == "d"
+
+
+def test_hits_empty_graph(ray_session):
+    from graphiti_ray.stages.graph import hits
+
+    edges = pd.DataFrame([], columns=["subj_uuid", "obj_uuid"])
+    assert hits(rd.from_pandas(edges), rounds=3).count() == 0
