@@ -2910,6 +2910,54 @@ FROM lt l LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_docs_novelty(sf_dir: str):
+    """Per-doc gram novelty (dual of docs_dup_spans): share of a doc's
+    distinct char-32-grams FIRST SEEN in that doc (lowest doc_id wins).
+    One range sort — sorted_run_map over (h, doc_id) runs flags the first
+    carrier, no groupby(h).min + join-back."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import gram_novelty
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return gram_novelty(docs)
+
+
+def _novelty_oracle_sql() -> str:
+    from graphiti_ray.stages.dedup import DUPSPAN_K
+
+    k = DUPSPAN_K
+    p_pow = [pow(_POLY_INT, j, _M64) for j in range(k)]
+    terms = " + ".join(
+        [f"b * {p_pow[k - 1]}::HUGEINT"]
+        + [f"lead(b, {j}) OVER w * {p_pow[k - 1 - j]}::HUGEINT" for j in range(1, k)]
+    )
+    return rf"""
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents
+            WHERE length(text) >= {k}),
+bytes AS (
+  SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
+  FROM lt, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
+),
+sh0 AS (
+  SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS h64, i, n
+  FROM bytes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+shingles AS (
+  SELECT DISTINCT doc_id, (h64 % 2305843009213693952::HUGEINT)::BIGINT AS h
+  FROM sh0 WHERE i <= n - {k - 1}
+),
+firsts AS (SELECT h, min(doc_id) AS d0 FROM shingles GROUP BY 1),
+novel AS (SELECT d0 AS doc_id, count(*) AS n_novel FROM firsts GROUP BY 1),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM shingles GROUP BY 1)
+SELECT t.doc_id, t.n_grams,
+       coalesce(v.n_novel, 0)::BIGINT AS n_novel,
+       coalesce(v.n_novel, 0)::DOUBLE / t.n_grams AS novelty_fraction
+FROM tot t LEFT JOIN novel v USING (doc_id)
+"""
+
+
 def _q_docs_tfidf(sf_dir: str):
     """Per-doc TF-IDF top-3 keywords — df via annotate_run_lengths (no
     vocabulary broadcast, no driver dict), per-doc top-k via
@@ -2989,6 +3037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "docs_novelty": _q_docs_novelty,
         "graph_hits": _q_graph_hits,
         "docs_pmi": _q_docs_pmi,
         "docs_dsir": _q_docs_dsir,
@@ -3944,6 +3993,8 @@ GROUP BY 1, 2
         "docs_pmi": _PMI_ORACLE,
         # HITS: 4 unrolled rounds, L1-normalized half-steps
         "graph_hits": _hits_oracle_sql(),
+        # gram novelty: min-doc first-seen over the same Horner shingles
+        "docs_novelty": _novelty_oracle_sql(),
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

@@ -1515,3 +1515,96 @@ def remove_duplicated_spans(
         )
 
     return joined.map_batches(apply_mask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gram_novelty(
+    docs: rd.Dataset,
+    k: int = DUPSPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Per-document NOVELTY profiling: how many of a doc's distinct
+    char-``k``-gram hashes are FIRST SEEN in this doc (lowest ``doc_id``
+    among all carriers) and what fraction of the doc that is — the
+    marginal-contribution signal of a growing dedup corpus (each doc's
+    novelty is its share of grams no earlier doc supplied; the dual of
+    :func:`duplicated_ngram_stats`' dup_fraction).
+
+    One range sort: ``sorted_run_map`` over the gram stream keyed on the
+    hash with ``doc_id`` as the run order — the first row of each
+    complete run IS the first-seen carrier (block-boundary runs are
+    carried whole), so no groupby(h).min + join-back. The per-doc
+    reduction is the usual per-block combiner → keyed sum. Docs shorter
+    than ``k`` chars are excluded (the dup_spans convention).
+
+    Output: (doc_id, n_grams, n_novel, novelty_fraction).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    def explode(batch: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(pc.utf8_length(batch.column(text_col)), k)
+        batch = batch.filter(keep)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        hs = [shingle_hashes(t, k) for t in texts]
+        counts = np.array([len(h) for h in hs], dtype=np.int64)
+        return pa.table(
+            {
+                "h": pa.array(
+                    np.concatenate(hs) if hs else np.zeros(0, np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "n_grams": pa.array(np.repeat(counts, counts), pa.int64()),
+            }
+        )
+
+    grams = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_flags(tbl: pa.Table) -> pa.Table:
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        if tbl.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_grams": pa.array([], pa.int64()),
+                    "novel": pa.array([], pa.int64()),
+                }
+            )
+        starts = _table_run_starts(tbl, ["h"])
+        flag = np.zeros(tbl.num_rows, np.int64)
+        flag[starts[:-1]] = 1
+        t = pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "n_grams": tbl.column("n_grams"),
+                "novel": pa.array(flag, pa.int64()),
+            }
+        )
+        # combiner: collapse to ≤ one row per doc per block before the reduce
+        return t.group_by(["doc_id", "n_grams"]).aggregate([("novel", "sum")])
+
+    partial = sorted_run_map(grams, ["h"], first_flags, order_cols=["doc_id"])
+    total = partial.groupby(["doc_id", "n_grams"]).aggregate(
+        Sum("novel_sum", alias_name="n_novel")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        frac = pc.divide(
+            pc.cast(batch.column("n_novel"), pa.float64()),
+            pc.cast(batch.column("n_grams"), pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": batch.column("n_grams"),
+                "n_novel": batch.column("n_novel"),
+                "novelty_fraction": frac,
+            }
+        )
+
+    return total.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

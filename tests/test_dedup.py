@@ -563,3 +563,48 @@ def test_remove_duplicated_spans_planted(ray_session):
             n_rm = int(covered.sum())
         assert out.cleaned_text[i] == expect
         assert out.n_removed[i] == n_rm
+
+
+def test_gram_novelty_first_seen_semantics(ray_session):
+    """Novelty: the doc that introduces a shared span owns its grams;
+    later carriers don't. Dual invariant vs duplicated_ngram_stats."""
+    import numpy as np
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import (
+        DUPSPAN_K,
+        gram_novelty,
+        shingle_hashes,
+    )
+
+    k = DUPSPAN_K
+    rng = np.random.default_rng(9)
+
+    def rand_text(n):
+        return "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), n))
+
+    shared = "a boilerplate sentence shared verbatim by two documents"
+    t0 = rand_text(100) + shared
+    t1 = rand_text(100) + shared   # doc 1 repeats doc 0's span
+    t2 = rand_text(150)            # fully novel
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate([t0, t1, t2])]
+    ).repartition(3)
+    out = (
+        gram_novelty(ds, k=k)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    sets = [set(map(int, shingle_hashes(t, k))) for t in [t0, t1, t2]]
+    expect_novel = [
+        len(sets[0]),                      # doc 0 first-sees everything it has
+        len(sets[1] - sets[0]),            # doc 1 loses the shared grams
+        len(sets[2] - sets[0] - sets[1]),
+    ]
+    assert out.n_grams.tolist() == [len(s) for s in sets]
+    assert out.n_novel.tolist() == expect_novel
+    assert out.novelty_fraction[0] == 1.0
+    assert out.novelty_fraction[1] < 1.0
+    assert out.novelty_fraction[2] == 1.0
