@@ -2910,6 +2910,67 @@ FROM lt l LEFT JOIN agg a USING (doc_id)
 """
 
 
+def _q_docs_cdc(sf_dir: str):
+    """Content-defined chunking (pure Rabin/Gear mask rule): boundary
+    after every position whose rolling 16-byte Horner hash is 0 mod 64.
+    Embarrassingly parallel — one map_batches pass, zero shuffle; chunk
+    digests via the vectorized Arrow md5 the exact-dedup path uses."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import cdc_chunks
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return cdc_chunks(docs)
+
+
+def _cdc_oracle_sql() -> str:
+    from graphiti_ray.stages.dedup import CDC_K, CDC_MASK
+
+    k = CDC_K
+    mod = CDC_MASK + 1
+    p_pow = [pow(_POLY_INT, j, _M64) for j in range(k)]
+    terms = " + ".join(
+        [f"b * {p_pow[k - 1]}::HUGEINT"]
+        + [f"lead(b, {j}) OVER w * {p_pow[k - 1 - j]}::HUGEINT" for j in range(1, k)]
+    )
+    return rf"""
+WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+long AS (SELECT doc_id, t FROM lt WHERE length(t) >= {k}),
+bytes AS (
+  SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
+  FROM long, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
+),
+sh0 AS (
+  SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS h64, i, n
+  FROM bytes
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+pg AS (
+  SELECT doc_id, i, (h64 % 2305843009213693952::HUGEINT)::BIGINT AS h, n
+  FROM sh0 WHERE i <= n - {k - 1}
+),
+cuts AS (
+  SELECT doc_id, i + {k - 1} AS cut
+  FROM pg WHERE h % {mod} = 0 AND i + {k - 1} < n
+),
+b0 AS (
+  SELECT doc_id, 0 AS cut FROM lt
+  UNION ALL SELECT doc_id, cut FROM cuts
+),
+ch AS (
+  SELECT doc_id, cut + 1 AS start,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1 AS chunk_id,
+         lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS nxt
+  FROM b0
+)
+SELECT c.doc_id, c.chunk_id::BIGINT AS chunk_id, c.start::BIGINT AS start,
+       (coalesce(c.nxt, length(l.t)) - c.start + 1)::BIGINT AS length,
+       md5(substr(l.t, c.start,
+                  coalesce(c.nxt, length(l.t)) - c.start + 1)) AS chunk_md5
+FROM ch c JOIN lt l USING (doc_id)
+"""
+
+
 def _q_docs_novelty(sf_dir: str):
     """Per-doc gram novelty (dual of docs_dup_spans): share of a doc's
     distinct char-32-grams FIRST SEEN in that doc (lowest doc_id wins).
@@ -3037,6 +3098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
         "graph_hits": _q_graph_hits,
         "docs_pmi": _q_docs_pmi,
@@ -3995,6 +4057,8 @@ GROUP BY 1, 2
         "graph_hits": _hits_oracle_sql(),
         # gram novelty: min-doc first-seen over the same Horner shingles
         "docs_novelty": _novelty_oracle_sql(),
+        # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
+        "docs_cdc": _cdc_oracle_sql(),
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),
         "search_hybrid": _search_hybrid_oracle_sql(),

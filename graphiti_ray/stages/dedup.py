@@ -1608,3 +1608,75 @@ def gram_novelty(
         )
 
     return total.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CDC_K = 16      # rolling-window width (bytes) for boundary detection
+CDC_MASK = 63   # boundary when gram hash % (CDC_MASK+1) == 0 → ~64-byte chunks
+
+
+def cdc_chunks(
+    docs: rd.Dataset,
+    k: int = CDC_K,
+    mask_bits: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Content-defined chunking (the Rabin/Gear CDC family underlying
+    LBFS/restic/borg-style dedup storage): a chunk boundary falls after
+    every position whose rolling ``k``-byte hash satisfies
+    ``h % 2^mask_bits == 0``, so INSERTIONS only reshuffle the chunks
+    they touch — unlike fixed-grid chunking where one inserted byte
+    shifts every downstream boundary.  This is the PURE mask rule
+    (no min/max chunk clamps): position-independent, hence exactly
+    SQL-expressible — the clamped FastCDC variant makes each boundary
+    depend on the previous one, which no window function can express.
+
+    Single streaming ``map_batches`` pass (the positional Horner hashes
+    are the same :func:`shingle_hash_seq` kernel the whole dedup family
+    uses, over ``lower(text)`` bytes); chunk digests via the vectorized
+    Arrow md5 used by exact dedup — no shuffle at all, chunking is
+    embarrassingly parallel.
+
+    Output: one row per chunk — (doc_id, chunk_id, start, length,
+    chunk_md5), ``start`` 1-based to match SQL ``substr``; docs shorter
+    than ``k`` are a single whole-doc chunk.
+    """
+    mask = (1 << mask_bits) - 1
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_cid, out_start, out_len, out_txt = [], [], [], [], []
+        for d, t in zip(ids, texts):
+            tl = (t or "").lower()
+            n = len(tl)
+            if n >= k:
+                hs = shingle_hash_seq(tl, k)
+                # cut AFTER 0-based position i0+k-1 → end-exclusive i0+k,
+                # dropped when it would land at/after the text end
+                cuts = np.flatnonzero((hs & mask) == 0) + k
+                cuts = cuts[cuts < n]
+            else:
+                cuts = np.zeros(0, np.int64)
+            bounds = np.concatenate([[0], cuts, [n]])
+            for ci, (s, e) in enumerate(zip(bounds[:-1], bounds[1:])):
+                out_id.append(int(d))
+                out_cid.append(ci)
+                out_start.append(int(s) + 1)
+                out_len.append(int(e - s))
+                out_txt.append(tl[s:e])
+        t = pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_id": pa.array(out_cid, pa.int64()),
+                "start": pa.array(out_start, pa.int64()),
+                "length": pa.array(out_len, pa.int64()),
+                "txt": pa.array(out_txt, pa.string()),
+            }
+        )
+        md5s = md5_hex_column(t.column("txt"))
+        return t.drop_columns(["txt"]).append_column(
+            "chunk_md5", pa.array(md5s, pa.string())
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

@@ -608,3 +608,44 @@ def test_gram_novelty_first_seen_semantics(ray_session):
     assert out.novelty_fraction[0] == 1.0
     assert out.novelty_fraction[1] < 1.0
     assert out.novelty_fraction[2] == 1.0
+
+
+def test_cdc_chunks_reconstruction_and_insertion_locality(ray_session):
+    """CDC: chunks reconstruct the (lowered) doc exactly, and an
+    insertion near the head leaves the tail chunk digests unchanged —
+    the property fixed-grid chunking cannot have."""
+    import numpy as np
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import cdc_chunks
+
+    rng = np.random.default_rng(3)
+    base = "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz "), 3000))
+    edited = base[:10] + "INSERTED!" + base[10:]
+    ds = rd.from_items(
+        [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": edited},
+         {"doc_id": 2, "text": "tiny"}]
+    )
+    out = cdc_chunks(ds).to_pandas()
+
+    for d, t in [(0, base), (1, edited), (2, "tiny")]:
+        sub = out[out.doc_id == d].sort_values("chunk_id")
+        assert (sub.chunk_id.to_numpy() == np.arange(len(sub))).all()
+        # starts/lengths tile the doc exactly
+        assert sub.start.iloc[0] == 1
+        assert (
+            sub.start.to_numpy()[1:]
+            == (sub.start + sub.length).to_numpy()[:-1]
+        ).all()
+        assert int((sub.start + sub.length).iloc[-1]) - 1 == len(t)
+
+    # locality: the tail of the edited doc re-synchronizes to base's chunks
+    h0 = out[out.doc_id == 0].sort_values("chunk_id").chunk_md5.tolist()
+    h1 = out[out.doc_id == 1].sort_values("chunk_id").chunk_md5.tolist()
+    shared_tail = 0
+    while (
+        shared_tail < min(len(h0), len(h1))
+        and h0[-1 - shared_tail] == h1[-1 - shared_tail]
+    ):
+        shared_tail += 1
+    assert shared_tail >= max(2, len(h0) - 4)
