@@ -1888,6 +1888,21 @@ def _q_events_session(sf_dir: str):
     return session_window(ev, gap_s=1800)
 
 
+def _q_events_zscore(sf_dir: str):
+    """Per-user z-score outlier screen in exact int64 arithmetic
+    (|n·x − s|² > z²·(n·ssq − s²) on a 1e-3 quantized lattice), so the
+    SQL twin never compares floats. Reference analogue: the telemetry
+    quality screens a training-data pipeline runs over event streams."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import zscore_outliers
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return zscore_outliers(ev, z=3, quant=1000)
+
+
 def _q_docs_quality_filter(sf_dir: str):
     """C4/Gopher-style quality gate: keep docs inside heuristic bounds
     (vectorized filter inside map_batches; predicate pushdown shape)."""
@@ -3098,6 +3113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
         "graph_hits": _q_graph_hits,
@@ -4058,6 +4074,29 @@ GROUP BY 1, 2
         # gram novelty: min-doc first-seen over the same Horner shingles
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
+        # Exact-integer per-key z-test: quantize to floor(value*1000)
+        # (both sides use IEEE-double multiply, so the lattice matches
+        # bit-for-bit), then (n·x−s)² > z²·(n·ssq−s²) with every division
+        # cleared — no float comparison anywhere.
+        "events_zscore": """
+WITH q AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS v_q
+  FROM events
+),
+s AS (
+  SELECT user_id, count(*)::BIGINT AS n,
+         CAST(sum(v_q) AS BIGINT) AS s,
+         CAST(sum(v_q * v_q) AS BIGINT) AS ssq
+  FROM q GROUP BY user_id
+)
+SELECT q.event_id, q.user_id, q.v_q,
+       CAST((s.n * q.v_q - s.s) * (s.n * q.v_q - s.s) AS BIGINT) AS dev2,
+       CAST(9 * (s.n * s.ssq - s.s * s.s) AS BIGINT) AS bound,
+       (s.n * q.v_q - s.s) * (s.n * q.v_q - s.s)
+         > 9 * (s.n * s.ssq - s.s * s.s) AS is_outlier
+FROM q JOIN s USING (user_id)
+""",
         "docs_cdc": _cdc_oracle_sql(),
         # sequential email → ip → phone redaction with identical regexes
         "docs_pii": _pii_oracle_sql(),

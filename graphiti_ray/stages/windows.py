@@ -189,3 +189,103 @@ def session_window(
             _session_block, key_col=key_col, ts_col=ts_col, gap_s=gap_s
         ),
     )
+
+
+def zscore_outliers(
+    events: rd.Dataset,
+    z: int = 3,
+    quant: int = 1000,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Per-key z-score outlier flagging — the standard telemetry/quality
+    screen (|x − μ_key| > z·σ_key) — in EXACT integer arithmetic so the
+    SQL twin never touches a float comparison: values quantize to
+    ``floor(v·quant)`` and the test becomes
+
+        (n·x − s)² > z² · (n·ssq − s²)        (all int64)
+
+    which is |x − s/n| > z·σ with every division cleared. Two-pass
+    shape: per-block partial (n, Σx, Σx²) combiner → one keyed reduce →
+    one hash join back onto the events — the canonical
+    stats-then-annotate pattern. An int64-range guard raises rather than
+    silently overflowing (quantized |x|·n must stay under ~3·10⁹·z⁻¹).
+
+    Output: (event_id, user_id, v_q, dev2, bound, is_outlier).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vq = np.floor(v * quant).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                "v_q": pa.array(vq, pa.int64()),
+            }
+        )
+
+    ev = events.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vq = batch.column("v_q").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": pa.array(np.ones(len(vq), np.int64), pa.int64()),
+                "s": pa.array(vq, pa.int64()),
+                "ssq": pa.array(vq * vq, pa.int64()),
+            }
+        )
+        return t.group_by([key_col]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ssq", "sum")]
+        ).rename_columns([key_col, "n", "s", "ssq"])
+
+    stats = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .sum(["n", "s", "ssq"])
+        .map_batches(
+            lambda t: t.rename_columns([key_col, "n", "s", "ssq"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    joined = safe_join(
+        ev,
+        stats,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=(key_col,),
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        x = batch.column("v_q").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        ssq = batch.column("ssq").to_numpy(zero_copy_only=False)
+        if len(x) and int((n * np.abs(x)).max()) > 3_000_000_000 // max(z, 1):
+            raise ValueError(
+                "zscore_outliers: quantized magnitudes exceed the int64-safe "
+                "bound — lower `quant` or pre-scale the value column"
+            )
+        d = n * x - s
+        dev2 = d * d
+        bound = (z * z) * (n * ssq - s * s)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                "v_q": batch.column("v_q"),
+                "dev2": pa.array(dev2, pa.int64()),
+                "bound": pa.array(bound, pa.int64()),
+                "is_outlier": pa.array(dev2 > bound, pa.bool_()),
+            }
+        )
+
+    return joined.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

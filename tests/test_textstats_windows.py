@@ -1034,3 +1034,47 @@ def test_pmi_collocations_matches_sequential(ray_session):
     top_pairs = set(zip(out.w1[:4], out.w2[:4]))
     assert {("new", "york"), ("york", "city"), ("machine", "learning"),
             ("learning", "model")} & top_pairs
+
+
+def test_zscore_outliers_matches_numpy(ray_session):
+    from graphiti_ray.stages.windows import zscore_outliers
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for uid in range(4):
+        vals = rng.normal(100.0, 5.0, 40).round(2).clip(0.01)
+        vals[0] = 400.0  # planted outlier per key
+        rows += [
+            {"event_id": uid * 100 + i, "user_id": uid, "value": float(v)}
+            for i, v in enumerate(vals)
+        ]
+    out = (
+        zscore_outliers(rd.from_items(rows).repartition(4), z=3, quant=1000)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(rows)
+    # exact-integer test agrees with the float z-score on every row
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df["v_q"] = np.floor(df.value * 1000).astype(np.int64)
+    g = df.groupby("user_id").v_q
+    mu = g.transform("mean")
+    sd = g.transform(lambda s: s.std(ddof=0))
+    expect = (df.v_q - mu).abs() > 3 * sd
+    got = out.sort_values("event_id").is_outlier.to_numpy()
+    assert (got == expect.to_numpy()).all()
+    # every planted spike flagged
+    assert out[out.event_id % 100 == 0].is_outlier.all()
+
+
+def test_zscore_outliers_overflow_guard(ray_session):
+    from graphiti_ray.stages.windows import zscore_outliers
+
+    rows = [
+        {"event_id": i, "user_id": 0, "value": 5e6} for i in range(3)
+    ]
+    with pytest.raises(Exception):
+        zscore_outliers(rd.from_items(rows), z=3, quant=1000).to_pandas()
