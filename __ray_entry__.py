@@ -295,14 +295,17 @@ relv AS (
 )"""
 
 
-def _minhash_oracle_sql() -> str:
-    """Full MinHash-LSH near-dup pipeline as SQL: k-byte shingle rolling
-    hash (lead() window Horner, mod 2^64 then mod 2^61), 64 baked
-    (a, b) permutations with numpy-int64-wraparound-faithful arithmetic,
-    band hashes, bucket-collision candidates, signature-agreement
-    threshold (ceil(0.8*64)=52 of 64 perms), and min-label connected
-    components via a recursive CTE. Byte-exact vs stages/dedup.py
-    (ASCII corpus: substr/ord are per character = per byte)."""
+def _minhash_pairs_prefix_sql() -> str:
+    """Shared SQL prefix ending at the verified MinHash candidate-pair CTE
+    (``pairs``): k-byte shingle rolling hash (lead() window Horner, mod
+    2^64 then mod 2^61), 64 baked (a, b) permutations with
+    numpy-int64-wraparound-faithful arithmetic, band hashes,
+    bucket-collision candidates, first-colliding-band distinctness, and
+    the signature-agreement threshold (ceil(0.8*64)=52 of 64 perms).
+    Byte-exact vs stages/dedup.py (ASCII corpus: substr/ord are per
+    character = per byte). Consumed by _minhash_oracle_sql (appends the
+    connected-components tail) and the dedup_levenshtein oracle (appends
+    the documents join + levenshtein verify)."""
     import math
 
     from graphiti_ray.stages.dedup import _A, _B, NUM_PERM, SHINGLE_K
@@ -390,7 +393,15 @@ pairs AS (
   JOIN sigs sb ON sb.doc_id = c.b AND sb.p = sa.p
   GROUP BY c.a, c.b
   HAVING sum((sa.sig = sb.sig)::INT) >= {est_min}
-),
+)"""
+
+
+def _minhash_oracle_sql() -> str:
+    """MinHash-LSH near-dup clusters: the shared pair prefix + min-label
+    connected components via a recursive CTE."""
+    return (
+        _minhash_pairs_prefix_sql()
+        + """,
 cc_sym AS (SELECT a AS x, b AS y FROM pairs UNION SELECT b, a FROM pairs),
 reach AS (
   SELECT x, y FROM cc_sym
@@ -399,6 +410,29 @@ reach AS (
 )
 SELECT x AS doc_id, least(x, min(y)) AS component FROM reach GROUP BY x
 """
+    )
+
+
+def _lev_oracle_sql() -> str:
+    """Levenshtein-verified near-dup pairs: the shared MinHash pair prefix
+    + documents join + DuckDB ``levenshtein`` with the exact-integer
+    similarity gate lev·100 ≤ 20·max_len (sim_pct=80)."""
+    return (
+        _minhash_pairs_prefix_sql()
+        + """,
+lv AS (
+  SELECT p.a, p.b,
+         levenshtein(da.text, db.text)::BIGINT AS lev_dist,
+         greatest(length(da.text), length(db.text))::BIGINT AS max_len
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.a
+  JOIN documents db ON db.doc_id = p.b
+)
+SELECT a, b, lev_dist, max_len,
+       lev_dist * 100 <= 20 * max_len AS is_dup
+FROM lv
+"""
+    )
 
 
 _KG_EDGES_ORACLE = f"""
@@ -861,6 +895,19 @@ def _q_dedup_minhash(sf_dir: str):
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return minhash_near_dup(docs)
+
+
+def _q_dedup_levenshtein(sf_dir: str):
+    """Two-stage near-dup refinement: MinHash-LSH candidates exact-verified
+    by Levenshtein edit distance (cost bounded by candidate count, never
+    the corpus). Reference analogue: fuzzy-candidate re-scoring before
+    merge, graphiti_core/utils/bulk_utils.py:291-396."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import levenshtein_verified_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return levenshtein_verified_pairs(docs)
 
 
 def _q_dedup_simhash(sf_dir: str):
@@ -3113,6 +3160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # an earlier round's CORRECTNESS file rotate to the tail.
     return {
         # new this round
+        "dedup_levenshtein": _q_dedup_levenshtein,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4074,6 +4122,7 @@ GROUP BY 1, 2
         # gram novelty: min-doc first-seen over the same Horner shingles
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
+        "dedup_levenshtein": _lev_oracle_sql(),
         # Exact-integer per-key z-test: quantize to floor(value*1000)
         # (both sides use IEEE-double multiply, so the lattice matches
         # bit-for-bit), then (n·x−s)² > z²·(n·ssq−s²) with every division

@@ -1680,3 +1680,144 @@ def cdc_chunks(
         )
 
     return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- Levenshtein-verified near-dup pairs ------------------------------------
+#
+# The canonical two-stage near-dup refinement (candidate generation →
+# exact verification; reference analogue: the dedup fixpoint family,
+# graphiti_core/utils/bulk_utils.py:291-396, which re-scores fuzzy
+# candidates before merging). MinHash-LSH proposes pairs; an exact
+# edit-distance pass confirms them. Cost is bounded by the CANDIDATE
+# count, never the corpus — the all-pairs matrix is never formed.
+
+LEV_DRIVER_PAIR_LIMIT = 500_000  # pairs ≤ this → broadcast id prefilter
+
+
+def levenshtein_distance(a: str, b: str) -> int:
+    """Unit-cost edit distance on code points (matches DuckDB's
+    ``levenshtein``). Row-DP with the insertion recurrence cleared via
+    the min-accumulate identity c[j] = min_k≤j (t[k] + (j-k)), so each
+    DP row is O(|b|) numpy work instead of a per-cell Python loop."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return la or lb
+    if lb > la:  # iterate over the longer string, vectorize the shorter
+        a, b, la, lb = b, a, lb, la
+    bv = np.fromiter(map(ord, b), dtype=np.int64, count=lb)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    t = np.empty(lb + 1, np.int64)
+    for i, ca in enumerate(a):
+        oa = ord(ca)
+        t[0] = i + 1
+        np.minimum(prev[1:] + 1, prev[:-1] + (bv != oa), out=t[1:])
+        prev = np.minimum.accumulate(t - idx) + idx
+    return int(prev[-1])
+
+
+def _lev_verify_block(tbl: pa.Table, sim_pct: int) -> pa.Table:
+    a_txt = tbl.column("text_a").to_pylist()
+    b_txt = tbl.column("text_b").to_pylist()
+    n = len(a_txt)
+    lev = np.fromiter(
+        (levenshtein_distance(x, y) for x, y in zip(a_txt, b_txt)),
+        dtype=np.int64,
+        count=n,
+    )
+    mx = np.fromiter(
+        (max(len(x), len(y)) for x, y in zip(a_txt, b_txt)),
+        dtype=np.int64,
+        count=n,
+    )
+    # exact-integer similarity gate: normalized distance ≤ (100-sim_pct)%
+    is_dup = lev * 100 <= (100 - sim_pct) * mx
+    return pa.table(
+        {
+            "a": tbl.column("a"),
+            "b": tbl.column("b"),
+            "lev_dist": pa.array(lev, pa.int64()),
+            "max_len": pa.array(mx, pa.int64()),
+            "is_dup": pa.array(is_dup, pa.bool_()),
+        }
+    )
+
+
+def levenshtein_verified_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    sim_pct: int = 80,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """MinHash-LSH candidates exact-verified by Levenshtein distance:
+    (a, b, lev_dist, max_len, is_dup). Hydration of pair texts is a
+    broadcast ``pc.is_in`` prefilter + two hash joins when the pair set
+    is driver-small (≤ LEV_DRIVER_PAIR_LIMIT), else the prefilter is
+    skipped and the hash joins alone carry it — either way no
+    corpus-sized driver materialization."""
+    import functools
+
+    import ray
+
+    from graphiti_ray.stages.link import (
+        _cached_lut,
+        default_join_partitions,
+        safe_join,
+    )
+
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "lev_dist": pa.array([], pa.int64()),
+            "max_len": pa.array([], pa.int64()),
+            "is_dup": pa.array([], pa.bool_()),
+        }
+    )
+    sigs = minhash_signatures(docs, text_col, id_col)
+    pairs = candidate_pairs(sigs, threshold).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_arrow(empty)
+    texts = docs
+    if text_col != "text" or id_col != "doc_id":
+        texts = texts.rename_columns({id_col: "doc_id", text_col: "text"})
+    texts = texts.select_columns(["doc_id", "text"])
+    if n_pairs <= LEV_DRIVER_PAIR_LIMIT:
+        pdf = pairs.select_columns(["a", "b"]).to_pandas()
+        ids = np.unique(
+            np.concatenate([pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64)])
+        )
+        ref = ray.put(pa.array(ids, pa.int64()))
+
+        def keep(batch: pa.Table, _ref=ref) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.is_in(batch.column("doc_id"), value_set=_cached_lut(_ref))
+            )
+
+        texts = texts.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    parts = default_join_partitions()
+    left = safe_join(
+        pairs.select_columns(["a", "b"]),
+        texts.rename_columns({"doc_id": "a", "text": "text_a"}),
+        join_type="inner",
+        num_partitions=parts,
+        on=("a",),
+    )
+    both = safe_join(
+        left,
+        texts.rename_columns({"doc_id": "b", "text": "text_b"}),
+        join_type="inner",
+        num_partitions=parts,
+        on=("b",),
+    )
+    return both.map_batches(
+        functools.partial(_lev_verify_block, sim_pct=sim_pct),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -649,3 +649,58 @@ def test_cdc_chunks_reconstruction_and_insertion_locality(ray_session):
     ):
         shared_tail += 1
     assert shared_tail >= max(2, len(h0) - 4)
+
+
+def test_levenshtein_distance_matches_reference():
+    import random
+
+    from graphiti_ray.stages.dedup import levenshtein_distance
+
+    def ref(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a):
+            cur = [i + 1]
+            for j, cb in enumerate(b):
+                cur.append(min(prev[j + 1] + 1, cur[j] + 1, prev[j] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(11)
+    assert levenshtein_distance("kitten", "sitting") == 3
+    assert levenshtein_distance("", "abc") == 3
+    assert levenshtein_distance("abc", "") == 3
+    assert levenshtein_distance("same", "same") == 0
+    for _ in range(60):
+        a = "".join(rng.choice("abcd ") for _ in range(rng.randrange(0, 25)))
+        b = "".join(rng.choice("abcd ") for _ in range(rng.randrange(0, 25)))
+        assert levenshtein_distance(a, b) == ref(a, b), (a, b)
+
+
+def test_levenshtein_verified_pairs_pipeline(ray_session):
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import (
+        levenshtein_verified_pairs,
+        minhash_signatures,
+        candidate_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "across the wide green field toward the distant hills tonight"
+    )
+    docs = [{"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base.replace("quick", "swift")},
+            {"doc_id": 2, "text": "completely unrelated text about databases "
+                                  "and distributed query execution engines"}]
+    ds = rd.from_items(docs).repartition(2)
+    out = levenshtein_verified_pairs(ds).to_pandas()
+    # the near-identical pair is proposed and confirmed; the unrelated doc
+    # never pairs
+    assert set(zip(out.a, out.b)) == {(0, 1)}
+    row = out.iloc[0]
+    assert row.lev_dist == 4  # quick -> swift (the shared 'i' aligns)
+    assert row.is_dup
+    # verified pair count never exceeds candidate count
+    cands = candidate_pairs(minhash_signatures(ds)).count()
+    assert len(out) == cands
