@@ -2045,7 +2045,9 @@ def _q_docs_hll(sf_dir: str):
     return hll_registers(docs, "text")
 
 
-def _hll_oracle_sql() -> str:
+def _hll_oracle_sql(by: str | None = None) -> str:
+    """HLL register table in SQL; ``by`` adds a group column (the grouped
+    mergeable-sketch variant) with identical register arithmetic."""
     from graphiti_ray.stages.sketch import HLL_P
 
     low_bits = 64 - HLL_P
@@ -2053,23 +2055,37 @@ def _hll_oracle_sql() -> str:
         f"WHEN low >= {1 << k}::UBIGINT THEN {low_bits - k}"
         for k in range(low_bits - 1, -1, -1)
     )
+    g_sel = f"{by}, " if by else ""
+    g_grp = "GROUP BY 1, 2" if by else "GROUP BY 1"
     return f"""
 WITH h AS (
-  SELECT ('0x' || substr(md5(text), 1, 16))::UBIGINT AS h FROM documents
+  SELECT {g_sel}('0x' || substr(md5(text), 1, 16))::UBIGINT AS h FROM documents
 ),
 parts AS (
-  SELECT (h >> {low_bits})::BIGINT AS bucket,
+  SELECT {g_sel}(h >> {low_bits})::BIGINT AS bucket,
          (h & {(1 << low_bits) - 1}::UBIGINT) AS low
   FROM h
 ),
 ranked AS (
-  SELECT bucket,
+  SELECT {g_sel}bucket,
          CASE WHEN low = 0::UBIGINT THEN {low_bits + 1} {ladder}
               ELSE {low_bits + 1} END AS rank
   FROM parts
 )
-SELECT bucket, max(rank)::BIGINT AS max_rank FROM ranked GROUP BY 1
+SELECT {g_sel}bucket, max(rank)::BIGINT AS max_rank FROM ranked {g_grp}
 """
+
+
+def _q_docs_hll_by_lang(sf_dir: str):
+    """Grouped HLL: distinct-text cardinality PER LANGUAGE as a mergeable
+    register table — the per-domain/per-language corpus-stats shape
+    (partials collapse to ≤ |groups|·4096 rows before the reduce)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import hll_registers_by
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang"])
+    return hll_registers_by(docs, "text", "lang")
 
 
 def _q_tokens_cms(sf_dir: str):
@@ -3161,6 +3177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # new this round
         "dedup_levenshtein": _q_dedup_levenshtein,
+        "docs_hll_by_lang": _q_docs_hll_by_lang,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -3962,6 +3979,7 @@ LIMIT 10
         "lang_doc_stats_salted": _LANG_STATS_ORACLE,
         # HyperLogLog registers, bit-for-bit
         "docs_hll": _hll_oracle_sql(),
+        "docs_hll_by_lang": _hll_oracle_sql(by="lang"),
         # count-min sketch registers, bit-for-bit
         "tokens_cms": _cms_oracle_sql(),
         # bloom-filter bit set, exact

@@ -202,3 +202,56 @@ def hll_estimate(registers, p: int = HLL_P) -> float:
         if zeros:
             est = m * np.log(m / zeros)
     return float(est)
+
+
+def hll_registers_by(
+    ds: rd.Dataset, col: str, by: str, p: int = HLL_P
+) -> rd.Dataset:
+    """Per-group HLL register table (group, bucket, max_rank) — distinct
+    cardinality PER KEY without a distinct shuffle. Same register
+    arithmetic as ``hll_registers``; the per-batch partial collapses to
+    one dense (groups-in-batch × 2^p) ``np.maximum.at`` pass, so the
+    reduce stays ≤ |groups|·2^p rows no matter the input size — the
+    grouped-sketch shape a 100-TB per-domain/per-language cardinality
+    report needs (registers merge by max, so shards and batches combine
+    associatively)."""
+    m = 1 << p
+    low_bits = 64 - p
+    low_mask = np.uint64((1 << low_bits) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        groups = np.asarray(batch.column(by).to_pylist(), dtype=object)
+        empty = pa.table(
+            {
+                by: pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "max_rank": pa.array([], pa.int64()),
+            }
+        )
+        if not vals:
+            return empty
+        h = np.array([hll_hash64(v) for v in vals], dtype=np.uint64)
+        bucket = (h >> np.uint64(low_bits)).astype(np.int64)
+        low = h & low_mask
+        bl = np.zeros(len(low), dtype=np.int64)
+        nz = low != 0
+        bl[nz] = np.frexp(low[nz].astype(np.float64))[1]
+        rank = low_bits - bl + 1
+        ug, gidx = np.unique(groups, return_inverse=True)
+        regs = np.zeros((len(ug), m), dtype=np.int64)
+        np.maximum.at(regs, (gidx, bucket), rank)
+        gi, hit = np.nonzero(regs)
+        return pa.table(
+            {
+                by: pa.array(ug[gi].tolist(), pa.string()),
+                "bucket": pa.array(hit, pa.int64()),
+                "max_rank": pa.array(regs[gi, hit], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([by, "bucket"])
+        .aggregate(Max("max_rank", alias_name="max_rank"))
+    )

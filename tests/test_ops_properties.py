@@ -781,3 +781,45 @@ def test_small_sort_fast_path_matches_distributed(ray_session):
     fast, dist = run(10**9), run(0)
     for f, d in zip(fast, dist):
         pd.testing.assert_frame_equal(f[sorted(f.columns)], d[sorted(d.columns)])
+
+
+def test_hll_registers_by_group_matches_per_group_sketch(ray_session):
+    """Grouped registers equal an independent single-group sketch per key
+    (partitioning-independent), and the per-group estimates land within
+    the expected HLL error of exact distinct counts."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    rows = [
+        {"g": f"g{i % 3}", "v": (i * 7) % (800 * (1 + i % 3))}
+        for i in range(12000)
+    ]
+    got = (
+        hll_registers_by(rd_.from_items(rows).repartition(5), "v", "g")
+        .to_pandas()
+        .sort_values(["g", "bucket"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    for g, grp in df.groupby("g"):
+        solo = (
+            hll_registers(rd_.from_items(grp.to_dict("records")), "v")
+            .to_pandas()
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        sub = (
+            got[got.g == g][["bucket", "max_rank"]]
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        assert sub.equals(solo), g
+        exact = grp.v.nunique()
+        assert abs(hll_estimate(sub) - exact) / exact < 0.05, g
