@@ -2854,6 +2854,31 @@ def _q_kg_communities(sf_dir: str):
     return out["communities"].select_columns(["uuid", "group_id", "n_members"])
 
 
+def _q_graph_modularity(sf_dir: str):
+    """Exact-integer Newman modularity of the connected-component
+    partition over the KG edge multigraph: q_num = 2m·S_A(c) − d_c² per
+    community, divisions cleared. (The synchronous-LPA assignment is the
+    degenerate witness here — it oscillates on this bipartite-ish graph
+    to zero internal edges — so the CC partition, where every term is
+    exercised with non-trivial values, is the scored assignment.)"""
+    import pyarrow as pa
+
+    from graphiti_ray.stages.dedup import connected_components
+    from graphiti_ray.stages.graph import modularity
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    pairs = tables["edges"].select_columns(["subj_uuid", "obj_uuid"]).map_batches(
+        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
+    )
+    labels = connected_components(pairs).map_batches(
+        lambda t: pa.table(
+            {"node": t.column("doc_id"), "community": t.column("component")}
+        ),
+        batch_format="pyarrow",
+    )
+    return modularity(tables["edges"], labels)
+
+
 def _q_search_hybrid(sf_dir: str):
     """Dataset-mode RRF hybrid search: scoring passes stream over the edge
     table (map_batches → sort/limit), no to_pandas of full tables; the
@@ -3178,6 +3203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new this round
         "dedup_levenshtein": _q_dedup_levenshtein,
         "docs_hll_by_lang": _q_docs_hll_by_lang,
+        "graph_modularity": _q_graph_modularity,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4254,6 +4280,56 @@ SELECT md5('community|' || r.community) AS uuid,
        count(*)::BIGINT AS n_members
 FROM r10 r JOIN node_groups g ON g.nuuid = r.node
 GROUP BY r.community
+""",
+        # per-community exact-integer modularity of the CC partition over
+        # the weighted symmetric multigraph (edge multiplicities both
+        # orientations): q_num = 2m·S_A(c) − d_c², all divisions cleared
+        "graph_modularity": f"""
+WITH RECURSIVE {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+ccsym AS (
+  SELECT subj_uuid AS a, obj_uuid AS b FROM merged_id
+  UNION
+  SELECT obj_uuid, subj_uuid FROM merged_id
+),
+ccreach AS (
+  SELECT a, b FROM ccsym
+  UNION
+  SELECT r.a, s.b FROM ccreach r JOIN ccsym s ON s.a = r.b
+),
+cclab AS (
+  SELECT a AS node, least(a, min(b)) AS community FROM ccreach GROUP BY a
+),
+wsym AS (
+  SELECT subj_uuid AS x, obj_uuid AS y FROM merged_id
+  UNION ALL SELECT obj_uuid, subj_uuid FROM merged_id
+),
+wgt AS (SELECT x, y, count(*)::BIGINT AS w FROM wsym GROUP BY 1, 2),
+mod_sa AS (
+  SELECT ra.community, CAST(sum(w.w) AS BIGINT) AS s_a
+  FROM wgt w
+  JOIN cclab ra ON ra.node = w.x
+  JOIN cclab rb ON rb.node = w.y
+  WHERE ra.community = rb.community
+  GROUP BY 1
+),
+mod_deg AS (
+  SELECT r.community, count(*)::BIGINT AS n_nodes,
+         CAST(sum(d.d) AS BIGINT) AS d_tot
+  FROM (SELECT x, CAST(sum(w) AS BIGINT) AS d FROM wgt GROUP BY 1) d
+  JOIN cclab r ON r.node = d.x
+  GROUP BY 1
+),
+mod_tot AS (SELECT CAST(sum(w) AS BIGINT) AS two_m FROM wgt)
+SELECT g.community, g.n_nodes, coalesce(s.s_a, 0)::BIGINT AS s_a, g.d_tot,
+       CAST(t.two_m * coalesce(s.s_a, 0) - g.d_tot * g.d_tot AS BIGINT)
+         AS q_num,
+       t.two_m
+FROM mod_deg g
+LEFT JOIN mod_sa s USING (community)
+CROSS JOIN mod_tot t
 """,
         "rrf_fusion": """
 WITH q AS (

@@ -897,3 +897,118 @@ def k_core(
     # final degrees inside the core (NOT re-filtered: after convergence all
     # are ≥ k; before convergence the SQL twin reports the same R-round cut)
     return node_degrees(cur, "s", "t")
+
+
+MODULARITY_INT64_2M_BOUND = 3_000_000_000  # sqrt(int64 max): d_c² stays exact
+
+
+def modularity(
+    edges: rd.Dataset,
+    labels: rd.Dataset,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """Per-community Newman modularity contributions in EXACT int64
+    arithmetic — the standard quality score for a community assignment
+    (reference analogue: community_operations.py's LPA output, which
+    ships unscored). On the weighted undirected multigraph where
+    w(x, y) = number of edges between x and y (both orientations),
+    with 2m = Σw and d_x = Σ_y w(x, y):
+
+        Q = Σ_c [ S_A(c)/2m − (d_c/2m)² ]
+        → Q·(2m)² = Σ_c (2m·S_A(c) − d_c²)   (every division cleared)
+
+    Output per community: (community, n_nodes, s_a, d_tot, q_num, two_m)
+    with q_num = 2m·s_a − d_tot² — all int64, exact while 2m ≤ 3·10⁹
+    (guarded; beyond that the score needs int128/float and stops being
+    hash-comparable). All joins are keyed dataset joins; only the single
+    scalar 2m touches the driver."""
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    weights = (
+        _symmetric(edges, src, dst)
+        .groupby(["x", "y"])
+        .aggregate(Count(alias_name="w"))
+        .materialize()
+    )
+    two_m = int(weights.sum("w") or 0)
+    if two_m > MODULARITY_INT64_2M_BOUND:
+        raise ValueError(
+            "modularity: 2m exceeds the int64-exact bound — use a float or "
+            "int128 variant at this edge count"
+        )
+    parts = default_join_partitions()
+    lab_x = labels.rename_columns({"node": "x", "community": "cx"})
+    lab_y = labels.rename_columns({"node": "y", "community": "cy"})
+    wx = safe_join(weights, lab_x, join_type="inner", num_partitions=parts, on=("x",))
+    wxy = safe_join(wx, lab_y, join_type="inner", num_partitions=parts, on=("y",))
+
+    def internal(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.equal(batch.column("cx"), batch.column("cy")))
+        return pa.table(
+            {"community": keep.column("cx"), "p_w": keep.column("w")}
+        )
+
+    sa_schema = pa.schema([("community", pa.string()), ("s_a", pa.int64())])
+    s_a = ensure_schema(
+        wxy.map_batches(internal, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("community")
+        .aggregate(Sum("p_w", alias_name="s_a")),
+        sa_schema,
+    ).materialize()
+    deg = weights.groupby("x").aggregate(Sum("w", alias_name="d"))
+    degc = safe_join(
+        deg.rename_columns({"x": "node"}),
+        labels,
+        join_type="inner",
+        num_partitions=parts,
+        on=("node",),
+    )
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["community", "d"]).group_by(["community"]).aggregate(
+            [("d", "sum"), ([], "count_all")]
+        )
+        return t.rename_columns(["community", "p_d", "p_n"])
+
+    per_c = (
+        degc.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("community")
+        .aggregate(Sum("p_d", alias_name="d_tot"), Sum("p_n", alias_name="n_nodes"))
+    )
+    if s_a.count() == 0:
+        # no community has an internal edge: an ALL-empty join side stays
+        # schema-less through every coercion (map_batches skips empty
+        # blocks, the hash partitioner emits nothing) — add the null s_a
+        # column directly instead of joining
+        joined = per_c.map_batches(
+            lambda t: t.append_column(
+                "s_a", pa.array([None] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = safe_join(
+            per_c, s_a, join_type="left_outer", num_partitions=parts, on=("community",)
+        )
+
+    def finish(batch: pa.Table, _2m=two_m) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        sa = pc.fill_null(batch.column("s_a"), 0).to_numpy(zero_copy_only=False)
+        d = batch.column("d_tot").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "community": batch.column("community"),
+                "n_nodes": batch.column("n_nodes"),
+                "s_a": pa.array(sa, pa.int64()),
+                "d_tot": pa.array(d, pa.int64()),
+                "q_num": pa.array(_2m * sa - d * d, pa.int64()),
+                "two_m": pa.array(np.full(len(d), _2m), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -273,3 +273,54 @@ def test_hits_empty_graph(ray_session):
 
     edges = pd.DataFrame([], columns=["subj_uuid", "obj_uuid"])
     assert hits(rd.from_pandas(edges), rounds=3).count() == 0
+
+
+def test_modularity_exact_on_two_cliques(ray_session):
+    """Two disjoint triangles, one community each: S_A(c)=6 (3 undirected
+    edges counted as ordered pairs), d_c=6, 2m=12 → q_num = 12·6 − 36 =
+    36 per community; Q = 72/144 = 0.5, the textbook value."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.graph import modularity
+
+    edges = [
+        {"subj_uuid": a, "obj_uuid": b}
+        for a, b in [("a", "b"), ("b", "c"), ("c", "a"),
+                     ("x", "y"), ("y", "z"), ("z", "x")]
+    ]
+    labels = rd.from_items(
+        [{"node": n, "community": "t1"} for n in "abc"]
+        + [{"node": n, "community": "t2"} for n in "xyz"]
+    )
+    out = (
+        modularity(rd.from_items(edges).repartition(2), labels)
+        .to_pandas()
+        .sort_values("community")
+        .reset_index(drop=True)
+    )
+    assert out.community.tolist() == ["t1", "t2"]
+    assert out.n_nodes.tolist() == [3, 3]
+    assert out.s_a.tolist() == [6, 6]
+    assert out.d_tot.tolist() == [6, 6]
+    assert out.two_m.tolist() == [12, 12]
+    assert out.q_num.tolist() == [36, 36]
+    # Q = sum(q_num) / (2m)^2
+    assert sum(out.q_num) / (12 * 12) == 0.5
+
+
+def test_modularity_guard_and_empty_internal(ray_session):
+    """A community with no internal edges contributes s_a=0 and a
+    negative q_num (the −d² penalty)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.graph import modularity
+
+    edges = [{"subj_uuid": "p", "obj_uuid": "q"}]
+    labels = rd.from_items(
+        [{"node": "p", "community": "cp"}, {"node": "q", "community": "cq"}]
+    )
+    out = modularity(rd.from_items(edges), labels).to_pandas()
+    assert sorted(out.s_a) == [0, 0]
+    assert (out.q_num == -1).all()  # 2m=2: q = 2·0 − 1² = −1 per side
