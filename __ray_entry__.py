@@ -2013,6 +2013,19 @@ def _q_docs_stratified(sf_dir: str):
     return stratified_sample(docs, {"de": 1.0, "fr": 0.5, "en": 0.125})
 
 
+def _q_docs_temperature(sf_dir: str):
+    """α=0.5 temperature mixing: per-language keep rate sqrt(n_min/n_s),
+    computed from a vocabulary-sized count groupby, applied as the
+    shuffle-free md5-threshold filter. The data-mixing op of multilingual
+    corpus assembly."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import temperature_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return temperature_sample(docs)
+
+
 def _q_pricing_summary(sf_dir: str):
     from graphiti_ray.pipelines.relational import pricing_summary
 
@@ -3204,6 +3217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_levenshtein": _q_dedup_levenshtein,
         "docs_hll_by_lang": _q_docs_hll_by_lang,
         "graph_modularity": _q_graph_modularity,
+        "docs_temperature": _q_docs_temperature,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -3979,6 +3993,24 @@ SELECT doc_id, lang FROM documents
 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
       CASE lang WHEN 'de' THEN 'g' WHEN 'fr' THEN '80000000'
                 WHEN 'en' THEN '20000000' ELSE '00000000' END
+""",
+        # α=0.5 temperature mixing: r_s = sqrt(n_min/n_s); sqrt and the
+        # ×16⁸ floor are correctly-rounded IEEE ops on both sides, so the
+        # thresholds match numpy/python bit-for-bit
+        "docs_temperature": """
+WITH c AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+mn AS (SELECT min(n) AS n_min FROM c),
+thr AS (
+  SELECT c.lang,
+         CASE WHEN c.n = m.n_min THEN 'g'
+              ELSE printf('%08x',
+                     CAST(floor(sqrt(m.n_min::DOUBLE / c.n::DOUBLE)
+                                * 4294967296.0) AS BIGINT)) END AS t
+  FROM c CROSS JOIN mn m
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON thr.lang = d.lang
+WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.t
 """,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

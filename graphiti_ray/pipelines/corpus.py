@@ -373,3 +373,40 @@ def pack_sequences(
         )
 
     return summed.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def temperature_sample(
+    ds: rd.Dataset,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> rd.Dataset:
+    """Temperature-flattened mixture sampling (the Gopher/XLM-R α-sampling
+    rule): keep rate r_s = (n_min / n_s)^(1-α) per stratum, so after
+    sampling the stratum sizes follow n_s^α — low-resource strata are kept
+    whole, dominant ones are thinned. Two-phase: one vocabulary-sized
+    count groupby decides the DATA-DEPENDENT rates, then the same
+    shuffle-free md5-threshold filter as ``stratified_sample`` applies
+    them. With the default α=0.5 the rate is ``math.sqrt`` — correctly
+    rounded per IEEE-754, so the DuckDB oracle's floor(sqrt(...)·16⁸)
+    threshold matches bit-for-bit (other α go through pow(), which is
+    not cross-library bit-exact — still correct, just not hash-provable).
+    """
+    import math
+
+    from ray.data.aggregate import Count
+
+    counts = {
+        r[strata_col]: int(r["n"])
+        for r in ds.groupby(strata_col).aggregate(Count(alias_name="n")).take_all()
+    }
+    if not counts:
+        return ds
+    n_min = min(counts.values())
+    rates = {}
+    for s, n in counts.items():
+        ratio = n_min / n
+        rates[s] = math.sqrt(ratio) if alpha == 0.5 else ratio ** (1.0 - alpha)
+    return stratified_sample(
+        ds, rates, strata_col=strata_col, default_rate=0.0, id_col=id_col
+    )

@@ -704,3 +704,29 @@ def test_levenshtein_verified_pairs_pipeline(ray_session):
     # verified pair count never exceeds candidate count
     cands = candidate_pairs(minhash_signatures(ds)).count()
     assert len(out) == cands
+
+
+def test_temperature_sample_flattens_mixture(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import temperature_sample
+
+    rows = (
+        [{"doc_id": i, "lang": "en"} for i in range(1600)]
+        + [{"doc_id": 10_000 + i, "lang": "fr"} for i in range(400)]
+        + [{"doc_id": 20_000 + i, "lang": "de"} for i in range(100)]
+    )
+    out = temperature_sample(rd.from_items(rows).repartition(4)).to_pandas()
+    by = out.groupby("lang").size()
+    # the min stratum is kept whole; others thin at sqrt(n_min/n), so the
+    # expected kept sizes are sqrt(n_min·n) = 400, 200, 100
+    assert by["de"] == 100
+    assert abs(by["en"] - 400) / 400 < 0.15
+    assert abs(by["fr"] - 200) / 200 < 0.15
+    # deterministic: same input, same sample
+    out2 = temperature_sample(rd.from_items(rows)).to_pandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)
+    # flattening: post-sample ratio max/min shrinks from 16× toward 4×
+    assert by.max() / by.min() < 16 / 2
