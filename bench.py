@@ -135,6 +135,9 @@ def _extras(sf_dir: str) -> dict[str, float]:
         from graphiti_ray.stages.dedup import ngram_jaccard_pairs
 
         timed("dedup_ngram", lambda: ngram_jaccard_pairs(docs2).count())
+        from graphiti_ray.stages.dedup import levenshtein_verified_pairs
+
+        timed("dedup_lev", lambda: levenshtein_verified_pairs(docs2).count())
     except ImportError:
         pass
 
