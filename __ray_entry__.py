@@ -1950,6 +1950,21 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_events_funnel(sf_dir: str):
+    """Two-step funnel conversion (first signup → first purchase within
+    24 h per user — 57/150 users convert at sf0.01, so both branches are
+    non-vacuous): streaming pre-filter to step rows, one range sort,
+    vectorized run kernel. Product-analytics sequence op."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import funnel_conversion
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_conversion(ev, within_s=86400)
+
+
 def _q_docs_quality_filter(sf_dir: str):
     """C4/Gopher-style quality gate: keep docs inside heuristic bounds
     (vectorized filter inside map_batches; predicate pushdown shape)."""
@@ -3218,6 +3233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_hll_by_lang": _q_docs_hll_by_lang,
         "graph_modularity": _q_graph_modularity,
         "docs_temperature": _q_docs_temperature,
+        "events_funnel": _q_events_funnel,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4199,6 +4215,26 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        # funnel: first signup, then first purchase at-or-after it within
+        # 24 h; LEFT JOIN + min yields NULL for unconverted users
+        "events_funnel": """
+WITH a AS (
+  SELECT user_id, min(ts) AS t_a FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+b AS (
+  SELECT a.user_id, a.t_a, min(e.ts) AS t_b
+  FROM a LEFT JOIN events e
+    ON e.user_id = a.user_id AND e.event_type = 'purchase'
+   AND e.ts >= a.t_a
+   AND epoch_us(e.ts) - epoch_us(a.t_a) <= 86400::BIGINT * 1000000
+  GROUP BY 1, 2
+)
+SELECT user_id, t_a, t_b, t_b IS NOT NULL AS converted,
+       CASE WHEN t_b IS NOT NULL
+            THEN epoch_us(t_b) - epoch_us(t_a) END::BIGINT AS delay_us
+FROM b
+""",
         # Exact-integer per-key z-test: quantize to floor(value*1000)
         # (both sides use IEEE-double multiply, so the lattice matches
         # bit-for-bit), then (n·x−s)² > z²·(n·ssq−s²) with every division

@@ -289,3 +289,122 @@ def zscore_outliers(
         )
 
     return joined.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def funnel_conversion(
+    events: rd.Dataset,
+    step_a: str = "signup",
+    step_b: str = "purchase",
+    within_s: int = 600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """Two-step funnel: per key, the FIRST ``step_a`` event and the first
+    ``step_b`` at-or-after it within ``within_s`` seconds — the standard
+    product-analytics conversion kernel. Only step rows ride into the
+    shuffle (streaming pre-filter), then one range sort on (key, ts) and
+    a vectorized gaps-and-islands block kernel over complete key runs
+    (``ops.sorted_run_map``) — no per-key dispatch.
+
+    Output: (key, t_a, t_b, converted, delay_us) — one row per key with
+    ≥1 ``step_a`` event; t_b/delay_us null when unconverted.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        tv = batch.column(type_col)
+        keep = pc.or_(pc.equal(tv, step_a), pc.equal(tv, step_b))
+        t = batch.filter(keep)
+        return t.select([key_col, ts_col, type_col])
+
+    steps = events.map_batches(
+        prefilter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sorted_run_map(
+        steps,
+        key_cols=[key_col],
+        order_cols=[ts_col],
+        block_fn=functools.partial(
+            _funnel_block,
+            step_a=step_a,
+            step_b=step_b,
+            within_s=within_s,
+            key_col=key_col,
+            ts_col=ts_col,
+            type_col=type_col,
+        ),
+    )
+
+
+def _funnel_block(
+    tbl: pa.Table,
+    step_a: str,
+    step_b: str,
+    within_s: int,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+) -> pa.Table:
+    import numpy as np
+
+    key_type = tbl.schema.field(key_col).type
+    empty = pa.table(
+        {
+            key_col: pa.array([], key_type),
+            "t_a": pa.array([], pa.timestamp("us")),
+            "t_b": pa.array([], pa.timestamp("us")),
+            "converted": pa.array([], pa.bool_()),
+            "delay_us": pa.array([], pa.int64()),
+        }
+    )
+    n = tbl.num_rows
+    if n == 0:
+        return empty
+    from graphiti_ray.stages.ops import _table_run_starts
+
+    starts = _table_run_starts(tbl, [key_col])[:-1]
+    run_id = np.zeros(n, dtype=np.int64)
+    run_id[starts] = 1
+    run_id = np.cumsum(run_id) - 1
+    n_runs = len(starts)
+    us = tbl.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+        zero_copy_only=False
+    ).astype("datetime64[us]").astype(np.int64)
+    types = np.asarray(tbl.column(type_col).to_pylist(), dtype=object)
+    BIG = np.iinfo(np.int64).max
+    # first step_a timestamp per run (rows are ts-sorted within a run)
+    t_a = np.full(n_runs, BIG, dtype=np.int64)
+    mask_a = types == step_a
+    np.minimum.at(t_a, run_id[mask_a], us[mask_a])
+    has_a = t_a != BIG
+    # first step_b at-or-after t_a within the window, per run
+    t_b = np.full(n_runs, BIG, dtype=np.int64)
+    mask_b = (types == step_b) & (us >= t_a[run_id]) & (
+        us - np.where(t_a[run_id] == BIG, 0, t_a[run_id]) <= within_s * 1_000_000
+    )
+    np.minimum.at(t_b, run_id[mask_b], us[mask_b])
+    keep = np.nonzero(has_a)[0]
+    conv = t_b[keep] != BIG
+    ta_k = t_a[keep]
+    tb_k = np.where(conv, t_b[keep], 0)
+    key_idx = pa.array(starts[keep], pa.int64())
+    return pa.table(
+        {
+            key_col: tbl.column(key_col).take(key_idx),
+            "t_a": pa.array(ta_k, pa.int64()).cast(pa.timestamp("us")),
+            "t_b": pa.Array.from_pandas(
+                pd.Series(np.where(conv, tb_k, None), dtype="object"),
+                type=pa.int64(),
+            ).cast(pa.timestamp("us")),
+            "converted": pa.array(conv, pa.bool_()),
+            "delay_us": pa.Array.from_pandas(
+                pd.Series(np.where(conv, tb_k - ta_k, None), dtype="object"),
+                type=pa.int64(),
+            ),
+        }
+    )

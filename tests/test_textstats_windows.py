@@ -1078,3 +1078,44 @@ def test_zscore_outliers_overflow_guard(ray_session):
     ]
     with pytest.raises(Exception):
         zscore_outliers(rd.from_items(rows), z=3, quant=1000).to_pandas()
+
+
+def test_funnel_conversion_kernel(ray_session):
+    import pandas as pd
+
+    from graphiti_ray.stages.windows import funnel_conversion
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # u1: signup at 0, purchase at 100 (converts), earlier purchase ignored
+    rows += [
+        {"user_id": 1, "ts": t0 + timedelta(seconds=s), "event_type": e}
+        for s, e in [(-50, "purchase"), (0, "signup"), (100, "purchase"),
+                     (200, "purchase")]
+    ]
+    # u2: signup at 0, purchase only past the window (no conversion)
+    rows += [
+        {"user_id": 2, "ts": t0 + timedelta(seconds=s), "event_type": e}
+        for s, e in [(0, "signup"), (2000, "purchase")]
+    ]
+    # u3: purchases but never signs up — excluded entirely
+    rows += [{"user_id": 3, "ts": t0, "event_type": "purchase"}]
+    # u4: two signups; the FIRST anchors the window
+    rows += [
+        {"user_id": 4, "ts": t0 + timedelta(seconds=s), "event_type": e}
+        for s, e in [(0, "signup"), (500, "signup"), (550, "purchase")]
+    ]
+    out = (
+        funnel_conversion(
+            rd.from_items(rows).repartition(3), within_s=600
+        )
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out.user_id.tolist() == [1, 2, 4]
+    assert out.converted.tolist() == [True, False, True]
+    assert out.delay_us.tolist()[0] == 100 * 1_000_000
+    assert pd.isna(out.delay_us.tolist()[1])
+    assert out.delay_us.tolist()[2] == 550 * 1_000_000  # anchored at first signup
+    assert pd.isna(out.t_b[1])
