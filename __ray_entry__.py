@@ -1950,6 +1950,20 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_histogram(sf_dir: str):
+    """Per-language equi-width length histogram (20 bins over [0, 500)
+    chars, integer binning — no float boundaries): np.unique count
+    partials → one keyed sum over ≤ |langs|·22 rows."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import fixed_histogram
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"]
+    )
+    return fixed_histogram(docs, "n_chars", lo=0, hi=500, n_bins=20, by="lang")
+
+
 def _q_events_funnel(sf_dir: str):
     """Two-step funnel conversion (first signup → first purchase within
     24 h per user — 57/150 users convert at sf0.01, so both branches are
@@ -3234,6 +3248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_modularity": _q_graph_modularity,
         "docs_temperature": _q_docs_temperature,
         "events_funnel": _q_events_funnel,
+        "docs_histogram": _q_docs_histogram,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4215,6 +4230,17 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        # integer equi-width binning: (v-lo)*bins // (hi-lo), clamped to
+        # -1 / n_bins sentinels — pure integer division on both sides
+        "docs_histogram": """
+SELECT lang,
+       CASE WHEN n_chars < 0 THEN -1
+            WHEN n_chars >= 500 THEN 20
+            ELSE (n_chars * 20) // 500 END::BIGINT AS bin,
+       count(*)::BIGINT AS n
+FROM documents
+GROUP BY 1, 2
+""",
         # funnel: first signup, then first purchase at-or-after it within
         # 24 h; LEFT JOIN + min yields NULL for unconverted users
         "events_funnel": """

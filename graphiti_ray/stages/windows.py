@@ -408,3 +408,55 @@ def _funnel_block(
             ),
         }
     )
+
+
+def fixed_histogram(
+    ds: rd.Dataset,
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    by: str | None = None,
+) -> rd.Dataset:
+    """Equi-width histogram with EXACT integer binning — the profiling
+    staple. bin = (v − lo)·n_bins // (hi − lo) for integer v, clamped to
+    −1 (underflow) / n_bins (overflow), so the SQL twin is pure integer
+    division with no float boundary cases. Per-batch ``np.unique`` count
+    partials → one keyed sum over ≤ |groups|·(n_bins+2) rows — the
+    combiner-then-tiny-reduce shape, never a row-per-value shuffle.
+
+    Output: (bin, n) or (by, bin, n)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    width = hi - lo
+    assert width > 0 and n_bins > 0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (v - lo) * n_bins // width
+        b = np.where(v < lo, -1, np.where(v >= hi, n_bins, b)).astype(np.int64)
+        if by is None:
+            ub, cnt = np.unique(b, return_counts=True)
+            return pa.table(
+                {"bin": pa.array(ub, pa.int64()), "p_n": pa.array(cnt, pa.int64())}
+            )
+        g = np.asarray(batch.column(by).to_pylist(), dtype=object)
+        ug, gidx = np.unique(g, return_inverse=True)
+        key = gidx * (n_bins + 2) + (b + 1)
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                by: pa.array(ug[uk // (n_bins + 2)].tolist(), pa.string()),
+                "bin": pa.array(uk % (n_bins + 2) - 1, pa.int64()),
+                "p_n": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    keys = ["bin"] if by is None else [by, "bin"]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )

@@ -1119,3 +1119,31 @@ def test_funnel_conversion_kernel(ray_session):
     assert pd.isna(out.delay_us.tolist()[1])
     assert out.delay_us.tolist()[2] == 550 * 1_000_000  # anchored at first signup
     assert pd.isna(out.t_b[1])
+
+
+def test_fixed_histogram_exact_and_clamped(ray_session):
+    from graphiti_ray.stages.windows import fixed_histogram
+
+    rows = [
+        {"g": "a", "v": -5},   # underflow → bin -1
+        {"g": "a", "v": 0},    # bin 0
+        {"g": "a", "v": 9},    # bin 0
+        {"g": "a", "v": 10},   # bin 1
+        {"g": "b", "v": 99},   # bin 9
+        {"g": "b", "v": 100},  # overflow → bin 10
+        {"g": "b", "v": 250},  # overflow → bin 10
+    ]
+    out = (
+        fixed_histogram(
+            rd.from_items(rows).repartition(3), "v", lo=0, hi=100, n_bins=10, by="g"
+        )
+        .to_pandas()
+        .sort_values(["g", "bin"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("a", -1, 1), ("a", 0, 2), ("a", 1, 1), ("b", 9, 1), ("b", 10, 2),
+    ]
+    # ungrouped variant: totals match, counts sum to n
+    flat = fixed_histogram(rd.from_items(rows), "v", 0, 100, 10).to_pandas()
+    assert flat.n.sum() == len(rows)
