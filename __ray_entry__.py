@@ -1950,6 +1950,18 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_lang_top_tokens(sf_dir: str):
+    """Exact per-language top-5 tokens (count desc, token asc) — the
+    heavy-hitter exact twin of tokens_cms: per-batch combiner → one
+    vocabulary-sized keyed sum → head-k over complete runs."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import top_tokens_by_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    return top_tokens_by_group(docs, k=5)
+
+
 def _q_docs_histogram(sf_dir: str):
     """Per-language equi-width length histogram (20 bins over [0, 500)
     chars, integer binning — no float boundaries): np.unique count
@@ -3249,6 +3261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_temperature": _q_docs_temperature,
         "events_funnel": _q_events_funnel,
         "docs_histogram": _q_docs_histogram,
+        "lang_top_tokens": _q_lang_top_tokens,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4230,6 +4243,22 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        "lang_top_tokens": r"""
+WITH tok AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+cnt AS (SELECT lang, token, count(*)::BIGINT AS n FROM tok GROUP BY 1, 2),
+rk AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n DESC, token) AS rank
+  FROM cnt
+)
+SELECT lang, token, n, rank::BIGINT AS rank FROM rk WHERE rank <= 5
+""",
         # integer equi-width binning: (v-lo)*bins // (hi-lo), clamped to
         # -1 / n_bins sentinels — pure integer division on both sides
         "docs_histogram": """

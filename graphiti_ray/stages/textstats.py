@@ -914,3 +914,63 @@ def pmi_collocations(
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top["pmi"] = top.pop("pmi6").astype(np.float64) / 1e6
     return top[["rank", "w1", "w2", "n_pair", "pmi"]]
+
+
+def top_tokens_by_group(
+    docs: rd.Dataset,
+    k: int = 5,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Exact per-group heavy hitters: the k most frequent tokens per
+    group with deterministic ties (count desc, token asc) — the exact
+    twin of the CMS sketch's approximate answer. Combiner shape: each
+    batch collapses to its distinct (group, token) partial counts
+    BEFORE the keyed shuffle, the global sum runs over vocabulary-sized
+    keys, and the final top-k is ``ops.top_k_per_group`` (one range
+    sort, head-k per complete run — hub groups cost nothing extra).
+
+    Output: (group, token, n, rank)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.ops import top_k_per_group
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        gs, ts = [], []
+        for g, t in zip(
+            batch.column(group_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            for tok in ws.split(t or ""):
+                if tok:
+                    gs.append(g)
+                    ts.append(tok)
+        df = pd.DataFrame({group_col: gs, "token": ts})
+        out = (
+            df.groupby([group_col, "token"], sort=False)
+            .size()
+            .reset_index(name="p_n")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "token"])
+        .aggregate(Sum("p_n", alias_name="n"))
+    )
+
+    def neg(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column("neg_n", pc.negate(batch.column("n")))
+
+    ranked = top_k_per_group(
+        counts.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True),
+        keys=[group_col],
+        order_cols=["neg_n", "token"],
+        k=k,
+    )
+    return ranked.drop_columns(["neg_n"])

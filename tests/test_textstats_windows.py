@@ -1147,3 +1147,27 @@ def test_fixed_histogram_exact_and_clamped(ray_session):
     # ungrouped variant: totals match, counts sum to n
     flat = fixed_histogram(rd.from_items(rows), "v", 0, 100, 10).to_pandas()
     assert flat.n.sum() == len(rows)
+
+
+def test_top_tokens_by_group_matches_counter(ray_session):
+    from collections import Counter
+
+    from graphiti_ray.stages.textstats import top_tokens_by_group
+
+    rows = [
+        {"lang": "en", "text": "a a a b b c d"},
+        {"lang": "en", "text": "b c c e"},
+        {"lang": "fr", "text": "x y x"},
+    ]
+    out = (
+        top_tokens_by_group(rd.from_items(rows).repartition(2), k=2)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    # en: a=3, b=3 (tie → token asc), fr: x=2, y=1
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("en", "a", 3, 1), ("en", "b", 3, 2), ("fr", "x", 2, 1), ("fr", "y", 1, 2),
+    ]
+    c = Counter("a a a b b c d".split()) + Counter("b c c e".split())
+    assert out[out.lang == "en"].n.tolist() == [c["a"], c["b"]]
