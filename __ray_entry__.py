@@ -1950,6 +1950,35 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_events_rolling(sf_dir: str):
+    """Per-user rolling 3-row sum in time order (ROWS 2 PRECEDING) on the
+    exact cent lattice: one range sort, prefix-sum subtraction per
+    complete key run — no self-join, no per-key dispatch."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import rolling_sum
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return batch.drop_columns(["value"]).append_column("value_cents", c)
+
+    return rolling_sum(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        window_rows=3,
+    )
+
+
 def _q_lang_top_tokens(sf_dir: str):
     """Exact per-language top-5 tokens (count desc, token asc) — the
     heavy-hitter exact twin of tokens_cms: per-batch combiner → one
@@ -3262,6 +3291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": _q_events_funnel,
         "docs_histogram": _q_docs_histogram,
         "lang_top_tokens": _q_lang_top_tokens,
+        "events_rolling": _q_events_rolling,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4243,6 +4273,14 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        "events_rolling": """
+SELECT event_id, user_id, ts,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll_sum
+FROM events
+""",
         "lang_top_tokens": r"""
 WITH tok AS (
   SELECT lang,

@@ -460,3 +460,68 @@ def fixed_histogram(
         .groupby(keys if len(keys) > 1 else keys[0])
         .aggregate(Sum("p_n", alias_name="n"))
     )
+
+
+def rolling_sum(
+    events: rd.Dataset,
+    window_rows: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value_cents",
+) -> rd.Dataset:
+    """Per-key rolling sum over the last ``window_rows`` rows in time
+    order (``ROWS window_rows-1 PRECEDING``) — the moving-aggregate
+    kernel. One range sort on (key, ts, id), then each complete key run
+    computes its rolling sums with two prefix-sum subtractions — no
+    per-key dispatch, no self-join. Integer value column in, exact
+    integer sums out.
+
+    Output: (id, key, ts, roll_sum)."""
+    import functools
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    def kernel(tbl: pa.Table, w: int) -> pa.Table:
+        import numpy as np
+
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        empty = pa.table(
+            {
+                id_col: pa.array([], tbl.schema.field(id_col).type
+                                 if tbl.num_rows else pa.int64()),
+                key_col: pa.array([], tbl.schema.field(key_col).type
+                                  if tbl.num_rows else pa.int64()),
+                ts_col: pa.array([], pa.timestamp("us")),
+                "roll_sum": pa.array([], pa.int64()),
+            }
+        )
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        v = tbl.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = _table_run_starts(tbl, [key_col])[:-1]
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        pos = np.arange(n) - starts[run_id]  # 0-based offset within run
+        c = np.cumsum(v)
+        run_base = np.where(starts > 0, c[starts - 1], 0)[run_id]
+        # rolling = prefix[i] − prefix[i−w], clamped to the run start
+        roll = c - np.where(pos >= w, c[np.arange(n) - w], run_base)
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                key_col: tbl.column(key_col),
+                ts_col: tbl.column(ts_col).cast(pa.timestamp("us")),
+                "roll_sum": pa.array(roll, pa.int64()),
+            }
+        )
+
+    return sorted_run_map(
+        events,
+        key_cols=[key_col],
+        order_cols=[ts_col, id_col],
+        block_fn=functools.partial(kernel, w=window_rows),
+    )

@@ -1171,3 +1171,34 @@ def test_top_tokens_by_group_matches_counter(ray_session):
     ]
     c = Counter("a a a b b c d".split()) + Counter("b c c e".split())
     assert out[out.lang == "en"].n.tolist() == [c["a"], c["b"]]
+
+
+def test_rolling_sum_matches_pandas(ray_session):
+    from graphiti_ray.stages.windows import rolling_sum
+
+    rng = np.random.default_rng(3)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        {
+            "event_id": i,
+            "user_id": int(i % 4),
+            "ts": t0 + timedelta(seconds=int(rng.integers(0, 10000))),
+            "value_cents": int(rng.integers(-50, 500)),
+        }
+        for i in range(300)
+    ]
+    out = (
+        rolling_sum(rd.from_items(rows).repartition(5), window_rows=3)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(rows).sort_values(["user_id", "ts", "event_id"])
+    df["want"] = (
+        df.groupby("user_id").value_cents.rolling(3, min_periods=1).sum()
+        .reset_index(level=0, drop=True)
+    )
+    merged = out.merge(df[["event_id", "want"]], on="event_id")
+    assert (merged.roll_sum == merged.want.astype("int64")).all()
