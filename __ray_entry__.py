@@ -1950,6 +1950,20 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_events_mad(sf_dir: str):
+    """Robust MAD outlier screen: per-user exact 'lower' medians on the
+    1e-3 lattice, |v−med| > 3·MAD — all int64, two group_quantiles
+    passes + two keyed joins."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import mad_outliers
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    return mad_outliers(ev, z=3, quant=1000)
+
+
 def _q_events_rolling(sf_dir: str):
     """Per-user rolling 3-row sum in time order (ROWS 2 PRECEDING) on the
     exact cent lattice: one range sort, prefix-sum subtraction per
@@ -3292,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_histogram": _q_docs_histogram,
         "lang_top_tokens": _q_lang_top_tokens,
         "events_rolling": _q_events_rolling,
+        "events_mad": _q_events_mad,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4273,6 +4288,43 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        # MAD screen: exact 'lower' medians (row at floor(0.5·(n−1)) of the
+        # sorted group) on the 1e-3 lattice; flag absdev > 3·mad, all int64
+        "events_mad": """
+WITH q AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 1000) AS BIGINT) AS v_q
+  FROM events
+),
+r AS (
+  SELECT user_id, v_q,
+         row_number() OVER (PARTITION BY user_id ORDER BY v_q) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM q
+),
+med AS (
+  SELECT user_id, v_q AS med FROM r
+  WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+),
+a AS (
+  SELECT q.event_id, q.user_id, q.v_q, m.med,
+         abs(q.v_q - m.med)::BIGINT AS absdev
+  FROM q JOIN med m USING (user_id)
+),
+r2 AS (
+  SELECT user_id, absdev,
+         row_number() OVER (PARTITION BY user_id ORDER BY absdev) - 1 AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM a
+),
+mad AS (
+  SELECT user_id, absdev AS mad FROM r2
+  WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)
+)
+SELECT a.event_id, a.user_id, a.v_q, a.med, a.absdev, d.mad,
+       a.absdev > 3 * d.mad AS is_outlier
+FROM a JOIN mad d USING (user_id)
+""",
         "events_rolling": """
 SELECT event_id, user_id, ts,
        CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))

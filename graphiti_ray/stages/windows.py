@@ -525,3 +525,76 @@ def rolling_sum(
         order_cols=[ts_col, id_col],
         block_fn=functools.partial(kernel, w=window_rows),
     )
+
+
+def mad_outliers(
+    events: rd.Dataset,
+    z: int = 3,
+    quant: int = 1000,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> rd.Dataset:
+    """Median-absolute-deviation outlier screen — the robust twin of
+    ``zscore_outliers`` (immune to the outliers inflating their own
+    threshold). Entirely on the integer lattice: v_q = floor(v·quant),
+    med = exact 'lower' median of v_q per key, absdev = |v_q − med|,
+    MAD = exact 'lower' median of absdev, flag absdev > z·MAD — every
+    quantity int64, no float comparison anywhere. Built from two
+    ``ops.group_quantiles`` passes (range sort + complete-run kernel)
+    and two keyed joins.
+
+    Output: (id, key, v_q, med, absdev, mad, is_outlier)."""
+    import numpy as np
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import group_quantiles
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                key_col: batch.column(key_col),
+                "v_q": pa.array(np.floor(v * quant).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ev = events.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+    parts = default_join_partitions()
+    med = (
+        group_quantiles(ev.select_columns([key_col, "v_q"]), [key_col], "v_q", [0.5])
+        .drop_columns(["q"])
+        .map_batches(
+            lambda t: t.rename_columns([key_col, "med"]), batch_format="pyarrow"
+        )
+    )
+    withmed = safe_join(ev, med, join_type="inner", num_partitions=parts, on=(key_col,))
+
+    def add_absdev(batch: pa.Table) -> pa.Table:
+        vq = batch.column("v_q").to_numpy(zero_copy_only=False)
+        m = batch.column("med").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "absdev", pa.array(np.abs(vq - m), pa.int64())
+        )
+
+    withdev = withmed.map_batches(
+        add_absdev, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    mad = (
+        group_quantiles(
+            withdev.select_columns([key_col, "absdev"]), [key_col], "absdev", [0.5]
+        )
+        .drop_columns(["q"])
+        .map_batches(
+            lambda t: t.rename_columns([key_col, "mad"]), batch_format="pyarrow"
+        )
+    )
+    joined = safe_join(withdev, mad, join_type="inner", num_partitions=parts, on=(key_col,))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        a = batch.column("absdev").to_numpy(zero_copy_only=False)
+        m = batch.column("mad").to_numpy(zero_copy_only=False)
+        return batch.append_column("is_outlier", pa.array(a > z * m, pa.bool_()))
+
+    return joined.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

@@ -1202,3 +1202,27 @@ def test_rolling_sum_matches_pandas(ray_session):
     )
     merged = out.merge(df[["event_id", "want"]], on="event_id")
     assert (merged.roll_sum == merged.want.astype("int64")).all()
+
+
+def test_mad_outliers_robust_vs_zscore(ray_session):
+    """A single huge spike inflates the z-score threshold but not the MAD
+    one: MAD flags the spike, and the spike alone."""
+    from graphiti_ray.stages.windows import mad_outliers
+
+    rows = [
+        {"event_id": i, "user_id": 0, "value": 100.0 + (i % 7) * 0.5}
+        for i in range(30)
+    ]
+    rows.append({"event_id": 99, "user_id": 0, "value": 10_000.0})
+    out = mad_outliers(rd.from_items(rows).repartition(3)).to_pandas()
+    assert len(out) == 31
+    flagged = set(out[out.is_outlier].event_id)
+    assert flagged == {99}
+    # med/mad are the exact lattice medians
+    import pandas as pd
+
+    vq = pd.Series([int(np.floor(r["value"] * 1000)) for r in rows])
+    med = int(vq.sort_values().iloc[(len(vq) - 1) // 2])
+    absdev = (vq - med).abs()
+    mad = int(absdev.sort_values().iloc[(len(absdev) - 1) // 2])
+    assert (out.med == med).all() and (out["mad"] == mad).all()
