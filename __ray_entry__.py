@@ -1950,6 +1950,20 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_embeddings_jl(sf_dir: str):
+    """JL ±1 projection 64→16 on the 1e-6 integer lattice — exact
+    integer matmul against the md5-derived sign matrix, so summation
+    order cannot hash-diverge."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.embed import jl_project
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return jl_project(emb)
+
+
 def _q_events_mad(sf_dir: str):
     """Robust MAD outlier screen: per-user exact 'lower' medians on the
     1e-3 lattice, |v−med| > 3·MAD — all int64, two group_quantiles
@@ -3307,6 +3321,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_top_tokens": _q_lang_top_tokens,
         "events_rolling": _q_events_rolling,
         "events_mad": _q_events_mad,
+        "embeddings_jl": _q_embeddings_jl,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4288,6 +4303,27 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        # JL projection: sign(j,i) = parity of the first 8 md5 hex chars of
+        # "j|i"; quantized int dot — associative, so group-sum is exact
+        "embeddings_jl": """
+WITH e AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS val
+  FROM embeddings,
+       LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+dims AS (SELECT unnest(range(0, 16)) AS j),
+s AS (
+  SELECT e.vec_id, d.j,
+         CASE WHEN ('0x' || substr(md5(d.j::VARCHAR || '|'
+                                       || (e.i - 1)::VARCHAR), 1, 8))::UBIGINT
+                   % 2 = 1
+              THEN 1 ELSE -1 END
+           * CAST(floor(e.val * 1000000) AS BIGINT) AS term
+  FROM e CROSS JOIN dims d
+)
+SELECT vec_id, j, CAST(sum(term) AS BIGINT) AS proj
+FROM s GROUP BY 1, 2
+""",
         # MAD screen: exact 'lower' medians (row at floor(0.5·(n−1)) of the
         # sorted group) on the 1e-3 lattice; flag absdev > 3·mad, all int64
         "events_mad": """

@@ -136,3 +136,69 @@ def with_embedding(
         zero_copy_batch=True,
         concurrency=concurrency,
     )
+
+
+# --- Johnson–Lindenstrauss random-sign projection ---------------------------
+
+JL_OUT_DIM = 16
+JL_QUANT = 1_000_000  # 1e-6 lattice: |e|·1e6 ≲ 2^22, ×64 terms « int64
+
+
+def jl_sign(j: int, i: int) -> int:
+    """±1 sign for (output dim j, input dim i), derived from md5 so the
+    SQL twin reproduces it: +1 iff the first 8 hex chars of
+    md5(f"{j}|{i}") are odd as an integer."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}|{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 1 else -1
+
+
+def jl_sign_matrix(out_dim: int, in_dim: int) -> np.ndarray:
+    return np.array(
+        [[jl_sign(j, i) for i in range(in_dim)] for j in range(out_dim)],
+        dtype=np.int64,
+    )
+
+
+def jl_project(
+    emb: "rd.Dataset",
+    out_dim: int = JL_OUT_DIM,
+    quant: int = JL_QUANT,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1 sign
+    matrix (Achlioptas 2003) on an EXACT integer lattice: inputs
+    quantize to floor(e·quant) int64 and the projection is an integer
+    matmul against the md5-derived sign matrix — associative integer
+    addition, so the DuckDB twin's group-sum matches bit-for-bit (a
+    float dot product would hash-diverge on summation order). The sign
+    matrix is built once per process (out_dim×in_dim ints — parameter,
+    not data) and rides into workers by closure capture; the corpus
+    streams. Output long-form: (id, j, proj)."""
+    import ray.data as rd  # noqa: F811
+
+    signs: dict[int, np.ndarray] = {}
+
+    def project(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        mat = column_to_matrix(batch.column(vec_col))
+        n, d = mat.shape
+        if d not in signs:
+            signs[d] = jl_sign_matrix(out_dim, d)
+        q = np.floor(mat * quant).astype(np.int64)
+        proj = q @ signs[d].T  # (n, out_dim) exact int64
+        return pa.table(
+            {
+                id_col: pa.concat_arrays(
+                    [ids.combine_chunks()] * out_dim
+                ) if out_dim > 1 else ids,
+                "j": pa.array(
+                    np.repeat(np.arange(out_dim, dtype=np.int64), n), pa.int64()
+                ),
+                "proj": pa.array(proj.T.reshape(-1), pa.int64()),
+            }
+        )
+
+    return emb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

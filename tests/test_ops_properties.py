@@ -823,3 +823,37 @@ def test_hll_registers_by_group_matches_per_group_sketch(ray_session):
         assert sub.equals(solo), g
         exact = grp.v.nunique()
         assert abs(hll_estimate(sub) - exact) / exact < 0.05, g
+
+
+def test_jl_projection_preserves_distances_and_is_deterministic(ray_session):
+    """±1 JL projection: deterministic signs, exact integer output, and
+    pairwise distances preserved in expectation (within loose JL bounds
+    for 16 dims) after the 1/sqrt(k) rescale."""
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.embed import jl_project, jl_sign, jl_sign_matrix
+
+    assert jl_sign(0, 0) in (-1, 1) and jl_sign(0, 0) == jl_sign(0, 0)
+    m = jl_sign_matrix(16, 64)
+    assert set(np.unique(m)) == {-1, 1}
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, (40, 64))
+    rows = [
+        {"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)
+    ]
+    out = jl_project(rd_.from_items(rows).repartition(4)).to_pandas()
+    assert len(out) == 40 * 16
+    # reshape long → (n, k), undo the lattice, rescale by 1/sqrt(k)
+    proj = (
+        out.sort_values(["vec_id", "j"]).proj.to_numpy().reshape(40, 16)
+        / 1e6
+        / np.sqrt(16)
+    )
+    q = np.floor(vecs * 1e6) / 1e6
+    d_in = np.linalg.norm(q[:20] - q[20:], axis=1)
+    d_out = np.linalg.norm(proj[:20] - proj[20:], axis=1)
+    ratio = d_out / d_in
+    assert 0.5 < ratio.mean() < 1.5
+    assert (ratio > 0.3).all() and (ratio < 2.0).all()
