@@ -1950,6 +1950,47 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _set_op_sides(sf_dir: str):
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    a = docs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    b = docs.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("n_chars"), 300)
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return a, b
+
+
+def _q_docs_intersect(sf_dir: str):
+    """SQL INTERSECT as a tagged-union + one keyed max — English docs that
+    are also long."""
+    from graphiti_ray.stages.ops import dataset_intersect
+
+    a, b = _set_op_sides(sf_dir)
+    return dataset_intersect(a, b, ["doc_id"])
+
+
+def _q_docs_except(sf_dir: str):
+    """SQL EXCEPT via the same tagged-union shape — English docs that are
+    NOT long."""
+    from graphiti_ray.stages.ops import dataset_except
+
+    a, b = _set_op_sides(sf_dir)
+    return dataset_except(a, b, ["doc_id"])
+
+
 def _q_embeddings_jl(sf_dir: str):
     """JL ±1 projection 64→16 on the 1e-6 integer lattice — exact
     integer matmul against the md5-derived sign matrix, so summation
@@ -3322,6 +3363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "events_mad": _q_events_mad,
         "embeddings_jl": _q_embeddings_jl,
+        "docs_intersect": _q_docs_intersect,
+        "docs_except": _q_docs_except,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4303,6 +4346,16 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        "docs_intersect": """
+SELECT doc_id FROM documents WHERE lang = 'en'
+INTERSECT
+SELECT doc_id FROM documents WHERE n_chars >= 300
+""",
+        "docs_except": """
+SELECT doc_id FROM documents WHERE lang = 'en'
+EXCEPT
+SELECT doc_id FROM documents WHERE n_chars >= 300
+""",
         # JL projection: sign(j,i) = parity of the first 8 md5 hex chars of
         # "j|i"; quantized int dot — associative, so group-sum is exact
         "embeddings_jl": """

@@ -1217,3 +1217,58 @@ def annotate_run_lengths(
         for i, r in enumerate(refs)
     ]
     return rd.from_arrow_refs(out_refs)
+
+
+def dataset_intersect(
+    a: rd.Dataset, b: rd.Dataset, cols: list[str]
+) -> rd.Dataset:
+    """DISTINCT set intersection on ``cols`` (SQL ``INTERSECT``): tag each
+    side with a presence flag inside map_batches (per-batch distinct
+    first, so the shuffle carries partials), one keyed sum, keep keys
+    present on both sides. One all-to-all total."""
+    return _set_op(a, b, cols, keep="both")
+
+
+def dataset_except(
+    a: rd.Dataset, b: rd.Dataset, cols: list[str]
+) -> rd.Dataset:
+    """DISTINCT set difference a − b on ``cols`` (SQL ``EXCEPT``): same
+    tagged-union shape, keep keys present only on the left."""
+    return _set_op(a, b, cols, keep="left_only")
+
+
+def _set_op(a: rd.Dataset, b: rd.Dataset, cols: list[str], keep: str) -> rd.Dataset:
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(cols).group_by(cols).aggregate([([], "count_all")])
+            t = t.drop_columns([t.column_names[-1]])
+            n = t.num_rows
+            return t.append_column(
+                "in_a", pa.array(np.full(n, 1 - side, np.int64), pa.int64())
+            ).append_column(
+                "in_b", pa.array(np.full(n, side, np.int64), pa.int64())
+            )
+
+        return fn
+
+    tagged = a.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        b.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    flags = tagged.groupby(cols if len(cols) > 1 else cols[0]).aggregate(
+        Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b")
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ia = batch.column("in_a")
+        ib = batch.column("in_b")
+        if keep == "both":
+            mask = pc.and_(pc.equal(ia, 1), pc.equal(ib, 1))
+        else:
+            mask = pc.and_(pc.equal(ia, 1), pc.equal(ib, 0))
+        return batch.filter(mask).select(cols)
+
+    return flags.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

@@ -857,3 +857,19 @@ def test_jl_projection_preserves_distances_and_is_deterministic(ray_session):
     ratio = d_out / d_in
     assert 0.5 < ratio.mean() < 1.5
     assert (ratio > 0.3).all() and (ratio < 2.0).all()
+
+
+def test_set_ops_distinct_semantics(ray_session):
+    """INTERSECT/EXCEPT are DISTINCT set ops: duplicates collapse, and
+    the two results partition side A's distinct keys."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import dataset_except, dataset_intersect
+
+    a = rd_.from_items([{"k": x} for x in [1, 1, 2, 3, 5, 5, 8]]).repartition(3)
+    b = rd_.from_items([{"k": x} for x in [2, 2, 3, 13]]).repartition(2)
+    inter = sorted(r["k"] for r in dataset_intersect(a, b, ["k"]).take_all())
+    exc = sorted(r["k"] for r in dataset_except(a, b, ["k"]).take_all())
+    assert inter == [2, 3]
+    assert exc == [1, 5, 8]
+    assert sorted(inter + exc) == [1, 2, 3, 5, 8]  # partition of distinct(a)
