@@ -1950,6 +1950,35 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_events_rank(sf_dir: str):
+    """Full per-user value ranking + partition size (row_number + count
+    window twins) on the cent lattice, ties broken by event_id."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import window_rank
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return batch.drop_columns(["value"]).append_column("value_cents", c)
+
+    return window_rank(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        order_cols=["value_cents", "event_id"],
+    )
+
+
 def _set_op_sides(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -3365,6 +3394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_jl": _q_embeddings_jl,
         "docs_intersect": _q_docs_intersect,
         "docs_except": _q_docs_except,
+        "events_rank": _q_events_rank,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4346,6 +4376,15 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        "events_rank": """
+SELECT event_id, user_id,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT),
+                                   event_id)::BIGINT AS rank,
+       count(*) OVER (PARTITION BY user_id)::BIGINT AS n
+FROM events
+""",
         "docs_intersect": """
 SELECT doc_id FROM documents WHERE lang = 'en'
 INTERSECT

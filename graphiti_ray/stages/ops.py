@@ -1272,3 +1272,39 @@ def _set_op(a: rd.Dataset, b: rd.Dataset, cols: list[str], keep: str) -> rd.Data
         return batch.filter(mask).select(cols)
 
     return flags.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def window_rank(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    rank_col: str = "rank",
+    count_col: str = "n",
+) -> rd.Dataset:
+    """Full per-key ranking (``row_number() OVER (PARTITION BY keys ORDER
+    BY order_cols)`` plus the partition size) — the windowed ranking
+    primitive behind percentile normalization and leaderboards. One range
+    sort, then each complete key run gets 1-based ranks and its length
+    from pure index arithmetic — no per-key dispatch, hub keys cost only
+    the sort. Ties break by ``order_cols`` (make them total — include a
+    unique id)."""
+    import numpy as np
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        if n == 0:
+            return tbl.append_column(
+                rank_col, pa.array([], pa.int64())
+            ).append_column(count_col, pa.array([], pa.int64()))
+        starts = _table_run_starts(tbl, keys)
+        firsts = starts[:-1]
+        lens = np.diff(starts)
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[firsts] = 1
+        run_id = np.cumsum(run_id) - 1
+        ranks = np.arange(n, dtype=np.int64) - firsts[run_id] + 1
+        return tbl.append_column(
+            rank_col, pa.array(ranks, pa.int64())
+        ).append_column(count_col, pa.array(lens[run_id], pa.int64()))
+
+    return sorted_run_map(ds, keys, kernel, order_cols=order_cols)

@@ -873,3 +873,27 @@ def test_set_ops_distinct_semantics(ray_session):
     assert inter == [2, 3]
     assert exc == [1, 5, 8]
     assert sorted(inter + exc) == [1, 2, 3, 5, 8]  # partition of distinct(a)
+
+
+def test_window_rank_total_order_and_sizes(ray_session):
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import window_rank
+
+    rng = np.random.default_rng(9)
+    rows = [
+        {"id": i, "g": int(i % 3), "v": int(rng.integers(0, 5))}
+        for i in range(200)
+    ]
+    out = window_rank(
+        rd_.from_items(rows).repartition(4), keys=["g"], order_cols=["v", "id"]
+    ).to_pandas()
+    assert len(out) == 200
+    for g, grp in out.groupby("g"):
+        # ranks are a permutation of 1..n_g and n is constant
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert (grp.n == len(grp)).all()
+        # rank order respects (v, id)
+        s = grp.sort_values("rank")
+        assert (s[["v", "id"]].values == s.sort_values(["v", "id"])[["v", "id"]].values).all()
