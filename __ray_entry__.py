@@ -1950,6 +1950,20 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_sessions_overlap(sf_dir: str):
+    """Interval self-join over the session table: cross-user session
+    pairs that overlap in time, via bucketed candidates with
+    first-shared-bucket dedup (no distinct shuffle) and exact µs
+    verification."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import interval_overlap_pairs, session_window
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    sessions = session_window(ev, gap_s=1800).drop_columns(["n_events"])
+    return interval_overlap_pairs(sessions)
+
+
 def _q_events_rank(sf_dir: str):
     """Full per-user value ranking + partition size (row_number + count
     window twins) on the cent lattice, ties broken by event_id."""
@@ -3395,6 +3409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_intersect": _q_docs_intersect,
         "docs_except": _q_docs_except,
         "events_rank": _q_events_rank,
+        "sessions_overlap": _q_sessions_overlap,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4376,6 +4391,35 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        # interval self-join: the sessions CTE (same gaps-and-islands as
+        # events_session) then the exact overlap predicate, canonical
+        # (key, start) orientation
+        "sessions_overlap": """
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+),
+s AS (
+  SELECT user_id, min(ts) AS st, max(ts) AS en
+  FROM sess GROUP BY user_id, sid
+)
+SELECT x.user_id AS a_key, x.st AS a_start,
+       y.user_id AS b_key, y.st AS b_start,
+       (least(epoch_us(x.en), epoch_us(y.en))
+        - greatest(epoch_us(x.st), epoch_us(y.st)))::BIGINT AS overlap_us
+FROM s x JOIN s y
+  ON x.user_id < y.user_id AND x.st <= y.en AND y.st <= x.en
+""",
         "events_rank": """
 SELECT event_id, user_id,
        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,

@@ -598,3 +598,124 @@ def mad_outliers(
         return batch.append_column("is_outlier", pa.array(a > z * m, pa.bool_()))
 
     return joined.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MAX_INTERVAL_BUCKETS = 1024  # per-interval explosion guard
+
+
+def interval_overlap_pairs(
+    intervals: rd.Dataset,
+    key_col: str = "user_id",
+    start_col: str = "session_start",
+    end_col: str = "session_end",
+    bucket_s: int = 21600,
+) -> rd.Dataset:
+    """Interval self-join: all cross-key pairs of intervals that overlap
+    in time — the range-join operator (distinct from as-of). Candidate
+    generation explodes each interval into its covered ``bucket_s``
+    tumbling buckets (guarded at MAX_INTERVAL_BUCKETS per interval);
+    same-bucket rows meet in one ``sorted_run_map`` pairwise kernel. A
+    pair is emitted ONLY in bucket max(start_bucket_a, start_bucket_b)
+    — overlapping intervals both cover that bucket, and floor is
+    monotone, so each true pair is emitted exactly once with NO distinct
+    shuffle (the MinHash first-band trick, applied to time).
+
+    Output: (a_key, a_start, b_key, b_start, overlap_us) with
+    (a_key, a_start) < (b_key, b_start) lexicographically and
+    a_key ≠ b_key."""
+    import functools
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    B = bucket_s * US
+
+    def explode(batch: pa.Table) -> pa.Table:
+        s = (
+            batch.column(start_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        e = (
+            batch.column(end_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        sb = s // B
+        eb = e // B
+        nb = eb - sb + 1
+        if len(nb) and nb.max() > MAX_INTERVAL_BUCKETS:
+            raise ValueError(
+                "interval_overlap_pairs: an interval covers more than "
+                f"{MAX_INTERVAL_BUCKETS} buckets — raise bucket_s"
+            )
+        idx = np.repeat(np.arange(len(s)), nb)
+        off = np.arange(int(nb.sum())) - np.repeat(np.cumsum(nb) - nb, nb)
+        return pa.table(
+            {
+                "bucket": pa.array(sb[idx] + off, pa.int64()),
+                "k": pa.array(keys[idx]),
+                "s_us": pa.array(s[idx], pa.int64()),
+                "e_us": pa.array(e[idx], pa.int64()),
+                "sb": pa.array(sb[idx], pa.int64()),
+            }
+        )
+
+    exploded = intervals.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pair_kernel(tbl: pa.Table) -> pa.Table:
+        kt = tbl.schema.field("k").type if tbl.num_rows else pa.int64()
+        empty = pa.table(
+            {
+                "a_key": pa.array([], kt),
+                "a_start": pa.array([], pa.timestamp("us")),
+                "b_key": pa.array([], kt),
+                "b_start": pa.array([], pa.timestamp("us")),
+                "overlap_us": pa.array([], pa.int64()),
+            }
+        )
+        n = tbl.num_rows
+        if n < 2:
+            return empty
+        from graphiti_ray.stages.dedup import _run_pair_indices, _run_starts
+
+        bucket = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        k = tbl.column("k").to_numpy(zero_copy_only=False)
+        s = tbl.column("s_us").to_numpy(zero_copy_only=False)
+        e = tbl.column("e_us").to_numpy(zero_copy_only=False)
+        sb = tbl.column("sb").to_numpy(zero_copy_only=False)
+        px, py = _run_pair_indices(_run_starts(bucket), cap=1 << 30)
+        if len(px) == 0:
+            return empty
+        overlap = (s[px] <= e[py]) & (s[py] <= e[px])
+        first = np.maximum(sb[px], sb[py]) == bucket[px]
+        diff_key = k[px] != k[py]
+        keep = overlap & first & diff_key
+        px, py = px[keep], py[keep]
+        if len(px) == 0:
+            return empty
+        # canonical orientation: (key, start) lexicographic
+        swap = (k[px] > k[py]) | ((k[px] == k[py]) & (s[px] > s[py]))
+        ax = np.where(swap, py, px)
+        bx = np.where(swap, px, py)
+        ov = np.minimum(e[ax], e[bx]) - np.maximum(s[ax], s[bx])
+        return pa.table(
+            {
+                "a_key": pa.array(k[ax]),
+                "a_start": pa.array(s[ax], pa.int64()).cast(pa.timestamp("us")),
+                "b_key": pa.array(k[bx]),
+                "b_start": pa.array(s[bx], pa.int64()).cast(pa.timestamp("us")),
+                "overlap_us": pa.array(ov, pa.int64()),
+            }
+        )
+
+    return sorted_run_map(
+        exploded,
+        key_cols=["bucket"],
+        order_cols=["k", "s_us"],
+        block_fn=pair_kernel,
+    )

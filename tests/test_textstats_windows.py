@@ -1226,3 +1226,55 @@ def test_mad_outliers_robust_vs_zscore(ray_session):
     absdev = (vq - med).abs()
     mad = int(absdev.sort_values().iloc[(len(absdev) - 1) // 2])
     assert (out.med == med).all() and (out["mad"] == mad).all()
+
+
+def test_interval_overlap_pairs_exact_and_once(ray_session):
+    """Pairs match the O(n²) reference exactly — including intervals that
+    share MANY buckets (emitted once, not once per bucket) — and
+    same-key pairs are excluded."""
+    from graphiti_ray.stages.windows import interval_overlap_pairs
+
+    t0 = datetime(2024, 1, 1)
+
+    def iv(k, s_h, e_h):
+        return {
+            "user_id": k,
+            "session_start": t0 + timedelta(hours=s_h),
+            "session_end": t0 + timedelta(hours=e_h),
+        }
+
+    rows = [
+        iv(1, 0, 50),    # long interval spanning many 6h buckets
+        iv(2, 10, 60),   # overlaps 1 across ~7 buckets → exactly one pair
+        iv(3, 55, 58),   # overlaps 2 only
+        iv(4, 100, 101), # overlaps nothing
+        iv(1, 70, 80),   # same key as row 0 — never pairs with key-1 rows
+        iv(2, 72, 75),   # overlaps the second key-1 interval
+    ]
+    out = (
+        interval_overlap_pairs(rd.from_items(rows).repartition(3))
+        .to_pandas()
+        .sort_values(["a_key", "a_start", "b_key", "b_start"])
+        .reset_index(drop=True)
+    )
+    # reference: all cross-key overlapping pairs
+    import itertools
+
+    want = []
+    for x, y in itertools.combinations(rows, 2):
+        if x["user_id"] == y["user_id"]:
+            continue
+        if x["session_start"] <= y["session_end"] and y["session_start"] <= x["session_end"]:
+            a, b = sorted([x, y], key=lambda r: (r["user_id"], r["session_start"]))
+            ov = (
+                min(a["session_end"], b["session_end"])
+                - max(a["session_start"], b["session_start"])
+            )
+            want.append(
+                (a["user_id"], a["session_start"], b["user_id"],
+                 b["session_start"], int(ov.total_seconds() * 1_000_000))
+            )
+    want.sort()
+    got = list(map(tuple, out.itertuples(index=False)))
+    assert [(g[0], g[1].to_pydatetime(), g[2], g[3].to_pydatetime(), g[4]) for g in got] == want
+    assert len(got) == 3  # (1,2), (2,3), (1b-2b) — each exactly once
