@@ -1950,6 +1950,54 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_lang_distinct_texts(sf_dir: str):
+    """Exact count-distinct per language — the exact twin of the grouped
+    HLL sketch: per-batch (lang, text-hash) distinct partial → keyed
+    distinct → per-lang count (two narrow shuffles; the md5 collapse
+    keeps full texts off the wire)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from graphiti_ray.stages.dedup import md5_hex_column
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch.column("lang"),
+                "h": pa.array(md5_hex_column(batch.column("text")), pa.string()),
+            }
+        )
+        return t.group_by(["lang", "h"]).aggregate([([], "count_all")]).drop_columns(
+            ["count_all"]
+        )
+
+    distinct = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "h"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def one(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "p_n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        distinct.map_batches(one, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("p_n", alias_name="n_distinct"))
+    )
+
+
 def _q_sessions_overlap(sf_dir: str):
     """Interval self-join over the session table: cross-user session
     pairs that overlap in time, via bucketed candidates with
@@ -3410,6 +3458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_except": _q_docs_except,
         "events_rank": _q_events_rank,
         "sessions_overlap": _q_sessions_overlap,
+        "lang_distinct_texts": _q_lang_distinct_texts,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4391,6 +4440,10 @@ GROUP BY 1, 2
         "docs_novelty": _novelty_oracle_sql(),
         # CDC chunking: mask-rule cuts on rolling 16-byte Horner hashes
         "dedup_levenshtein": _lev_oracle_sql(),
+        "lang_distinct_texts": """
+SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
+FROM documents GROUP BY 1
+""",
         # interval self-join: the sessions CTE (same gaps-and-islands as
         # events_session) then the exact overlap predicate, canonical
         # (key, start) orientation
