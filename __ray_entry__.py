@@ -1950,6 +1950,20 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) in one pass: per-batch partials for
+    every prefix level with the '(all)' sentinel, one keyed reduce —
+    never one groupby per level."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import rollup_counts
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return rollup_counts(docs, ["lang", "source"], sum_col="n_chars")
+
+
 def _q_lang_distinct_texts(sf_dir: str):
     """Exact count-distinct per language — the exact twin of the grouped
     HLL sketch: per-batch (lang, text-hash) distinct partial → keyed
@@ -3459,6 +3473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rank": _q_events_rank,
         "sessions_overlap": _q_sessions_overlap,
         "lang_distinct_texts": _q_lang_distinct_texts,
+        "docs_rollup": _q_docs_rollup,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4443,6 +4458,14 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "docs_rollup": """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       count(*)::BIGINT AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
 """,
         # interval self-join: the sessions CTE (same gaps-and-islands as
         # events_session) then the exact overlap predicate, canonical

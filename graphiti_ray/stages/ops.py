@@ -1308,3 +1308,51 @@ def window_rank(
         ).append_column(count_col, pa.array(lens[run_id], pa.int64()))
 
     return sorted_run_map(ds, keys, kernel, order_cols=order_cols)
+
+
+ROLLUP_ALL = "(all)"  # sentinel for rolled-up levels (dodges NULL-sort skew)
+
+
+def rollup_counts(
+    ds: rd.Dataset,
+    cols: list[str],
+    sum_col: str | None = None,
+) -> rd.Dataset:
+    """GROUP BY ROLLUP(cols): every aggregation prefix-level — (a, b),
+    (a, ·), (·, ·) — in ONE pass: each batch emits its partial counts
+    (and optional integer sums) once per level with ``ROLLUP_ALL``
+    filling the rolled-up columns, then a single keyed reduce combines
+    them. len(cols)+1 partial rows per distinct key per batch, one
+    shuffle total — never one groupby per level.
+
+    Output: (*cols, n[, sum_<sum_col>])."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    agg_specs = [([], "count_all")] + ([(sum_col, "sum")] if sum_col else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        levels = []
+        base = batch.select(cols + ([sum_col] if sum_col else []))
+        for lvl in range(len(cols), -1, -1):
+            t = base
+            for c in cols[lvl:]:
+                n = t.num_rows
+                t = t.set_column(
+                    t.schema.get_field_index(c),
+                    c,
+                    pa.array([ROLLUP_ALL] * n, pa.string()),
+                )
+            g = t.group_by(cols).aggregate(agg_specs)
+            names = cols + ["p_n"] + (["p_s"] if sum_col else [])
+            levels.append(g.rename_columns(names))
+        return pa.concat_tables(levels)
+
+    aggs = [Sum("p_n", alias_name="n")]
+    if sum_col:
+        aggs.append(Sum("p_s", alias_name=f"sum_{sum_col}"))
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cols if len(cols) > 1 else cols[0])
+        .aggregate(*aggs)
+    )

@@ -897,3 +897,28 @@ def test_window_rank_total_order_and_sizes(ray_session):
         # rank order respects (v, id)
         s = grp.sort_values("rank")
         assert (s[["v", "id"]].values == s.sort_values(["v", "id"])[["v", "id"]].values).all()
+
+
+def test_rollup_counts_levels_consistent(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import ROLLUP_ALL, rollup_counts
+
+    rows = [
+        {"a": x, "b": y, "v": i + 1}
+        for i, (x, y) in enumerate(
+            [("p", "u"), ("p", "u"), ("p", "w"), ("q", "u"), ("q", "w")]
+        )
+    ]
+    out = rollup_counts(
+        rd_.from_items(rows).repartition(3), ["a", "b"], sum_col="v"
+    ).to_pandas()
+    total = out[(out.a == ROLLUP_ALL) & (out.b == ROLLUP_ALL)]
+    assert total.n.tolist() == [5] and total.sum_v.tolist() == [15]
+    lvl_a = out[(out.a != ROLLUP_ALL) & (out.b == ROLLUP_ALL)].set_index("a")
+    assert lvl_a.n.to_dict() == {"p": 3, "q": 2}
+    assert lvl_a.sum_v.to_dict() == {"p": 6, "q": 9}
+    leaf = out[(out.a != ROLLUP_ALL) & (out.b != ROLLUP_ALL)]
+    # leaves sum to each parent level
+    assert leaf.n.sum() == 5 and leaf.sum_v.sum() == 15
+    assert len(out) == 4 + 2 + 1
