@@ -1950,6 +1950,17 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_checksum(sf_dir: str):
+    """Order-independent mod-2^64 content checksum of (doc_id, lang) —
+    the migration-validation primitive; three scalars reach the driver."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import content_checksum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return content_checksum(docs, ["doc_id", "lang"])
+
+
 def _q_docs_rollup(sf_dir: str):
     """GROUP BY ROLLUP(lang, source) in one pass: per-batch partials for
     every prefix level with the '(all)' sentinel, one keyed reduce —
@@ -3474,6 +3485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions_overlap": _q_sessions_overlap,
         "lang_distinct_texts": _q_lang_distinct_texts,
         "docs_rollup": _q_docs_rollup,
+        "docs_checksum": _q_docs_checksum,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4458,6 +4470,23 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # order-independent checksum: HUGEINT sum of the first-16-hex-char
+        # md5 uint64 per row, reduced mod 2^64, split into 32-bit limbs
+        "docs_checksum": """
+WITH h AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR || '|' || lang), 1, 16))::UBIGINT
+           ::HUGEINT AS h
+  FROM documents
+),
+t AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         CAST(sum(h) % 18446744073709551616::HUGEINT AS UBIGINT) AS total
+  FROM h
+)
+SELECT n_rows, (total >> 32)::BIGINT AS sum_hi,
+       (total & 4294967295)::BIGINT AS sum_lo
+FROM t
 """,
         "docs_rollup": """
 SELECT coalesce(lang, '(all)') AS lang,

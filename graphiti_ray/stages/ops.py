@@ -1356,3 +1356,49 @@ def rollup_counts(
         .groupby(cols if len(cols) > 1 else cols[0])
         .aggregate(*aggs)
     )
+
+
+def content_checksum(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Order-independent table content checksum — the replication /
+    migration validation primitive: md5 of each row's '|'-joined
+    canonical string rendering, summed mod 2^64 (addition commutes, so
+    partitioning and row order cannot change the answer). Each batch
+    collapses to one (count, low-sum, high-sum) partial row; only three
+    scalars ever reach the driver. Output: one row
+    (n_rows, sum_hi, sum_lo) with checksum = (sum_hi << 32) | sum_lo.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arrays = [batch.column(c).to_pylist() for c in cols]
+        acc = 0
+        for vals in zip(*arrays):
+            s = "|".join(str(v) for v in vals)
+            acc += int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+        acc %= 1 << 64  # exact: mod distributes over the final sum
+        # two 32-bit limbs so int64 partial sums can never overflow
+        # (limb sums stay < n_batches·2^32)
+        return pa.table(
+            {
+                "p_n": pa.array([batch.num_rows], pa.int64()),
+                "p_lo": pa.array([acc & 0xFFFFFFFF], pa.int64()),
+                "p_hi": pa.array([acc >> 32], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.sum(["p_n", "p_lo", "p_hi"])
+    total = (
+        (int(agg["sum(p_hi)"]) << 32) + int(agg["sum(p_lo)"])
+    ) % (1 << 64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_rows": pa.array([int(agg["sum(p_n)"])], pa.int64()),
+                "sum_hi": pa.array([total >> 32], pa.int64()),
+                "sum_lo": pa.array([total & 0xFFFFFFFF], pa.int64()),
+            }
+        )
+    )

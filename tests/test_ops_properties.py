@@ -922,3 +922,24 @@ def test_rollup_counts_levels_consistent(ray_session):
     # leaves sum to each parent level
     assert leaf.n.sum() == 5 and leaf.sum_v.sum() == 15
     assert len(out) == 4 + 2 + 1
+
+
+def test_content_checksum_order_independent_and_sensitive(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import content_checksum
+
+    rows = [{"id": i, "s": f"v{i}"} for i in range(500)]
+
+    def ck(rs, parts):
+        df = content_checksum(
+            rd_.from_items(rs).repartition(parts), ["id", "s"]
+        ).to_pandas()
+        assert df.n_rows[0] == len(rs)
+        return (int(df.sum_hi[0]), int(df.sum_lo[0]))
+
+    base = ck(rows, 1)
+    assert ck(list(reversed(rows)), 7) == base  # order/partitioning invariant
+    mutated = [dict(r) for r in rows]
+    mutated[250]["s"] = "vX"
+    assert ck(mutated, 3) != base  # single-cell sensitivity
