@@ -1950,6 +1950,19 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_knn_mutual(sf_dir: str):
+    """Reciprocal k-NN pairs (each in the other's top-5, self excluded)
+    — the mutual-NN near-dup/clustering primitive, exact baseline."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import mutual_knn
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mutual_knn(emb, k=5)
+
+
 def _q_docs_checksum(sf_dir: str):
     """Order-independent mod-2^64 content checksum of (doc_id, lang) —
     the migration-validation primitive; three scalars reach the driver."""
@@ -3486,6 +3499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_distinct_texts": _q_lang_distinct_texts,
         "docs_rollup": _q_docs_rollup,
         "docs_checksum": _q_docs_checksum,
+        "knn_mutual": _q_knn_mutual,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4470,6 +4484,25 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # mutual kNN: both directions' rank ≤ 5 with self excluded; the
+        # same round-6-then-rank total order as the knn oracles
+        "knn_mutual": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         round(list_cosine_similarity(a.v, b.v), 6) AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT qa, qb, c,
+         row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS rk
+  FROM p
+),
+kk AS (SELECT qa, qb, c FROM r WHERE rk <= 5)
+SELECT x.qa AS a, x.qb AS b, least(x.c, y.c) AS cosine
+FROM kk x JOIN kk y ON y.qa = x.qb AND y.qb = x.qa
+WHERE x.qa < x.qb
 """,
         # order-independent checksum: HUGEINT sum of the first-16-hex-char
         # md5 uint64 per row, reduced mod 2^64, split into 32-bit limbs

@@ -480,3 +480,86 @@ def semantic_dedup(
         )
 
     return sorted_run_map(assigned, ["cluster"], _kernel, carry_cap=carry_cap)
+
+
+def mutual_knn(
+    emb: rd.Dataset,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Reciprocal (mutual) k-nearest-neighbour pairs: (a, b) kept iff each
+    vector is in the other's top-k cosine list with SELF EXCLUDED — the
+    high-precision near-dup/clustering primitive (mutual-NN graphs drive
+    agglomerative clustering and dedup validation). Exact broadcast
+    baseline: every vector is a query (same scale class as
+    ``embedding_near_dup_exact``, the documented oracle-baseline path;
+    IVF/LSH are the 100-TB candidate routes). Self rows are dropped
+    AFTER a k+1 overfetch and re-ranked with ``ops.top_k_per_group`` so
+    duplicate vectors (cosine 1.0 ties) cannot displace true
+    neighbours; mutuality is one keyed reduce over canonical (a, b) —
+    no second pass over the corpus.
+
+    Output: (a, b, cosine) with a < b."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from graphiti_ray.stages.ops import top_k_per_group
+
+    n_all = emb.count()
+    fwd = knn_brute_force(emb, n_queries=n_all, k=k + 1, vec_col=vec_col, id_col=id_col)
+
+    def drop_self(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch.column("query_id"), batch.column("vec_id"))
+        ).drop_columns(["rank"])
+
+    nonself = fwd.map_batches(drop_self, batch_format="pyarrow", zero_copy_batch=True)
+    # re-rank the survivors per query by the same (cosine desc, id asc)
+    # total order: negate the 1e-6-lattice cosine for an ascending sort
+    def lattice(batch: pa.Table) -> pa.Table:
+        c = batch.column("cosine").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "neg_c6", pa.array(-np.rint(c * 1e6).astype(np.int64), pa.int64())
+        )
+
+    ranked = top_k_per_group(
+        nonself.map_batches(lattice, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["query_id"],
+        order_cols=["neg_c6", "vec_id"],
+        k=k,
+    )
+
+    def canonical(batch: pa.Table) -> pa.Table:
+        q = batch.column("query_id").to_numpy(zero_copy_only=False)
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        c = batch.column("cosine").to_numpy(zero_copy_only=False)
+        a = np.minimum(q, v)
+        b = np.maximum(q, v)
+        return pa.table(
+            {
+                "a": pa.array(a, pa.int64()),
+                "b": pa.array(b, pa.int64()),
+                "fwd": pa.array((q < v).astype(np.int64), pa.int64()),
+                "bwd": pa.array((q > v).astype(np.int64), pa.int64()),
+                "cosine": pa.array(c, pa.float64()),
+            }
+        )
+
+    flags = (
+        ranked.map_batches(canonical, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(
+            Max("fwd", alias_name="fwd"),
+            Max("bwd", alias_name="bwd"),
+            Min("cosine", alias_name="cosine"),
+        )
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch.column("fwd"), 1), pc.equal(batch.column("bwd"), 1)
+        )
+        return batch.filter(keep).select(["a", "b", "cosine"])
+
+    return flags.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

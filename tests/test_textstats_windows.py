@@ -1278,3 +1278,29 @@ def test_interval_overlap_pairs_exact_and_once(ray_session):
     got = list(map(tuple, out.itertuples(index=False)))
     assert [(g[0], g[1].to_pydatetime(), g[2], g[3].to_pydatetime(), g[4]) for g in got] == want
     assert len(got) == 3  # (1,2), (2,3), (1b-2b) — each exactly once
+
+
+def test_mutual_knn_matches_numpy_reference(ray_session):
+    from graphiti_ray.stages.similarity import mutual_knn
+
+    rng = np.random.default_rng(2)
+    vecs = rng.normal(0, 1, (60, 16))
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+    out = mutual_knn(rd.from_items(rows).repartition(4), k=3).to_pandas()
+    got = set(zip(out.a, out.b))
+
+    # reference: round-6 cosine, top-3 with self excluded, mutual only
+    x = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = np.round(x @ x.T, 6)
+    np.fill_diagonal(sims, -np.inf)
+    tops = []
+    for i in range(len(vecs)):
+        order = np.lexsort((np.arange(len(vecs)), -sims[i]))[:3]
+        tops.append(set(order.tolist()))
+    want = {
+        (i, j)
+        for i in range(len(vecs))
+        for j in tops[i]
+        if i < j and i in tops[j]
+    }
+    assert got == want and len(want) > 0
