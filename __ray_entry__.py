@@ -1950,6 +1950,52 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_diff(sf_dir: str):
+    """Keyed snapshot diff (added/removed/changed) between documents and a
+    deterministically mutated twin: one tagged union + one keyed reduce;
+    only the delta survives."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import dataset_diff
+
+    a = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+
+    def mutate(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(ids % 10 != 0))
+        kid = keep.column("doc_id").to_numpy(zero_copy_only=False)
+        nchars = keep.column("n_chars").to_numpy(zero_copy_only=False)
+        is_en = pc.equal(keep.column("lang"), "en").to_numpy(zero_copy_only=False)
+        changed = pa.table(
+            {
+                "doc_id": keep.column("doc_id"),
+                "lang": keep.column("lang"),
+                "n_chars": pa.array(nchars + is_en.astype(np.int64), pa.int64()),
+            }
+        )
+        add_ids = ids[ids % 97 == 0] + 1_000_000
+        added = pa.table(
+            {
+                "doc_id": pa.array(add_ids, pa.int64()),
+                "lang": pa.array(["xx"] * len(add_ids), pa.string()),
+                "n_chars": pa.array([1] * len(add_ids), pa.int64()),
+            }
+        )
+        return pa.concat_tables([changed, added])
+
+    b = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    ).map_batches(mutate, batch_format="pyarrow", zero_copy_batch=True)
+    return dataset_diff(a, b, ["doc_id"], ["lang", "n_chars"])
+
+
 def _q_knn_mutual(sf_dir: str):
     """Reciprocal k-NN pairs (each in the other's top-5, self excluded)
     — the mutual-NN near-dup/clustering primitive, exact baseline."""
@@ -3500,6 +3546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": _q_docs_rollup,
         "docs_checksum": _q_docs_checksum,
         "knn_mutual": _q_knn_mutual,
+        "docs_diff": _q_docs_diff,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4484,6 +4531,26 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # snapshot diff vs the same deterministic mutation, via FULL OUTER
+        # JOIN: %10 drops → removed, en n_chars+1 → changed, %97 clones
+        # at +1e6 → added
+        "docs_diff": """
+WITH a AS (SELECT doc_id, lang, n_chars FROM documents),
+b AS (
+  SELECT doc_id, lang,
+         n_chars + (lang = 'en')::BIGINT AS n_chars
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'xx', 1 FROM documents WHERE doc_id % 97 = 0
+)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.doc_id IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL
+   OR a.lang <> b.lang OR a.n_chars <> b.n_chars
 """,
         # mutual kNN: both directions' rank ≤ 5 with self excluded; the
         # same round-6-then-rank total order as the knn oracles

@@ -1402,3 +1402,74 @@ def content_checksum(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
             }
         )
     )
+
+
+def dataset_diff(
+    a: rd.Dataset,
+    b: rd.Dataset,
+    key_cols: list[str],
+    val_cols: list[str],
+) -> rd.Dataset:
+    """Keyed table diff — the snapshot-comparison primitive behind data
+    versioning: rows keyed by ``key_cols`` (unique per side) compare by
+    the md5 of their '|'-joined ``val_cols`` rendering. One tagged union
+    + one keyed reduce; unchanged keys are dropped IN the reduce output
+    filter, so only the (usually tiny) delta survives.
+
+    Output: (*key_cols, status) with status ∈ added | removed | changed.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    def tag(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            vals = [batch.column(c).to_pylist() for c in val_cols]
+            hs = [
+                hashlib.md5("|".join(str(v) for v in row).encode()).hexdigest()
+                for row in zip(*vals)
+            ]
+            n = batch.num_rows
+            cols = {c: batch.column(c) for c in key_cols}
+            cols["in_a"] = pa.array(
+                np.full(n, 1 if side == "a" else 0, np.int64), pa.int64()
+            )
+            cols["in_b"] = pa.array(
+                np.full(n, 1 if side == "b" else 0, np.int64), pa.int64()
+            )
+            cols["h_a"] = pa.array(hs if side == "a" else [""] * n, pa.string())
+            cols["h_b"] = pa.array(hs if side == "b" else [""] * n, pa.string())
+            return pa.table(cols)
+
+        return fn
+
+    tagged = a.map_batches(tag("a"), batch_format="pyarrow", zero_copy_batch=True).union(
+        b.map_batches(tag("b"), batch_format="pyarrow", zero_copy_batch=True)
+    )
+    merged = tagged.groupby(key_cols if len(key_cols) > 1 else key_cols[0]).aggregate(
+        Max("in_a", alias_name="in_a"),
+        Max("in_b", alias_name="in_b"),
+        Max("h_a", alias_name="h_a"),
+        Max("h_b", alias_name="h_b"),
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        ia = batch.column("in_a").to_numpy(zero_copy_only=False)
+        ib = batch.column("in_b").to_numpy(zero_copy_only=False)
+        ha = np.asarray(batch.column("h_a").to_pylist(), dtype=object)
+        hb = np.asarray(batch.column("h_b").to_pylist(), dtype=object)
+        status = np.where(
+            ia & ~ib.astype(bool),
+            "removed",
+            np.where(~ia.astype(bool) & ib.astype(bool), "added",
+                     np.where(ha != hb, "changed", "")),
+        )
+        keep = status != ""
+        out = batch.select(key_cols).filter(pa.array(keep))
+        return out.append_column(
+            "status", pa.array(status[keep].tolist(), pa.string())
+        )
+
+    return merged.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)

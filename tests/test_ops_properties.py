@@ -943,3 +943,19 @@ def test_content_checksum_order_independent_and_sensitive(ray_session):
     mutated = [dict(r) for r in rows]
     mutated[250]["s"] = "vX"
     assert ck(mutated, 3) != base  # single-cell sensitivity
+
+
+def test_dataset_diff_classifies_all_three(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import dataset_diff
+
+    a = rd_.from_items(
+        [{"k": 1, "v": "x"}, {"k": 2, "v": "y"}, {"k": 3, "v": "z"}]
+    ).repartition(2)
+    b = rd_.from_items(
+        [{"k": 2, "v": "y"}, {"k": 3, "v": "Z"}, {"k": 4, "v": "w"}]
+    )
+    out = dataset_diff(a, b, ["k"], ["v"]).to_pandas()
+    got = dict(zip(out.k, out.status))
+    assert got == {1: "removed", 3: "changed", 4: "added"}  # k=2 unchanged → absent
