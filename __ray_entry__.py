@@ -1950,6 +1950,18 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-1 global shuffle positions: rank of
+    md5('1|'||doc_id) via one range sort + the cross-block prefix-sum
+    row-number primitive."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import epoch_shuffle_positions
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return epoch_shuffle_positions(docs, epoch=1)
+
+
 def _q_docs_diff(sf_dir: str):
     """Keyed snapshot diff (added/removed/changed) between documents and a
     deterministically mutated twin: one tagged union + one keyed reduce;
@@ -3547,6 +3559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_checksum": _q_docs_checksum,
         "knn_mutual": _q_knn_mutual,
         "docs_diff": _q_docs_diff,
+        "docs_epoch_shuffle": _q_docs_epoch_shuffle,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4531,6 +4544,14 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # global shuffle order: rank of the epoch-salted md5; the '|' in
+        # the salt matches the Python f-string exactly
+        "docs_epoch_shuffle": """
+SELECT doc_id,
+       (row_number() OVER (ORDER BY md5('1|' || doc_id::VARCHAR), doc_id)
+        - 1)::BIGINT AS pos
+FROM documents
 """,
         # snapshot diff vs the same deterministic mutation, via FULL OUTER
         # JOIN: %10 drops → removed, en n_chars+1 → changed, %97 clones

@@ -410,3 +410,54 @@ def temperature_sample(
     return stratified_sample(
         ds, rates, strata_col=strata_col, default_rate=0.0, id_col=id_col
     )
+
+
+def epoch_shuffle_positions(
+    ds: rd.Dataset, epoch: int = 1, id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Deterministic per-epoch global shuffle order — the training-loader
+    primitive: position = rank of md5(f"{epoch}|{id}") (ties by id). One
+    range sort on the hash, then contiguous 0-based positions via
+    ``ops.sorted_prefix_sum`` over a constant partition — the global
+    row-number primitive, one integer of carry per block boundary (the
+    whole corpus is one 'partition', and that costs nothing more).
+
+    Output: (id, pos)."""
+    import hashlib
+
+    import numpy as np
+
+    from graphiti_ray.stages.ops import sorted_prefix_sum
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        hs = [
+            hashlib.md5(f"{epoch}|{i}".encode()).hexdigest() for i in ids
+        ]
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "h": pa.array(hs, pa.string()),
+                "_k": pa.array(np.zeros(n, np.int64), pa.int64()),
+                "_one": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    hashed_ds = ds.map_batches(hashed, batch_format="pyarrow", zero_copy_batch=True)
+    summed = sorted_prefix_sum(
+        hashed_ds, by=["_k"], order_cols=["h", id_col], delta_col="_one",
+        out_col="pos1",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": pc.subtract(batch.column("pos1"), 1),
+            }
+        )
+
+    return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

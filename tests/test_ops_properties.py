@@ -959,3 +959,21 @@ def test_dataset_diff_classifies_all_three(ray_session):
     out = dataset_diff(a, b, ["k"], ["v"]).to_pandas()
     got = dict(zip(out.k, out.status))
     assert got == {1: "removed", 3: "changed", 4: "added"}  # k=2 unchanged → absent
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_dependent(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.corpus import epoch_shuffle_positions
+
+    rows = [{"doc_id": i} for i in range(400)]
+    p1 = (
+        epoch_shuffle_positions(rd_.from_items(rows).repartition(5), epoch=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert sorted(p1.pos) == list(range(400))  # a true permutation
+    p1b = epoch_shuffle_positions(rd_.from_items(rows), epoch=1).to_pandas().sort_values("doc_id")
+    assert (p1.pos.to_numpy() == p1b.pos.to_numpy()).all()  # partition-invariant
+    p2 = epoch_shuffle_positions(rd_.from_items(rows), epoch=2).to_pandas().sort_values("doc_id")
+    assert (p1.pos.to_numpy() != p2.pos.to_numpy()).any()  # epochs differ
