@@ -1950,6 +1950,57 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_lang_centroids(sf_dir: str):
+    """Per-language embedding centroids as exact integer moment sums
+    (count + Σ floor(e·1e6) per dimension): one broadcast-free hash
+    join docs⋈embeddings, dense np.add.at partials, ≤ |langs|·64 reduce
+    rows. The float centroid = sum_q/(n·1e6) is derived."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.embed import column_to_matrix, group_centroids
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).rename_columns({"vec_id": "doc_id"})
+
+    # ray 2.49's hash join rejects list<float> payload columns — pack the
+    # vector to fixed-width binary across the join, unpack after (pure
+    # memcpy both ways)
+    def pack(batch: pa.Table) -> pa.Table:
+        mat = column_to_matrix(batch.column("embedding")).astype("<f8")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "eb": pa.array([row.tobytes() for row in mat], pa.binary()),
+            }
+        )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        bs = batch.column("eb").to_pylist()
+        if bs:
+            mat = np.frombuffer(b"".join(bs), dtype="<f8").reshape(len(bs), -1)
+            lists = pa.array(mat.tolist(), pa.list_(pa.float64()))
+        else:
+            lists = pa.array([], pa.list_(pa.float64()))
+        return pa.table(
+            {"lang": batch.column("lang"), "embedding": lists}
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    joined = safe_join(
+        emb.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True),
+        docs,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("doc_id",),
+    ).map_batches(unpack, batch_format="pyarrow", zero_copy_batch=True)
+    return group_centroids(joined, group_col="lang")
+
+
 def _q_docs_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-1 global shuffle positions: rank of
     md5('1|'||doc_id) via one range sort + the cross-block prefix-sum
@@ -3560,6 +3611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mutual": _q_knn_mutual,
         "docs_diff": _q_docs_diff,
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,
+        "lang_centroids": _q_lang_centroids,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4544,6 +4596,21 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # per-language centroid moment sums on the 1e-6 lattice (the
+        # float centroid is a derived ratio, kept off the hash)
+        "lang_centroids": """
+WITH j AS (
+  SELECT d.lang, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+x AS (
+  SELECT lang, (u.i - 1)::BIGINT AS j,
+         CAST(floor(embedding[u.i]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM j, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT lang, j, CAST(sum(q) AS BIGINT) AS sum_q, count(*)::BIGINT AS n
+FROM x GROUP BY 1, 2
 """,
         # global shuffle order: rank of the epoch-salted md5; the '|' in
         # the salt matches the Python f-string exactly

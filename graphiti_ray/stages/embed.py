@@ -202,3 +202,54 @@ def jl_project(
         )
 
     return emb.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_centroids(
+    emb: "rd.Dataset",
+    group_col: str = "lang",
+    vec_col: str = "embedding",
+    quant: int = JL_QUANT,
+):
+    """Per-group vector centroids as EXACT integer moment sums — the
+    vector-aggregation primitive behind class centroids / cluster
+    means: each batch collapses to its per-group (count, Σ quantized
+    component) partials via one dense ``np.add.at`` pass, one keyed
+    reduce combines them (≤ |groups|·dim rows). The float centroid is
+    sum_q / (n·quant) — derived, so the distributed part stays
+    hash-exact. Output long-form: (group, j, sum_q, n)."""
+    import ray.data as rd  # noqa: F811
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = np.asarray(batch.column(group_col).to_pylist(), dtype=object)
+        mat = column_to_matrix(batch.column(vec_col))
+        empty = pa.table(
+            {
+                group_col: pa.array([], pa.string()),
+                "j": pa.array([], pa.int64()),
+                "p_s": pa.array([], pa.int64()),
+                "p_n": pa.array([], pa.int64()),
+            }
+        )
+        if len(groups) == 0:
+            return empty
+        q = np.floor(mat * quant).astype(np.int64)
+        ug, gidx = np.unique(groups, return_inverse=True)
+        d = q.shape[1]
+        sums = np.zeros((len(ug), d), dtype=np.int64)
+        np.add.at(sums, gidx, q)
+        counts = np.bincount(gidx, minlength=len(ug)).astype(np.int64)
+        return pa.table(
+            {
+                group_col: pa.array(np.repeat(ug, d).tolist(), pa.string()),
+                "j": pa.array(np.tile(np.arange(d, dtype=np.int64), len(ug)), pa.int64()),
+                "p_s": pa.array(sums.reshape(-1), pa.int64()),
+                "p_n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    return (
+        emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, "j"])
+        .aggregate(Sum("p_s", alias_name="sum_q"), Sum("p_n", alias_name="n"))
+    )

@@ -977,3 +977,31 @@ def test_epoch_shuffle_is_permutation_and_epoch_dependent(ray_session):
     assert (p1.pos.to_numpy() == p1b.pos.to_numpy()).all()  # partition-invariant
     p2 = epoch_shuffle_positions(rd_.from_items(rows), epoch=2).to_pandas().sort_values("doc_id")
     assert (p1.pos.to_numpy() != p2.pos.to_numpy()).any()  # epochs differ
+
+
+def test_group_centroids_exact_moments(ray_session):
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.embed import group_centroids
+
+    rng = np.random.default_rng(4)
+    rows = [
+        {"lang": ["en", "fr"][i % 2], "embedding": rng.normal(0, 1, 8).tolist()}
+        for i in range(100)
+    ]
+    out = group_centroids(
+        rd_.from_items(rows).repartition(4), group_col="lang"
+    ).to_pandas()
+    assert len(out) == 2 * 8
+    import pandas as pd
+
+    for lang in ("en", "fr"):
+        mats = np.array([r["embedding"] for r in rows if r["lang"] == lang])
+        want = np.floor(mats * 1e6).astype(np.int64).sum(axis=0)
+        sub = out[out.lang == lang].sort_values("j")
+        assert (sub.sum_q.to_numpy() == want).all()
+        assert (sub.n == len(mats)).all()
+        # derived float centroid tracks the true mean
+        cent = sub.sum_q.to_numpy() / (len(mats) * 1e6)
+        assert np.abs(cent - mats.mean(axis=0)).max() < 1e-5
