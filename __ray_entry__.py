@@ -1950,6 +1950,18 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_entropy(sf_dir: str):
+    """Per-doc token Shannon entropy on the 1e-6 log lattice with the
+    division cleared (hn_e6 = rint(n·ln n·1e6) − Σ rint(c·ln c·1e6)) —
+    exact int64; the repetitiveness quality signal."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import token_entropy
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_entropy(docs)
+
+
 def _q_lang_centroids(sf_dir: str):
     """Per-language embedding centroids as exact integer moment sums
     (count + Σ floor(e·1e6) per dimension): one broadcast-free hash
@@ -3612,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_diff": _q_docs_diff,
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,
         "lang_centroids": _q_lang_centroids,
+        "docs_entropy": _q_docs_entropy,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4596,6 +4609,28 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # token entropy, division cleared: per-term 1e-6 quantized c·ln c
+        "docs_entropy": r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+cnt AS (SELECT doc_id, token, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS sc
+  FROM cnt GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.n, 0) AS n_tokens,
+       CASE WHEN a.n IS NULL THEN 0
+            ELSE CAST(round(a.n * ln(a.n) * 1000000) AS BIGINT) - a.sc
+       END AS hn_e6
+FROM documents d LEFT JOIN agg a USING (doc_id)
 """,
         # per-language centroid moment sums on the 1e-6 lattice (the
         # float centroid is a derived ratio, kept off the hash)

@@ -974,3 +974,47 @@ def top_tokens_by_group(
         k=k,
     )
     return ranked.drop_columns(["neg_n"])
+
+
+def token_entropy(
+    docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """Per-doc Shannon entropy of the token distribution — the classic
+    repetitiveness/quality signal (low entropy → template or babble) —
+    on the repo's 1e-6 log lattice with the DIVISION CLEARED: each term
+    c·ln(c) is individually quantized to rint(c·ln(c)·1e6), so
+
+        hn_e6 = rint(n·ln(n)·1e6) − Σ_tok rint(c·ln(c)·1e6)
+
+    is exact int64 addition (H = hn_e6 / (n·1e6) derived). One streaming
+    pass, per-doc Counter inside the batch, no shuffle.
+
+    Output: (id, n_tokens, hn_e6)."""
+    from collections import Counter
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        o_n, o_h = [], []
+        for t in batch.column(text_col).to_pylist():
+            toks = [x for x in ws.split(t or "") if x]
+            n = len(toks)
+            if n == 0:
+                o_n.append(0)
+                o_h.append(0)
+                continue
+            c = np.fromiter(Counter(toks).values(), dtype=np.float64)
+            term = np.rint(c * np.log(c) * 1e6).astype(np.int64)
+            hn = int(np.rint(n * np.log(n) * 1e6)) - int(term.sum())
+            o_n.append(n)
+            o_h.append(hn)
+        return pa.table(
+            {
+                id_col: ids,
+                "n_tokens": pa.array(o_n, pa.int64()),
+                "hn_e6": pa.array(o_h, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -1304,3 +1304,24 @@ def test_mutual_knn_matches_numpy_reference(ray_session):
         if i < j and i in tops[j]
     }
     assert got == want and len(want) > 0
+
+
+def test_token_entropy_extremes(ray_session):
+    from graphiti_ray.stages.textstats import token_entropy
+
+    rows = [
+        {"doc_id": 0, "text": "a a a a a a a a"},          # zero entropy
+        {"doc_id": 1, "text": "a b c d e f g h"},          # max entropy ln(8)
+        {"doc_id": 2, "text": ""},                          # empty
+    ]
+    out = token_entropy(rd.from_items(rows)).to_pandas().sort_values("doc_id")
+    h = out.hn_e6.to_numpy() / (np.maximum(out.n_tokens.to_numpy(), 1) * 1e6)
+    assert h[0] == 0.0
+    assert abs(h[1] - np.log(8)) < 1e-5
+    assert out.n_tokens.tolist() == [8, 8, 0] and h[2] == 0.0
+    # mixed doc sits strictly between
+    mid = token_entropy(
+        rd.from_items([{"doc_id": 0, "text": "a a a a b b c d"}])
+    ).to_pandas()
+    hm = mid.hn_e6[0] / (8 * 1e6)
+    assert 0.0 < hm < np.log(8)
