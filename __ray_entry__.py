@@ -1950,6 +1950,78 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_events_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams
+    ((ts, event_id) order): block-precounted adjacent pairs → one
+    |types|²-keyed reduce."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import transition_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return transition_counts(ev)
+
+
+def _q_lang_moments(sf_dir: str):
+    """Per-language exact correlation moments (n, Σx, Σy, Σxy, Σx², Σy²)
+    for x=n_chars, y=token count — the distributed-statistics aggregate;
+    Pearson r is a derived ratio, kept off the hash. One combiner pass →
+    one |langs|-keyed reduce."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text", "n_chars"]
+    )
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang")
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = np.fromiter(
+            (
+                len([t for t in ws.split(s or "") if t])
+                for s in batch.column("text").to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        t = pa.table(
+            {
+                "lang": langs,
+                "n": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "sx": pa.array(x, pa.int64()),
+                "sy": pa.array(y, pa.int64()),
+                "sxy": pa.array(x * y, pa.int64()),
+                "sxx": pa.array(x * x, pa.int64()),
+                "syy": pa.array(y * y, pa.int64()),
+            }
+        )
+        g = t.group_by(["lang"]).aggregate(
+            [(c, "sum") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")]
+        )
+        return g.rename_columns(["lang", "n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
+            ]
+        )
+    )
+
+
 def _q_docs_entropy(sf_dir: str):
     """Per-doc token Shannon entropy on the 1e-6 log lattice with the
     division cleared (hn_e6 = rint(n·ln n·1e6) − Σ rint(c·ln c·1e6)) —
@@ -3625,6 +3697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_epoch_shuffle": _q_docs_epoch_shuffle,
         "lang_centroids": _q_lang_centroids,
         "docs_entropy": _q_docs_entropy,
+        "lang_moments": _q_lang_moments,
+        "events_transitions": _q_events_transitions,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4609,6 +4683,30 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "events_transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT event_type AS from_type, nxt AS to_type, count(*)::BIGINT AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+""",
+        "lang_moments": r"""
+WITH w AS (
+  SELECT lang, n_chars::BIGINT AS x,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         t -> t <> ''))::BIGINT AS y
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n,
+       CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       CAST(sum(x * y) AS BIGINT) AS sxy,
+       CAST(sum(x * x) AS BIGINT) AS sxx,
+       CAST(sum(y * y) AS BIGINT) AS syy
+FROM w GROUP BY 1
 """,
         # token entropy, division cleared: per-term 1e-6 quantized c·ln c
         "docs_entropy": r"""

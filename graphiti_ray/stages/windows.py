@@ -719,3 +719,62 @@ def interval_overlap_pairs(
         order_cols=["k", "s_us"],
         block_fn=pair_kernel,
     )
+
+
+def transition_counts(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """First-order Markov transition counts over per-key event streams:
+    (from_type, to_type, n) for consecutive events in (ts, id) order
+    within each key — the sequence-statistics primitive behind
+    session-flow and anomaly models. One range sort; each complete key
+    run contributes its adjacent pairs, pre-counted per block before
+    the tiny |types|² keyed reduce."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        empty = pa.table(
+            {
+                "from_type": pa.array([], pa.string()),
+                "to_type": pa.array([], pa.string()),
+                "p_n": pa.array([], pa.int64()),
+            }
+        )
+        n = tbl.num_rows
+        if n < 2:
+            return empty
+        starts = _table_run_starts(tbl, [key_col])
+        types = tbl.column(type_col).to_pylist()
+        ends = np.zeros(n, dtype=bool)
+        ends[starts[1:] - 1] = True  # last row of each run has no successor
+        frm = [t for t, e in zip(types, ends) if not e]
+        nxt = [types[i + 1] for i, e in enumerate(ends) if not e]
+        if not frm:
+            return empty
+        df = pd_.DataFrame({"from_type": frm, "to_type": nxt})
+        out = df.groupby(["from_type", "to_type"], sort=False).size().reset_index(
+            name="p_n"
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    pairs = sorted_run_map(
+        events.select_columns([key_col, ts_col, id_col, type_col]),
+        key_cols=[key_col],
+        order_cols=[ts_col, id_col],
+        block_fn=kernel,
+    )
+    return pairs.groupby(["from_type", "to_type"]).aggregate(
+        Sum("p_n", alias_name="n")
+    )

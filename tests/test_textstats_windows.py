@@ -1325,3 +1325,33 @@ def test_token_entropy_extremes(ray_session):
     ).to_pandas()
     hm = mid.hn_e6[0] / (8 * 1e6)
     assert 0.0 < hm < np.log(8)
+
+
+def test_transition_counts_matches_reference(ray_session):
+    from collections import Counter
+
+    from graphiti_ray.stages.windows import transition_counts
+
+    rng = np.random.default_rng(6)
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        {
+            "event_id": i,
+            "user_id": int(i % 5),
+            "ts": t0 + timedelta(seconds=int(rng.integers(0, 100000))),
+            "event_type": ["a", "b", "c"][int(rng.integers(0, 3))],
+        }
+        for i in range(400)
+    ]
+    out = transition_counts(rd.from_items(rows).repartition(4)).to_pandas()
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+
+    want = Counter()
+    import pandas as pd
+
+    df = pd.DataFrame(rows).sort_values(["user_id", "ts", "event_id"])
+    for _, g in df.groupby("user_id"):
+        ts = g.event_type.tolist()
+        want.update(zip(ts, ts[1:]))
+    assert got == dict(want)
+    assert sum(got.values()) == 400 - 5  # n - one terminal per user
