@@ -1950,6 +1950,31 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_weighted_sample(sf_dir: str):
+    """Efraimidis–Spirakis weighted sampling without replacement (weight
+    = n_chars, k=50): ln(u)/w keys on the 1e-6 lattice, one streaming
+    score pass + one k-row sort/limit."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import weighted_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_sample(docs, "n_chars", k=50)
+
+
+def _q_docs_shards(sf_dir: str):
+    """Rendezvous-hash shard assignment (8 shards): argmax of the salted
+    md5 per shard — consistent placement, pure streaming map."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import rendezvous_shards
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return rendezvous_shards(docs, n_shards=8)
+
+
 def _q_events_transitions(sf_dir: str):
     """First-order Markov transition counts over per-user event streams
     ((ts, event_id) order): block-precounted adjacent pairs → one
@@ -3699,6 +3724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_entropy": _q_docs_entropy,
         "lang_moments": _q_lang_moments,
         "events_transitions": _q_events_transitions,
+        "docs_weighted_sample": _q_docs_weighted_sample,
+        "docs_shards": _q_docs_shards,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4683,6 +4710,35 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # A-ES weighted sampling: u from the salted md5 uint32 (+1, /2^32),
+        # key = ln(u)/max(w,1) on the 1e-6 lattice, top-50
+        "docs_weighted_sample": """
+WITH s AS (
+  SELECT doc_id, n_chars::BIGINT AS w,
+         CAST(round(
+           ln((('0x' || substr(md5('1|' || doc_id::VARCHAR), 1, 8))::UBIGINT
+               + 1) / 4294967296.0)
+           / greatest(n_chars::DOUBLE, 1.0) * 1000000) AS BIGINT) AS key6
+  FROM documents
+)
+SELECT doc_id, w, key6 FROM s ORDER BY key6 DESC, doc_id LIMIT 50
+""",
+        # rendezvous hashing: argmax of md5('seed|shard|id') over 8 shards
+        "docs_shards": """
+WITH sc AS (
+  SELECT doc_id, u.s AS shard,
+         ('0x' || substr(md5('1|' || u.s::VARCHAR || '|'
+                             || doc_id::VARCHAR), 1, 8))::UBIGINT AS score
+  FROM documents, LATERAL unnest(range(0, 8)) AS u(s)
+),
+rk AS (
+  SELECT doc_id, shard,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, shard) AS rn
+  FROM sc
+)
+SELECT doc_id, shard::BIGINT AS shard FROM rk WHERE rn = 1
 """,
         "events_transitions": """
 WITH s AS (

@@ -461,3 +461,81 @@ def epoch_shuffle_positions(
         )
 
     return summed.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(
+    ds: rd.Dataset,
+    weight_col: str,
+    k: int = 50,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> rd.Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES): each row draws u ∈ (0,1) from its salted md5 hash
+    and scores key = ln(u)/w (the log form of u^(1/w) — same order);
+    the k LARGEST keys win. Weighted-mix subset selection that needs no
+    global state: one streaming score pass, one k-row sort/limit. The
+    score is quantized to the repo's 1e-6 lattice with (hash, id) ties,
+    so the SQL twin's ORDER BY matches exactly.
+
+    Output: (id, w, key6) of the k winners."""
+    import hashlib
+
+    import numpy as np
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = np.array(
+            [
+                int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16)
+                for i in ids
+            ],
+            dtype=np.float64,
+        )
+        u = (h + 1.0) / 4294967296.0  # (0, 1]
+        key = np.log(u) / np.maximum(w, 1.0)  # ≤ 0; larger is better
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "w": pa.array(w.astype(np.int64), pa.int64()),
+                "key6": pa.array(np.rint(key * 1e6).astype(np.int64), pa.int64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["key6", id_col], descending=[True, False]).limit(k)
+
+
+def rendezvous_shards(
+    ds: rd.Dataset, n_shards: int = 8, id_col: str = "doc_id", seed: int = 1
+) -> rd.Dataset:
+    """Rendezvous (highest-random-weight) shard assignment: each row goes
+    to argmax over shards of md5(f"{seed}|{shard}|{id}") — the
+    consistent-placement primitive (adding a shard moves only ~1/(n+1)
+    of the keys, unlike mod-N which moves almost all). Pure streaming
+    map; scores are uint32 slices of md5 with deterministic ties to the
+    smaller shard id.
+
+    Output: (id, shard)."""
+    import hashlib
+
+    import numpy as np
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        scores = np.empty((len(ids), n_shards), dtype=np.int64)
+        for s in range(n_shards):
+            scores[:, s] = [
+                int(hashlib.md5(f"{seed}|{s}|{i}".encode()).hexdigest()[:8], 16)
+                for i in ids
+            ]
+        shard = scores.argmax(axis=1).astype(np.int64)  # ties → smaller shard
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "shard": pa.array(shard, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

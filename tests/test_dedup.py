@@ -730,3 +730,32 @@ def test_temperature_sample_flattens_mixture(ray_session):
     assert sorted(out2.doc_id) == sorted(out.doc_id)
     # flattening: post-sample ratio max/min shrinks from 16× toward 4×
     assert by.max() / by.min() < 16 / 2
+
+
+def test_weighted_sample_bias_and_determinism(ray_session):
+    """Heavier rows win more often (weight-proportional inclusion), the
+    draw is deterministic, and k rows come back."""
+    from graphiti_ray.pipelines.corpus import weighted_sample
+
+    rows = [{"doc_id": i, "n_chars": 1000 if i < 100 else 10} for i in range(1000)]
+    out = weighted_sample(rd.from_items(rows).repartition(4), "n_chars", k=100).to_pandas()
+    assert len(out) == 100
+    heavy = (out.doc_id < 100).sum()
+    assert heavy > 50  # 100 heavy rows (100× weight) dominate the sample
+    out2 = weighted_sample(rd.from_items(rows), "n_chars", k=100).to_pandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)
+
+
+def test_rendezvous_shards_balanced_and_stable(ray_session):
+    """Assignments are deterministic, roughly balanced, and adding a shard
+    moves only ~1/(n+1) of the keys (the consistent-hashing property)."""
+    from graphiti_ray.pipelines.corpus import rendezvous_shards
+
+    rows = [{"doc_id": i} for i in range(2000)]
+    a = rendezvous_shards(rd.from_items(rows).repartition(3), n_shards=8).to_pandas()
+    counts = a.groupby("shard").size()
+    assert len(counts) == 8 and counts.min() > 2000 / 8 * 0.6
+    b = rendezvous_shards(rd.from_items(rows), n_shards=9).to_pandas()
+    merged = a.merge(b, on="doc_id", suffixes=("_8", "_9"))
+    moved = (merged.shard_8 != merged.shard_9).mean()
+    assert moved < 0.2  # ~1/9 expected; mod-N would move ~8/9
