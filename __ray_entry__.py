@@ -1950,6 +1950,27 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_bloom_join(sf_dir: str):
+    """Bloom semi-join: probe every doc_id against the bit set built from
+    the English docs' ids — the shuffle-free filter-pushdown pattern;
+    no false negatives, and even the false positives are value-exact
+    (deterministic bit arithmetic both sides)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import bloom_semi_join
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    build = docs.map_batches(
+        lambda t: t.filter(pc.equal(t.column("lang"), "en")).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    probe = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return bloom_semi_join(probe, build, "doc_id")
+
+
 def _q_docs_weighted_sample(sf_dir: str):
     """Efraimidis–Spirakis weighted sampling without replacement (weight
     = n_chars, k=50): ln(u)/w keys on the 1e-6 lattice, one streaming
@@ -3726,6 +3747,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transitions": _q_events_transitions,
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_shards": _q_docs_shards,
+        "docs_bloom_join": _q_docs_bloom_join,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4710,6 +4732,28 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # bloom semi-join: build bits from en doc_ids, keep probes whose
+        # 4 bit slices are all lit (FPs deterministic, value-exact)
+        "docs_bloom_join": """
+WITH bits AS (
+  SELECT DISTINCT
+         ((((('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT
+            >> (16 * u.r)) & 65535::UBIGINT) % 32768))::BIGINT AS bit
+  FROM documents, LATERAL unnest(range(0, 4)) AS u(r)
+  WHERE lang = 'en'
+),
+probe AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT AS h
+  FROM documents
+)
+SELECT p.doc_id FROM probe p
+WHERE NOT EXISTS (
+  SELECT 1 FROM unnest(range(0, 4)) AS u(r)
+  WHERE (((p.h >> (16 * u.r)) & 65535::UBIGINT) % 32768)::BIGINT
+        NOT IN (SELECT bit FROM bits)
+)
 """,
         # A-ES weighted sampling: u from the salted md5 uint32 (+1, /2^32),
         # key = ln(u)/max(w,1) on the 1e-6 lattice, top-50

@@ -255,3 +255,43 @@ def hll_registers_by(
         .groupby([by, "bucket"])
         .aggregate(Max("max_rank", alias_name="max_rank"))
     )
+
+
+def bloom_semi_join(
+    probe: rd.Dataset,
+    build: rd.Dataset,
+    col: str,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> rd.Dataset:
+    """Bloom semi-join — the filter-pushdown pattern that replaces a
+    shuffle join when the build side's KEY SET only needs approximate
+    membership: build a Bloom bit set from ``build[col]`` (≤ m narrow
+    rows, m is a CONSTANT — 16 Ki bits default — so the driver/broadcast
+    cost is fixed regardless of build size), broadcast the m-bit mask
+    once via ``ray.put``, and stream the probe side through a vectorized
+    all-k-bits-lit filter. No false negatives; false positives bounded
+    by the classic (1−e^{−kn/m})^k. Deterministic bit arithmetic end to
+    end, so even the FPs are value-exact against the SQL twin."""
+    import ray
+
+    bitrows = bloom_bits(build, col, m=m, k=k).to_pandas()  # ≤ m rows
+    mask = np.zeros(m, dtype=bool)
+    if len(bitrows):
+        mask[bitrows["bit"].to_numpy()] = True
+    ref = ray.put(mask)
+
+    def keep(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        mk = _cached_lut(_ref)
+        vals = batch.column(col).to_pylist()
+        if not vals:
+            return batch
+        h = np.array([hll_hash64(v) for v in vals], dtype=np.uint64)
+        ok = np.ones(len(vals), dtype=bool)
+        for r in range(k):
+            ok &= mk[_hash_slice(h, r, m).astype(np.int64)]
+        return batch.filter(pa.array(ok))
+
+    return probe.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

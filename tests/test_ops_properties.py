@@ -1005,3 +1005,18 @@ def test_group_centroids_exact_moments(ray_session):
         # derived float centroid tracks the true mean
         cent = sub.sum_q.to_numpy() / (len(mats) * 1e6)
         assert np.abs(cent - mats.mean(axis=0)).max() < 1e-5
+
+
+def test_bloom_semi_join_no_false_negatives(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.sketch import bloom_semi_join
+
+    build = rd_.from_items([{"k": f"key{i}"} for i in range(0, 1000, 3)])
+    probe = rd_.from_items([{"k": f"key{i}"} for i in range(1000)]).repartition(4)
+    out = set(r["k"] for r in bloom_semi_join(probe, build, "k").take_all())
+    members = {f"key{i}" for i in range(0, 1000, 3)}
+    assert members <= out  # every true member survives
+    # FP rate bounded: (1 - e^(-kn/m))^k ≈ 0.0002 for n=334, m=32768, k=4
+    fps = len(out - members)
+    assert fps <= 20
