@@ -1950,6 +1950,38 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_events_ffill(sf_dir: str):
+    """LOCF forward-fill per user ((ts, id) order): 'error' events' values
+    are nulled deterministically, then gap-filled from the last valid
+    observation — one range sort + a barrier-shifted maximum.accumulate
+    per block, no per-key dispatch."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import forward_fill
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def nullify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_err = pc.equal(batch.column("event_type"), "error")
+        v = pc.if_else(is_err, pa.scalar(None, pa.float64()),
+                       batch.column("value"))
+        return batch.drop_columns(["event_type", "value"]).append_column(
+            "value", v
+        )
+
+    return forward_fill(
+        ev.map_batches(nullify, batch_format="pyarrow", zero_copy_batch=True),
+        value_col="value",
+    )
+
+
 def _q_docs_bloom_join(sf_dir: str):
     """Bloom semi-join: probe every doc_id against the bit set built from
     the English docs' ids — the shuffle-free filter-pushdown pattern;
@@ -3748,6 +3780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_sample": _q_docs_weighted_sample,
         "docs_shards": _q_docs_shards,
         "docs_bloom_join": _q_docs_bloom_join,
+        "events_ffill": _q_events_ffill,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4732,6 +4765,19 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # LOCF: error rows nulled, filled by the last valid value per user
+        "events_ffill": """
+WITH v AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT event_id, user_id, ts, value,
+       last_value(value IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS filled
+FROM v
 """,
         # bloom semi-join: build bits from en doc_ids, keep probes whose
         # 4 bit slices are all lit (FPs deterministic, value-exact)

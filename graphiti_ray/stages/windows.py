@@ -778,3 +778,75 @@ def transition_counts(
     return pairs.groupby(["from_type", "to_type"]).aggregate(
         Sum("p_n", alias_name="n")
     )
+
+
+def forward_fill(
+    events: rd.Dataset,
+    value_col: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "filled",
+) -> rd.Dataset:
+    """LOCF (last observation carried forward) per key in (ts, id) order —
+    the stateful gap-fill of time-series ETL. One range sort; each
+    complete key run forward-fills its nulls with one
+    ``np.maximum.accumulate`` over valid-row indices (no Python loop, no
+    per-key dispatch). Rows before a key's first observation stay null.
+
+    Output: (id, key, ts, value, filled)."""
+    import functools
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], pa.int64()),
+                    ts_col: pa.array([], pa.timestamp("us")),
+                    value_col: pa.array([], pa.float64()),
+                    out_col: pa.array([], pa.float64()),
+                }
+            )
+        starts = _table_run_starts(tbl, [key_col])[:-1]
+        val = tbl.column(value_col)
+        valid = pc.is_valid(val).to_numpy(zero_copy_only=False)
+        # index of the last valid row at-or-before each position, reset at
+        # run starts by seeding them as barriers
+        idx = np.where(valid, np.arange(n), -1)
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        # offset per run so accumulate cannot leak across runs: shift
+        # indices by run_id·(n+1), accumulate, then undo
+        shifted = np.where(valid, idx + run_id * (n + 1), run_id * (n + 1) - 1)
+        acc = np.maximum.accumulate(shifted)
+        src = acc - run_id * (n + 1)
+        has = src >= 0
+        take_idx = pa.array(np.where(has, src, 0), pa.int64())
+        filled = val.take(take_idx)
+        if not has.all():
+            filled = pc.if_else(pa.array(has), filled, pa.scalar(None, val.type))
+        return pa.table(
+            {
+                id_col: tbl.column(id_col),
+                key_col: tbl.column(key_col),
+                ts_col: tbl.column(ts_col).cast(pa.timestamp("us")),
+                value_col: val,
+                out_col: filled,
+            }
+        )
+
+    return sorted_run_map(
+        events,
+        key_cols=[key_col],
+        order_cols=[ts_col, id_col],
+        block_fn=kernel,
+    )

@@ -1355,3 +1355,40 @@ def test_transition_counts_matches_reference(ray_session):
         want.update(zip(ts, ts[1:]))
     assert got == dict(want)
     assert sum(got.values()) == 400 - 5  # n - one terminal per user
+
+
+def test_forward_fill_matches_pandas_ffill(ray_session):
+    from graphiti_ray.stages.windows import forward_fill
+
+    rng = np.random.default_rng(8)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        v = float(rng.integers(1, 100))
+        rows.append(
+            {
+                "event_id": i,
+                "user_id": int(i % 4),
+                "ts": t0 + timedelta(seconds=int(rng.integers(0, 50000))),
+                "value": None if rng.random() < 0.4 else v,
+            }
+        )
+    out = (
+        forward_fill(rd.from_items(rows).repartition(5), value_col="value")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(rows).sort_values(["user_id", "ts", "event_id"])
+    df["want"] = df.groupby("user_id").value.ffill()
+    merged = out.merge(df[["event_id", "want"]], on="event_id")
+    pd.testing.assert_series_equal(
+        merged.filled, merged.want, check_names=False
+    )
+    # rows before a user's first observation stay null
+    firsts = df.groupby("user_id").head(1)
+    assert merged[merged.event_id.isin(
+        firsts[firsts.value.isna()].event_id
+    )].filled.isna().all()
