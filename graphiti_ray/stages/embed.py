@@ -236,6 +236,12 @@ def group_centroids(
         q = np.floor(mat * quant).astype(np.int64)
         ug, gidx = np.unique(groups, return_inverse=True)
         d = q.shape[1]
+        if len(ug) * d > 1 << 26:  # dense partial would exceed ~512 MB
+            raise ValueError(
+                "group_centroids: too many distinct groups per batch for "
+                "the dense moment partial — shrink batch_size or "
+                "pre-partition by the group column"
+            )
         sums = np.zeros((len(ug), d), dtype=np.int64)
         np.add.at(sums, gidx, q)
         counts = np.bincount(gidx, minlength=len(ug)).astype(np.int64)

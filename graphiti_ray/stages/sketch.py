@@ -239,6 +239,12 @@ def hll_registers_by(
         bl[nz] = np.frexp(low[nz].astype(np.float64))[1]
         rank = low_bits - bl + 1
         ug, gidx = np.unique(groups, return_inverse=True)
+        if len(ug) * m > 1 << 26:  # dense partial would exceed ~512 MB
+            raise ValueError(
+                "hll_registers_by: too many distinct groups per batch for "
+                "the dense register partial — shrink batch_size or "
+                "pre-partition by the group column"
+            )
         regs = np.zeros((len(ug), m), dtype=np.int64)
         np.maximum.at(regs, (gidx, bucket), rank)
         gi, hit = np.nonzero(regs)
