@@ -1950,6 +1950,20 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+_PIVOT_SOURCES = [f"src{i}" for i in range(20)]
+
+
+def _q_docs_pivot(sf_dir: str):
+    """Fixed-category PIVOT: lang × source count grid (20 source columns
+    + _other), dense per-batch partials → one |langs|-keyed sum."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import pivot_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    return pivot_counts(docs, "lang", "source", _PIVOT_SOURCES)
+
+
 def _q_events_ffill(sf_dir: str):
     """LOCF forward-fill per user ((ts, id) order): 'error' events' values
     are nulled deterministically, then gap-filled from the last valid
@@ -3781,6 +3795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_shards": _q_docs_shards,
         "docs_bloom_join": _q_docs_bloom_join,
         "events_ffill": _q_events_ffill,
+        "docs_pivot": _q_docs_pivot,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4766,6 +4781,14 @@ GROUP BY 1, 2
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
 """,
+        "docs_pivot": "SELECT lang, "
+        + ", ".join(
+            f"count(*) FILTER (WHERE source = '{s}')::BIGINT AS {s}"
+            for s in _PIVOT_SOURCES
+        )
+        + ", count(*) FILTER (WHERE source NOT IN ("
+        + ", ".join(f"'{s}'" for s in _PIVOT_SOURCES)
+        + "))::BIGINT AS _other FROM documents GROUP BY lang",
         # LOCF: error rows nulled, filled by the last valid value per user
         "events_ffill": """
 WITH v AS (

@@ -1473,3 +1473,53 @@ def dataset_diff(
         )
 
     return merged.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_counts(
+    ds: rd.Dataset,
+    row_col: str,
+    col_col: str,
+    categories: list[str],
+) -> rd.Dataset:
+    """Fixed-category cross-tabulation (PIVOT with the column set known at
+    plan time — the only pivot shape with a stable distributed schema):
+    one wide count column per category, per-batch dense ``np.add.at``
+    partials, one |rows|-keyed sum. Values outside ``categories`` are
+    counted in ``_other`` (no silent drop).
+
+    Output: (row_col, *categories, _other)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    cat_idx = {c: i for i, c in enumerate(categories)}
+    width = len(categories) + 1  # + _other
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = np.asarray(batch.column(row_col).to_pylist(), dtype=object)
+        cols = batch.column(col_col).to_pylist()
+        names = list(categories) + ["_other"]
+        if len(rows) == 0:
+            return pa.table(
+                {
+                    row_col: pa.array([], pa.string()),
+                    **{nm: pa.array([], pa.int64()) for nm in names},
+                }
+            )
+        ur, ridx = np.unique(rows, return_inverse=True)
+        cidx = np.fromiter(
+            (cat_idx.get(c, width - 1) for c in cols), dtype=np.int64,
+            count=len(cols),
+        )
+        grid = np.zeros((len(ur), width), dtype=np.int64)
+        np.add.at(grid, (ridx, cidx), 1)
+        out = {row_col: pa.array(ur.tolist(), pa.string())}
+        for j, nm in enumerate(names):
+            out[nm] = pa.array(grid[:, j], pa.int64())
+        return pa.table(out)
+
+    names = list(categories) + ["_other"]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(row_col)
+        .aggregate(*[Sum(nm, alias_name=nm) for nm in names])
+    )

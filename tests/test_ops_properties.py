@@ -1020,3 +1020,24 @@ def test_bloom_semi_join_no_false_negatives(ray_session):
     # FP rate bounded: (1 - e^(-kn/m))^k ≈ 0.0002 for n=334, m=32768, k=4
     fps = len(out - members)
     assert fps <= 20
+
+
+def test_pivot_counts_grid_and_other_bucket(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import pivot_counts
+
+    rows = (
+        [{"g": "x", "c": "a"}] * 3
+        + [{"g": "x", "c": "b"}] * 2
+        + [{"g": "y", "c": "a"}]
+        + [{"g": "y", "c": "zzz"}] * 4  # outside the category set
+    )
+    out = (
+        pivot_counts(rd_.from_items(rows).repartition(3), "g", "c", ["a", "b"])
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert out.columns.tolist() == ["g", "a", "b", "_other"]
+    assert out.values.tolist() == [["x", 3, 2, 0], ["y", 1, 0, 4]]
