@@ -1950,6 +1950,37 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_events_ntile(sf_dir: str):
+    """ntile(4) value quartiles per user (cent lattice, event_id ties):
+    standard remainder-to-first-buckets semantics, integer arithmetic on
+    window_rank's (rank, n)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import window_ntile
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return batch.drop_columns(["value"]).append_column("value_cents", c)
+
+    return window_ntile(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        order_cols=["value_cents", "event_id"],
+        n_tiles=4,
+    )
+
+
 _PIVOT_SOURCES = [f"src{i}" for i in range(20)]
 
 
@@ -3796,6 +3827,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bloom_join": _q_docs_bloom_join,
         "events_ffill": _q_events_ffill,
         "docs_pivot": _q_docs_pivot,
+        "events_ntile": _q_events_ntile,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4780,6 +4812,16 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "events_ntile": """
+SELECT event_id, user_id,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+       row_number() OVER w::BIGINT AS rank,
+       count(*) OVER (PARTITION BY user_id)::BIGINT AS n,
+       ntile(4) OVER w::BIGINT AS tile
+FROM events
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT), event_id)
 """,
         "docs_pivot": "SELECT lang, "
         + ", ".join(

@@ -1523,3 +1523,34 @@ def pivot_counts(
         .groupby(row_col)
         .aggregate(*[Sum(nm, alias_name=nm) for nm in names])
     )
+
+
+def window_ntile(
+    ds: rd.Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    n_tiles: int,
+    tile_col: str = "tile",
+) -> rd.Dataset:
+    """SQL ``ntile(n)`` per key: equal buckets with the remainder spread
+    over the FIRST buckets (the standard semantics — first n%k buckets
+    get ceil(n/k) rows). Pure integer arithmetic on top of
+    ``window_rank``'s (rank, n) — no extra shuffle beyond its one range
+    sort."""
+    import numpy as np
+
+    ranked = window_rank(ds, keys, order_cols)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        q, m = n // n_tiles, n % n_tiles
+        big = m * (q + 1)  # rows living in the ceil-sized buckets
+        tile = np.where(
+            r <= big,
+            (r - 1) // np.maximum(q + 1, 1) + 1,
+            m + (r - 1 - big) // np.maximum(q, 1) + 1,
+        ).astype(np.int64)
+        return batch.append_column(tile_col, pa.array(tile, pa.int64()))
+
+    return ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -1041,3 +1041,20 @@ def test_pivot_counts_grid_and_other_bucket(ray_session):
     )
     assert out.columns.tolist() == ["g", "a", "b", "_other"]
     assert out.values.tolist() == [["x", 3, 2, 0], ["y", 1, 0, 4]]
+
+
+def test_window_ntile_remainder_semantics(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import window_ntile
+
+    # 10 rows, 4 tiles → sizes 3,3,2,2 (remainder to the first buckets)
+    rows = [{"id": i, "g": "a", "v": i} for i in range(10)]
+    out = (
+        window_ntile(
+            rd_.from_items(rows).repartition(3), ["g"], ["v", "id"], 4
+        )
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert out.tile.tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
