@@ -1950,6 +1950,19 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_melt(sf_dir: str):
+    """Round-trip UNPIVOT: the lang × source pivot grid melted back to
+    long (lang, variable, value) rows — pivot ∘ melt as one pipeline,
+    proving the two are inverse shapes."""
+    from graphiti_ray.stages.ops import melt, pivot_counts
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "source"])
+    wide = pivot_counts(docs, "lang", "source", _PIVOT_SOURCES)
+    return melt(wide, ["lang"], _PIVOT_SOURCES + ["_other"])
+
+
 def _q_events_ntile(sf_dir: str):
     """ntile(4) value quartiles per user (cent lattice, event_id ties):
     standard remainder-to-first-buckets semantics, integer arithmetic on
@@ -3828,6 +3841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ffill": _q_events_ffill,
         "docs_pivot": _q_docs_pivot,
         "events_ntile": _q_events_ntile,
+        "docs_melt": _q_docs_melt,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4813,6 +4827,20 @@ GROUP BY 1, 2
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
 """,
+        "docs_melt": "WITH grid AS (SELECT lang, source, count(*)::BIGINT AS n "
+        "FROM documents GROUP BY 1, 2), cats AS (SELECT unnest(["
+        + ", ".join(f"'{s}'" for s in _PIVOT_SOURCES)
+        + ", '_other']) AS variable) "
+        "SELECT l.lang, c.variable, "
+        "coalesce(CASE WHEN c.variable = '_other' THEN o.n_other ELSE g.n END, 0)"
+        "::BIGINT AS value "
+        "FROM (SELECT DISTINCT lang FROM documents) l "
+        "CROSS JOIN cats c "
+        "LEFT JOIN grid g ON g.lang = l.lang AND g.source = c.variable "
+        "LEFT JOIN (SELECT lang, count(*)::BIGINT AS n_other FROM documents "
+        "WHERE source NOT IN ("
+        + ", ".join(f"'{s}'" for s in _PIVOT_SOURCES)
+        + ") GROUP BY 1) o ON o.lang = l.lang AND c.variable = '_other'",
         "events_ntile": """
 SELECT event_id, user_id,
        CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,

@@ -1554,3 +1554,27 @@ def window_ntile(
         return batch.append_column(tile_col, pa.array(tile, pa.int64()))
 
     return ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def melt(
+    ds: rd.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "variable",
+    value_out: str = "value",
+) -> rd.Dataset:
+    """UNPIVOT / melt: wide value columns → long (id..., variable, value)
+    rows — the inverse of ``pivot_counts``. Pure streaming explode (each
+    batch emits len(value_cols) stacked copies), no shuffle."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for vc in value_cols:
+            t = batch.select(id_cols)
+            n = t.num_rows
+            t = t.append_column(var_col, pa.array([vc] * n, pa.string()))
+            t = t.append_column(value_out, batch.column(vc))
+            pieces.append(t)
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)

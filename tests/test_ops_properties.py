@@ -1058,3 +1058,20 @@ def test_window_ntile_remainder_semantics(ray_session):
         .sort_values("rank")
     )
     assert out.tile.tolist() == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+
+
+def test_melt_inverts_pivot(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import melt, pivot_counts
+
+    rows = [{"g": ["x", "y"][i % 2], "c": ["a", "b", "q"][i % 3]} for i in range(60)]
+    wide = pivot_counts(rd_.from_items(rows).repartition(3), "g", "c", ["a", "b"])
+    long = melt(wide, ["g"], ["a", "b", "_other"]).to_pandas()
+    # every original row is accounted for exactly once in the long form
+    assert long.value.sum() == 60
+    from collections import Counter
+
+    want = Counter((r["g"], r["c"] if r["c"] in ("a", "b") else "_other") for r in rows)
+    got = {(r.g, r.variable): r.value for r in long.itertuples() if r.value > 0}
+    assert got == dict(want)
