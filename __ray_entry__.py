@@ -1950,6 +1950,18 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_events_cohorts(sf_dir: str):
+    """Weekly cohort retention: users cohorted by first-event week
+    (integer µs division), (cohort, offset) cells count distinct active
+    users — min-reduce + join-back + distinct partials."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import cohort_retention
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ev)
+
+
 def _q_docs_melt(sf_dir: str):
     """Round-trip UNPIVOT: the lang × source pivot grid melted back to
     long (lang, variable, value) rows — pivot ∘ melt as one pipeline,
@@ -3842,6 +3854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pivot": _q_docs_pivot,
         "events_ntile": _q_events_ntile,
         "docs_melt": _q_docs_melt,
+        "events_cohorts": _q_events_cohorts,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4826,6 +4839,20 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "events_cohorts": """
+WITH p AS (
+  SELECT user_id,
+         CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS period
+  FROM events
+),
+f AS (SELECT user_id, min(period) AS cohort FROM p GROUP BY 1),
+cells AS (
+  SELECT DISTINCT p.user_id, f.cohort, p.period - f.cohort AS "offset"
+  FROM p JOIN f USING (user_id)
+)
+SELECT cohort, "offset", count(*)::BIGINT AS n_active
+FROM cells GROUP BY 1, 2
 """,
         "docs_melt": "WITH grid AS (SELECT lang, source, count(*)::BIGINT AS n "
         "FROM documents GROUP BY 1, 2), cats AS (SELECT unnest(["

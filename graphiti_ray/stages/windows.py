@@ -850,3 +850,87 @@ def forward_fill(
         order_cols=[ts_col, id_col],
         block_fn=kernel,
     )
+
+
+def cohort_retention(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: int = 7 * 86400,
+) -> rd.Dataset:
+    """Cohort retention counts — the product-analytics staple: keys are
+    cohorted by the period of their FIRST event (integer µs division —
+    no calendar arithmetic, exact on both sides), and each (cohort,
+    offset) cell counts the keys active offset periods later. Shape:
+    one keyed min-reduce for first-seen, one hash join back, per-batch
+    distinct partials, one small keyed reduce over ≤ periods² cells.
+
+    Output: (cohort, offset, n_active)."""
+    from ray.data.aggregate import Min, Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    P = period_s * US
+
+    def to_period(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "period": pc.cast(pc.floor(pc.divide(us, P)), pa.int64()),
+            }
+        )
+
+    periods = events.select_columns([key_col, ts_col]).map_batches(
+        to_period, batch_format="pyarrow", zero_copy_batch=True
+    )
+    first = (
+        periods.groupby(key_col)
+        .aggregate(Min("period", alias_name="cohort"))
+        .materialize()
+    )
+    joined = safe_join(
+        periods,
+        first,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=(key_col,),
+    )
+
+    def cell_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "cohort": batch.column("cohort"),
+                "offset": pc.subtract(batch.column("period"), batch.column("cohort")),
+            }
+        )
+        # distinct (key, cohort, offset) per batch BEFORE the reduce
+        g = t.group_by([key_col, "cohort", "offset"]).aggregate([([], "count_all")])
+        g = g.drop_columns([g.column_names[-1]])
+        return g
+
+    cells = (
+        joined.map_batches(cell_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "cohort", "offset"])
+        .aggregate(Min("cohort", alias_name="_c"))
+    )
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort": batch.column("cohort"),
+                "offset": batch.column("offset"),
+                "p_n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        cells.map_batches(one, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cohort", "offset"])
+        .aggregate(Sum("p_n", alias_name="n_active"))
+    )

@@ -1392,3 +1392,39 @@ def test_forward_fill_matches_pandas_ffill(ray_session):
     assert merged[merged.event_id.isin(
         firsts[firsts.value.isna()].event_id
     )].filled.isna().all()
+
+
+def test_cohort_retention_matches_pandas(ray_session):
+    from graphiti_ray.stages.windows import cohort_retention
+
+    rng = np.random.default_rng(12)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for uid in range(30):
+        start = int(rng.integers(0, 4))  # cohort week 0-3
+        for w in sorted(set([start] + list(rng.integers(start, 8, 5)))):
+            rows.append(
+                {
+                    "user_id": uid,
+                    "ts": t0 + timedelta(weeks=int(w), hours=int(uid)),
+                }
+            )
+    out = cohort_retention(rd.from_items(rows).repartition(4)).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df["period"] = (df.ts.astype("int64") // 1000) // (7 * 86400 * 1_000_000)
+    first = df.groupby("user_id").period.min().rename("cohort")
+    j = df.join(first, on="user_id")
+    j["offset"] = j.period - j.cohort
+    want = (
+        j.drop_duplicates(["user_id", "cohort", "offset"])
+        .groupby(["cohort", "offset"])
+        .size()
+    )
+    got = out.set_index(["cohort", "offset"]).n_active.sort_index()
+    assert got.to_dict() == want.sort_index().to_dict()
+    # every cohort's offset-0 cell counts its full membership
+    m = first.value_counts()
+    for c, n in m.items():
+        assert got[(c, 0)] == n
