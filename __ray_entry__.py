@@ -1950,6 +1950,19 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) in one pass: all 4 grouping sets
+    emitted per batch with the '(all)' sentinel, one keyed reduce."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import rollup_counts
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+    return rollup_counts(docs, ["lang", "source"], sum_col="n_chars", cube=True)
+
+
 def _q_events_cohorts(sf_dir: str):
     """Weekly cohort retention: users cohorted by first-event week
     (integer µs division), (cohort, offset) cells count distinct active
@@ -3855,6 +3868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ntile": _q_events_ntile,
         "docs_melt": _q_docs_melt,
         "events_cohorts": _q_events_cohorts,
+        "docs_cube": _q_docs_cube,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4839,6 +4853,14 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "docs_cube": """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       count(*)::BIGINT AS n,
+       CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY CUBE(lang, source)
 """,
         "events_cohorts": """
 WITH p AS (

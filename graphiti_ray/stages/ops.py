@@ -1317,26 +1317,34 @@ def rollup_counts(
     ds: rd.Dataset,
     cols: list[str],
     sum_col: str | None = None,
+    cube: bool = False,
 ) -> rd.Dataset:
-    """GROUP BY ROLLUP(cols): every aggregation prefix-level — (a, b),
-    (a, ·), (·, ·) — in ONE pass: each batch emits its partial counts
-    (and optional integer sums) once per level with ``ROLLUP_ALL``
-    filling the rolled-up columns, then a single keyed reduce combines
-    them. len(cols)+1 partial rows per distinct key per batch, one
-    shuffle total — never one groupby per level.
+    """GROUP BY ROLLUP(cols) — or CUBE with ``cube=True`` — in ONE pass:
+    each batch emits its partial counts (and optional integer sums) once
+    per grouping set with ``ROLLUP_ALL`` filling the rolled-up columns,
+    then a single keyed reduce combines them. ROLLUP emits the
+    len(cols)+1 prefix levels; CUBE all 2^len subsets. One shuffle
+    total — never one groupby per grouping set.
 
     Output: (*cols, n[, sum_<sum_col>])."""
     import numpy as np
     from ray.data.aggregate import Sum
 
     agg_specs = [([], "count_all")] + ([(sum_col, "sum")] if sum_col else [])
+    if cube:
+        masks = [
+            [c for i, c in enumerate(cols) if not (m >> i) & 1]
+            for m in range(1 << len(cols))
+        ]
+    else:
+        masks = [cols[lvl:] for lvl in range(len(cols), -1, -1)]
 
     def partial(batch: pa.Table) -> pa.Table:
         levels = []
         base = batch.select(cols + ([sum_col] if sum_col else []))
-        for lvl in range(len(cols), -1, -1):
+        for rolled in masks:
             t = base
-            for c in cols[lvl:]:
+            for c in rolled:
                 n = t.num_rows
                 t = t.set_column(
                     t.schema.get_field_index(c),

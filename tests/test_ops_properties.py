@@ -1075,3 +1075,23 @@ def test_melt_inverts_pivot(ray_session):
     want = Counter((r["g"], r["c"] if r["c"] in ("a", "b") else "_other") for r in rows)
     got = {(r.g, r.variable): r.value for r in long.itertuples() if r.value > 0}
     assert got == dict(want)
+
+
+def test_cube_adds_the_missing_grouping_set(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import ROLLUP_ALL, rollup_counts
+
+    rows = [
+        {"a": x, "b": y, "v": 1}
+        for x, y in [("p", "u"), ("p", "w"), ("q", "u")]
+    ]
+    cube = rollup_counts(
+        rd_.from_items(rows).repartition(2), ["a", "b"], sum_col="v", cube=True
+    ).to_pandas()
+    # the (·, b) level exists only under CUBE
+    by_b = cube[(cube.a == ROLLUP_ALL) & (cube.b != ROLLUP_ALL)].set_index("b")
+    assert by_b.n.to_dict() == {"u": 2, "w": 1}
+    assert len(cube) == 3 + 2 + 2 + 1  # leaves + by-a + by-b + total
+    roll = rollup_counts(rd_.from_items(rows), ["a", "b"], sum_col="v").to_pandas()
+    assert len(roll) == 3 + 2 + 1  # no (·, b) level
