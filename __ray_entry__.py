@@ -3830,12 +3830,23 @@ FROM summed
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDERING IS COVERAGE ROTATION: the driver checks a prefix of this
-    # dict (50 of 63 in round 3), so queries never yet covered by a driver
-    # file come FIRST (this round's new rows, then the 13 the r03 file
-    # missed), the core suite follows, and queries already value-proven in
-    # an earlier round's CORRECTNESS file rotate to the tail.
+    # dict (50 of 63 in round 3), so the 11 queries that have NEVER had a
+    # driver row (builder-oracle-only through r03) come first, then this
+    # round's new operators, then the core suite; queries already
+    # value-proven in an earlier round's CORRECTNESS file rotate to the
+    # tail.
     return {
-        # new this round
+        "episode_entity_edges": _q_episode_entity_edges,
+        "graph_bfs": _q_graph_bfs,
+        "search_mmr": _q_search_mmr,
+        "search_cross_encoder": _q_search_cross_encoder,
+        "nodes_by_mentions": _q_nodes_by_mentions,
+        "nodes_by_distance": _q_nodes_by_distance,
+        "nodes_page": _q_nodes_page,
+        "fuzzy_pairs": _q_fuzzy_pairs,
+        "docs_lucene": _q_docs_lucene,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "image_phash": _q_image_phash,
         "dedup_levenshtein": _q_dedup_levenshtein,
         "docs_hll_by_lang": _q_docs_hll_by_lang,
         "graph_modularity": _q_graph_modularity,
@@ -3886,23 +3897,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges_messages": _q_kg_edges_messages,
         "kg_mentions_messages": _q_kg_mentions_messages,
         "dedup_embedding_lsh_full": _q_dedup_embedding_lsh_full,
-        "image_phash": _q_image_phash,
-        # green in r02 but rotated out of the r03 driver file
         "kg_communities": _q_kg_communities,
         "search_hybrid": _q_search_hybrid,
         "docs_bm25": _q_docs_bm25,
-        # builder-oracle-only until now — never in a driver file
-        "episode_entity_edges": _q_episode_entity_edges,
-        "graph_bfs": _q_graph_bfs,
-        "search_mmr": _q_search_mmr,
-        "search_cross_encoder": _q_search_cross_encoder,
-        "nodes_by_mentions": _q_nodes_by_mentions,
-        "nodes_by_distance": _q_nodes_by_distance,
-        "nodes_page": _q_nodes_page,
-        "fuzzy_pairs": _q_fuzzy_pairs,
-        "docs_lucene": _q_docs_lucene,
-        "docs_fingerprint": _q_docs_fingerprint,
-        # core suite (r03-green)
         "kg_episodes": _q_kg_episodes,
         "kg_mentions": _q_kg_mentions,
         "kg_triples_raw": _q_kg_triples_raw,
@@ -3936,7 +3933,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "lang_doc_stats": _q_lang_doc_stats,
         "events_tumbling": _q_events_tumbling,
-        # value-proven in an earlier round's driver file → rotation tail
         "events_asof": _q_events_asof,
         "events_topk": _q_events_topk,
         "events_quantiles": _q_events_quantiles,
