@@ -1950,6 +1950,18 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_docs_encode(sf_dir: str):
+    """Corpus → id sequences with a frequency-ranked top-100 vocabulary
+    (ids 1..100 by count desc / token asc, OOV → 0), vocab broadcast
+    once; output the first 2000 docs' long-form (doc_id, pos, token_id)."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import encode_documents
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return encode_documents(docs)
+
+
 def _q_docs_cube(sf_dir: str):
     """GROUP BY CUBE(lang, source) in one pass: all 4 grouping sets
     emitted per batch with the '(all)' sentinel, one keyed reduce."""
@@ -3880,6 +3892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_melt": _q_docs_melt,
         "events_cohorts": _q_events_cohorts,
         "docs_cube": _q_docs_cube,
+        "docs_encode": _q_docs_encode,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4849,6 +4862,27 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # corpus encoding: rank-1..100 vocab (count desc, token asc),
+        # OOV→0; positions via a filtered-token row_number per doc
+        "docs_encode": r"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, l[u.i] AS token, (u.i - 1)::BIGINT AS pos
+  FROM lists, LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+),
+cnt AS (SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+voc AS (
+  SELECT token,
+         row_number() OVER (ORDER BY n DESC, token)::BIGINT AS token_id
+  FROM cnt ORDER BY n DESC, token LIMIT 100
+)
+SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
+FROM tok t LEFT JOIN voc v USING (token)
 """,
         "docs_cube": """
 SELECT coalesce(lang, '(all)') AS lang,

@@ -539,3 +539,71 @@ def rendezvous_shards(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+VOCAB_SIZE = 100
+OOV_ID = 0
+
+
+def encode_documents(
+    ds: rd.Dataset,
+    vocab_size: int = VOCAB_SIZE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Corpus encoding — the training-prep step that turns text into id
+    sequences: a frequency-ranked vocabulary (top ``vocab_size`` tokens,
+    ties token-asc; ids 1..V, OOV → 0) is built with the combiner →
+    vocabulary-keyed-sum → top-k shape, broadcast once via ``ray.put``
+    (vocab is a PARAMETER-sized dict, never corpus-sized), and the
+    encode pass streams: (doc_id, pos, token_id) long-form rows.
+
+    Output: (id, pos, token_id)."""
+    import re as _re
+
+    import numpy as np
+    import ray
+
+    from graphiti_ray.stages.textstats import top_tokens_by_group
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    # reuse the heavy-hitter machinery with one global group
+    tagged = ds.map_batches(
+        lambda t: t.append_column("_g", pa.array(["_"] * t.num_rows, pa.string())),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    vocab_rows = top_tokens_by_group(
+        tagged, k=vocab_size, group_col="_g", text_col=text_col
+    ).to_pandas()
+    vocab = {
+        t: int(r) for t, r in zip(vocab_rows["token"], vocab_rows["rank"])
+    }
+    ref = ray.put(vocab)
+
+    def encode(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        v = _cached_lut(_ref)
+        ids, pos, tid = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            p = 0
+            for tok in ws.split(t or ""):
+                if not tok:
+                    continue
+                ids.append(i)
+                pos.append(p)
+                tid.append(v.get(tok, OOV_ID))
+                p += 1
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "token_id": pa.array(tid, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)

@@ -759,3 +759,27 @@ def test_rendezvous_shards_balanced_and_stable(ray_session):
     merged = a.merge(b, on="doc_id", suffixes=("_8", "_9"))
     moved = (merged.shard_8 != merged.shard_9).mean()
     assert moved < 0.2  # ~1/9 expected; mod-N would move ~8/9
+
+
+def test_encode_documents_roundtrip_vocab(ray_session):
+    from graphiti_ray.pipelines.corpus import encode_documents
+
+    rows = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},
+        {"doc_id": 1, "text": "the dog sat quietly"},
+        {"doc_id": 2, "text": "unseen words only zyx wvu"},
+    ]
+    out = (
+        encode_documents(rd.from_items(rows).repartition(2), vocab_size=3)
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    # vocab: the(3)→1, sat(2)→2, cat(1, token-asc tie)→3
+    d0 = out[out.doc_id == 0].token_id.tolist()
+    assert d0 == [1, 3, 2, 0, 1, 0]  # the cat sat on the mat
+    d2 = out[out.doc_id == 2].token_id.tolist()
+    assert d2 == [0, 0, 0, 0, 0]  # all OOV
+    # positions are contiguous 0..n-1 per doc
+    for _, g in out.groupby("doc_id"):
+        assert g.pos.tolist() == list(range(len(g)))
