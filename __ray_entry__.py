@@ -1950,6 +1950,22 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_knn_neighbor_agg(sf_dir: str):
+    """One GNN message-passing hop over the mutual-kNN graph: per node,
+    the exact-lattice sum of its neighbours' embedding components
+    (long-form SpMV: feature explode → edge join → keyed reduce)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.embed import neighbor_feature_sum
+    from graphiti_ray.stages.similarity import mutual_knn
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    edges = mutual_knn(emb, k=5)
+    return neighbor_feature_sum(edges, emb)
+
+
 def _q_docs_encode(sf_dir: str):
     """Corpus → id sequences with a frequency-ranked top-100 vocabulary
     (ids 1..100 by count desc / token asc, OOV → 0), vocab broadcast
@@ -3893,6 +3909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohorts": _q_events_cohorts,
         "docs_cube": _q_docs_cube,
         "docs_encode": _q_docs_encode,
+        "knn_neighbor_agg": _q_knn_neighbor_agg,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4862,6 +4879,37 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # one message-passing hop: mutual-kNN edges (same CTEs as
+        # knn_mutual), neighbor features summed on the 1e-6 lattice
+        "knn_neighbor_agg": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         round(list_cosine_similarity(a.v, b.v), 6) AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT qa, qb, c,
+         row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS rk
+  FROM p
+),
+kk AS (SELECT qa, qb FROM r WHERE rk <= 5),
+me AS (
+  SELECT x.qa AS a, x.qb AS b
+  FROM kk x JOIN kk y ON y.qa = x.qb AND y.qb = x.qa
+  WHERE x.qa < x.qb
+),
+sym2 AS (SELECT a AS src, b AS dst FROM me UNION ALL SELECT b, a FROM me),
+fl AS (
+  SELECT vec_id AS src, (u.i - 1)::BIGINT AS j,
+         CAST(floor(embedding[u.i]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+)
+SELECT s.dst AS vec_id, f.j, CAST(sum(f.q) AS BIGINT) AS sum_q,
+       count(*)::BIGINT AS n_nbrs
+FROM sym2 s JOIN fl f ON f.src = s.src
+GROUP BY 1, 2
 """,
         # corpus encoding: rank-1..100 vocab (count desc, token asc),
         # OOV→0; positions via a filtered-token row_number per doc

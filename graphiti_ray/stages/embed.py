@@ -259,3 +259,74 @@ def group_centroids(
         .groupby([group_col, "j"])
         .aggregate(Sum("p_s", alias_name="sum_q"), Sum("p_n", alias_name="n"))
     )
+
+
+def neighbor_feature_sum(
+    edges: "rd.Dataset",
+    feats: "rd.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = JL_QUANT,
+):
+    """One round of GNN-style neighbor aggregation (the distributed SpMV):
+    for every node, the component-wise SUM of its neighbours' feature
+    vectors on the exact 1e-6 integer lattice. Features explode to
+    long-form (id, j, q) rows — the standard sparse shuffle layout — the
+    symmetric edge list hash-joins on the source id, and one keyed
+    reduce per (destination, dimension) completes the hop. Exact int64
+    end to end.
+
+    ``edges``: (a, b) undirected pairs. Output: (id, j, sum_q, n_nbrs).
+    """
+    import ray.data as rd  # noqa: F811
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    def feat_long(batch: pa.Table) -> pa.Table:
+        mat = column_to_matrix(batch.column(vec_col))
+        n, d = mat.shape
+        q = np.floor(mat * quant).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.repeat(ids, d), pa.int64()),
+                "j": pa.array(np.tile(np.arange(d, dtype=np.int64), n), pa.int64()),
+                "q": pa.array(q.reshape(-1), pa.int64()),
+            }
+        )
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())]),
+            }
+        )
+
+    long = feats.map_batches(feat_long, batch_format="pyarrow", zero_copy_batch=True)
+    sedges = edges.select_columns(["a", "b"]).map_batches(
+        sym, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = safe_join(
+        sedges,
+        long,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("src",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["dst", "j", "q"]).group_by(["dst", "j"]).aggregate(
+            [("q", "sum"), ([], "count_all")]
+        )
+        return t.rename_columns(["dst", "j", "p_s", "p_n"])
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["dst", "j"])
+        .aggregate(Sum("p_s", alias_name="sum_q"), Sum("p_n", alias_name="n_nbrs"))
+    )
+    return out.rename_columns({"dst": id_col})

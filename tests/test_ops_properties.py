@@ -1095,3 +1095,30 @@ def test_cube_adds_the_missing_grouping_set(ray_session):
     assert len(cube) == 3 + 2 + 2 + 1  # leaves + by-a + by-b + total
     roll = rollup_counts(rd_.from_items(rows), ["a", "b"], sum_col="v").to_pandas()
     assert len(roll) == 3 + 2 + 1  # no (·, b) level
+
+
+def test_neighbor_feature_sum_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.embed import neighbor_feature_sum
+
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(0, 1, (12, 4))
+    feats = rd_.from_items(
+        [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(vecs)]
+    ).repartition(3)
+    pairs = [(0, 1), (1, 2), (3, 7), (0, 5)]
+    edges = rd_.from_items([{"a": a, "b": b} for a, b in pairs])
+    out = neighbor_feature_sum(edges, feats).to_pandas()
+
+    q = np.floor(vecs * 1e6).astype(np.int64)
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    for node, nbrs in adj.items():
+        sub = out[out.vec_id == node].sort_values("j")
+        assert (sub.n_nbrs == len(nbrs)).all()
+        assert (sub.sum_q.to_numpy() == q[nbrs].sum(axis=0)).all()
+    assert set(out.vec_id) == set(adj)  # isolated nodes absent
