@@ -1950,6 +1950,95 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+def _q_knn_classify(sf_dir: str):
+    """kNN majority-vote classifier: each doc's predicted lang is the
+    plurality label among its mutual-kNN neighbours (count desc, lang
+    asc ties) — neighbour-label counts via the combiner shape, winner
+    via head-1 over complete runs."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import top_k_per_group
+    from graphiti_ray.stages.similarity import mutual_knn
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    edges = mutual_knn(emb, k=5)
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks().cast(pa.int64())
+        b = batch.column("b").combine_chunks().cast(pa.int64())
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a, b]),
+                "doc_id": pa.concat_arrays([b, a]),
+            }
+        )
+
+    sedges = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+    langs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    nbr = safe_join(
+        sedges, langs, join_type="inner",
+        num_partitions=default_join_partitions(), on=("doc_id",),
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["node", "lang"]).group_by(["node", "lang"]).aggregate(
+            [([], "count_all")]
+        )
+        return t.rename_columns(["node", "lang", "p_n"])
+
+    counts = (
+        nbr.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["node", "lang"])
+        .aggregate(Sum("p_n", alias_name="votes"))
+    )
+
+    def neg(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column("neg_v", pc.negate(batch.column("votes")))
+
+    won = top_k_per_group(
+        counts.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["node"],
+        order_cols=["neg_v", "lang"],
+        k=1,
+    )
+    return won.drop_columns(["neg_v", "rank"]).rename_columns(
+        {"node": "doc_id", "lang": "pred_lang"}
+    )
+
+
+def _q_docs_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split: the ubiquitous ML
+    prep op, via the same md5-threshold rule as the samplers (stable
+    under any partitioning; a doc's split never changes as the corpus
+    grows)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hs = [hashlib.md5(str(i).encode()).hexdigest()[:8] for i in ids]
+        split = [
+            "train" if h < "cc000000" else ("val" if h < "e6000000" else "test")
+            for h in hs
+        ]
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return docs.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_knn_neighbor_agg(sf_dir: str):
     """One GNN message-passing hop over the mutual-kNN graph: per node,
     the exact-lattice sum of its neighbours' embedding components
@@ -3910,6 +3999,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube": _q_docs_cube,
         "docs_encode": _q_docs_encode,
         "knn_neighbor_agg": _q_knn_neighbor_agg,
+        "docs_split": _q_docs_split,
+        "knn_classify": _q_knn_classify,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4879,6 +4970,50 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # kNN classify: plurality neighbor lang over the mutual graph,
+        # ties count-desc then lang-asc
+        "knn_classify": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb,
+         round(list_cosine_similarity(a.v, b.v), 6) AS c
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT qa, qb, c,
+         row_number() OVER (PARTITION BY qa ORDER BY c DESC, qb) AS rk
+  FROM p
+),
+kk AS (SELECT qa, qb FROM r WHERE rk <= 5),
+me AS (
+  SELECT x.qa AS a, x.qb AS b
+  FROM kk x JOIN kk y ON y.qa = x.qb AND y.qb = x.qa
+  WHERE x.qa < x.qb
+),
+sym2 AS (SELECT a AS node, b AS nbr FROM me UNION ALL SELECT b, a FROM me),
+votes AS (
+  SELECT s.node, d.lang, count(*)::BIGINT AS votes
+  FROM sym2 s JOIN documents d ON d.doc_id = s.nbr
+  GROUP BY 1, 2
+),
+win AS (
+  SELECT node, lang, votes,
+         row_number() OVER (PARTITION BY node
+                            ORDER BY votes DESC, lang) AS rn
+  FROM votes
+)
+SELECT node AS doc_id, lang AS pred_lang, votes FROM win WHERE rn = 1
+""",
+        # 80/10/10 split: 0xcc/0x100 = 0.796875, 0xe6/0x100 = 0.8984 —
+        # byte-aligned thresholds so the hex compare is unambiguous
+        "docs_split": """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cc000000'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6000000'
+            THEN 'val' ELSE 'test' END AS split
+FROM documents
 """,
         # one message-passing hop: mutual-kNN edges (same CTEs as
         # knn_mutual), neighbor features summed on the 1e-6 lattice

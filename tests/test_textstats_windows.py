@@ -1428,3 +1428,24 @@ def test_cohort_retention_matches_pandas(ray_session):
     m = first.value_counts()
     for c, n in m.items():
         assert got[(c, 0)] == n
+
+
+def test_docs_split_is_stable_partition():
+    """Every doc lands in exactly one split, ratios near 80/10/10, and
+    membership is independent of corpus size (adding docs never moves
+    an existing one)."""
+    import hashlib
+
+    def split_of(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+        return "train" if h < "cc000000" else ("val" if h < "e6000000" else "test")
+
+    small = {i: split_of(i) for i in range(1000)}
+    big = {i: split_of(i) for i in range(5000)}
+    assert all(big[i] == s for i, s in small.items())
+    from collections import Counter
+
+    c = Counter(big.values())
+    assert 0.75 < c["train"] / 5000 < 0.85
+    assert 0.07 < c["val"] / 5000 < 0.13
+    assert 0.07 < c["test"] / 5000 < 0.13
