@@ -1950,6 +1950,27 @@ def _q_events_zscore(sf_dir: str):
     return zscore_outliers(ev, z=3, quant=1000)
 
 
+_PHRASES = [
+    "data line join",
+    "join order batch",
+    "merge line table",
+    "slow join sort",
+    "key data a",
+]
+
+
+def _q_docs_phrase(sf_dir: str):
+    """Positional phrase search over 5 probe phrases: query-pruned posting
+    explode + per-doc adjacency verify — work ∝ query-term postings, not
+    corpus bytes. Must equal a space-padded LIKE scan."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.search import phrase_search
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return phrase_search(docs, _PHRASES)
+
+
 def _q_knn_classify(sf_dir: str):
     """kNN majority-vote classifier: each doc's predicted lang is the
     plurality label among its mutual-kNN neighbours (count desc, lang
@@ -4001,6 +4022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_neighbor_agg": _q_knn_neighbor_agg,
         "docs_split": _q_docs_split,
         "knn_classify": _q_knn_classify,
+        "docs_phrase": _q_docs_phrase,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4971,6 +4993,11 @@ GROUP BY 1, 2
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
 """,
+        # phrase search == space-padded LIKE on the single-spaced corpus
+        "docs_phrase": "SELECT p.phrase, d.doc_id FROM (SELECT unnest(["
+        + ", ".join(f"'{p}'" for p in _PHRASES)
+        + "]) AS phrase) p JOIN documents d ON (' ' || d.text || ' ') "
+        "LIKE ('% ' || p.phrase || ' %')",
         # kNN classify: plurality neighbor lang over the mutual graph,
         # ties count-desc then lang-asc
         "knn_classify": """

@@ -756,3 +756,95 @@ class KGSearcher:
                 "community", self.communities, "summary", None, config.community_config
             ),
         )
+
+
+def phrase_search(
+    docs: "rd.Dataset",
+    phrases: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Positional phrase search — the inverted-index probe shape: posting
+    rows (doc, pos) are emitted ONLY for tokens appearing in some query
+    phrase (query-pruned explode, the posting lists a real index would
+    fetch), then one (doc)-keyed pass verifies token adjacency per
+    phrase. Equivalent to a LIKE scan on space-normalized text, but the
+    work is proportional to query-term postings, not corpus bytes.
+
+    Output: (phrase, doc_id) for every match."""
+    import functools
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    phrase_toks = [tuple(p.split()) for p in phrases]
+    terms = sorted({t for p in phrase_toks for t in p})
+    term_id = {t: i for i, t in enumerate(terms)}
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids, pos, tid = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            p = 0
+            for tok in ws.split(t or ""):
+                if not tok:
+                    continue
+                j = term_id.get(tok)
+                if j is not None:
+                    ids.append(i)
+                    pos.append(p)
+                    tid.append(j)
+                p += 1
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "tid": pa.array(tid, pa.int64()),
+            }
+        )
+
+    post = docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "phrase": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+            }
+        )
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        starts = _table_run_starts(tbl, [id_col])
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        pos = tbl.column("pos").to_numpy(zero_copy_only=False)
+        tid = tbl.column("tid").to_numpy(zero_copy_only=False)
+        o_p, o_d = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            at = {int(p): int(t) for p, t in zip(pos[s:e], tid[s:e])}
+            for phrase, toks in zip(phrases, phrase_toks):
+                want = [term_id[t] for t in toks]
+                if any(
+                    all(at.get(p0 + k) == w for k, w in enumerate(want))
+                    for p0 in at
+                    if at[p0] == want[0]
+                ):
+                    o_p.append(phrase)
+                    o_d.append(int(ids[s]))
+        return pa.table(
+            {
+                "phrase": pa.array(o_p, pa.string()),
+                id_col: pa.array(o_d, pa.int64()),
+            }
+        )
+
+    return sorted_run_map(
+        post, key_cols=[id_col], order_cols=["pos"], block_fn=verify
+    )

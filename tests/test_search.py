@@ -192,3 +192,25 @@ def test_bm25_dataset_resident_stats_match_dict_path(ray_session):
     # driver footprint: only queried terms cached, nothing vocabulary-sized
     assert set(big._df_cache) == set(q)
     assert big._df_cache["missingterm"] == 0
+
+
+def test_phrase_search_adjacency_and_boundaries(ray_session):
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.search import phrase_search
+
+    docs = [
+        {"doc_id": 0, "text": "alpha beta gamma delta"},
+        {"doc_id": 1, "text": "beta gamma"},            # phrase at the end
+        {"doc_id": 2, "text": "alpha gamma beta"},      # terms present, wrong order
+        {"doc_id": 3, "text": "beta gamma beta gamma"}, # repeated — one row
+        {"doc_id": 4, "text": "betagamma"},             # no token boundary
+    ]
+    out = phrase_search(
+        rd.from_items(docs).repartition(2), ["beta gamma", "gamma delta"]
+    ).to_pandas()
+    got = set(zip(out.phrase, out.doc_id))
+    assert got == {
+        ("beta gamma", 0), ("beta gamma", 1), ("beta gamma", 3),
+        ("gamma delta", 0),
+    }
