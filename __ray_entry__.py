@@ -1959,6 +1959,19 @@ _PHRASES = [
 ]
 
 
+def _q_docs_zorder(sf_dir: str):
+    """Morton/Z-order codes over (n_chars, doc_id) — the locality-
+    preserving layout key; pure vectorized bit interleave, range-guarded."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import zorder_codes
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return zorder_codes(docs, "n_chars", "doc_id", ["doc_id"])
+
+
 def _q_docs_phrase(sf_dir: str):
     """Positional phrase search over 5 probe phrases: query-pruned posting
     explode + per-doc adjacency verify — work ∝ query-term postings, not
@@ -4023,6 +4036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_split": _q_docs_split,
         "knn_classify": _q_knn_classify,
         "docs_phrase": _q_docs_phrase,
+        "docs_zorder": _q_docs_zorder,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -4992,6 +5006,14 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # Morton interleave: x=n_chars on even bits, y=doc_id on odd
+        "docs_zorder": """
+SELECT doc_id,
+       CAST(sum((((n_chars >> u.i) & 1) << (2 * u.i))
+                + (((doc_id >> u.i) & 1) << (2 * u.i + 1))) AS BIGINT) AS z
+FROM documents, LATERAL unnest(range(0, 21)) AS u(i)
+GROUP BY doc_id
 """,
         # phrase search == space-padded LIKE on the single-spaced corpus
         "docs_phrase": "SELECT p.phrase, d.doc_id FROM (SELECT unnest(["

@@ -1586,3 +1586,45 @@ def melt(
         return pa.concat_tables(pieces)
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+ZORDER_BITS = 21  # 2×21 = 42-bit Morton codes — int64-safe
+
+
+def zorder_codes(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    id_cols: list[str],
+    bits: int = ZORDER_BITS,
+) -> rd.Dataset:
+    """Morton (Z-order) codes for two non-negative integer columns — the
+    locality-preserving sort key behind multi-dimensional data layout
+    (files clustered by z-range serve range predicates on EITHER column
+    with bounded false-positive reads). Pure vectorized bit interleave
+    (x gets the even bit positions, y the odd); values are range-guarded
+    against ``bits`` overflow rather than silently truncated.
+
+    Output: (*id_cols, z)."""
+    import numpy as np
+
+    def encode(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lim = 1 << bits
+        if len(x) and (
+            x.min() < 0 or y.min() < 0 or x.max() >= lim or y.max() >= lim
+        ):
+            raise ValueError(
+                f"zorder_codes: inputs must lie in [0, 2^{bits}) — "
+                "rescale or raise `bits`"
+            )
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        out = {c: batch.column(c) for c in id_cols}
+        out["z"] = pa.array(z, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)

@@ -1122,3 +1122,24 @@ def test_neighbor_feature_sum_matches_numpy(ray_session):
         assert (sub.n_nbrs == len(nbrs)).all()
         assert (sub.sum_q.to_numpy() == q[nbrs].sum(axis=0)).all()
     assert set(out.vec_id) == set(adj)  # isolated nodes absent
+
+
+def test_zorder_codes_interleave_and_locality(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import zorder_codes
+
+    rows = [{"id": i, "x": x, "y": y}
+            for i, (x, y) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1), (2, 2), (3, 5)])]
+    out = (
+        zorder_codes(rd_.from_items(rows).repartition(2), "x", "y", ["id"])
+        .to_pandas()
+        .sort_values("id")
+    )
+    # hand-interleaved references: z(1,0)=1, z(0,1)=2, z(1,1)=3,
+    # z(2,2)=12, z(3,5)=39 (x even bits, y odd bits)
+    assert out.z.tolist() == [0, 1, 2, 3, 12, 39]
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        zorder_codes(rd_.from_items([{"id": 0, "x": -1, "y": 0}]), "x", "y", ["id"]).to_pandas()
