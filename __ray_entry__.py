@@ -1959,6 +1959,41 @@ _PHRASES = [
 ]
 
 
+def _q_tokens_cms_by_lang(sf_dir: str):
+    """Per-language count-min registers over the token stream — the
+    grouped heavy-hitter sketch (≤ |langs|·4·2048 reduce rows),
+    completing the grouped pair with docs_hll_by_lang."""
+    import re as _re
+
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import cms_registers_by
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        langs, toks = [], []
+        for lang, t in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for tok in ws.split(t or ""):
+                if tok:
+                    langs.append(lang)
+                    toks.append(tok)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "token": pa.array(toks, pa.string()),
+            }
+        )
+
+    tokens = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return cms_registers_by(tokens, "token", "lang")
+
+
 def _q_docs_zorder(sf_dir: str):
     """Morton/Z-order codes over (n_chars, doc_id) — the locality-
     preserving layout key; pure vectorized bit interleave, range-guarded."""
@@ -4037,6 +4072,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_classify": _q_knn_classify,
         "docs_phrase": _q_docs_phrase,
         "docs_zorder": _q_docs_zorder,
+        "tokens_cms_by_lang": _q_tokens_cms_by_lang,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -5006,6 +5042,24 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # grouped CMS: same slice arithmetic as tokens_cms, plus lang
+        "tokens_cms_by_lang": r"""
+WITH toks AS (
+  SELECT lang, t AS token
+  FROM documents, LATERAL unnest(string_split_regex(text, '\s+')) AS u(t)
+  WHERE t <> ''
+),
+h AS (
+  SELECT lang, ('0x' || substr(md5(token), 1, 16))::UBIGINT AS h FROM toks
+),
+slots AS (
+  SELECT lang, r, ((h >> (16 * r)) & 65535::UBIGINT) % 2048 AS bucket
+  FROM h, LATERAL unnest(range(0, 4)) AS u(r)
+)
+SELECT lang, r::BIGINT AS sketch_row, bucket::BIGINT AS bucket,
+       count(*)::BIGINT AS n
+FROM slots GROUP BY 1, 2, 3
 """,
         # Morton interleave: x=n_chars on even bits, y=doc_id on odd
         "docs_zorder": """

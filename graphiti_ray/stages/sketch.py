@@ -301,3 +301,58 @@ def bloom_semi_join(
         return batch.filter(pa.array(ok))
 
     return probe.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cms_registers_by(
+    ds: rd.Dataset,
+    col: str,
+    by: str,
+    width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> rd.Dataset:
+    """Per-group count-min registers (group, sketch_row, bucket, n) —
+    heavy-hitter frequencies PER KEY with a ≤ |groups|·depth·width
+    reduce, completing the grouped-sketch pair with ``hll_registers_by``.
+    Per-batch partials collapse via one flat bincount over
+    (group, row, bucket) composite indices."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        groups = np.asarray(batch.column(by).to_pylist(), dtype=object)
+        empty = pa.table(
+            {
+                by: pa.array([], pa.string()),
+                "sketch_row": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if not vals:
+            return empty
+        h = np.array([hll_hash64(v) for v in vals], dtype=np.uint64)
+        ug, gidx = np.unique(groups, return_inverse=True)
+        o_g, o_r, o_b, o_n = [], [], [], []
+        for r in range(depth):
+            buckets = _hash_slice(h, r, width).astype(np.int64)
+            key = gidx * width + buckets
+            counts = np.bincount(key, minlength=len(ug) * width)
+            hit = np.nonzero(counts)[0]
+            o_g.extend(ug[hit // width].tolist())
+            o_r.extend([r] * len(hit))
+            o_b.extend((hit % width).tolist())
+            o_n.extend(counts[hit].tolist())
+        return pa.table(
+            {
+                by: pa.array(o_g, pa.string()),
+                "sketch_row": pa.array(o_r, pa.int64()),
+                "bucket": pa.array(o_b, pa.int64()),
+                "n": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([by, "sketch_row", "bucket"])
+        .aggregate(Sum("n", alias_name="n"))
+    )

@@ -1143,3 +1143,35 @@ def test_zorder_codes_interleave_and_locality(ray_session):
 
     with _pt.raises(Exception):
         zorder_codes(rd_.from_items([{"id": 0, "x": -1, "y": 0}]), "x", "y", ["id"]).to_pandas()
+
+
+def test_cms_registers_by_group_matches_solo(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.sketch import cms_registers, cms_registers_by
+
+    rows = [
+        {"g": ["a", "b"][i % 2], "v": f"tok{i % 30}"} for i in range(2000)
+    ]
+    got = (
+        cms_registers_by(rd_.from_items(rows).repartition(4), "v", "g")
+        .to_pandas()
+        .sort_values(["g", "sketch_row", "bucket"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    for g, grp in df.groupby("g"):
+        solo = (
+            cms_registers(rd_.from_items(grp.to_dict("records")), "v")
+            .to_pandas()
+            .sort_values(["sketch_row", "bucket"])
+            .reset_index(drop=True)
+        )
+        sub = (
+            got[got.g == g][["sketch_row", "bucket", "n"]]
+            .sort_values(["sketch_row", "bucket"])
+            .reset_index(drop=True)
+        )
+        assert sub.equals(solo), g
