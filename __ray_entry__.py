@@ -1959,6 +1959,64 @@ _PHRASES = [
 ]
 
 
+def _q_events_growth(sf_dir: str):
+    """Cumulative distinct-user growth per day: first-seen min-reduce →
+    per-day new-user counts → one cross-block prefix sum (the growth
+    curve every product dashboard plots, distinct-exact without a
+    cumulative-distinct window)."""
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from graphiti_ray.stages.ops import sorted_prefix_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.cast(pc.divide(us, 86400 * 1000000), pa.int64()),
+            }
+        )
+
+    first = (
+        ev.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="day"))
+    )
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["day"]).group_by(["day"]).aggregate([([], "count_all")])
+        return t.rename_columns(["day", "p_n"])
+
+    per_day = (
+        first.map_batches(day_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .aggregate(Sum("p_n", alias_name="new_users"))
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return batch.append_column(
+            "_k", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+        )
+
+    summed = sorted_prefix_sum(
+        per_day.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        by=["_k"],
+        order_cols=["day"],
+        delta_col="new_users",
+        out_col="total_users",
+    )
+    return summed.drop_columns(["_k"])
+
+
 def _q_tokens_cms_by_lang(sf_dir: str):
     """Per-language count-min registers over the token stream — the
     grouped heavy-hitter sketch (≤ |langs|·4·2048 reduce rows),
@@ -4073,6 +4131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_phrase": _q_docs_phrase,
         "docs_zorder": _q_docs_zorder,
         "tokens_cms_by_lang": _q_tokens_cms_by_lang,
+        "events_growth": _q_events_growth,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -5042,6 +5101,18 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "events_growth": """
+WITH f AS (
+  SELECT user_id,
+         CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT) AS day
+  FROM events GROUP BY 1
+),
+d AS (SELECT day, count(*)::BIGINT AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+FROM d
 """,
         # grouped CMS: same slice arithmetic as tokens_cms, plus lang
         "tokens_cms_by_lang": r"""

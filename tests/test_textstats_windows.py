@@ -1449,3 +1449,46 @@ def test_docs_split_is_stable_partition():
     assert 0.75 < c["train"] / 5000 < 0.85
     assert 0.07 < c["val"] / 5000 < 0.13
     assert 0.07 < c["test"] / 5000 < 0.13
+
+
+def test_events_growth_prefix_is_running_distinct(ray_session):
+    """The operator pipeline (first-seen → per-day new → prefix sum)
+    equals a brute-force running-distinct count over a staggered-user
+    fixture."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry_mod
+
+    rng = np.random.default_rng(21)
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for uid in range(40):
+        first_day = int(rng.integers(0, 10))
+        for d in sorted(set([first_day] + list(rng.integers(first_day, 15, 4)))):
+            rows.append({"user_id": uid, "ts": t0 + timedelta(days=int(d), minutes=uid)})
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.Table.from_pandas(pd.DataFrame(rows)), os.path.join(td, "events.parquet")
+        )
+        out = entry_mod._q_events_growth(td).to_pandas().sort_values("day")
+    df = pd.DataFrame(rows)
+    df["day"] = df.ts.astype("int64") // 1000 // (86400 * 1_000_000)
+    first = df.groupby("user_id").day.min()
+    seen = set()
+    expect = {}
+    for d in sorted(df.day.unique()):
+        seen |= set(df[df.day == d].user_id)
+        expect[d] = len(seen)
+    # the op emits one row per day with >=1 NEW user (its SQL twin's
+    # semantics); on those days the running total equals brute force
+    assert set(out.day) == set(first.unique())
+    assert all(expect[d] == t for d, t in zip(out.day, out.total_users))
+    assert out.new_users.sum() == 40
