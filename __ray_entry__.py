@@ -1959,6 +1959,20 @@ _PHRASES = [
 ]
 
 
+def _q_docs_profile(sf_dir: str):
+    """Table profiler over (doc_id, lang, n_chars): per-column n /
+    nulls / exact distinct / native-order min / max — the data-quality
+    describe surface; reduces are column- or distinct-bounded."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import profile_table
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return profile_table(docs, ["doc_id", "lang", "n_chars"])
+
+
 def _q_events_growth(sf_dir: str):
     """Cumulative distinct-user growth per day: first-seen min-reduce →
     per-day new-user counts → one cross-block prefix sum (the growth
@@ -4132,6 +4146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zorder": _q_docs_zorder,
         "tokens_cms_by_lang": _q_tokens_cms_by_lang,
         "events_growth": _q_events_growth,
+        "docs_profile": _q_docs_profile,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -5101,6 +5116,22 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "docs_profile": """
+SELECT 'doc_id' AS column, count(*)::BIGINT AS n,
+       sum((doc_id IS NULL)::INT)::BIGINT AS n_null,
+       count(DISTINCT md5(doc_id::VARCHAR))::BIGINT AS n_distinct,
+       min(doc_id)::VARCHAR AS min_s, max(doc_id)::VARCHAR AS max_s
+FROM documents
+UNION ALL
+SELECT 'lang', count(*)::BIGINT, sum((lang IS NULL)::INT)::BIGINT,
+       count(DISTINCT md5(lang))::BIGINT, min(lang), max(lang)
+FROM documents
+UNION ALL
+SELECT 'n_chars', count(*)::BIGINT, sum((n_chars IS NULL)::INT)::BIGINT,
+       count(DISTINCT md5(n_chars::VARCHAR))::BIGINT,
+       min(n_chars)::VARCHAR, max(n_chars)::VARCHAR
+FROM documents
 """,
         "events_growth": """
 WITH f AS (

@@ -1628,3 +1628,112 @@ def zorder_codes(
         return pa.table(out)
 
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def profile_table(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Per-column data-quality profile — the describe/profiler surface:
+    (column, n, n_null, n_distinct, min_s, max_s). Count/null/min/max
+    ride one combiner pass (native-typed min/max, rendered to string
+    only at the end so numeric order is preserved); exact distincts use
+    the md5-collapse two-level reduce per column. All reduces are
+    column-count- or distinct-bounded, never corpus-bounded."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in cols:
+            col = batch.column(c)
+            names.append(c)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            valid = col.drop_null()
+            if len(valid):
+                mins.append(str(pc.min(valid).as_py()))
+                maxs.append(str(pc.max(valid).as_py()))
+            else:
+                mins.append(None)
+                maxs.append(None)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "p_n": pa.array(ns, pa.int64()),
+                "p_null": pa.array(nulls, pa.int64()),
+                "p_min": pa.array(mins, pa.string()),
+                "p_max": pa.array(maxs, pa.string()),
+            }
+        )
+
+    # NOTE: per-batch min/max string rendering then global string Min/Max
+    # is only order-correct when the string order matches the value order
+    # per batch — so reduce NATIVE min/max per batch and take the global
+    # extreme over the per-batch candidates driver-side (≤ blocks×cols
+    # rows, metadata-sized)
+    stats = ds.map_batches(
+        stat_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    import pandas as pd
+
+    rows = []
+    for c, grp in stats.groupby("column"):
+        vals_min = [v for v in grp["p_min"] if v is not None]
+        vals_max = [v for v in grp["p_max"] if v is not None]
+        # re-parse through the original dtype for a correct total order
+        field = ds.schema().base_schema.field(c)
+        caster = (
+            (lambda s: int(s))
+            if pa.types.is_integer(field.type)
+            else (lambda s: float(s))
+            if pa.types.is_floating(field.type)
+            else (lambda s: s)
+        )
+        rows.append(
+            {
+                "column": c,
+                "n": int(grp["p_n"].sum()),
+                "n_null": int(grp["p_null"].sum()),
+                "min_s": str(min((caster(v) for v in vals_min), default=None)),
+                "max_s": str(max((caster(v) for v in vals_max), default=None)),
+            }
+        )
+    base = pd.DataFrame(rows)
+
+    # exact distinct per column via md5 collapse
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        names, hs = [], []
+        for c in cols:
+            # NULLs are excluded, matching SQL count(DISTINCT ...)
+            for v in set(batch.column(c).drop_null().to_pylist()):
+                names.append(c)
+                hs.append(hashlib.md5(str(v).encode()).hexdigest())
+        t = pa.table(
+            {"column": pa.array(names, pa.string()), "h": pa.array(hs, pa.string())}
+        )
+        return t
+
+    dist = (
+        ds.map_batches(distinct_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["column", "h"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "column": batch.column("column"),
+                "p_d": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    ndist = (
+        dist.map_batches(one, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("column")
+        .aggregate(Sum("p_d", alias_name="n_distinct"))
+        .to_pandas()
+    )
+    out = base.merge(ndist, on="column")
+    out = out[["column", "n", "n_null", "n_distinct", "min_s", "max_s"]]
+    return rd.from_pandas(out)

@@ -1175,3 +1175,27 @@ def test_cms_registers_by_group_matches_solo(ray_session):
             .reset_index(drop=True)
         )
         assert sub.equals(solo), g
+
+
+def test_profile_table_with_nulls(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import profile_table
+
+    rows = [
+        {"k": 5, "s": "b"},
+        {"k": 100, "s": None},
+        {"k": 9, "s": "a"},
+        {"k": None, "s": "a"},
+    ]
+    out = (
+        profile_table(rd_.from_items(rows).repartition(2), ["k", "s"])
+        .to_pandas()
+        .set_index("column")
+    )
+    assert out.loc["k"].to_dict() == {
+        "n": 4, "n_null": 1, "n_distinct": 3, "min_s": "5", "max_s": "100",
+    }  # NULL excluded from distinct; native order: 100 > 9
+    assert out.loc["s"].to_dict() == {
+        "n": 4, "n_null": 1, "n_distinct": 2, "min_s": "a", "max_s": "b",
+    }
