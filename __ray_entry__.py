@@ -1959,6 +1959,45 @@ _PHRASES = [
 ]
 
 
+def _q_docs_skyline(sf_dir: str):
+    """2-D Pareto front over (n_chars, DISTINCT token count) — length vs
+    vocabulary richness, maximize both: per-x max-y groupby → driver
+    frontier sweep → broadcast is_in filter."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import skyline_2d
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def with_tokens(batch: pa.Table) -> pa.Table:
+        y = np.fromiter(
+            (
+                len({t for t in ws.split(s or "") if t})
+                for s in batch.column("text").to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "n_tokens": pa.array(y, pa.int64()),
+            }
+        )
+
+    ds2 = docs.map_batches(with_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    return skyline_2d(ds2, "n_chars", "n_tokens", ["doc_id"])
+
+
 def _q_docs_profile(sf_dir: str):
     """Table profiler over (doc_id, lang, n_chars): per-column n /
     nulls / exact distinct / native-order min / max — the data-quality
@@ -4147,6 +4186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_cms_by_lang": _q_tokens_cms_by_lang,
         "events_growth": _q_events_growth,
         "docs_profile": _q_docs_profile,
+        "docs_skyline": _q_docs_skyline,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -5116,6 +5156,21 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        # skyline: classic NOT-EXISTS dominance (≥ both, > at least one)
+        "docs_skyline": r"""
+WITH w AS (
+  SELECT doc_id, n_chars::BIGINT AS n_chars,
+         len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                       t -> t <> '')))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens FROM w p
+WHERE NOT EXISTS (
+  SELECT 1 FROM w q
+  WHERE q.n_chars >= p.n_chars AND q.n_tokens >= p.n_tokens
+    AND (q.n_chars > p.n_chars OR q.n_tokens > p.n_tokens)
+)
 """,
         "docs_profile": """
 SELECT 'doc_id' AS column, count(*)::BIGINT AS n,

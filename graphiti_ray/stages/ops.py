@@ -1737,3 +1737,73 @@ def profile_table(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
     out = base.merge(ndist, on="column")
     out = out[["column", "n", "n_null", "n_distinct", "min_s", "max_s"]]
     return rd.from_pandas(out)
+
+
+SKYLINE_X_LIMIT = 1_000_000  # distinct-x bound for the driver sweep
+
+
+def skyline_2d(
+    ds: rd.Dataset,
+    x_col: str,
+    y_col: str,
+    id_cols: list[str],
+) -> rd.Dataset:
+    """2-D skyline (Pareto front, maximize both axes — Börzsönyi et al.):
+    rows not dominated by any other (q ≥ on both axes, > on at least
+    one). Shape: one per-x max-y groupby (distinct-x-bounded — guarded
+    at SKYLINE_X_LIMIT; a continuous x needs the sorted prefix-max
+    formulation instead), a driver sweep over the ≤ distinct-x frontier
+    candidates (metadata-sized), and one broadcast ``pc.is_in`` filter
+    over the corpus. Ties kept per dominance semantics: equal points
+    never dominate each other.
+
+    Output: (*id_cols, x, y) of the skyline rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    per_x = (
+        ds.map_batches(
+            lambda t: t.select([x_col, y_col])
+            .group_by([x_col])
+            .aggregate([(y_col, "max")])
+            .rename_columns([x_col, "max_y"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby(x_col)
+        .aggregate(Max("max_y", alias_name="max_y"))
+        .to_pandas()
+    )
+    if len(per_x) > SKYLINE_X_LIMIT:
+        raise ValueError(
+            "skyline_2d: too many distinct x values for the driver sweep — "
+            "use a prefix-max formulation"
+        )
+    per_x = per_x.sort_values(x_col, ascending=False)
+    keep_pairs = []
+    runmax = None
+    for xv, yv in zip(per_x[x_col], per_x["max_y"]):
+        if runmax is None or yv > runmax:
+            keep_pairs.append((int(xv), int(yv)))
+            runmax = yv if runmax is None else max(runmax, yv)
+    import ray
+
+    # encode frontier (x, y) pairs as collision-free composite keys
+    enc = pa.array(
+        np.array([x * (1 << 31) + y for x, y in keep_pairs], dtype=np.int64),
+        pa.int64(),
+    )
+    ref = ray.put(enc)
+
+    def keep(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        key = pa.array(x * (1 << 31) + y, pa.int64())
+        mask = pc.is_in(key, value_set=_cached_lut(_ref))
+        out = batch.select(id_cols + [x_col, y_col]).filter(mask)
+        return out
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

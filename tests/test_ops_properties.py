@@ -1199,3 +1199,22 @@ def test_profile_table_with_nulls(ray_session):
     assert out.loc["s"].to_dict() == {
         "n": 4, "n_null": 1, "n_distinct": 2, "min_s": "a", "max_s": "b",
     }
+
+
+def test_skyline_2d_dominance(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.ops import skyline_2d
+
+    rows = [
+        {"id": 0, "x": 10, "y": 1},
+        {"id": 1, "x": 5, "y": 5},
+        {"id": 2, "x": 1, "y": 10},
+        {"id": 3, "x": 4, "y": 4},   # dominated by (5,5)
+        {"id": 4, "x": 10, "y": 1},  # duplicate point — also on the front
+        {"id": 5, "x": 10, "y": 0},  # same x, lower y → dominated
+    ]
+    out = skyline_2d(
+        rd_.from_items(rows).repartition(3), "x", "y", ["id"]
+    ).to_pandas()
+    assert set(out.id) == {0, 1, 2, 4}
