@@ -1959,6 +1959,51 @@ _PHRASES = [
 ]
 
 
+def _q_events_json(sf_dir: str):
+    """Schema-on-read JSON projection over the events.props column:
+    extract $.k per row (stdlib json, streaming map) and aggregate exact
+    integer stats per event_type — the semi-structured-column op."""
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = np.fromiter(
+            (
+                int(json.loads(p)["k"])
+                for p in batch.column("props").to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(ks, pa.int64()),
+                "one": pa.array(np.ones(len(ks), np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("one", alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
 def _q_docs_skyline(sf_dir: str):
     """2-D Pareto front over (n_chars, DISTINCT token count) — length vs
     vocabulary richness, maximize both: per-x max-y groupby → driver
@@ -4187,6 +4232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_growth": _q_events_growth,
         "docs_profile": _q_docs_profile,
         "docs_skyline": _q_docs_skyline,
+        "events_json": _q_events_json,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -5156,6 +5202,16 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "events_json": """
+SELECT event_type, count(*)::BIGINT AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY 1
 """,
         # skyline: classic NOT-EXISTS dominance (≥ both, > at least one)
         "docs_skyline": r"""
