@@ -1959,6 +1959,15 @@ _PHRASES = [
 ]
 
 
+def _q_regional_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation where customer and supplier
+    share a nation of one region — dimension dict for nation/region,
+    keyed hash joins for every large side, cent-lattice revenue."""
+    from graphiti_ray.pipelines.relational import regional_supplier_volume
+
+    return regional_supplier_volume(sf_dir)
+
+
 def _q_events_json(sf_dir: str):
     """Schema-on-read JSON projection over the events.props column:
     extract $.k per row (stdlib json, streaming map) and aggregate exact
@@ -4233,6 +4242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_profile": _q_docs_profile,
         "docs_skyline": _q_docs_skyline,
         "events_json": _q_events_json,
+        "regional_volume": _q_regional_volume,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -5202,6 +5212,20 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "regional_volume": """
+SELECT n.n_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA' AND s.s_nationkey = c.c_nationkey
+GROUP BY 1
 """,
         "events_json": """
 SELECT event_type, count(*)::BIGINT AS n,

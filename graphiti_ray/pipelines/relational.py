@@ -145,3 +145,121 @@ def lang_doc_stats(sf_dir: str) -> rd.Dataset:
         Min("doc_id", alias_name="min_doc_id"),
         Max("doc_id", alias_name="max_doc_id"),
     )
+
+
+def regional_supplier_volume(sf_dir: str, region_name: str = "ASIA") -> rd.Dataset:
+    """TPC-H Q5 shape — revenue per nation where the ordering customer
+    and the shipping supplier sit in the SAME nation of one region. Join
+    plan by side size: region→nation is a driver dict (≤ 25 rows —
+    true dimension broadcast); customer/supplier/orders/lineitem all go
+    through keyed hash joins (at real scale none of them broadcast).
+    Revenue on the exact cent lattice: floor(price·(1−disc)·100 + 0.5).
+
+    Output: (n_name, revenue_cents, n_items)."""
+    import numpy as np
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    nations = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    regions = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    rkey = int(regions[regions.r_name == region_name].r_regionkey.iloc[0])
+    in_region = nations[nations.n_regionkey == rkey]
+    nat_name = {int(k): str(n) for k, n in zip(in_region.n_nationkey, in_region.n_name)}
+    keys = sorted(nat_name)
+
+    parts = default_join_partitions()
+
+    def nation_filter(batch: pa.Table, col: str) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.is_in(batch.column(col), value_set=pa.array(keys, pa.int64()))
+        )
+
+    import functools
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        functools.partial(nation_filter, col="c_nationkey"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).map_batches(
+        functools.partial(nation_filter, col="s_nationkey"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    oc = safe_join(
+        orders,
+        cust.rename_columns({"c_custkey": "o_custkey"}),
+        join_type="inner",
+        num_partitions=parts,
+        on=("o_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    lo = safe_join(
+        li.rename_columns({"l_orderkey": "o_orderkey"}),
+        oc,
+        join_type="inner",
+        num_partitions=parts,
+        on=("o_orderkey",),
+    )
+    ls = safe_join(
+        lo.rename_columns({"l_suppkey": "s_suppkey"}),
+        supp,
+        join_type="inner",
+        num_partitions=parts,
+        on=("s_suppkey",),
+    )
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        same = batch.filter(
+            pc.equal(batch.column("c_nationkey"), batch.column("s_nationkey"))
+        )
+        p = same.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = same.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "n_key": same.column("c_nationkey"),
+                "rev": pa.array(cents, pa.int64()),
+                "one": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["n_key"]).aggregate([("rev", "sum"), ("one", "sum")])
+        return g.rename_columns(["n_key", "p_rev", "p_n"])
+
+    agg = (
+        ls.map_batches(revenue_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_key")
+        .aggregate(
+            Sum("p_rev", alias_name="revenue_cents"),
+            Sum("p_n", alias_name="n_items"),
+        )
+    )
+
+    def name(batch: pa.Table, _m=nat_name) -> pa.Table:
+        names = [
+            _m[int(k)] for k in batch.column("n_key").to_pylist()
+        ]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "revenue_cents": batch.column("revenue_cents"),
+                "n_items": batch.column("n_items"),
+            }
+        )
+
+    return agg.map_batches(name, batch_format="pyarrow", zero_copy_batch=True)
