@@ -1959,6 +1959,54 @@ _PHRASES = [
 ]
 
 
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: revenue per part type (PROMO share analysis) —
+    lineitem ⋈ part keyed hash join, cent-lattice revenue, one small
+    groupby. Completes usage of every driver input table."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).rename_columns({"p_partkey": "l_partkey"})
+    joined = safe_join(
+        li, part, join_type="inner",
+        num_partitions=default_join_partitions(), on=("l_partkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * (1.0 - d) * 100.0 + 0.5).astype(np.int64)
+        t = pa.table(
+            {
+                "p_type": batch.column("p_type"),
+                "rev": pa.array(cents, pa.int64()),
+                "one": pa.array(np.ones(len(cents), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["p_type"]).aggregate([("rev", "sum"), ("one", "sum")])
+        return g.rename_columns(["p_type", "p_rev", "p_n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_type")
+        .aggregate(
+            Sum("p_rev", alias_name="revenue_cents"),
+            Sum("p_n", alias_name="n_items"),
+        )
+    )
+
+
 def _q_regional_volume(sf_dir: str):
     """TPC-H Q5 shape: revenue per nation where customer and supplier
     share a nation of one region — dimension dict for nation/region,
@@ -4243,6 +4291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_skyline": _q_docs_skyline,
         "events_json": _q_events_json,
         "regional_volume": _q_regional_volume,
+        "promo_revenue": _q_promo_revenue,
         "events_zscore": _q_events_zscore,
         "docs_cdc": _q_docs_cdc,
         "docs_novelty": _q_docs_novelty,
@@ -5212,6 +5261,14 @@ GROUP BY 1, 2
         "lang_distinct_texts": """
 SELECT lang, count(DISTINCT md5(text))::BIGINT AS n_distinct
 FROM documents GROUP BY 1
+""",
+        "promo_revenue": """
+SELECT p.p_type,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                           + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
 """,
         "regional_volume": """
 SELECT n.n_name,
