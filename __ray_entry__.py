@@ -3411,6 +3411,34 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
 
 
+def _q_graph_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the CO-MENTION graph (same
+    adjacency as graph_triangles): for non-adjacent entity pairs sharing
+    neighbors, score = sum 1/ln(deg(v)) on the integer log lattice
+    (10^12 // rint(ln(deg)*1e6)) so the SQL twin is value-exact; top 200
+    by (score desc, a, b)."""
+    from graphiti_ray.stages.graph import adamic_adar
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ment = tables["mentions"].select_columns(["episode_uuid", "entity_uuid"])
+    right = ment.map_batches(
+        lambda t: t.rename_columns(["episode_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    co = safe_join(
+        ment,
+        right,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("episode_uuid",),
+    ).map_batches(
+        lambda t: t.select(["entity_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    return adamic_adar(co, src="entity_uuid", dst="entity_b", top_n=200)
+
+
 def _q_graph_degree(sf_dir: str):
     from graphiti_ray.stages.graph import node_degrees
 
@@ -4235,6 +4263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "graph_adamic_adar": _q_graph_adamic_adar,
         "episode_entity_edges": _q_episode_entity_edges,
         "graph_bfs": _q_graph_bfs,
         "search_mmr": _q_search_mmr,
@@ -5134,6 +5163,45 @@ verts AS (
 )
 SELECT v AS entity_uuid, count(*)::BIGINT AS n_triangles
 FROM verts GROUP BY 1
+""",
+        "graph_adamic_adar": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+mu AS (
+  SELECT m.episode_uuid,
+         md5(m.group_id || '|' || lower(c.canonical)) AS eu
+  FROM ment m
+  JOIN canon c ON c.group_id = m.group_id AND c.name = m.name
+),
+und AS (
+  SELECT DISTINCT least(x.eu, y.eu) AS a, greatest(x.eu, y.eu) AS b
+  FROM mu x JOIN mu y
+    ON x.episode_uuid = y.episode_uuid AND x.eu <> y.eu
+),
+adjx AS (SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+wv AS (
+  SELECT v,
+         1000000000000 // CAST(round(ln(count(*)) * 1000000) AS BIGINT) AS w
+  FROM adjx GROUP BY v HAVING count(*) >= 2
+),
+wedge AS (
+  SELECT a1.nbr AS node_a, a2.nbr AS node_b, wv.w
+  FROM adjx a1
+  JOIN adjx a2 ON a2.v = a1.v AND a1.nbr < a2.nbr
+  JOIN wv ON wv.v = a1.v
+),
+pairs AS (
+  SELECT node_a, node_b, count(*)::BIGINT AS common_neighbors,
+         sum(w)::BIGINT AS aa_score_micro
+  FROM wedge GROUP BY 1, 2
+)
+SELECT p.node_a, p.node_b, p.common_neighbors, p.aa_score_micro
+FROM pairs p
+LEFT JOIN und e ON e.a = p.node_a AND e.b = p.node_b
+WHERE e.a IS NULL
+ORDER BY p.aa_score_micro DESC, p.node_a, p.node_b
+LIMIT 200
 """,
         "graph_degree": f"""
 WITH {_BASE_CTE.lstrip()},

@@ -1012,3 +1012,198 @@ def modularity(
         )
 
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def adamic_adar(
+    edges: rd.Dataset,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+    top_n: int = 200,
+    edge_key_broadcast_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """Adamic-Adar link prediction over the UNDIRECTED distinct edge set
+    (reference analogue: the relevance/rerank family, search_utils.py —
+    AA is the classic KG link-prediction score the reference's LLM edge
+    proposals approximate): for every non-adjacent pair (a, b) sharing at
+    least one neighbor v, score = sum over common v of 1/ln(deg(v)).
+
+    Exactness convention (so the DuckDB twin hash-matches): per-center
+    weight is the INTEGER lattice value ``10**12 // rint(ln(deg)*1e6)``
+    (float AA = aa_score_micro / 1e6 to ~6 places); SQL twin:
+    ``1000000000000 // CAST(round(ln(deg)*1000000) AS BIGINT)``.
+
+    Shape: adjacency both directions → self-join on the CENTER v (one
+    keyed shuffle; wedge count is sum(deg^2) — at web scale cap centers
+    with a degree filter, a hub's 1/ln weight is negligible anyway) →
+    per-batch combiner → groupby(a, b) sum → drop already-adjacent pairs
+    via a BROADCAST edge-key array + ``pc.is_in`` (bounded by
+    ``edge_key_broadcast_limit``; above it, raise — the anti-join path
+    belongs to the caller at that scale) → top_n by (score desc, a, b).
+
+    Output: (node_a, node_b, common_neighbors, aa_score_micro).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    def pair_key(a, b):
+        return pc.binary_join_element_wise(
+            pc.cast(pc.utf8_length(a), pa.string()), a, b, ":"
+        )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        s, t = batch.column(src), batch.column(dst)
+        a = pc.min_element_wise(s, t)
+        b = pc.max_element_wise(s, t)
+        tbl = pa.table({"a": a, "b": b})
+        tbl = tbl.filter(pc.not_equal(tbl.column("a"), tbl.column("b")))
+        return tbl.append_column("ek", pair_key(tbl.column("a"), tbl.column("b")))
+
+    e = distinct_by_key(
+        edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True),
+        "ek",
+    ).materialize()
+
+    empty = pa.table(
+        {
+            "node_a": pa.array([], pa.string()),
+            "node_b": pa.array([], pa.string()),
+            "common_neighbors": pa.array([], pa.int64()),
+            "aa_score_micro": pa.array([], pa.int64()),
+        }
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    if n_edges > edge_key_broadcast_limit:
+        raise ValueError(
+            f"adamic_adar: {n_edges} distinct edges exceeds the broadcast "
+            f"bound {edge_key_broadcast_limit}; hash-anti-join the pair "
+            "table against the edge table instead of is_in at this scale"
+        )
+
+    parts = default_join_partitions()
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t.column("b").combine_chunks(), t.column("a").combine_chunks()]
+                ),
+            }
+        )
+
+    adj = e.map_batches(
+        symmetrize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # per-center weight on the log lattice; centers of a wedge have deg >= 2
+    deg = adj.groupby("v").aggregate(Count(alias_name="deg"))
+
+    def weight(t: pa.Table) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        lat = np.rint(np.log(d) * 1e6).astype(np.int64)
+        w = np.where(lat > 0, 10**12 // np.maximum(lat, 1), 0)
+        tbl = pa.table({"v": t.column("v"), "w": pa.array(w, pa.int64())})
+        return tbl.filter(pc.greater(tbl.column("w"), 0))
+
+    wdeg = deg.map_batches(weight, batch_format="pyarrow")
+
+    adj_w = safe_join(
+        adj, wdeg, join_type="inner", num_partitions=parts, on=("v",)
+    )
+
+    wedges = safe_join(
+        adj_w,
+        adj.map_batches(
+            lambda t: t.rename_columns(["v", "nbr2"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=parts,
+        on=("v",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        # ordered pair (nbr < nbr2) emits each wedge once; per-batch
+        # combiner so the global groupby shuffles pre-summed partials
+        t = t.filter(pc.less(t.column("nbr"), t.column("nbr2")))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "node_a": pa.array([], pa.string()),
+                    "node_b": pa.array([], pa.string()),
+                    "cn": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        part = (
+            pa.table(
+                {
+                    "node_a": t.column("nbr"),
+                    "node_b": t.column("nbr2"),
+                    "w": t.column("w"),
+                }
+            )
+            .group_by(["node_a", "node_b"])
+            .aggregate([("w", "sum"), ("w", "count")])
+        )
+        return pa.table(
+            {
+                "node_a": part.column("node_a"),
+                "node_b": part.column("node_b"),
+                "cn": pc.cast(part.column("w_count"), pa.int64()),
+                "w": pc.cast(part.column("w_sum"), pa.int64()),
+            }
+        )
+
+    pairs = (
+        wedges.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["node_a", "node_b"])
+        .aggregate(
+            Sum("cn", alias_name="common_neighbors"),
+            Sum("w", alias_name="aa_score_micro"),
+        )
+    )
+
+    # drop pairs that are already edges: broadcast sorted edge-key array
+    ek_arr = pa.concat_arrays(
+        [c.combine_chunks() for c in
+         (b.column("ek") for b in e.select_columns(["ek"]).iter_batches(
+             batch_format="pyarrow", batch_size=None))]
+    )
+    ek_ref = ray.put(ek_arr)
+
+    def drop_adjacent(t: pa.Table, _ref=ek_ref) -> pa.Table:
+        keys = pair_key(t.column("node_a"), t.column("node_b"))
+        mask = pc.invert(pc.is_in(keys, value_set=ray.get(_ref)))
+        return t.filter(mask)
+
+    scored = pairs.map_batches(
+        drop_adjacent, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    out = scored.sort(
+        ["aa_score_micro", "node_a", "node_b"],
+        descending=[True, False, False],
+    ).limit(top_n)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node_a": pc.cast(t.column("node_a"), pa.string()),
+                "node_b": pc.cast(t.column("node_b"), pa.string()),
+                "common_neighbors": pc.cast(
+                    t.column("common_neighbors"), pa.int64()
+                ),
+                "aa_score_micro": pc.cast(t.column("aa_score_micro"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

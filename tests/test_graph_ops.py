@@ -324,3 +324,54 @@ def test_modularity_guard_and_empty_internal(ray_session):
     out = modularity(rd.from_items(edges), labels).to_pandas()
     assert sorted(out.s_a) == [0, 0]
     assert (out.q_num == -1).all()  # 2m=2: q = 2·0 − 1² = −1 per side
+
+
+def test_adamic_adar_path_graph(ray_session):
+    """Path a-b-c-d: non-adjacent pairs (a,c),(b,d) share center b resp. c
+    (deg 2 → weight 10^12 // rint(ln(2)*1e6)); (a,d) shares none. Adjacent
+    pairs are excluded even when they also share a neighbor."""
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import adamic_adar
+
+    edges = rd_.from_items(
+        [
+            {"subj_uuid": "a", "obj_uuid": "b"},
+            {"subj_uuid": "b", "obj_uuid": "c"},
+            {"subj_uuid": "c", "obj_uuid": "d"},
+        ]
+    )
+    out = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["aa_score_micro"])
+        for r in adamic_adar(edges).take_all()
+    }
+    w2 = 10**12 // int(np.rint(np.log(2.0) * 1e6))
+    assert out == {("a", "c"): (1, w2), ("b", "d"): (1, w2)}
+
+
+def test_adamic_adar_excludes_adjacent_and_sums_centers(ray_session):
+    """Square a-b-c-d-a plus diagonal a-c: pair (b,d) shares BOTH a and c
+    (deg 3 each → two lattice weights summed); (a,c) is adjacent so it
+    never appears despite sharing b and d."""
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import adamic_adar
+
+    edges = rd_.from_items(
+        [
+            {"subj_uuid": "a", "obj_uuid": "b"},
+            {"subj_uuid": "b", "obj_uuid": "c"},
+            {"subj_uuid": "c", "obj_uuid": "d"},
+            {"subj_uuid": "d", "obj_uuid": "a"},
+            {"subj_uuid": "a", "obj_uuid": "c"},
+        ]
+    )
+    rows = adamic_adar(edges).take_all()
+    out = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["aa_score_micro"])
+        for r in rows
+    }
+    w3 = 10**12 // int(np.rint(np.log(3.0) * 1e6))
+    assert out == {("b", "d"): (2, 2 * w3)}
