@@ -3439,6 +3439,36 @@ def _q_graph_adamic_adar(sf_dir: str):
     return adamic_adar(co, src="entity_uuid", dst="entity_b", top_n=200)
 
 
+def _q_pages_url_normalize(sf_dir: str):
+    """URL canonicalization over the pages table: a deterministic fixture
+    stage re-introduces real-world URL mess (case, www., :443, utm_*/fbclid
+    tracking params, fragments, trailing slashes — pure doc_id arithmetic),
+    then the actual operator normalizes with vectorized RE2 kernels. The
+    oracle re-derives the EXPECTED canonical form independently from
+    doc_id, so every rule (id param survives, tracking params vanish,
+    slash/port/case/fragment collapse) is value-checked."""
+    from graphiti_ray.stages.urls import normalize_urls, synthesize_messy_urls
+
+    p = _pages(sf_dir).select_columns(["url"])
+    return normalize_urls(synthesize_messy_urls(p)).select_columns(
+        ["url_norm", "host", "registered_domain"]
+    )
+
+
+def _q_pages_domain_cap(sf_dir: str):
+    """Per-domain document cap (crawl-pipeline host quota): keep the first
+    10 pages per host in (warc_ts, url) order — one range sort + a
+    vectorized run-head kernel (ops.head_k_per_key), no per-key dispatch."""
+    from graphiti_ray.stages.ops import head_k_per_key
+    from graphiti_ray.stages.urls import normalize_urls
+
+    p = _pages(sf_dir).select_columns(["url", "warc_ts"])
+    n = normalize_urls(p).select_columns(["host", "warc_ts", "url_norm"])
+    return head_k_per_key(
+        n, ["host"], ["warc_ts", "url_norm"], k=10
+    ).select_columns(["host", "url_norm"])
+
+
 def _q_graph_degree(sf_dir: str):
     from graphiti_ray.stages.graph import node_degrees
 
@@ -4264,6 +4294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tail.
     return {
         "graph_adamic_adar": _q_graph_adamic_adar,
+        "pages_url_normalize": _q_pages_url_normalize,
+        "pages_domain_cap": _q_pages_domain_cap,
         "episode_entity_edges": _q_episode_entity_edges,
         "graph_bfs": _q_graph_bfs,
         "search_mmr": _q_search_mmr,
@@ -5163,6 +5195,25 @@ verts AS (
 )
 SELECT v AS entity_uuid, count(*)::BIGINT AS n_triangles
 FROM verts GROUP BY 1
+""",
+        "pages_url_normalize": """
+SELECT
+  'https://' || source || '.example.com/doc/' || doc_id
+    || CASE WHEN doc_id % 13 = 0 AND (doc_id % 3 = 0 OR doc_id % 5 = 0)
+            THEN '/' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 OR doc_id % 5 = 0
+            THEN '?id=' || doc_id ELSE '' END AS url_norm,
+  source || '.example.com' AS host,
+  'example.com' AS registered_domain
+FROM documents
+""",
+        "pages_domain_cap": """
+SELECT source || '.example.com' AS host,
+       'https://' || source || '.example.com/doc/' || doc_id AS url_norm
+FROM (SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents)
+WHERE rn <= 10
 """,
         "graph_adamic_adar": f"""
 WITH {_BASE_CTE.lstrip()},

@@ -1807,3 +1807,42 @@ def skyline_2d(
         return out
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def head_k_per_key(
+    ds: rd.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    carry_cap: int = 65536,
+) -> rd.Dataset:
+    """First ``k`` rows per key in ``order_cols`` order — the per-domain
+    cap / per-host quota shape every crawl pipeline needs (cap documents
+    per site before dedup so mega-hosts can't dominate the corpus).
+
+    One range sort + a vectorized run kernel (``sorted_run_map``); the
+    kernel provably reads only each run's head, so carry overflow
+    TRUNCATES safely (cap raised to ``max(carry_cap, k)`` so a truncated
+    carry can never cut inside the kept head)."""
+    import functools
+
+    import numpy as np
+
+    def _head_block(t: pa.Table, _k=k, _keys=tuple(key_cols)) -> pa.Table:
+        n = t.num_rows
+        if n == 0:
+            return t
+        bounds = _table_run_starts(t, list(_keys))
+        starts, ends = bounds[:-1], bounds[1:]
+        run_id = np.repeat(np.arange(len(starts)), ends - starts)
+        pos = np.arange(n) - starts[run_id]
+        return t.filter(pa.array(pos < _k))
+
+    return sorted_run_map(
+        ds,
+        key_cols=list(key_cols),
+        order_cols=list(order_cols),
+        block_fn=functools.partial(_head_block),
+        carry_cap=max(carry_cap, k),
+        on_carry_overflow="truncate",
+    )
