@@ -2594,6 +2594,20 @@ def _q_docs_entropy(sf_dir: str):
     return token_entropy(docs)
 
 
+def _q_docs_bpe_pairs(sf_dir: str):
+    """First-iteration BPE merge table: corpus-wide counts of adjacent
+    character pairs inside word tokens, top 200 by (count desc, pair
+    asc) — the frequency pass a BPE tokenizer trainer runs before its
+    first merge. Per-batch uint64-packed np.unique combiner, so the
+    groupby shuffles pre-summed partials."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import bpe_pair_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_pair_stats(docs, top_n=200)
+
+
 def _q_lang_centroids(sf_dir: str):
     """Per-language embedding centroids as exact integer moment sums
     (count + Σ floor(e·1e6) per dimension): one broadcast-free hash
@@ -4293,6 +4307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "docs_bpe_pairs": _q_docs_bpe_pairs,
         "graph_adamic_adar": _q_graph_adamic_adar,
         "pages_url_normalize": _q_pages_url_normalize,
         "pages_domain_cap": _q_pages_domain_cap,
@@ -5724,6 +5739,24 @@ SELECT lang, count(*)::BIGINT AS n,
        CAST(sum(x * x) AS BIGINT) AS sxx,
        CAST(sum(y * y) AS BIGINT) AS syy
 FROM w GROUP BY 1
+""",
+        # first BPE iteration: adjacent char pairs inside \w+ tokens of
+        # the lowercased text; ASCII tokens make packed-uint64 order ==
+        # lexicographic pair order, so the tie-break is exact both sides
+        "docs_bpe_pairs": r"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\w+')) AS tk
+  FROM documents
+),
+pairs AS (
+  SELECT substr(tk, u.i::INTEGER, 2) AS pair
+  FROM tok, LATERAL unnest(range(1, len(tk))) AS u(i)
+)
+SELECT pair, count(*)::BIGINT AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT 200
 """,
         # token entropy, division cleared: per-term 1e-6 quantized c·ln c
         "docs_entropy": r"""

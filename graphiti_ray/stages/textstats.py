@@ -1018,3 +1018,73 @@ def token_entropy(
         )
 
     return docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bpe_pair_stats(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    top_n: int = 200,
+) -> rd.Dataset:
+    """First-iteration BPE merge statistics over the corpus: count every
+    ADJACENT CHARACTER PAIR inside ASCII word tokens (``[0-9A-Za-z_]+`` on
+    the lowercased text — the repo's RE2-parity tokenization), the
+    frequency table a byte/char-level BPE trainer computes before its
+    first merge (Sennrich et al. 2016). Output: top ``top_n`` pairs by
+    (count desc, pair asc) as (pair:string, n:int64).
+
+    Kernel: tokens of a batch are joined with a NUL separator and viewed
+    as a fixed-width UTF-32 codepoint array; adjacent pairs are a shifted
+    zip packed into one uint64 (hi<<32|lo), counted per batch with
+    ``np.unique`` — a per-batch combiner, so the global groupby shuffles
+    pre-summed (pair_key, n) partials, never raw pairs. Decode back to
+    2-char strings only for the final ``top_n`` rows."""
+    import re as _re
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    tok_re = _re.compile(r"\w+", _re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = pc.utf8_lower(batch.column(text_col)).to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(tok_re.findall(t or ""))
+        joined = "\x00".join(toks)
+        if len(joined) < 2:
+            return pa.table(
+                {"pk": pa.array([], pa.uint64()), "n": pa.array([], pa.int64())}
+            )
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        a, b = codes[:-1].astype(np.uint64), codes[1:].astype(np.uint64)
+        mask = (a != 0) & (b != 0)
+        keys = (a[mask] << np.uint64(32)) | b[mask]
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "pk": pa.array(uniq, pa.uint64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pk")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pairs = [chr(int(k) >> 32) + chr(int(k) & 0xFFFFFFFF) for k in pk]
+        return pa.table(
+            {
+                "pair": pa.array(pairs, pa.string()),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+            }
+        )
+
+    return (
+        agg.sort(["n", "pk"], descending=[True, False])
+        .limit(top_n)
+        .map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -1492,3 +1492,33 @@ def test_events_growth_prefix_is_running_distinct(ray_session):
     assert set(out.day) == set(first.unique())
     assert all(expect[d] == t for d, t in zip(out.day, out.total_users))
     assert out.new_users.sum() == 40
+
+
+def test_bpe_pair_stats_matches_counter(ray_session):
+    from collections import Counter
+
+    from graphiti_ray.stages.textstats import bpe_pair_stats
+
+    texts = [
+        "the theme of the thesis",
+        "Banana bandana!  ban_ana2 x",
+        "",
+        "a",                       # single-char token: no pairs
+        "aa aa bb aa",
+    ]
+    out = (
+        bpe_pair_stats(rd.from_items([{"text": t} for t in texts]), top_n=10)
+        .to_pandas()
+    )
+    # brute-force reference: every intra-token adjacent char pair
+    import re
+
+    ref = Counter()
+    for t in texts:
+        for tok in re.findall(r"\w+", t.lower(), re.ASCII):
+            for i in range(len(tok) - 1):
+                ref[tok[i : i + 2]] += 1
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(out.pair, out.n)) == expect
+    # top-1 sanity: "aa" (from "aa aa aa" + banana runs) dominates
+    assert out.n.iloc[0] == ref.most_common(1)[0][1]
