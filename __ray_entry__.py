@@ -3248,14 +3248,18 @@ def _q_graph_pagerank(sf_dir: str):
     return pagerank(tables["edges"], damping=0.85, rounds=5)
 
 
-def _pagerank_oracle_sql(damping: float = 0.85, rounds: int = 5) -> str:
+def _pagerank_chain_sql(edge_table: str, damping: float, rounds: int) -> str:
+    """The unrolled-PageRank CTE chain over an edge table/CTE with columns
+    (s, t) pre-exposed via ``edge_table`` — shared by the KG-entity and
+    web-host variants so the per-round arithmetic stays identical (same
+    repr-interpolated float constants as the Ray kernel)."""
     base_expr = f"{1.0 - damping!r} / nn.n"
     parts = [
-        "nodes AS (SELECT subj_uuid AS x FROM merged_id "
-        "UNION SELECT obj_uuid FROM merged_id)",
+        f"nodes AS (SELECT s AS x FROM {edge_table} "
+        f"UNION SELECT t FROM {edge_table})",
         "nn AS (SELECT count(*) AS n FROM nodes)",
-        "od AS (SELECT subj_uuid AS s, count(*) AS od FROM merged_id GROUP BY 1)",
-        "e AS (SELECT subj_uuid AS s, obj_uuid AS t FROM merged_id)",
+        f"od AS (SELECT s, count(*) AS od FROM {edge_table} GROUP BY 1)",
+        f"e AS (SELECT s, t FROM {edge_table})",
         "r0 AS (SELECT x AS node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
     ]
     for k in range(1, rounds + 1):
@@ -3268,7 +3272,14 @@ def _pagerank_oracle_sql(damping: float = 0.85, rounds: int = 5) -> str:
              GROUP BY 1) a ON a.node = n0.x
 )"""
         )
-    chain = ",\n".join(parts)
+    return ",\n".join(parts)
+
+
+def _pagerank_oracle_sql(damping: float = 0.85, rounds: int = 5) -> str:
+    chain = (
+        "pr_edges AS (SELECT subj_uuid AS s, obj_uuid AS t FROM merged_id),\n"
+        + _pagerank_chain_sql("pr_edges", damping, rounds)
+    )
     return f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},
@@ -3276,6 +3287,29 @@ WITH {_BASE_CTE.lstrip()},
 {_RESOLVED_CTE.lstrip()},
 {chain}
 SELECT node AS entity_uuid, pr AS rank FROM r{rounds}
+"""
+
+
+_LINK_GRAPH_CTE = """
+jx AS (SELECT unnest(generate_series(1, 3)) AS j),
+lk AS (
+  SELECT source || '.example.com' AS src_host,
+         'src' || CAST((doc_id * 31 + 97 * jx.j) % 20 AS VARCHAR)
+           || '.example.com' AS dst_host
+  FROM documents CROSS JOIN jx
+  WHERE jx.j <= 1 + doc_id % 3
+)"""
+
+
+def _web_host_pagerank_oracle_sql(damping: float = 0.85, rounds: int = 5) -> str:
+    chain = (
+        "he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),\n"
+        + _pagerank_chain_sql("he", damping, rounds)
+    )
+    return f"""
+WITH {_LINK_GRAPH_CTE.lstrip()},
+{chain}
+SELECT node AS host, pr AS rank FROM r{rounds}
 """
 
 
@@ -3425,6 +3459,93 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
 
 
+def _q_events_scd2(sf_dir: str):
+    """SCD2 dimension history over the event stream: per user, each
+    maximal run of a constant event_type becomes one
+    (valid_from, valid_to) interval, valid_to = next change (NULL = still
+    current). One range sort + vectorized island kernel; oracle = the
+    classic lag-filter + lead window pair."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import scd2_intervals
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    return scd2_intervals(
+        ev, key="user_id", value="event_type", ts_col="ts", tiebreak="event_id"
+    )
+
+
+def _q_graph_clustering(sf_dir: str):
+    """Local clustering coefficient over the CO-MENTION graph (same
+    adjacency as graph_triangles): cc_e6 = (2·T·1e6) // (d·(d−1)) on the
+    exact integer lattice; degree-≥2 nodes only, triangle-free nodes 0."""
+    from graphiti_ray.stages.graph import clustering_coefficients
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ment = tables["mentions"].select_columns(["episode_uuid", "entity_uuid"])
+    right = ment.map_batches(
+        lambda t: t.rename_columns(["episode_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    co = safe_join(
+        ment,
+        right,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("episode_uuid",),
+    ).map_batches(
+        lambda t: t.select(["entity_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    return clustering_coefficients(co, src="entity_uuid", dst="entity_b")
+
+
+def _q_graph_assortativity(sf_dir: str):
+    """Degree-assortativity moment sums over the CO-MENTION graph (same
+    adjacency as graph_triangles): exact int64 (n_ends, Σd, Σd², Σdxdy)
+    over the undirected distinct edge set — Newman's mixing coefficient
+    is a driver-side ratio of these, kept off the hash (oracle
+    convention: emit sufficient statistics on the integer lattice)."""
+    from graphiti_ray.stages.graph import degree_assortativity_moments
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ment = tables["mentions"].select_columns(["episode_uuid", "entity_uuid"])
+    right = ment.map_batches(
+        lambda t: t.rename_columns(["episode_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    co = safe_join(
+        ment,
+        right,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("episode_uuid",),
+    ).map_batches(
+        lambda t: t.select(["entity_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    return degree_assortativity_moments(co, src="entity_uuid", dst="entity_b")
+
+
+def _q_pages_latest_snapshot(sf_dir: str):
+    """Latest-crawl-wins snapshot selection over a deterministic
+    multi-crawl stream (fixture rc1: page doc_id crawled 1 + doc_id%3
+    times, 7 days apart): per-batch partial argmax → one range sort +
+    run-head kernel. The Common-Crawl per-url dedup step; the oracle
+    re-derives the stream with generate_series and takes the
+    row_number()=1 window row."""
+    from graphiti_ray.sources.pages import read_documents
+    from graphiti_ray.stages.urls import latest_snapshots, synthesize_recrawls
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source"])
+    return latest_snapshots(synthesize_recrawls(docs))
+
+
 def _q_graph_adamic_adar(sf_dir: str):
     """Adamic-Adar link prediction over the CO-MENTION graph (same
     adjacency as graph_triangles): for non-adjacent entity pairs sharing
@@ -3481,6 +3602,35 @@ def _q_pages_domain_cap(sf_dir: str):
     return head_k_per_key(
         n, ["host"], ["warc_ts", "url_norm"], k=10
     ).select_columns(["host", "url_norm"])
+
+
+def _q_web_link_graph(sf_dir: str):
+    """Host-level web link graph straight off the raw HTML bytes: compiled
+    byte-regex href scan per page → in-batch partial (src,dst) counts →
+    one vocabulary-sized groupby-sum. The outlinks are pure doc_id
+    arithmetic (pages.py::outlinks, version pg1.1), so the oracle re-derives
+    the expected graph from the documents table with generate_series."""
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    return extract_link_graph(_pages(sf_dir))
+
+
+def _q_web_host_pagerank(sf_dir: str):
+    """PageRank over the extracted host link graph (the classic
+    Common-Crawl web-graph ranking): distinct host pairs from
+    extract_link_graph feed the same unrolled 5-round kernel as
+    graph_pagerank; the oracle unrolls the identical recurrence over the
+    doc_id-derived edge set."""
+    from graphiti_ray.stages.graph import pagerank
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    pr = pagerank(lg, damping=0.85, rounds=5, src="src_host", dst="dst_host")
+    return pr.map_batches(
+        lambda t: t.rename_columns(["host", "rank"]), batch_format="pyarrow"
+    )
 
 
 def _q_graph_degree(sf_dir: str):
@@ -4307,6 +4457,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "graph_assortativity": _q_graph_assortativity,
+        "pages_latest_snapshot": _q_pages_latest_snapshot,
+        "web_link_graph": _q_web_link_graph,
+        "web_host_pagerank": _q_web_host_pagerank,
+        "graph_clustering": _q_graph_clustering,
+        "events_scd2": _q_events_scd2,
         "docs_bpe_pairs": _q_docs_bpe_pairs,
         "graph_adamic_adar": _q_graph_adamic_adar,
         "pages_url_normalize": _q_pages_url_normalize,
@@ -5211,6 +5367,114 @@ verts AS (
 SELECT v AS entity_uuid, count(*)::BIGINT AS n_triangles
 FROM verts GROUP BY 1
 """,
+        "events_scd2": """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_et
+  FROM events
+),
+st AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM s WHERE prev_et IS NULL OR prev_et <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER
+         (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+       event_id
+FROM st
+""",
+        "graph_clustering": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+mu AS (
+  SELECT m.episode_uuid,
+         md5(m.group_id || '|' || lower(c.canonical)) AS eu
+  FROM ment m
+  JOIN canon c ON c.group_id = m.group_id AND c.name = m.name
+),
+und AS (
+  SELECT DISTINCT least(x.eu, y.eu) AS a, greatest(x.eu, y.eu) AS b
+  FROM mu x JOIN mu y
+    ON x.episode_uuid = y.episode_uuid AND x.eu <> y.eu
+),
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+verts AS (
+  SELECT a AS v FROM tri UNION ALL
+  SELECT b FROM tri UNION ALL
+  SELECT c FROM tri
+),
+tcount AS (SELECT v, count(*)::BIGINT AS t FROM verts GROUP BY 1),
+degs AS (
+  SELECT eu, count(*)::BIGINT AS d
+  FROM (SELECT a AS eu FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1
+)
+SELECT degs.eu AS entity_uuid,
+       degs.d AS degree,
+       coalesce(tcount.t, 0)::BIGINT AS n_triangles,
+       (2 * coalesce(tcount.t, 0) * 1000000) // (degs.d * (degs.d - 1))
+         AS cc_e6
+FROM degs LEFT JOIN tcount ON tcount.v = degs.eu
+WHERE degs.d >= 2
+""",
+        "graph_assortativity": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+mu AS (
+  SELECT m.episode_uuid,
+         md5(m.group_id || '|' || lower(c.canonical)) AS eu
+  FROM ment m
+  JOIN canon c ON c.group_id = m.group_id AND c.name = m.name
+),
+und AS (
+  SELECT DISTINCT least(x.eu, y.eu) AS a, greatest(x.eu, y.eu) AS b
+  FROM mu x JOIN mu y
+    ON x.episode_uuid = y.episode_uuid AND x.eu <> y.eu
+),
+degs AS (
+  SELECT eu, count(*)::BIGINT AS d
+  FROM (SELECT a AS eu FROM und UNION ALL SELECT b FROM und)
+  GROUP BY 1
+),
+j AS (
+  SELECT dx.d AS da, dy.d AS db
+  FROM und
+  JOIN degs dx ON dx.eu = und.a
+  JOIN degs dy ON dy.eu = und.b
+)
+SELECT (2 * count(*))::BIGINT AS n_ends,
+       sum(da + db)::BIGINT AS s_d,
+       sum(da * da + db * db)::BIGINT AS s_d2,
+       sum(da * db)::BIGINT AS s_dxdy
+FROM j
+""",
+        "pages_latest_snapshot": """
+WITH rx AS (SELECT unnest(generate_series(0, 2)) AS r),
+snaps AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR
+           + rx.r * INTERVAL 7 DAY AS warc_ts,
+         CAST(rx.r AS BIGINT) AS crawl_rev
+  FROM documents CROSS JOIN rx
+  WHERE rx.r <= doc_id % 3
+)
+SELECT url, warc_ts, crawl_rev FROM snaps
+QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1
+""",
+        "web_link_graph": f"""
+WITH {_LINK_GRAPH_CTE.lstrip()}
+SELECT src_host, dst_host, count(*)::BIGINT AS n_links
+FROM lk GROUP BY 1, 2
+""",
+        "web_host_pagerank": _web_host_pagerank_oracle_sql(),
         "pages_url_normalize": """
 SELECT
   'https://' || source || '.example.com/doc/' || doc_id

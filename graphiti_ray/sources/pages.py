@@ -48,8 +48,26 @@ _HTML_TMPL = (
     '<body><header><h1 class="sitename">{host}</h1></header>'
     '<nav><a href="/">home</a> | <a href="/about">about</a></nav>'
     '<div id="main">{paragraphs}</div>'
-    "<footer>&copy; {host}</footer></body></html>"
+    "<footer>&copy; {host} {outlinks}</footer></body></html>"
 )
+
+# Cross-host outlink arithmetic (version pg1.1): page doc_id carries
+# 1 + doc_id % 3 absolute hrefs in its footer; link j (1-based) points at
+# host src{(doc_id·31 + 97·j) mod 20}.example.com, path
+# /doc/{(doc_id·7 + j) mod 1000}. Footer placement keeps the links OUTSIDE
+# <div id="main">, so the byte-identical text-extraction invariant is
+# untouched; the DuckDB oracle re-derives the link graph from doc_id.
+_LINK_HOST_MOD = 20
+_LINK_PATH_MOD = 1000
+
+
+def outlinks(doc_id: int) -> list[str]:
+    """Deterministic absolute outlink URLs for one page. Pure."""
+    return [
+        f"https://src{(doc_id * 31 + 97 * j) % _LINK_HOST_MOD}.example.com"
+        f"/doc/{(doc_id * 7 + j) % _LINK_PATH_MOD}"
+        for j in range(1, 2 + doc_id % 3)
+    ]
 
 
 def render_page(doc_id: int, text: str, source: str) -> tuple[str, bytes, str]:
@@ -59,7 +77,10 @@ def render_page(doc_id: int, text: str, source: str) -> tuple[str, bytes, str]:
     paras = [fact1, fact2, clean_text(text).strip()]
     golden = "\n".join(paras)
     body = "".join(f"<p>{_html.escape(p, quote=False)}</p>" for p in paras)
-    html_doc = _HTML_TMPL.format(doc_id=doc_id, host=host, paragraphs=body)
+    links = "".join(f'<a href="{u}">ref</a>' for u in outlinks(doc_id))
+    html_doc = _HTML_TMPL.format(
+        doc_id=doc_id, host=host, paragraphs=body, outlinks=links
+    )
     return page_url(source, doc_id), html_doc.encode("utf-8"), golden
 
 

@@ -632,6 +632,134 @@ def hits(
     )
 
 
+def _pair_key(a, b):
+    import pyarrow.compute as pc
+
+    # collision-free pair key for ARBITRARY string ids: the length
+    # prefix pins where `a` ends, so ("x|y","z") and ("x","y|z")
+    # cannot produce the same key (a plain separator join would)
+    return pc.binary_join_element_wise(
+        pc.cast(pc.utf8_length(a), pa.string()), a, b, ":"
+    )
+
+
+def _undirected_distinct_edges(
+    edges: rd.Dataset, src: str, dst: str
+) -> rd.Dataset:
+    """Materialized DISTINCT undirected edge set (a < b, self-loops
+    dropped) with the collision-free pair key in column ``ek``."""
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    def orient_by_id(batch: pa.Table) -> pa.Table:
+        s, t = batch.column(src), batch.column(dst)
+        a = pc.min_element_wise(s, t)
+        b = pc.max_element_wise(s, t)
+        tbl = pa.table({"a": a, "b": b})
+        tbl = tbl.filter(pc.not_equal(tbl.column("a"), tbl.column("b")))
+        return tbl.append_column("ek", _pair_key(tbl.column("a"), tbl.column("b")))
+
+    return distinct_by_key(
+        edges.map_batches(orient_by_id, batch_format="pyarrow", zero_copy_batch=True),
+        "ek",
+    ).materialize()
+
+
+def _undirected_degrees(e: rd.Dataset) -> rd.Dataset:
+    """(node, deg) distinct-neighbor degrees over a distinct edge set."""
+    return (
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t.column("a").combine_chunks(),
+                            t.column("b").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .materialize()
+    )
+
+
+def clustering_coefficients(
+    edges: rd.Dataset, src: str = "subj_uuid", dst: str = "obj_uuid"
+) -> rd.Dataset:
+    """Local clustering coefficient per node over the undirected distinct
+    edge set (Watts–Strogatz): cc = 2·T / (d·(d−1)). Emitted on the exact
+    integer lattice — ``cc_e6 = (2·T·1_000_000) // (d·(d−1))`` — so the
+    SQL twin's integer division matches bit-for-bit (oracle convention:
+    clear every division). Nodes with degree < 2 are excluded (undefined
+    denominator); triangle-free nodes report 0.
+
+    Scale shape: triangle counts come from the degree-ordered wedge join
+    (O(m^1.5) wedges), degrees from one narrow groupby over the distinct
+    edge set, and the final combine is a left join on the vocabulary-sized
+    node table — nothing materializes on the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    e = _undirected_distinct_edges(edges, src, dst)
+    empty = pa.table(
+        {
+            "entity_uuid": pa.array([], pa.string()),
+            "degree": pa.array([], pa.int64()),
+            "n_triangles": pa.array([], pa.int64()),
+            "cc_e6": pa.array([], pa.int64()),
+        }
+    )
+    if e.count() == 0:
+        return rd.from_arrow(empty)
+
+    deg2 = _undirected_degrees(e).map_batches(
+        lambda t: pa.table(
+            {"entity_uuid": t.column("node"), "degree": t.column("deg")}
+        ).filter(pc.greater_equal(t.column("deg"), 2)),
+        batch_format="pyarrow",
+    )
+    tri = triangle_counts(edges, src=src, dst=dst)
+    if tri.count() == 0:
+        joined = deg2.map_batches(
+            lambda t: t.append_column(
+                "n_triangles", pa.array([None] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = safe_join(
+            deg2,
+            tri,
+            join_type="left_outer",
+            num_partitions=default_join_partitions(),
+            on=("entity_uuid",),
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+        tr = pc.fill_null(t.column("n_triangles"), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        cc = (2 * tr * 1_000_000) // (d * (d - 1))
+        return pa.table(
+            {
+                "entity_uuid": t.column("entity_uuid"),
+                "degree": pa.array(d, pa.int64()),
+                "n_triangles": pa.array(tr, pa.int64()),
+                "cc_e6": pa.array(cc, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def triangle_counts(
     edges: rd.Dataset, src: str = "subj_uuid", dst: str = "obj_uuid"
 ) -> rd.Dataset:
@@ -650,28 +778,9 @@ def triangle_counts(
     import pyarrow.compute as pc
 
     from graphiti_ray.stages.link import default_join_partitions, safe_join
-    from graphiti_ray.stages.ops import distinct_by_key
 
-    def pair_key(a, b):
-        # collision-free pair key for ARBITRARY string ids: the length
-        # prefix pins where `a` ends, so ("x|y","z") and ("x","y|z")
-        # cannot produce the same key (a plain separator join would)
-        return pc.binary_join_element_wise(
-            pc.cast(pc.utf8_length(a), pa.string()), a, b, ":"
-        )
-
-    def orient_by_id(batch: pa.Table) -> pa.Table:
-        s, t = batch.column(src), batch.column(dst)
-        a = pc.min_element_wise(s, t)
-        b = pc.max_element_wise(s, t)
-        tbl = pa.table({"a": a, "b": b})
-        tbl = tbl.filter(pc.not_equal(tbl.column("a"), tbl.column("b")))
-        return tbl.append_column("ek", pair_key(tbl.column("a"), tbl.column("b")))
-
-    e = distinct_by_key(
-        edges.map_batches(orient_by_id, batch_format="pyarrow", zero_copy_batch=True),
-        "ek",
-    ).materialize()
+    pair_key = _pair_key
+    e = _undirected_distinct_edges(edges, src, dst)
 
     empty = pa.table(
         {
@@ -683,25 +792,7 @@ def triangle_counts(
         return rd.from_arrow(empty)
 
     parts = default_join_partitions()
-    # undirected degrees over the DISTINCT edge set
-    deg = (
-        e.map_batches(
-            lambda t: pa.table(
-                {
-                    "node": pa.concat_arrays(
-                        [
-                            t.column("a").combine_chunks(),
-                            t.column("b").combine_chunks(),
-                        ]
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("node")
-        .aggregate(Count(alias_name="deg"))
-        .materialize()
-    )
+    deg = _undirected_degrees(e)
 
     def joined_deg(side: str, out: str) -> rd.Dataset:
         return deg.map_batches(
@@ -1207,3 +1298,92 @@ def adamic_adar(
         )
 
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def degree_assortativity_moments(
+    edges: rd.Dataset, src: str = "subj_uuid", dst: str = "obj_uuid"
+) -> rd.Dataset:
+    """Degree-assortativity moment sums over the undirected distinct edge
+    set — the Newman (2002) mixing coefficient's sufficient statistics,
+    emitted as EXACT int64 sums so the SQL twin matches bit-for-bit
+    (oracle convention: keep the derived float ratio off the hash):
+
+        n_ends = 2·m          (each edge contributes both orientations)
+        s_d    = Σ (dx + dy)  over edges  = Σ over ends of end-degree
+        s_d2   = Σ (dx² + dy²)
+        s_dxdy = Σ dx·dy      (per edge, counted once)
+
+    Pearson assortativity r = (n_ends·2·s_dxdy − s_d²) /
+    (n_ends·s_d2 − s_d²) is a driver-side ratio of these.
+
+    Scale shape: distinct undirected edges (one narrow shuffle), degrees
+    from one vocabulary-sized groupby, two hash joins keyed on the edge
+    endpoints, then a per-batch partial sum → single 1-row keyed reduce —
+    nothing materializes on the driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    e = _undirected_distinct_edges(edges, src, dst)
+    empty = pa.table(
+        {
+            "n_ends": pa.array([], pa.int64()),
+            "s_d": pa.array([], pa.int64()),
+            "s_d2": pa.array([], pa.int64()),
+            "s_dxdy": pa.array([], pa.int64()),
+        }
+    )
+    if e.count() == 0:
+        return rd.from_arrow(empty)
+
+    deg = _undirected_degrees(e)
+    parts = default_join_partitions()
+    da = deg.map_batches(
+        lambda t: pa.table({"a": t.column("node"), "da": t.column("deg")}),
+        batch_format="pyarrow",
+    )
+    db = deg.map_batches(
+        lambda t: pa.table({"b": t.column("node"), "db": t.column("deg")}),
+        batch_format="pyarrow",
+    )
+    j = safe_join(
+        e.map_batches(
+            lambda t: t.select(["a", "b"]), batch_format="pyarrow"
+        ),
+        da,
+        join_type="inner",
+        num_partitions=parts,
+        on=("a",),
+    )
+    j = safe_join(j, db, join_type="inner", num_partitions=parts, on=("b",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        dx = t.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
+        dy = t.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "n_ends": pa.array([2 * len(dx)], pa.int64()),
+                "s_d": pa.array([int((dx + dy).sum())], pa.int64()),
+                "s_d2": pa.array([int((dx * dx + dy * dy).sum())], pa.int64()),
+                "s_dxdy": pa.array([int((dx * dy).sum())], pa.int64()),
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(
+            Sum("n_ends", alias_name="n_ends"),
+            Sum("s_d", alias_name="s_d"),
+            Sum("s_d2", alias_name="s_d2"),
+            Sum("s_dxdy", alias_name="s_dxdy"),
+        )
+        .map_batches(
+            lambda t: t.select(["n_ends", "s_d", "s_d2", "s_dxdy"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -156,3 +156,140 @@ def synthesize_messy_urls(pages: rd.Dataset) -> rd.Dataset:
         return batch.set_column(idx, "url", messy)
 
     return pages.map_batches(mess, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- web link graph ---------------------------------------------------------
+
+_ABS_HREF_HOST_RE = None  # compiled lazily per worker process (see below)
+
+
+def _href_host_re():
+    # module-level lazy compile: one compile per worker process, shared by
+    # every batch (re module caches, but skip its lock + dict lookup).
+    global _ABS_HREF_HOST_RE
+    if _ABS_HREF_HOST_RE is None:
+        import re
+
+        _ABS_HREF_HOST_RE = re.compile(rb'href="https?://([^"/:]+)')
+    return _ABS_HREF_HOST_RE
+
+
+def extract_link_graph(pages: rd.Dataset) -> rd.Dataset:
+    """Host-level web link graph from raw HTML — the Common-Crawl web-graph
+    construction step (reference analogue: the corpus-parser family around
+    graphiti's ingest; SURVEY.md §2 S11).
+
+    Scans each page's ``html`` bytes for ABSOLUTE hrefs (relative links
+    carry no cross-host signal and are skipped), combines
+    (src_host, dst_host) counts inside the batch (partial aggregation), then
+    one small groupby-sum. Host-pair cardinality is ~|hosts|² ≪ |pages|, so
+    the shuffle moves a vocabulary-sized table no matter the corpus size —
+    the right shape at 10^12 documents. HTML parsing is inherently
+    per-document (a compiled byte-regex per page, no per-char Python); the
+    partial Counter keeps the per-batch output rows bounded by the distinct
+    pairs seen, not the link count.
+
+    Output: (src_host:string, dst_host:string, n_links:int64).
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        href = _href_host_re()
+        urls = t.column("url").to_pylist()
+        htmls = t.column("html").to_pylist()
+        c: Counter = Counter()
+        for u, h in zip(urls, htmls):
+            src = u.split("://", 1)[1].split("/", 1)[0].split(":", 1)[0]
+            for m in href.finditer(h):
+                c[(src, m.group(1).decode("utf-8", "replace"))] += 1
+        keys = sorted(c)
+        return pa.table(
+            {
+                "src_host": pa.array([k[0] for k in keys], pa.string()),
+                "dst_host": pa.array([k[1] for k in keys], pa.string()),
+                "n_links": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    partial = pages.select_columns(["url", "html"]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial.groupby(["src_host", "dst_host"]).aggregate(
+        Sum("n_links", alias_name="n_links")
+    )
+
+
+# --- crawl snapshot selection ------------------------------------------------
+
+
+def synthesize_recrawls(docs: rd.Dataset) -> rd.Dataset:
+    """Deterministic multi-crawl snapshot stream (fixture, version rc1):
+    page ``doc_id`` was crawled ``1 + doc_id % 3`` times; crawl ``r``
+    (0-based) is stamped ``warc_ts + r · 7 days``. Emits the narrow
+    (url, warc_ts, crawl_rev) stream — column-pruned: snapshot selection
+    never needs the html payload, so it never leaves storage. The DuckDB
+    oracle re-derives the stream with generate_series."""
+    import numpy as np
+
+    from graphiti_ray.sources.synth_spec import TS0, page_url
+
+    base_us = np.datetime64(TS0, "us").astype("int64")
+    week_us = 7 * 24 * 3600 * 1_000_000
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        srcs = t.column("source").to_pylist()
+        n_crawls = 1 + ids % 3
+        rep = np.repeat(np.arange(len(ids)), n_crawls)
+        # crawl_rev = position within each doc's run
+        starts = np.zeros(len(ids), np.int64)
+        np.cumsum(n_crawls[:-1], out=starts[1:])
+        rev = np.arange(int(n_crawls.sum()), dtype=np.int64) - starts[rep]
+        urls = [page_url(srcs[i], int(ids[i])) for i in rep]
+        ts = base_us + ids[rep] * 3_600_000_000 + rev * week_us
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+                "crawl_rev": pa.array(rev, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def latest_snapshots(
+    ds: rd.Dataset, key: str = "url", ts_col: str = "warc_ts"
+) -> rd.Dataset:
+    """Latest-crawl-wins snapshot selection — the standard Common-Crawl
+    dedup step (one row per url, the most recent capture; ties on
+    ``ts_col`` must not occur — the caller guarantees per-key timestamp
+    uniqueness, as real WARC capture times do).
+
+    Scale shape: a per-batch partial argmax first shrinks every batch to
+    one candidate row per key seen in it (so the sort input is bounded by
+    distinct keys × blocks, not snapshots), then ``head_k_per_key`` takes
+    the global per-key head via ONE range sort + the run-boundary kernel —
+    no per-key dispatch, no driver materialization."""
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import _table_run_starts, head_k_per_key
+
+    def with_neg(t: pa.Table) -> pa.Table:
+        neg = pc.multiply(pc.cast(t.column(ts_col), pa.int64()), -1)
+        return t.append_column("__neg_us", neg)
+
+    def partial_argmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        s = t.sort_by([(key, "ascending"), ("__neg_us", "ascending")])
+        starts = _table_run_starts(s, [key])[:-1]
+        return s.take(pa.array(starts, pa.int64()))
+
+    candidates = ds.map_batches(
+        with_neg, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(partial_argmax, batch_format="pyarrow")
+    out = head_k_per_key(candidates, [key], ["__neg_us"], k=1)
+    return out.drop_columns(["__neg_us"])

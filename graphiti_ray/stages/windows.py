@@ -934,3 +934,77 @@ def cohort_retention(
         .groupby(["cohort", "offset"])
         .aggregate(Sum("p_n", alias_name="n_active"))
     )
+
+
+def scd2_intervals(
+    ds: rd.Dataset,
+    key: str,
+    value: str,
+    ts_col: str,
+    tiebreak: str,
+) -> rd.Dataset:
+    """Slowly-changing-dimension (type 2) interval build: collapse each
+    key's ordered value sequence into change intervals —
+    (key, value, valid_from, valid_to, first ``tiebreak``), where
+    ``valid_from`` is the timestamp of the first row of a maximal
+    consecutive equal-``value`` run (an "island") and ``valid_to`` is the
+    next island's ``valid_from`` (NULL for the key's current value). The
+    warehouse dimension-history transform, and the same
+    supersede-without-delete temporal semantics as the KG edge sweep
+    (stages/temporal.py), applied to a relational stream.
+
+    One global range sort + a vectorized per-block island kernel over
+    COMPLETE key runs (``sorted_run_map``), no per-key dispatch. Island
+    detection is positional (adjacent-change on (key, value)), so a value
+    that recurs later opens a NEW interval, as SCD2 requires. A key whose
+    history exceeds ``carry_cap`` rows raises rather than truncating.
+    """
+    from graphiti_ray.stages.ops import (
+        _col_array,
+        _rows_equal_at,
+        _table_run_starts,
+        sorted_run_map,
+    )
+
+    def block_fn(t: pa.Table) -> pa.Table:
+        starts = _table_run_starts(t, [key, value])
+        idx = starts[:-1]  # island start offsets
+        k = len(idx)
+        if k == 0:
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    value: pa.array([], pa.string()),
+                    "valid_from": pa.array([], pa.timestamp("us")),
+                    "valid_to": pa.array([], pa.timestamp("us")),
+                    tiebreak: pa.array([], pa.int64()),
+                }
+            )
+        take = pa.array(idx, pa.int64())
+        vf = _col_array(t, ts_col).take(take)
+        # valid_to[i] = valid_from[i+1] iff islands i, i+1 share the key
+        same = (
+            _rows_equal_at(t, [key], idx[:-1], idx[1:])
+            if k > 1
+            else np.zeros(0, dtype=bool)
+        )
+        vf_us = vf.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vt_us = np.concatenate([vf_us[1:], [0]])
+        null_mask = np.concatenate([~same, [True]])
+        vt = pa.array(vt_us, pa.int64(), mask=null_mask).cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                key: _col_array(t, key).take(take),
+                value: _col_array(t, value).take(take),
+                "valid_from": vf,
+                "valid_to": vt,
+                tiebreak: _col_array(t, tiebreak).take(take),
+            }
+        )
+
+    return sorted_run_map(
+        ds.select_columns([key, value, ts_col, tiebreak]),
+        [key],
+        block_fn,
+        order_cols=[ts_col, tiebreak],
+    )

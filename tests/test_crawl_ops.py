@@ -1,0 +1,90 @@
+"""Crawl snapshot selection + degree assortativity moments."""
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from graphiti_ray.stages.graph import degree_assortativity_moments
+from graphiti_ray.stages.urls import latest_snapshots, synthesize_recrawls
+
+
+def test_synthesize_recrawls_arithmetic(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 5], pa.int64()),
+            "source": pa.array(["src0", "src1", "src2", "src5"]),
+        }
+    )
+    rows = synthesize_recrawls(rd.from_arrow(docs)).take_all()
+    # doc_id d → 1 + d % 3 snapshots
+    per_url = {}
+    for r in rows:
+        per_url.setdefault(r["url"], []).append(r["crawl_rev"])
+    assert sorted(per_url["https://src0.example.com/doc/0"]) == [0]
+    assert sorted(per_url["https://src1.example.com/doc/1"]) == [0, 1]
+    assert sorted(per_url["https://src2.example.com/doc/2"]) == [0, 1, 2]
+    assert sorted(per_url["https://src5.example.com/doc/5"]) == [0, 1, 2]
+    # snapshots 7 days apart
+    ts = sorted(
+        r["warc_ts"] for r in rows if r["url"].endswith("/doc/2")
+    )
+    assert (ts[1] - ts[0]).days == 7 and (ts[2] - ts[1]).days == 7
+
+
+def test_latest_snapshots_matches_pandas(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(40)), pa.int64()),
+            "source": pa.array([f"src{i % 4}" for i in range(40)]),
+        }
+    )
+    snaps = synthesize_recrawls(rd.from_arrow(docs))
+    # force key runs to straddle blocks
+    got = (
+        latest_snapshots(snaps.repartition(7))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pdf = snaps.to_pandas()
+    want = (
+        pdf.loc[pdf.groupby("url")["warc_ts"].idxmax()]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["warc_ts"]) == list(want["warc_ts"])
+    assert list(got["crawl_rev"]) == list(want["crawl_rev"])
+    # exactly one row per url
+    assert got["url"].is_unique
+
+
+def _edges(pairs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj_uuid": pa.array([a for a, _ in pairs]),
+                "obj_uuid": pa.array([b for _, b in pairs]),
+            }
+        )
+    )
+
+
+def test_assortativity_path_graph(ray_session):
+    # P3: a-b, b-c → degrees a:1 b:2 c:1
+    row = degree_assortativity_moments(_edges([("a", "b"), ("b", "c")])).take_all()
+    assert row == [{"n_ends": 4, "s_d": 6, "s_d2": 10, "s_dxdy": 4}]
+
+
+def test_assortativity_dedups_and_ignores_direction(ray_session):
+    # duplicate + reversed + self-loop all collapse to the same P3
+    row = degree_assortativity_moments(
+        _edges([("a", "b"), ("b", "a"), ("b", "c"), ("c", "c"), ("b", "c")])
+    ).take_all()
+    assert row == [{"n_ends": 4, "s_d": 6, "s_d2": 10, "s_dxdy": 4}]
+
+
+def test_assortativity_empty(ray_session):
+    out = degree_assortativity_moments(_edges([]).limit(0)).take_all()
+    assert out == []

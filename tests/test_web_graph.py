@@ -1,0 +1,70 @@
+"""Web link graph: outlink arithmetic, extraction, host PageRank plumbing."""
+
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from graphiti_ray.functions.text import extract_text_from_html
+from graphiti_ray.sources.pages import documents_to_pages, outlinks, render_page
+from graphiti_ray.stages.urls import extract_link_graph
+
+
+def test_outlinks_arithmetic():
+    for doc_id in [0, 1, 2, 3, 17, 499, 12345]:
+        links = outlinks(doc_id)
+        assert len(links) == 1 + doc_id % 3
+        for j, u in enumerate(links, start=1):
+            host = u.split("://", 1)[1].split("/", 1)[0]
+            assert host == f"src{(doc_id * 31 + 97 * j) % 20}.example.com"
+            assert u.endswith(f"/doc/{(doc_id * 7 + j) % 1000}")
+
+
+def test_outlinks_do_not_perturb_extraction():
+    # links live in the footer, outside <div id="main"> — byte identity holds
+    for doc_id in [0, 5, 41]:
+        url, html, golden = render_page(doc_id, "some words", f"src{doc_id % 20}")
+        assert extract_text_from_html(html) == golden
+        for u in outlinks(doc_id):
+            assert f'href="{u}"'.encode() in html
+
+
+@pytest.fixture
+def pages_ds(ray_session):
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 40], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d"]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["src0", "src1", "src2", "src0"]),
+        }
+    )
+    return rd.from_arrow(docs).map_batches(
+        documents_to_pages, batch_format="pyarrow"
+    )
+
+
+def test_extract_link_graph_matches_arithmetic(ray_session, pages_ds):
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in extract_link_graph(pages_ds).take_all()
+    }
+    want: Counter = Counter()
+    for doc_id, source in [(0, "src0"), (1, "src1"), (2, "src2"), (40, "src0")]:
+        for u in outlinks(doc_id):
+            dst = u.split("://", 1)[1].split("/", 1)[0]
+            want[(f"{source}.example.com", dst)] += 1
+    assert got == dict(want)
+
+
+def test_host_pagerank_mass(ray_session, pages_ds):
+    from graphiti_ray.stages.graph import pagerank
+
+    lg = extract_link_graph(pages_ds).select_columns(["src_host", "dst_host"])
+    pr = pagerank(lg, damping=0.85, rounds=3, src="src_host", dst="dst_host")
+    rows = pr.take_all()
+    assert rows and all(r["rank"] > 0 for r in rows)
+    # evaporating-sink formulation: total mass never exceeds 1
+    assert sum(r["rank"] for r in rows) <= 1.0 + 1e-9
