@@ -3604,6 +3604,19 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_web_boilerplate(sf_dir: str):
+    """Per-host template/boilerplate removal over the raw page stream
+    (CCNet-shape, rule bp1): ALL visible lines (header/nav/footer included)
+    → per-(host, line) occurrence counts via the one-sort run-length kernel
+    → drop lines hitting half the host's page count → reconstruct. On the
+    pg1.2 fixture the cleaned text equals the golden main-content text
+    byte-for-byte (pytest-asserted); the oracle replicates the whole rule
+    relationally."""
+    from graphiti_ray.stages.boilerplate import remove_boilerplate
+
+    return remove_boilerplate(_pages(sf_dir))
+
+
 def _q_web_link_graph(sf_dir: str):
     """Host-level web link graph straight off the raw HTML bytes: compiled
     byte-regex href scan per page → in-batch partial (src,dst) counts →
@@ -4457,6 +4470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "web_boilerplate": _q_web_boilerplate,
         "graph_assortativity": _q_graph_assortativity,
         "pages_latest_snapshot": _q_pages_latest_snapshot,
         "web_link_graph": _q_web_link_graph,
@@ -5473,6 +5487,49 @@ QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1
 WITH {_LINK_GRAPH_CTE.lstrip()}
 SELECT src_host, dst_host, count(*)::BIGINT AS n_links
 FROM lk GROUP BY 1, 2
+""",
+        # rule bp1 replicated relationally: visible lines re-derived from
+        # doc_id arithmetic (template pg1.2: h1 = host, nav = 'home | about',
+        # main = golden lines, footer = '© host'), occurrence counts per
+        # (host, line), drop ⇔ 2·occ ≥ n_pages(host), ordered re-join
+        "web_boilerplate": f"""
+WITH g AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || doc_id AS url,
+         source || '.example.com' AS host,
+         ({spec.SQL_FACT1}) || chr(10) || ({spec.SQL_FACT2})
+           || chr(10) || trim(text) AS golden
+  FROM documents
+),
+lx AS (
+  SELECT url, host,
+         list_concat(list_concat(
+           [host, 'home | about'],
+           string_split(golden, chr(10))),
+           ['© ' || host]) AS ll
+  FROM g
+),
+ln AS (
+  SELECT url, host,
+         unnest(generate_series(1, len(ll))) AS line_no,
+         unnest(ll) AS raw_line
+  FROM lx
+),
+lt AS (
+  SELECT url, host, line_no,
+         trim(raw_line, ' ' || chr(9) || chr(13)) AS line
+  FROM ln WHERE trim(raw_line, ' ' || chr(9) || chr(13)) <> ''
+),
+np AS (SELECT host, count(*) AS n_pages FROM g GROUP BY 1),
+occ AS (SELECT *, count(*) OVER (PARTITION BY host, line) AS n_occ FROM lt),
+kept AS (
+  SELECT o.url, o.line_no, o.line
+  FROM occ o JOIN np USING (host)
+  WHERE 2 * o.n_occ < np.n_pages
+)
+SELECT url, string_agg(line, chr(10) ORDER BY line_no) AS text,
+       count(*)::BIGINT AS n_lines
+FROM kept GROUP BY 1
 """,
         "web_host_pagerank": _web_host_pagerank_oracle_sql(),
         "pages_url_normalize": """

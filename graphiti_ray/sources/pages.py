@@ -77,7 +77,11 @@ def render_page(doc_id: int, text: str, source: str) -> tuple[str, bytes, str]:
     paras = [fact1, fact2, clean_text(text).strip()]
     golden = "\n".join(paras)
     body = "".join(f"<p>{_html.escape(p, quote=False)}</p>" for p in paras)
-    links = "".join(f'<a href="{u}">ref</a>' for u in outlinks(doc_id))
+    # pg1.2: anchor text is EMPTY so the footer's visible text is the
+    # host-constant "© {host}" — per-host boilerplate detection can then
+    # separate template lines (df = 100%) from content (≤ ~36%) with a
+    # clean 50% threshold. Link-graph extraction reads href= only.
+    links = "".join(f'<a href="{u}"></a>' for u in outlinks(doc_id))
     html_doc = _HTML_TMPL.format(
         doc_id=doc_id, host=host, paragraphs=body, outlinks=links
     )
