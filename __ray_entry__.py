@@ -3604,6 +3604,19 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_web_redirects(sf_dir: str):
+    """Redirect-chain resolution over a doc_id-derived short-link map
+    (fixture rd1, chains up to 7 hops): distributed pointer jumping
+    (parent := parent.parent per hash-join round) to each source's FINAL
+    destination. The oracle unrolls the identical doubling rounds as
+    MATERIALIZED CTEs — algorithm-faithful, no density assumption."""
+    from graphiti_ray.sources.pages import read_documents
+    from graphiti_ray.stages.urls import resolve_redirects, synthesize_redirects
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source"])
+    return resolve_redirects(synthesize_redirects(docs))
+
+
 def _q_web_boilerplate(sf_dir: str):
     """Per-host template/boilerplate removal over the raw page stream
     (CCNet-shape, rule bp1): ALL visible lines (header/nav/footer included)
@@ -4470,6 +4483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "web_redirects": _q_web_redirects,
         "web_boilerplate": _q_web_boilerplate,
         "graph_assortativity": _q_graph_assortativity,
         "pages_latest_snapshot": _q_pages_latest_snapshot,
@@ -5487,6 +5501,29 @@ QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1
 WITH {_LINK_GRAPH_CTE.lstrip()}
 SELECT src_host, dst_host, count(*)::BIGINT AS n_links
 FROM lk GROUP BY 1, 2
+""",
+        # pointer-jumping closure unrolled as doubling rounds (2^4 = 16 ≥ any
+        # rd1 chain); each round: pointer := pointer's pointer when the
+        # pointer is itself a source — the exact compress_mapping recurrence
+        "web_redirects": """
+WITH r0 AS MATERIALIZED (
+  SELECT 'https://l.example.com/u/' || doc_id AS u,
+         'https://l.example.com/u/' || (doc_id - 1) AS t
+  FROM documents WHERE doc_id % 8 <> 0
+),
+r1 AS MATERIALIZED (
+  SELECT a.u, coalesce(b.t, a.t) AS t FROM r0 a LEFT JOIN r0 b ON b.u = a.t
+),
+r2 AS MATERIALIZED (
+  SELECT a.u, coalesce(b.t, a.t) AS t FROM r1 a LEFT JOIN r1 b ON b.u = a.t
+),
+r3 AS MATERIALIZED (
+  SELECT a.u, coalesce(b.t, a.t) AS t FROM r2 a LEFT JOIN r2 b ON b.u = a.t
+),
+r4 AS MATERIALIZED (
+  SELECT a.u, coalesce(b.t, a.t) AS t FROM r3 a LEFT JOIN r3 b ON b.u = a.t
+)
+SELECT u AS url, t AS final_url FROM r4
 """,
         # rule bp1 replicated relationally: visible lines re-derived from
         # doc_id arithmetic (template pg1.2: h1 = host, nav = 'home | about',

@@ -221,6 +221,62 @@ def extract_link_graph(pages: rd.Dataset) -> rd.Dataset:
     )
 
 
+# --- redirect chain resolution ----------------------------------------------
+
+
+def synthesize_redirects(docs: rd.Dataset) -> rd.Dataset:
+    """FIXTURE stage (version rd1): a short-link redirect map as pure
+    doc_id arithmetic — doc ``d`` with ``d % 8 != 0`` contributes the
+    redirect ``/u/d → /u/(d-1)`` on the synthetic ``l.example.com``
+    namespace. Dense doc_ids chain up to 7 hops before hitting a multiple
+    of 8 (which is never a source), exercising multi-round pointer
+    jumping. The DuckDB oracle re-derives the pair table from documents
+    and unrolls the SAME doubling rounds."""
+
+    def mk(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id")
+        m8 = pc.subtract(did, pc.multiply(pc.divide(did, 8), 8))
+        keep = pc.not_equal(m8, 0)
+        tt = t.filter(keep)
+        d = pc.cast(tt.column("doc_id"), pa.int64())
+        base = pa.scalar("https://l.example.com/u/", pa.string())
+        url = pc.binary_join_element_wise(base, pc.cast(d, pa.string()), "")
+        tgt = pc.binary_join_element_wise(
+            base, pc.cast(pc.subtract(d, 1), pa.string()), ""
+        )
+        return pa.table({"url": url, "target": tgt})
+
+    return docs.select_columns(["doc_id"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def resolve_redirects(pairs: rd.Dataset, max_rounds: int = 16) -> rd.Dataset:
+    """Redirect-chain resolution — the crawl-frontier canonicalization step:
+    every redirect source maps to its FINAL destination (follow ``target``
+    while the intermediate is itself a redirect source). Distributed
+    pointer jumping via ``link.compress_mapping`` (parent := parent.parent
+    per round, O(log chain) hash-join rounds, converges on no-change) —
+    never a driver-side walk. Output: (url, final_url)."""
+    from graphiti_ray.stages.link import compress_mapping
+
+    m = pairs.map_batches(
+        lambda t: pa.table(
+            {"uuid": t.column("url"), "parent": t.column("target")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    closed = compress_mapping(m, max_rounds=max_rounds)
+    return closed.map_batches(
+        lambda t: pa.table(
+            {"url": t.column("uuid"), "final_url": t.column("parent")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # --- crawl snapshot selection ------------------------------------------------
 
 

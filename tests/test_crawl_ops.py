@@ -88,3 +88,43 @@ def test_assortativity_dedups_and_ignores_direction(ray_session):
 def test_assortativity_empty(ray_session):
     out = degree_assortativity_moments(_edges([]).limit(0)).take_all()
     assert out == []
+
+
+def test_resolve_redirects_chains(ray_session):
+    """Pointer jumping resolves multi-hop chains to the final target and
+    leaves targets that aren't sources untouched."""
+    from graphiti_ray.stages.urls import resolve_redirects
+
+    pairs = rd.from_arrow(
+        pa.table(
+            {
+                "url": ["a", "b", "c", "x"],
+                "target": ["b", "c", "d", "y"],
+            }
+        )
+    )
+    out = {r["url"]: r["final_url"] for r in resolve_redirects(pairs).take_all()}
+    assert out == {"a": "d", "b": "d", "c": "d", "x": "y"}
+
+
+def test_synthesize_redirects_closed_form(ray_session):
+    """On DENSE doc_ids the rd1 chains bottom out at the enclosing multiple
+    of 8: final(/u/d) = /u/(8*(d//8)). (The oracle never assumes density;
+    this closed form holds only on this fixture.)"""
+    from graphiti_ray.stages.urls import resolve_redirects, synthesize_redirects
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(40)), pa.int64())})
+    )
+    out = {
+        r["url"]: r["final_url"]
+        for r in resolve_redirects(synthesize_redirects(docs)).take_all()
+    }
+    assert len(out) == 40 - 5
+    for d in range(40):
+        if d % 8 == 0:
+            continue
+        assert (
+            out[f"https://l.example.com/u/{d}"]
+            == f"https://l.example.com/u/{8 * (d // 8)}"
+        )
