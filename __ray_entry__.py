@@ -3604,6 +3604,25 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_web_quality(sf_dir: str):
+    """Per-page crawl-quality signals off the raw bytes: REAL tx1 extraction
+    length, anchor-tag count, integer link density. The oracle re-derives
+    text_len from the golden text and n_links from the pg1.2 template
+    arithmetic (nav 2 + footer 1 + doc_id % 3)."""
+    from graphiti_ray.stages.urls import page_quality
+
+    return page_quality(_pages(sf_dir))
+
+
+def _q_crawl_schedule(sf_dir: str):
+    """Politeness-aware fetch plan: wave = row_number within host ordered
+    by (warc_ts, url), fetch_offset_s = wave · 1 s — one range sort via the
+    window_rank primitive, no per-host dispatch."""
+    from graphiti_ray.stages.urls import crawl_schedule
+
+    return crawl_schedule(_pages(sf_dir), crawl_delay_s=1)
+
+
 def _q_web_redirects(sf_dir: str):
     """Redirect-chain resolution over a doc_id-derived short-link map
     (fixture rd1, chains up to 7 hops): distributed pointer jumping
@@ -4483,6 +4502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "web_quality": _q_web_quality,
+        "crawl_schedule": _q_crawl_schedule,
         "web_redirects": _q_web_redirects,
         "web_boilerplate": _q_web_boilerplate,
         "graph_assortativity": _q_graph_assortativity,
@@ -5501,6 +5522,36 @@ QUALIFY row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) = 1
 WITH {_LINK_GRAPH_CTE.lstrip()}
 SELECT src_host, dst_host, count(*)::BIGINT AS n_links
 FROM lk GROUP BY 1, 2
+""",
+        "web_quality": f"""
+WITH g AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || doc_id AS url,
+         ({spec.SQL_FACT1}) || chr(10) || ({spec.SQL_FACT2})
+           || chr(10) || trim(text) AS golden
+  FROM documents
+)
+SELECT url,
+       length(golden)::BIGINT AS text_len,
+       (3 + doc_id % 3)::BIGINT AS n_links,
+       ((3 + doc_id % 3) * 1000000)
+         // greatest(length(golden), 1) AS link_density_e6
+FROM g
+""",
+        "crawl_schedule": """
+WITH p AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         source || '.example.com' AS host,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR
+           AS warc_ts
+  FROM documents
+)
+SELECT url, host,
+       (row_number() OVER (PARTITION BY host ORDER BY warc_ts, url) - 1)
+         AS wave,
+       (row_number() OVER (PARTITION BY host ORDER BY warc_ts, url) - 1)
+         AS fetch_offset_s
+FROM p
 """,
         # pointer-jumping closure unrolled as doubling rounds (2^4 = 16 ≥ any
         # rd1 chain); each round: pointer := pointer's pointer when the

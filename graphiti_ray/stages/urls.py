@@ -26,6 +26,7 @@ at deploy time).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -218,6 +219,105 @@ def extract_link_graph(pages: rd.Dataset) -> rd.Dataset:
     )
     return partial.groupby(["src_host", "dst_host"]).aggregate(
         Sum("n_links", alias_name="n_links")
+    )
+
+
+# --- page quality signals -----------------------------------------------------
+
+_A_TAG_RE = None
+
+
+def _a_tag_re():
+    global _A_TAG_RE
+    if _A_TAG_RE is None:
+        import re
+
+        _A_TAG_RE = re.compile(rb"<a\s")
+    return _A_TAG_RE
+
+
+def page_quality(pages: rd.Dataset) -> rd.Dataset:
+    """Per-page quality signals computed off the RAW bytes — the standard
+    crawl-filtering features (C4/Gopher lineage, adapted to what the page
+    payload itself supports): extracted-text length via the REAL tx1
+    extraction (so the signal exercises the same parser as the KG path),
+    anchor-tag count, and integer link density
+    ``n_links·1e6 // max(text_len, 1)``. Stateless map_batches; downstream
+    filters threshold these columns. Output:
+    (url, text_len, n_links, link_density_e6), all exact int64."""
+    from graphiti_ray.functions.text import extract_text_from_html
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        a_re = _a_tag_re()
+        htmls = t.column("html").to_pylist()
+        text_len = np.empty(len(htmls), np.int64)
+        n_links = np.empty(len(htmls), np.int64)
+        for i, hb in enumerate(htmls):
+            text_len[i] = len(extract_text_from_html(hb))
+            n_links[i] = len(a_re.findall(hb))
+        density = n_links * 1_000_000 // np.maximum(text_len, 1)
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "text_len": pa.array(text_len, pa.int64()),
+                "n_links": pa.array(n_links, pa.int64()),
+                "link_density_e6": pa.array(density, pa.int64()),
+            }
+        )
+
+    return pages.select_columns(["url", "html"]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- politeness-aware crawl scheduling ----------------------------------------
+
+
+def crawl_schedule(
+    pages: rd.Dataset, crawl_delay_s: int = 1
+) -> rd.Dataset:
+    """Politeness-aware fetch plan: within each host, order captures by
+    (warc_ts, url) and assign ``wave`` = 0-based position; a crawler
+    honouring one request per ``crawl_delay_s`` per host fetches the page
+    at ``fetch_offset_s = wave · crawl_delay_s`` after that host's crawl
+    opens. ONE range sort via the window_rank primitive — hub hosts
+    (millions of pages) cost only the sort, no per-host dispatch.
+    Output: (url, host, wave, fetch_offset_s)."""
+    from graphiti_ray.stages.ops import window_rank
+
+    def to_host(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t.column("url"), r"^[^:/?#]+://(?P<h>[^/?#:]+)"),
+            "h",
+        )
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "host": host,
+                "warc_ts": t.column("warc_ts"),
+            }
+        )
+
+    narrow = pages.select_columns(["url", "warc_ts"]).map_batches(
+        to_host, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranked = window_rank(
+        narrow, ["host"], ["warc_ts", "url"], rank_col="rank", count_col="n"
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        wave = pc.subtract(t.column("rank"), 1)
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "host": t.column("host"),
+                "wave": wave,
+                "fetch_offset_s": pc.multiply(wave, crawl_delay_s),
+            }
+        )
+
+    return ranked.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -128,3 +128,53 @@ def test_synthesize_redirects_closed_form(ray_session):
             out[f"https://l.example.com/u/{d}"]
             == f"https://l.example.com/u/{8 * (d // 8)}"
         )
+
+
+def test_page_quality_signals(ray_session):
+    from graphiti_ray.stages.urls import page_quality
+
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": ["https://h.example.com/doc/1"],
+                "html": pa.array(
+                    [
+                        b'<body><div id="main"><p>abcde</p></div>'
+                        b'<footer><a href="https://x.org/"></a>'
+                        b'<a href="https://y.org/"></a></footer></body>'
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+    )
+    r = page_quality(pages).take_all()[0]
+    assert r["text_len"] == 5
+    assert r["n_links"] == 2
+    assert r["link_density_e6"] == 2_000_000 // 5
+
+
+def test_crawl_schedule_politeness(ray_session):
+    from graphiti_ray.stages.urls import crawl_schedule
+
+    ts = pa.array([3, 1, 2, 5], pa.timestamp("us"))
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": [
+                    "https://a.com/1",
+                    "https://a.com/2",
+                    "https://a.com/3",
+                    "https://b.com/1",
+                ],
+                "warc_ts": ts,
+            }
+        )
+    )
+    rows = {r["url"]: r for r in crawl_schedule(pages, crawl_delay_s=2).take_all()}
+    # within a.com: order by warc_ts → /2 (t=1), /3 (t=2), /1 (t=3)
+    assert rows["https://a.com/2"]["wave"] == 0
+    assert rows["https://a.com/3"]["wave"] == 1
+    assert rows["https://a.com/1"]["wave"] == 2
+    assert rows["https://a.com/1"]["fetch_offset_s"] == 4
+    assert rows["https://b.com/1"]["wave"] == 0
