@@ -3248,19 +3248,41 @@ def _q_graph_pagerank(sf_dir: str):
     return pagerank(tables["edges"], damping=0.85, rounds=5)
 
 
-def _pagerank_chain_sql(edge_table: str, damping: float, rounds: int) -> str:
+def _pagerank_chain_sql(
+    edge_table: str, damping: float, rounds: int, seed_pred: str | None = None
+) -> str:
     """The unrolled-PageRank CTE chain over an edge table/CTE with columns
     (s, t) pre-exposed via ``edge_table`` — shared by the KG-entity and
     web-host variants so the per-round arithmetic stays identical (same
-    repr-interpolated float constants as the Ray kernel)."""
-    base_expr = f"{1.0 - damping!r} / nn.n"
+    repr-interpolated float constants as the Ray kernel).
+
+    ``seed_pred`` (a SQL boolean template with an ``{x}`` node placeholder)
+    switches on the PERSONALIZED variant: n = |seed nodes present|, start
+    1/n on seeds else 0, teleport mass only to seeds — mirroring
+    graph.pagerank(seeds=...)."""
+    if seed_pred is None:
+        base_expr = f"{1.0 - damping!r} / nn.n"
+        r0_pr = "1.0 / nn.n"
+        nn_sql = "SELECT count(*) AS n FROM nodes"
+    else:
+        base_expr = (
+            f"CASE WHEN {seed_pred.format(x='n0.x')} "
+            f"THEN {1.0 - damping!r} / nn.n ELSE 0.0 END"
+        )
+        r0_pr = (
+            f"CASE WHEN {seed_pred.format(x='x')} "
+            f"THEN 1.0 / nn.n ELSE 0.0 END"
+        )
+        nn_sql = (
+            f"SELECT count(*) AS n FROM nodes WHERE {seed_pred.format(x='x')}"
+        )
     parts = [
         f"nodes AS (SELECT s AS x FROM {edge_table} "
         f"UNION SELECT t FROM {edge_table})",
-        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"nn AS ({nn_sql})",
         f"od AS (SELECT s, count(*) AS od FROM {edge_table} GROUP BY 1)",
         f"e AS (SELECT s, t FROM {edge_table})",
-        "r0 AS (SELECT x AS node, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)",
+        f"r0 AS (SELECT x AS node, {r0_pr} AS pr FROM nodes CROSS JOIN nn)",
     ]
     for k in range(1, rounds + 1):
         parts.append(
@@ -3299,6 +3321,48 @@ lk AS (
   FROM documents CROSS JOIN jx
   WHERE jx.j <= 1 + doc_id % 3
 )"""
+
+
+PPR_SEED_HOSTS = [f"src{i}.example.com" for i in range(0, 20, 5)]
+
+
+def _web_host_ppr_oracle_sql(damping: float = 0.85, rounds: int = 5) -> str:
+    seed_list = ", ".join(f"'{h}'" for h in PPR_SEED_HOSTS)
+    chain = (
+        "he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),\n"
+        + _pagerank_chain_sql(
+            "he", damping, rounds, seed_pred=f"{{x}} IN ({seed_list})"
+        )
+    )
+    return f"""
+WITH {_LINK_GRAPH_CTE.lstrip()},
+{chain}
+SELECT node AS host, pr AS rank FROM r{rounds}
+"""
+
+
+def _q_web_host_ppr(sf_dir: str):
+    """Personalized (topic-sensitive) PageRank over the host link graph:
+    teleport mass restricted to a trusted seed-host whitelist (Haveliwala
+    2002 / TrustRank shape) — the same unrolled join+sum kernel with a
+    broadcast seed mask instead of the uniform base."""
+    from graphiti_ray.stages.graph import pagerank
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    pr = pagerank(
+        lg,
+        damping=0.85,
+        rounds=5,
+        src="src_host",
+        dst="dst_host",
+        seeds=PPR_SEED_HOSTS,
+    )
+    return pr.map_batches(
+        lambda t: t.rename_columns(["host", "rank"]), batch_format="pyarrow"
+    )
 
 
 def _web_host_pagerank_oracle_sql(damping: float = 0.85, rounds: int = 5) -> str:
@@ -4502,6 +4566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "web_host_ppr": _q_web_host_ppr,
         "web_quality": _q_web_quality,
         "crawl_schedule": _q_crawl_schedule,
         "web_redirects": _q_web_redirects,
@@ -5620,6 +5685,7 @@ SELECT url, string_agg(line, chr(10) ORDER BY line_no) AS text,
 FROM kept GROUP BY 1
 """,
         "web_host_pagerank": _web_host_pagerank_oracle_sql(),
+        "web_host_ppr": _web_host_ppr_oracle_sql(),
         "pages_url_normalize": """
 SELECT
   'https://' || source || '.example.com/doc/' || doc_id

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data as rd
 from ray.data.aggregate import Count, Min, Sum
@@ -381,6 +382,7 @@ def pagerank(
     rounds: int = 5,
     src: str = "subj_uuid",
     dst: str = "obj_uuid",
+    seeds: list[str] | None = None,
 ) -> rd.Dataset:
     """Simplified PageRank over the directed edge list: fixed round count
     (so a SQL twin can unroll the recurrence), uniform 1/N start, and
@@ -393,6 +395,14 @@ def pagerank(
     isolated nodes survive the groupby without an outer join), one
     sum-groupby on dst, then rank = (1-d)/N + d·acc. Two shuffles per
     round — the same iterative shape as label_propagation.
+
+    ``seeds`` switches on PERSONALIZED PageRank (topic-sensitive, Haveliwala
+    2002): teleport mass goes only to the seed nodes present in the graph
+    (|S| of them) — start 1/|S| on seeds else 0, per round
+    rank = d·acc + (1-d)/|S|·1_S. The seed list is a driver-side constant
+    (a topic whitelist, a trusted-host set) broadcast into each batch via
+    ``pc.is_in`` — no join; everything else is the same kernel, so the SQL
+    twin reuses the same unrolled chain with a seed indicator.
     """
     import numpy as np
 
@@ -409,7 +419,15 @@ def pagerank(
         "node",
     ).materialize()
     n = nodes.count()
-    if n == 0:  # empty graph → empty ranking, not a ZeroDivisionError
+    seed_arr = (
+        pa.array(sorted(set(seeds)), pa.string()) if seeds is not None else None
+    )
+    if seed_arr is not None:
+        n = nodes.map_batches(
+            lambda t, _s=seed_arr: t.filter(pc.is_in(t.column("node"), _s)),
+            batch_format="pyarrow",
+        ).count()  # |S ∩ graph|: teleport mass only lands on present seeds
+    if n == 0:  # empty graph / no present seed → empty ranking
         return rd.from_arrow(
             pa.table(
                 {
@@ -433,12 +451,17 @@ def pagerank(
         on=("s",),
     ).materialize()
 
-    ranks = nodes.map_batches(
-        lambda t, _p=1.0 / n: t.append_column(
-            "pr", pa.array(np.full(t.num_rows, _p), pa.float64())
-        ),
-        batch_format="pyarrow",
-    ).materialize()
+    def _init_pr(t: pa.Table, _p=1.0 / n, _s=seed_arr) -> pa.Table:
+        if _s is None:
+            pr = np.full(t.num_rows, _p)
+        else:
+            mask = pc.is_in(t.column("node"), _s).to_numpy(
+                zero_copy_only=False
+            )
+            pr = np.where(mask, _p, 0.0)
+        return t.append_column("pr", pa.array(pr, pa.float64()))
+
+    ranks = nodes.map_batches(_init_pr, batch_format="pyarrow").materialize()
 
     zero_rows = nodes.map_batches(
         lambda t: t.append_column(
@@ -470,22 +493,28 @@ def pagerank(
             ),
             batch_format="pyarrow",
         ).union(zero_rows)
+        def _finish_round(
+            t: pa.Table, _b=base, _d=damping, _s=seed_arr
+        ) -> pa.Table:
+            acc = t.column("acc").to_numpy(zero_copy_only=False)
+            if _s is None:
+                pr = _b + _d * acc
+            else:
+                mask = pc.is_in(t.column("node"), _s).to_numpy(
+                    zero_copy_only=False
+                )
+                pr = np.where(mask, _b, 0.0) + _d * acc
+            return pa.table(
+                {
+                    "node": t.column("node"),
+                    "pr": pa.array(pr, pa.float64()),
+                }
+            )
+
         ranks = (
             contribs.groupby("node")
             .aggregate(Sum("contrib", alias_name="acc"))
-            .map_batches(
-                lambda t, _b=base, _d=damping: pa.table(
-                    {
-                        "node": t.column("node"),
-                        "pr": pa.array(
-                            _b
-                            + _d * t.column("acc").to_numpy(zero_copy_only=False),
-                            pa.float64(),
-                        ),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
+            .map_batches(_finish_round, batch_format="pyarrow")
             .materialize()
         )
     return ranks.map_batches(

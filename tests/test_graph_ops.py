@@ -375,3 +375,43 @@ def test_adamic_adar_excludes_adjacent_and_sums_centers(ray_session):
     }
     w3 = 10**12 // int(np.rint(np.log(3.0) * 1e6))
     assert out == {("b", "d"): (2, 2 * w3)}
+
+
+def test_personalized_pagerank_matches_dense_reference(ray_session):
+    """seeds=... restricts the teleport vector to present seeds: dense
+    numpy twin to 1e-9; nodes unreachable from the seed set rank 0;
+    absent seeds don't dilute the mass."""
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import pagerank
+
+    pairs = [("s1", "a"), ("a", "b"), ("b", "a"), ("s2", "b"),
+             ("x", "y")]  # x/y unreachable from {s1, s2}
+    edges = rd_.from_items(
+        [{"subj_uuid": s, "obj_uuid": t} for s, t in pairs]
+    )
+    seeds = ["s1", "s2", "ghost-not-in-graph"]
+    got = {
+        r["entity_uuid"]: r["rank"]
+        for r in pagerank(edges, damping=0.85, rounds=5, seeds=seeds).take_all()
+    }
+
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    seed_mask = np.array([v in ("s1", "s2") for v in nodes])
+    ns = int(seed_mask.sum())  # ghost seed is NOT in the graph
+    outdeg = np.zeros(n)
+    for s, _t in pairs:
+        outdeg[idx[s]] += 1
+    pr = np.where(seed_mask, 1.0 / ns, 0.0)
+    for _ in range(5):
+        acc = np.zeros(n)
+        for s, t in pairs:
+            acc[idx[t]] += pr[idx[s]] / outdeg[idx[s]]
+        pr = np.where(seed_mask, (1.0 - 0.85) / ns, 0.0) + 0.85 * acc
+    for v in nodes:
+        assert abs(got[v] - pr[idx[v]]) < 1e-9, v
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > 0 and got["b"] > 0
