@@ -3668,6 +3668,23 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_web_host_harmonic(sf_dir: str):
+    """Seed-set harmonic centrality over the host link graph (Boldi &
+    Vigna's web-graph centrality, seed-restricted): dataset-side layered
+    BFS over (seed, node) pairs, hc_e6 = Σ 1e6 // d on the exact integer
+    lattice; the oracle is a depth-bounded recursive CTE min-depth per
+    seed."""
+    from graphiti_ray.stages.graph import harmonic_centrality
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return harmonic_centrality(
+        lg, seeds=PPR_SEED_HOSTS, max_depth=6, src="src_host", dst="dst_host"
+    )
+
+
 def _q_web_quality(sf_dir: str):
     """Per-page crawl-quality signals off the raw bytes: REAL tx1 extraction
     length, anchor-tag count, integer link density. The oracle re-derives
@@ -4566,6 +4583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "web_host_harmonic": _q_web_host_harmonic,
         "web_host_ppr": _q_web_host_ppr,
         "web_quality": _q_web_quality,
         "crawl_schedule": _q_crawl_schedule,
@@ -5686,6 +5704,23 @@ FROM kept GROUP BY 1
 """,
         "web_host_pagerank": _web_host_pagerank_oracle_sql(),
         "web_host_ppr": _web_host_ppr_oracle_sql(),
+        # depth-bounded recursive min-depth per seed; UNION (not ALL)
+        # dedups (seed, node, d) triples so cycles terminate at d ≤ 6
+        "web_host_harmonic": f"""
+WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
+he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),
+sd AS (SELECT unnest([{", ".join(f"'{h}'" for h in PPR_SEED_HOSTS)}])
+         AS seed),
+walk(seed, node, d) AS (
+  SELECT seed, seed, 0 FROM sd
+  UNION
+  SELECT w.seed, e.t, w.d + 1
+  FROM walk w JOIN he e ON e.s = w.node WHERE w.d < 6
+),
+md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
+SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
+FROM md WHERE d > 0 GROUP BY 1
+""",
         "pages_url_normalize": """
 SELECT
   'https://' || source || '.example.com/doc/' || doc_id

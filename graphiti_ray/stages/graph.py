@@ -525,6 +525,104 @@ def pagerank(
     )
 
 
+def harmonic_centrality(
+    edges: rd.Dataset,
+    seeds: list[str],
+    max_depth: int = 6,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """Seed-set harmonic centrality (Boldi & Vigna 2014, seed-restricted —
+    the web-graph centrality that, unlike closeness, is defined on
+    disconnected graphs): hc(v) = Σ_{s ∈ S, 0 < d(s,v) ≤ max_depth} 1/d(s,v)
+    with directed forward BFS distances, emitted on the exact integer
+    lattice ``hc_e6 = Σ 1_000_000 // d`` so the SQL twin (a bounded
+    recursive CTE per seed) hashes bit-for-bit.
+
+    Dataset-side layered BFS over (seed, node) pairs — the frontier and
+    visited sets are Datasets (|S|·|V| worst case), never driver
+    residents: per round one hash join frontier⋈edges, one distinct set
+    difference against visited (``ops.dataset_except``), and a
+    vocabulary-sized count per newly-reached node. Rounds are bounded by
+    ``max_depth`` (contributions beyond it are < 1/max_depth each and cut
+    off, as the docstring twin documents)."""
+    from ray.data.aggregate import Count
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import dataset_except
+
+    e = edges.select_columns([src, dst]).map_batches(
+        lambda t: t.rename_columns(["node", "nxt"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    seed_tbl = pa.table(
+        {
+            "seed": pa.array(sorted(set(seeds)), pa.string()),
+            "node": pa.array(sorted(set(seeds)), pa.string()),
+        }
+    )
+    frontier = rd.from_arrow(seed_tbl).materialize()
+    visited = frontier
+    partials: list[rd.Dataset] = []
+    for depth in range(1, max_depth + 1):
+        stepped = safe_join(
+            frontier,
+            e,
+            join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("node",),
+        ).map_batches(
+            lambda t: pa.table(
+                {"seed": t.column("seed"), "node": t.column("nxt")}
+            ),
+            batch_format="pyarrow",
+        )
+        fresh = dataset_except(stepped, visited, ["seed", "node"]).materialize()
+        if fresh.count() == 0:
+            break
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+        contrib = 1_000_000 // depth
+        partials.append(
+            fresh.groupby("node")
+            .aggregate(Count(alias_name="n_seeds"))
+            .map_batches(
+                lambda t, _c=contrib: pa.table(
+                    {
+                        "node": t.column("node"),
+                        "hc_e6": pc.multiply(
+                            pc.cast(t.column("n_seeds"), pa.int64()), _c
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+    if not partials:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "hc_e6": pa.array([], pa.int64()),
+                }
+            )
+        )
+    acc = partials[0]
+    for p in partials[1:]:
+        acc = acc.union(p)
+    return (
+        acc.groupby("node")
+        .aggregate(Sum("hc_e6", alias_name="hc_e6"))
+        .map_batches(
+            lambda t: pa.table(
+                {"host": t.column("node"), "hc_e6": t.column("hc_e6")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def hits(
     edges: rd.Dataset,
     rounds: int = 4,

@@ -415,3 +415,29 @@ def test_personalized_pagerank_matches_dense_reference(ray_session):
         assert abs(got[v] - pr[idx[v]]) < 1e-9, v
     assert got["x"] == 0.0 and got["y"] == 0.0
     assert got["a"] > 0 and got["b"] > 0
+
+
+def test_harmonic_centrality_hand_graph(ray_session):
+    """Chain s→a→b, cycle b→s, second seed t→a, unreachable x→y:
+    hand-checked integer-lattice contributions, min-depth semantics."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import harmonic_centrality
+
+    pairs = [("s", "a"), ("a", "b"), ("b", "s"), ("t", "a"), ("x", "y")]
+    edges = rd_.from_items(
+        [{"subj_uuid": u, "obj_uuid": v} for u, v in pairs]
+    )
+    got = {
+        r["host"]: r["hc_e6"]
+        for r in harmonic_centrality(
+            edges, seeds=["s", "t"], max_depth=6
+        ).take_all()
+    }
+    # d(s,a)=1 d(s,b)=2; d(t,a)=1 d(t,b)=2 d(t,s)=3; s reaches itself at 3
+    assert got["a"] == 2 * 1_000_000
+    assert got["b"] == 2 * (1_000_000 // 2)
+    # (s,s) is visited at depth 0, so s's round trip through the cycle is
+    # excluded (min-depth 0 on both sides); only t's path counts
+    assert got["s"] == 1_000_000 // 3
+    assert "y" not in got and "x" not in got
