@@ -3668,6 +3668,17 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_robots_filter(sf_dir: str):
+    """Robots.txt gating (rule table rb1): generic vectorized prefix
+    matching against a broadcast per-host Disallow cache; the oracle
+    re-derives the allow decision from the same source arithmetic."""
+    from graphiti_ray.sources.pages import read_documents
+    from graphiti_ray.stages.urls import apply_robots, synthesize_robots
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source"])
+    return apply_robots(_pages(sf_dir), synthesize_robots(docs))
+
+
 def _q_web_host_harmonic(sf_dir: str):
     """Seed-set harmonic centrality over the host link graph (Boldi &
     Vigna's web-graph centrality, seed-restricted): dataset-side layered
@@ -4583,6 +4594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "robots_filter": _q_robots_filter,
         "web_host_harmonic": _q_web_host_harmonic,
         "web_host_ppr": _q_web_host_ppr,
         "web_quality": _q_web_quality,
@@ -5704,6 +5716,21 @@ FROM kept GROUP BY 1
 """,
         "web_host_pagerank": _web_host_pagerank_oracle_sql(),
         "web_host_ppr": _web_host_ppr_oracle_sql(),
+        "robots_filter": """
+WITH p AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || doc_id AS url,
+         '/doc/' || doc_id AS path,
+         CAST(substr(source, 4) AS INT) AS n
+  FROM documents
+)
+SELECT url,
+       CASE WHEN n % 4 = 3 THEN 1
+            WHEN starts_with(path, '/doc/' || (n % 10))
+              OR starts_with(path, '/admin') THEN 0
+            ELSE 1 END::BIGINT AS allowed
+FROM p
+""",
         # depth-bounded recursive min-depth per seed; UNION (not ALL)
         # dedups (seed, node, d) triples so cycles terminate at d ≤ 6
         "web_host_harmonic": f"""

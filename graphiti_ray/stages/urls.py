@@ -30,6 +30,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data as rd
 
 _SPLIT_RE = r"^(?P<scheme>[^:/?#]+)://(?P<hostport>[^/?#]*)(?P<rest>.*)$"
@@ -266,6 +267,101 @@ def page_quality(pages: rd.Dataset) -> rd.Dataset:
         )
 
     return pages.select_columns(["url", "html"]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# --- robots.txt gating ---------------------------------------------------------
+
+
+def synthesize_robots(docs: rd.Dataset) -> rd.Dataset:
+    """FIXTURE stage (version rb1): a per-host robots rule table as pure
+    source arithmetic — host ``srcN.example.com`` with ``N % 4 == 3``
+    publishes no rules (allow-all); every other host disallows the path
+    prefixes ``/doc/{N % 10}`` and ``/admin``. Output: (host, prefix),
+    one row per Disallow line — the vocabulary-sized table a crawler's
+    robots cache holds. The DuckDB oracle re-derives the ALLOW decision
+    from the same arithmetic."""
+
+    def mk(t: pa.Table) -> pa.Table:
+        srcs = sorted(set(t.column("source").to_pylist()))
+        hosts, prefixes = [], []
+        for s in srcs:
+            n = int(s[3:])
+            if n % 4 == 3:
+                continue
+            host = f"{s}.example.com"
+            hosts.extend([host, host])
+            prefixes.extend([f"/doc/{n % 10}", "/admin"])
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "prefix": pa.array(prefixes, pa.string()),
+            }
+        )
+
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    per_batch = docs.select_columns(["source"]).map_batches(
+        mk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def key(t: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            t.column("host"), t.column("prefix"), "|"
+        )
+        return t.append_column("__k", k)
+
+    return distinct_by_key(
+        per_batch.map_batches(key, batch_format="pyarrow"), "__k"
+    ).drop_columns(["__k"])
+
+
+def apply_robots(pages: rd.Dataset, rules: rd.Dataset) -> rd.Dataset:
+    """Robots.txt gating — the crawl-side politeness filter: a page is
+    allowed unless ANY of its host's Disallow prefixes matches its path
+    (prefix semantics per RFC 9309's longest-match simplification with no
+    Allow overrides). The rule table is vocabulary-sized (hosts × a few
+    lines) and broadcast once via ``ray.put`` — exactly how production
+    crawlers hold their robots cache; a multi-billion-host deployment
+    shards this stage by host hash and broadcasts per shard (documented
+    seam). Matching is vectorized per (host-in-batch, prefix): numpy
+    ``startswith`` over the batch's path array, no per-row Python.
+    Output: (url, allowed:int64 0/1)."""
+    rule_rows = rules.take_all()  # vocabulary-sized by contract
+    table: dict[str, list[str]] = {}
+    for r in rule_rows:
+        table.setdefault(r["host"], []).append(r["prefix"])
+    ref = ray.put(table)
+
+    def per_batch(t: pa.Table, _ref=ref) -> pa.Table:
+        m = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        urls = t.column("url")
+        parts = pc.extract_regex(
+            urls, r"^[^:/?#]+://(?P<h>[^/?#]+)(?P<p>/[^?#]*)?"
+        )
+        hosts = pc.struct_field(parts, "h").to_numpy(zero_copy_only=False)
+        paths = pc.fill_null(pc.struct_field(parts, "p"), "/").to_numpy(
+            zero_copy_only=False
+        )
+        allowed = np.ones(len(hosts), np.int64)
+        for h in np.unique(hosts):
+            prefixes = m.get(h)
+            if not prefixes:
+                continue
+            sel = hosts == h
+            sub = paths[sel].astype(str)
+            blocked = np.zeros(sub.shape[0], bool)
+            for p in prefixes:
+                blocked |= np.char.startswith(sub, p)
+            out = allowed[sel]
+            out[blocked] = 0
+            allowed[sel] = out
+        return pa.table(
+            {"url": urls, "allowed": pa.array(allowed, pa.int64())}
+        )
+
+    return pages.select_columns(["url"]).map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 

@@ -178,3 +178,61 @@ def test_crawl_schedule_politeness(ray_session):
     assert rows["https://a.com/1"]["wave"] == 2
     assert rows["https://a.com/1"]["fetch_offset_s"] == 4
     assert rows["https://b.com/1"]["wave"] == 0
+
+
+def test_apply_robots_prefix_semantics(ray_session):
+    from graphiti_ray.stages.urls import apply_robots
+
+    rules = rd.from_arrow(
+        pa.table(
+            {
+                "host": ["a.com", "a.com", "b.com"],
+                "prefix": ["/private", "/tmp/x", "/"],
+            }
+        )
+    )
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": [
+                    "https://a.com/private/page",   # blocked (prefix)
+                    "https://a.com/privateer",      # blocked: startswith
+                    "https://a.com/public",         # allowed
+                    "https://a.com/tmp/xy",         # blocked
+                    "https://a.com/tmp/y",          # allowed
+                    "https://b.com/anything",       # blocked: '/' blocks all
+                    "https://c.com/whatever",       # no rules → allowed
+                    "https://a.com",                # empty path → '/'
+                ],
+            }
+        )
+    )
+    got = {r["url"]: r["allowed"] for r in apply_robots(pages, rules).take_all()}
+    assert got["https://a.com/private/page"] == 0
+    assert got["https://a.com/privateer"] == 0
+    assert got["https://a.com/public"] == 1
+    assert got["https://a.com/tmp/xy"] == 0
+    assert got["https://a.com/tmp/y"] == 1
+    assert got["https://b.com/anything"] == 0
+    assert got["https://c.com/whatever"] == 1
+    assert got["https://a.com"] == 1
+
+
+def test_synthesize_robots_rb1(ray_session):
+    from graphiti_ray.stages.urls import synthesize_robots
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "source": ["src2", "src3", "src2", "src12"],
+            }
+        )
+    )
+    rows = {(r["host"], r["prefix"]) for r in synthesize_robots(docs).take_all()}
+    assert rows == {
+        ("src2.example.com", "/doc/2"),
+        ("src2.example.com", "/admin"),
+        ("src12.example.com", "/doc/2"),
+        ("src12.example.com", "/admin"),
+    }  # src3: N % 4 == 3 → allow-all, no rows
