@@ -3668,6 +3668,47 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC connector end-to-end: pages → .warc segments (Content-Length
+    framing, one file per block) → read_binary_files + streaming parse →
+    tx1 text extraction. The oracle derives the expected table straight
+    from documents — so the roundtrip proves header framing, µs timestamp
+    serialization, binary payload integrity AND the byte-identity
+    extraction invariant in one query."""
+    import hashlib
+    import shutil
+
+    from graphiti_ray.sources.warc import read_warc, write_warc
+
+    out_dir = (
+        "/tmp/graphiti_warc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_warc(_pages(sf_dir), out_dir)
+
+    def ext(t):
+        import pyarrow as pa
+
+        from graphiti_ray.functions.text import extract_text_from_html
+
+        texts = [
+            extract_text_from_html(h) for h in t.column("html").to_pylist()
+        ]
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "lang": t.column("lang"),
+                "text": pa.array(texts, type=__import__("pyarrow").string()),
+            }
+        )
+
+    return read_warc(out_dir).map_batches(
+        ext, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_robots_filter(sf_dir: str):
     """Robots.txt gating (rule table rb1): generic vectorized prefix
     matching against a broadcast per-host Disallow cache; the oracle
@@ -4594,6 +4635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "warc_roundtrip": _q_warc_roundtrip,
         "robots_filter": _q_robots_filter,
         "web_host_harmonic": _q_web_host_harmonic,
         "web_host_ppr": _q_web_host_ppr,
@@ -5716,6 +5758,15 @@ FROM kept GROUP BY 1
 """,
         "web_host_pagerank": _web_host_pagerank_oracle_sql(),
         "web_host_ppr": _web_host_ppr_oracle_sql(),
+        "warc_roundtrip": f"""
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+       TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR
+         AS warc_ts,
+       lang,
+       ({spec.SQL_FACT1}) || chr(10) || ({spec.SQL_FACT2})
+         || chr(10) || trim(text) AS text
+FROM documents
+""",
         "robots_filter": """
 WITH p AS (
   SELECT doc_id,
