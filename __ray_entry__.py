@@ -3668,6 +3668,22 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_web_pipeline(sf_dir: str):
+    """The composite web-corpus chain end-to-end: robots gate → per-host
+    boilerplate removal → min-length quality gate → exact dedup (min-url
+    winner). Pure composition of oracle-proven operators; the twin
+    composes the same CTEs in the same order, so the WHOLE chain is
+    value-exact, not just each link."""
+    from graphiti_ray.pipelines.web import clean_web_corpus
+    from graphiti_ray.sources.pages import read_documents
+    from graphiti_ray.stages.urls import synthesize_robots
+
+    docs = read_documents(sf_dir, columns=["doc_id", "source"])
+    return clean_web_corpus(
+        _pages(sf_dir), synthesize_robots(docs), min_len=200
+    )
+
+
 def _q_warc_roundtrip(sf_dir: str):
     """WARC connector end-to-end: pages → .warc segments (Content-Length
     framing, one file per block) → read_binary_files + streaming parse →
@@ -4635,6 +4651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "web_pipeline": _q_web_pipeline,
         "warc_roundtrip": _q_warc_roundtrip,
         "robots_filter": _q_robots_filter,
         "web_host_harmonic": _q_web_host_harmonic,
@@ -5758,6 +5775,60 @@ FROM kept GROUP BY 1
 """,
         "web_host_pagerank": _web_host_pagerank_oracle_sql(),
         "web_host_ppr": _web_host_ppr_oracle_sql(),
+        # the bp1 boilerplate chain recomputed over the robots-ALLOWED
+        # subset (host page counts shrink with the gate, same as the Ray
+        # composition order), then length ≥ 200 and min-url-per-md5 dedup
+        "web_pipeline": f"""
+WITH g AS (
+  SELECT doc_id,
+         'https://' || source || '.example.com/doc/' || doc_id AS url,
+         source || '.example.com' AS host,
+         '/doc/' || doc_id AS path,
+         CAST(substr(source, 4) AS INT) AS nsrc,
+         ({spec.SQL_FACT1}) || chr(10) || ({spec.SQL_FACT2})
+           || chr(10) || trim(text) AS golden
+  FROM documents
+),
+ga AS (
+  SELECT * FROM g
+  WHERE nsrc % 4 = 3
+     OR NOT (starts_with(path, '/doc/' || (nsrc % 10))
+             OR starts_with(path, '/admin'))
+),
+lx AS (
+  SELECT url, host,
+         list_concat(list_concat(
+           [host, 'home | about'],
+           string_split(golden, chr(10))),
+           ['© ' || host]) AS ll
+  FROM ga
+),
+ln AS (
+  SELECT url, host,
+         unnest(generate_series(1, len(ll))) AS line_no,
+         unnest(ll) AS raw_line
+  FROM lx
+),
+lt AS (
+  SELECT url, host, line_no,
+         trim(raw_line, ' ' || chr(9) || chr(13)) AS line
+  FROM ln WHERE trim(raw_line, ' ' || chr(9) || chr(13)) <> ''
+),
+np AS (SELECT host, count(*) AS n_pages FROM ga GROUP BY 1),
+occ AS (SELECT *, count(*) OVER (PARTITION BY host, line) AS n_occ FROM lt),
+kept AS (
+  SELECT o.url, o.line_no, o.line
+  FROM occ o JOIN np USING (host)
+  WHERE 2 * o.n_occ < np.n_pages
+),
+rec AS (
+  SELECT url, string_agg(line, chr(10) ORDER BY line_no) AS text
+  FROM kept GROUP BY 1
+)
+SELECT url, text FROM rec
+WHERE length(text) >= 200
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY url) = 1
+""",
         "warc_roundtrip": f"""
 SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
        TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR

@@ -317,6 +317,41 @@ def synthesize_robots(docs: rd.Dataset) -> rd.Dataset:
     ).drop_columns(["__k"])
 
 
+def _robots_table_ref(rules: rd.Dataset):
+    rule_rows = rules.take_all()  # vocabulary-sized by contract
+    table: dict[str, list[str]] = {}
+    for r in rule_rows:
+        table.setdefault(r["host"], []).append(r["prefix"])
+    return ray.put(table)
+
+
+def _robots_allowed_mask(t: pa.Table, table: dict) -> "np.ndarray":
+    """int64 0/1 allow decision per row of ``t`` (needs a ``url`` column).
+    Vectorized per (host-in-batch, prefix): numpy ``startswith`` over the
+    batch's path array, no per-row Python."""
+    parts = pc.extract_regex(
+        t.column("url"), r"^[^:/?#]+://(?P<h>[^/?#]+)(?P<p>/[^?#]*)?"
+    )
+    hosts = pc.struct_field(parts, "h").to_numpy(zero_copy_only=False)
+    paths = pc.fill_null(pc.struct_field(parts, "p"), "/").to_numpy(
+        zero_copy_only=False
+    )
+    allowed = np.ones(len(hosts), np.int64)
+    for h in np.unique(hosts):
+        prefixes = table.get(h)
+        if not prefixes:
+            continue
+        sel = hosts == h
+        sub = paths[sel].astype(str)
+        blocked = np.zeros(sub.shape[0], bool)
+        for p in prefixes:
+            blocked |= np.char.startswith(sub, p)
+        out = allowed[sel]
+        out[blocked] = 0
+        allowed[sel] = out
+    return allowed
+
+
 def apply_robots(pages: rd.Dataset, rules: rd.Dataset) -> rd.Dataset:
     """Robots.txt gating — the crawl-side politeness filter: a page is
     allowed unless ANY of its host's Disallow prefixes matches its path
@@ -325,43 +360,34 @@ def apply_robots(pages: rd.Dataset, rules: rd.Dataset) -> rd.Dataset:
     lines) and broadcast once via ``ray.put`` — exactly how production
     crawlers hold their robots cache; a multi-billion-host deployment
     shards this stage by host hash and broadcasts per shard (documented
-    seam). Matching is vectorized per (host-in-batch, prefix): numpy
-    ``startswith`` over the batch's path array, no per-row Python.
-    Output: (url, allowed:int64 0/1)."""
-    rule_rows = rules.take_all()  # vocabulary-sized by contract
-    table: dict[str, list[str]] = {}
-    for r in rule_rows:
-        table.setdefault(r["host"], []).append(r["prefix"])
-    ref = ray.put(table)
+    seam). Output: (url, allowed:int64 0/1)."""
+    ref = _robots_table_ref(rules)
 
     def per_batch(t: pa.Table, _ref=ref) -> pa.Table:
         m = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
-        urls = t.column("url")
-        parts = pc.extract_regex(
-            urls, r"^[^:/?#]+://(?P<h>[^/?#]+)(?P<p>/[^?#]*)?"
-        )
-        hosts = pc.struct_field(parts, "h").to_numpy(zero_copy_only=False)
-        paths = pc.fill_null(pc.struct_field(parts, "p"), "/").to_numpy(
-            zero_copy_only=False
-        )
-        allowed = np.ones(len(hosts), np.int64)
-        for h in np.unique(hosts):
-            prefixes = m.get(h)
-            if not prefixes:
-                continue
-            sel = hosts == h
-            sub = paths[sel].astype(str)
-            blocked = np.zeros(sub.shape[0], bool)
-            for p in prefixes:
-                blocked |= np.char.startswith(sub, p)
-            out = allowed[sel]
-            out[blocked] = 0
-            allowed[sel] = out
         return pa.table(
-            {"url": urls, "allowed": pa.array(allowed, pa.int64())}
+            {
+                "url": t.column("url"),
+                "allowed": pa.array(_robots_allowed_mask(t, m), pa.int64()),
+            }
         )
 
     return pages.select_columns(["url"]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def robots_gate(pages: rd.Dataset, rules: rd.Dataset) -> rd.Dataset:
+    """Same decision as ``apply_robots`` but FILTERS the page stream in
+    place (all columns kept) — the composition-friendly form used by the
+    web corpus pipeline."""
+    ref = _robots_table_ref(rules)
+
+    def per_batch(t: pa.Table, _ref=ref) -> pa.Table:
+        m = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+        return t.filter(pa.array(_robots_allowed_mask(t, m) == 1))
+
+    return pages.map_batches(
         per_batch, batch_format="pyarrow", zero_copy_batch=True
     )
 
