@@ -212,8 +212,9 @@ resolved AS (
 )
 
 
-def _lpa_rounds_sql(n_rounds: int = 10) -> str:
-    """Unrolled synchronous label-propagation rounds over ``merged_id``.
+def _lpa_rounds_sql(n_rounds: int = 10, edge_table: str = "merged_id") -> str:
+    """Unrolled synchronous label-propagation rounds over ``edge_table``
+    (columns subj_uuid/obj_uuid pre-exposed).
 
     stages/graph.py::label_propagation is a deterministic synchronous
     update (plurality neighbor label weighted by edge multiplicity, ties →
@@ -221,10 +222,10 @@ def _lpa_rounds_sql(n_rounds: int = 10) -> str:
     under further applications, so exactly 10 unrolled SQL rounds
     reproduce it whether the engine converged early or not."""
     parts = [
-        """
+        f"""
 lpa_sym AS (
-  SELECT subj_uuid AS x, obj_uuid AS y FROM merged_id
-  UNION ALL SELECT obj_uuid, subj_uuid FROM merged_id
+  SELECT subj_uuid AS x, obj_uuid AS y FROM {edge_table}
+  UNION ALL SELECT obj_uuid, subj_uuid FROM {edge_table}
 ),
 lpa_w AS (SELECT x, y, count(*)::BIGINT AS w FROM lpa_sym GROUP BY 1, 2),
 r0 AS (SELECT DISTINCT x AS node, x AS community FROM lpa_w)"""
@@ -3668,6 +3669,35 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_cdx_index(sf_dir: str):
+    """Common-Crawl CDX capture index: SURT urlkey, 14-digit timestamp,
+    payload md5 + byte length off the raw bytes. The oracle RECONSTRUCTS
+    the entire pg1.2 html string in SQL (template + escape chain +
+    outlink arithmetic) and hashes it — one query certifying the whole
+    page serialization byte-for-byte."""
+    from graphiti_ray.stages.urls import cdx_index
+
+    return cdx_index(_pages(sf_dir))
+
+
+def _q_web_host_communities(sf_dir: str):
+    """Topic communities on the host link graph: the SAME plurality-LPA
+    kernel as kg_communities (weighted votes, ties → larger label,
+    dataset-side fixpoint) over the extracted web graph; the oracle
+    reuses the parameterized 10-round unrolled chain."""
+    from graphiti_ray.stages.graph import label_propagation
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    out = label_propagation(lg, src="src_host", dst="dst_host")
+    return out.map_batches(
+        lambda t: t.rename_columns(["host", "community"]),
+        batch_format="pyarrow",
+    )
+
+
 def _q_web_pipeline(sf_dir: str):
     """The composite web-corpus chain end-to-end: robots gate → per-host
     boilerplate removal → min-length quality gate → exact dedup (min-url
@@ -4651,6 +4681,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "cdx_index": _q_cdx_index,
+        "web_host_communities": _q_web_host_communities,
         "web_pipeline": _q_web_pipeline,
         "warc_roundtrip": _q_warc_roundtrip,
         "robots_filter": _q_robots_filter,
@@ -5775,6 +5807,61 @@ FROM kept GROUP BY 1
 """,
         "web_host_pagerank": _web_host_pagerank_oracle_sql(),
         "web_host_ppr": _web_host_ppr_oracle_sql(),
+        # the whole pg1.2 html reconstructed in SQL: title/script/header/
+        # nav template + the &-first escape chain + footer outlink
+        # arithmetic; digest = md5(utf8), length = strlen (bytes)
+        "cdx_index": f"""
+WITH b0 AS (
+  SELECT doc_id, source, source || '.example.com' AS host,
+         'https://' || source || '.example.com/doc/' || doc_id AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR
+           AS warc_ts,
+         replace(replace(replace(({spec.SQL_FACT1}),
+           '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS p1,
+         replace(replace(replace(({spec.SQL_FACT2}),
+           '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS p2,
+         replace(replace(replace(trim(text),
+           '&', '&amp;'), '<', '&lt;'), '>', '&gt;') AS p3
+  FROM documents
+),
+jx2 AS (SELECT unnest(generate_series(1, 3)) AS j),
+lk2 AS (
+  SELECT d.doc_id,
+         string_agg(
+           '<a href="https://src' || ((d.doc_id * 31 + 97 * jx2.j) % 20)
+             || '.example.com/doc/' || ((d.doc_id * 7 + jx2.j) % 1000)
+             || '"></a>', '' ORDER BY jx2.j) AS links
+  FROM documents d CROSS JOIN jx2
+  WHERE jx2.j <= 1 + d.doc_id % 3
+  GROUP BY 1
+),
+h AS (
+  SELECT b0.*,
+         '<html><head><title>Doc ' || b0.doc_id || ' - ' || b0.host
+           || '</title><script type="text/javascript">var t=' || b0.doc_id
+           || ';</script></head><body><header><h1 class="sitename">'
+           || b0.host || '</h1></header><nav><a href="/">home</a> | '
+           || '<a href="/about">about</a></nav><div id="main"><p>'
+           || b0.p1 || '</p><p>' || b0.p2 || '</p><p>' || b0.p3
+           || '</p></div><footer>&copy; ' || b0.host || ' ' || lk2.links
+           || '</footer></body></html>' AS html_s
+  FROM b0 JOIN lk2 USING (doc_id)
+)
+SELECT 'com,example,' || source || ')/doc/' || doc_id AS urlkey,
+       strftime(warc_ts, '%Y%m%d%H%M%S') AS ts14,
+       url,
+       md5(html_s) AS digest,
+       strlen(html_s)::BIGINT AS length
+FROM h
+""",
+        "web_host_communities": f"""
+WITH {_LINK_GRAPH_CTE.lstrip()},
+hedges AS (
+  SELECT DISTINCT src_host AS subj_uuid, dst_host AS obj_uuid FROM lk
+),
+{_lpa_rounds_sql(10, "hedges")}
+SELECT node AS host, community FROM r10
+""",
         # the bp1 boilerplate chain recomputed over the robots-ALLOWED
         # subset (host page counts shrink with the gate, same as the Ray
         # composition order), then length ≥ 200 and min-url-per-md5 dedup

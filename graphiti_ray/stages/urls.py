@@ -271,6 +271,74 @@ def page_quality(pages: rd.Dataset) -> rd.Dataset:
     )
 
 
+# --- CDX capture index ----------------------------------------------------------
+
+
+def cdx_index(pages: rd.Dataset) -> rd.Dataset:
+    """Common-Crawl-style CDX(J) capture index off the raw page stream:
+    one row per capture with the canonical SURT ``urlkey`` (host labels
+    reversed and comma-joined + ')' + path — the sort key every CC index
+    shards on), the 14-digit timestamp, the payload md5 digest, and the
+    payload byte length. Stateless map_batches; host reversal is
+    dict-encoded per batch (unique hosts only), digest/length ride the
+    Arrow binary buffers. Output:
+    (urlkey, ts14, url, digest, length)."""
+    import hashlib
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        urls = t.column("url")
+        parts = pc.extract_regex(
+            urls, r"^[^:/?#]+://(?P<h>[^/?#]+)(?P<p>/.*)?$"
+        )
+        hosts = pc.struct_field(parts, "h").to_numpy(zero_copy_only=False)
+        paths = pc.fill_null(pc.struct_field(parts, "p"), "/").to_numpy(
+            zero_copy_only=False
+        )
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        surt_host = np.array(
+            [",".join(reversed(h.lower().split("."))) for h in uniq],
+            dtype=object,
+        )
+        urlkey = np.char.add(
+            np.char.add(surt_host[inv].astype(str), ")"), paths.astype(str)
+        )
+        ts_us = t.column("warc_ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        # 14-digit UTC timestamp without per-row datetime objects
+        ts14 = np.empty(len(ts_us), object)
+        import datetime as _dt
+
+        cache: dict[int, str] = {}
+        for i, v in enumerate(ts_us):
+            sec = int(v) // 1_000_000
+            s = cache.get(sec)
+            if s is None:
+                s = _dt.datetime.fromtimestamp(
+                    sec, tz=_dt.timezone.utc
+                ).strftime("%Y%m%d%H%M%S")
+                cache[sec] = s
+            ts14[i] = s
+        htmls = t.column("html").to_pylist()
+        digests = [hashlib.md5(h).hexdigest() for h in htmls]
+        lengths = np.fromiter(
+            (len(h) for h in htmls), np.int64, count=len(htmls)
+        )
+        return pa.table(
+            {
+                "urlkey": pa.array(urlkey.tolist(), pa.string()),
+                "ts14": pa.array(ts14.tolist(), pa.string()),
+                "url": urls,
+                "digest": pa.array(digests, pa.string()),
+                "length": pa.array(lengths, pa.int64()),
+            }
+        )
+
+    return pages.select_columns(["url", "warc_ts", "html"]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --- robots.txt gating ---------------------------------------------------------
 
 

@@ -236,3 +236,28 @@ def test_synthesize_robots_rb1(ray_session):
         ("src12.example.com", "/doc/2"),
         ("src12.example.com", "/admin"),
     }  # src3: N % 4 == 3 → allow-all, no rows
+
+
+def test_cdx_index_surt_and_digest(ray_session):
+    import hashlib
+
+    from graphiti_ray.stages.urls import cdx_index
+
+    html = b"<html>payload</html>"
+    pages = rd.from_arrow(
+        pa.table(
+            {
+                "url": ["https://News.Sub.Example.org/path/x?q=1"],
+                "warc_ts": pa.array(
+                    [1_700_000_000_000_000], pa.timestamp("us")
+                ),
+                "html": pa.array([html], pa.binary()),
+            }
+        )
+    )
+    r = cdx_index(pages).take_all()[0]
+    # SURT: labels reversed, lowercased, ')' + path (query kept in path part)
+    assert r["urlkey"] == "org,example,sub,news)/path/x?q=1"
+    assert r["ts14"] == "20231114221320"  # 2023-11-14T22:13:20Z
+    assert r["digest"] == hashlib.md5(html).hexdigest()
+    assert r["length"] == len(html)
