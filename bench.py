@@ -180,6 +180,19 @@ def _extras(sf_dir: str) -> dict[str, float]:
         timed("semdedup", lambda: semantic_dedup(emb2).count())
     except ImportError:
         pass
+
+    try:
+        from graphiti_ray.pipelines.web import clean_web_corpus
+        from graphiti_ray.sources.pages import pages_dataset, read_documents
+        from graphiti_ray.stages.urls import synthesize_robots
+
+        replicate = int(os.environ.get("GRAFT_BENCH_REPLICATE", "8"))
+        pages = pages_dataset(sf_dir, replicate=replicate)
+        docs5 = read_documents(sf_dir, columns=["doc_id", "source"])
+        rules = synthesize_robots(docs5)
+        timed("web_clean", lambda: clean_web_corpus(pages, rules).count())
+    except ImportError:
+        pass
     return timings
 
 
