@@ -3669,6 +3669,19 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_web_reciprocity(sf_dir: str):
+    """Link reciprocity moments over the host web graph (self-loops
+    excluded, distinct ordered edges): exact int64 (n_edges, n_recip);
+    the ratio stays a driver-side division off the hash."""
+    from graphiti_ray.stages.graph import reciprocity_moments
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return reciprocity_moments(lg, src="src_host", dst="dst_host")
+
+
 def _q_cdx_index(sf_dir: str):
     """Common-Crawl CDX capture index: SURT urlkey, 14-digit timestamp,
     payload md5 + byte length off the raw bytes. The oracle RECONSTRUCTS
@@ -4681,6 +4694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "web_reciprocity": _q_web_reciprocity,
         "cdx_index": _q_cdx_index,
         "web_host_communities": _q_web_host_communities,
         "web_pipeline": _q_web_pipeline,
@@ -5807,6 +5821,16 @@ FROM kept GROUP BY 1
 """,
         "web_host_pagerank": _web_host_pagerank_oracle_sql(),
         "web_host_ppr": _web_host_ppr_oracle_sql(),
+        "web_reciprocity": f"""
+WITH {_LINK_GRAPH_CTE.lstrip()},
+he AS (
+  SELECT DISTINCT src_host AS s, dst_host AS t FROM lk
+  WHERE src_host <> dst_host
+)
+SELECT (SELECT count(*) FROM he)::BIGINT AS n_edges,
+       (SELECT count(*) FROM he a
+        JOIN he b ON b.s = a.t AND b.t = a.s)::BIGINT AS n_recip
+""",
         # the whole pg1.2 html reconstructed in SQL: title/script/header/
         # nav template + the &-first escape chain + footer outlink
         # arithmetic; digest = md5(utf8), length = strlen (bytes)

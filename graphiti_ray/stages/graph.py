@@ -525,6 +525,45 @@ def pagerank(
     )
 
 
+def reciprocity_moments(
+    edges: rd.Dataset,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """Link reciprocity sufficient statistics (Garlaschelli & Loffredo
+    2004) over the directed DISTINCT edge set, self-loops excluded:
+    one row (n_edges, n_recip) — the reciprocity ratio r = n_recip/n_edges
+    is a driver-side division kept off the value hash (oracle convention:
+    emit exact integer moments). n_recip counts ordered edges whose
+    reverse also exists (so a mutual pair contributes 2). Shape: one
+    distinct pass + one distinct set-intersection — two narrow shuffles
+    on (s, t) pairs, nothing wider."""
+    from graphiti_ray.stages.ops import dataset_intersect
+
+    def norm(t: pa.Table) -> pa.Table:
+        out = pa.table({"s": t.column(src), "t": t.column(dst)})
+        return out.filter(pc.invert(pc.equal(out.column("s"), out.column("t"))))
+
+    e = edges.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+    # distinct via the set-op machinery (intersect with itself dedups)
+    e_dist = dataset_intersect(e, e, ["s", "t"]).materialize()
+    rev = e_dist.map_batches(
+        lambda t: pa.table({"s": t.column("t"), "t": t.column("s")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_edges = e_dist.count()
+    n_recip = dataset_intersect(e_dist, rev, ["s", "t"]).count()
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_recip": pa.array([n_recip], pa.int64()),
+            }
+        )
+    )
+
+
 def harmonic_centrality(
     edges: rd.Dataset,
     seeds: list[str],

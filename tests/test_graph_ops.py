@@ -441,3 +441,18 @@ def test_harmonic_centrality_hand_graph(ray_session):
     # excluded (min-depth 0 on both sides); only t's path counts
     assert got["s"] == 1_000_000 // 3
     assert "y" not in got and "x" not in got
+
+
+def test_reciprocity_moments_hand_graph(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import reciprocity_moments
+
+    pairs = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"),  # self-loop out
+             ("a", "b")]  # duplicate edge collapses
+    edges = rd_.from_items(
+        [{"subj_uuid": s, "obj_uuid": t} for s, t in pairs]
+    )
+    r = reciprocity_moments(edges).take_all()[0]
+    assert r["n_edges"] == 3  # ab, ba, ac (cc self-loop dropped, dup ab once)
+    assert r["n_recip"] == 2  # ab and ba are each reciprocated
