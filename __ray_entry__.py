@@ -3669,6 +3669,21 @@ def _q_pages_domain_cap(sf_dir: str):
     ).select_columns(["host", "url_norm"])
 
 
+def _q_docs_dedup_lines(sf_dir: str):
+    """CCNet corpus-level line dedup as a transform: keep the corpus-order
+    first occurrence of every non-empty line, rewrite documents. One
+    head_k_per_key sort + one reconstruction sort; the oracle is the
+    row_number()=1 window over md5(line)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import dedup_lines_corpus
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_lines_corpus(docs)
+
+
 def _q_web_reciprocity(sf_dir: str):
     """Link reciprocity moments over the host web graph (self-loops
     excluded, distinct ordered edges): exact int64 (n_edges, n_recip);
@@ -4694,6 +4709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "docs_dedup_lines": _q_docs_dedup_lines,
         "web_reciprocity": _q_web_reciprocity,
         "cdx_index": _q_cdx_index,
         "web_host_communities": _q_web_host_communities,
@@ -5821,6 +5837,26 @@ FROM kept GROUP BY 1
 """,
         "web_host_pagerank": _web_host_pagerank_oracle_sql(),
         "web_host_ppr": _web_host_ppr_oracle_sql(),
+        "docs_dedup_lines": """
+WITH ex AS (
+  SELECT doc_id,
+         unnest(string_split(text, chr(10))) AS line,
+         unnest(generate_series(1, len(string_split(text, chr(10)))))
+           AS line_no
+  FROM documents
+),
+kept AS (
+  SELECT doc_id, line_no, line FROM (
+    SELECT ex.*, row_number() OVER (PARTITION BY md5(line)
+             ORDER BY doc_id, line_no) AS rn
+    FROM ex WHERE line <> ''
+  ) WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, line_no, line FROM ex WHERE line = ''
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM kept GROUP BY 1
+""",
         "web_reciprocity": f"""
 WITH {_LINK_GRAPH_CTE.lstrip()},
 he AS (

@@ -1821,3 +1821,94 @@ def levenshtein_verified_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+# --- cross-corpus keep-first line dedup (CCNet paragraph dedup) --------------
+
+
+def dedup_lines_corpus(
+    docs: rd.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> rd.Dataset:
+    """CCNet-style corpus-level line/paragraph deduplication as a TRANSFORM
+    (Wenzek et al. 2020: hash every paragraph, keep one copy corpus-wide):
+    a non-empty line survives iff it is the corpus-order FIRST occurrence
+    of its content (order = (doc_id, line_no)); empty lines always survive
+    (document structure is not dedup-able content). Returns the rewritten
+    corpus (id, text) — docs whose every line was a duplicate drop out.
+
+    Scale shape: explode → md5 per line (vectorized off the Arrow
+    buffers) → ``head_k_per_key`` on the hash (ONE range sort; hub lines
+    — a boilerplate sentence on 10^8 pages — cost a truncated carry, the
+    kernel provably reads only run heads) → one more range sort to
+    reconstruct documents. No groupby, no join."""
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import head_k_per_key, sorted_run_map
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(text_col).to_pylist()
+        out_id: list[int] = []
+        out_no: list[int] = []
+        out_line: list[str] = []
+        for i, txt in enumerate(texts):
+            lines = txt.split("\n")
+            out_id.extend([int(ids[i])] * len(lines))
+            out_no.extend(range(1, len(lines) + 1))
+            out_line.extend(lines)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "line_no": pa.array(out_no, pa.int64()),
+                "line": pa.array(out_line, pa.string()),
+            }
+        )
+
+    ex = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def split_nonempty(t: pa.Table) -> pa.Table:
+        ne = t.filter(pc.not_equal(t.column("line"), ""))
+        return ne.append_column(
+            "line_md5", pa.array(md5_hex_column(ne.column("line")), pa.string())
+        )
+
+    nonempty = ex.map_batches(
+        split_nonempty, batch_format="pyarrow", zero_copy_batch=True
+    )
+    empties = ex.map_batches(
+        lambda t: t.filter(pc.equal(t.column("line"), "")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    kept = head_k_per_key(
+        nonempty, ["line_md5"], [id_col, "line_no"], k=1
+    ).drop_columns(["line_md5"])
+
+    def reconstruct(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    text_col: pa.array([], pa.string()),
+                }
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        lines = t.column("line").to_pylist()
+        starts = np.flatnonzero(np.concatenate(([True], ids[1:] != ids[:-1])))
+        bounds = np.append(starts, len(ids))
+        return pa.table(
+            {
+                id_col: pa.array([int(ids[s]) for s in starts], pa.int64()),
+                text_col: pa.array(
+                    [
+                        "\n".join(lines[bounds[i] : bounds[i + 1]])
+                        for i in range(len(starts))
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+
+    return sorted_run_map(
+        kept.union(empties), [id_col], reconstruct, order_cols=["line_no"]
+    )

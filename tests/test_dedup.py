@@ -783,3 +783,27 @@ def test_encode_documents_roundtrip_vocab(ray_session):
     # positions are contiguous 0..n-1 per doc
     for _, g in out.groupby("doc_id"):
         assert g.pos.tolist() == list(range(len(g)))
+
+
+def test_dedup_lines_corpus_keep_first(ray_session):
+    """Corpus-order first occurrence survives, later copies drop; empty
+    lines always survive; an all-duplicate doc drops out."""
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.dedup import dedup_lines_corpus
+
+    docs = rd_.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "alpha\nbeta",
+                    "beta\n\ngamma",   # beta dup; empty line kept
+                    "beta\nalpha",     # all duplicates → doc vanishes
+                ],
+            }
+        )
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_lines_corpus(docs).take_all()}
+    assert out == {1: "alpha\nbeta", 2: "\ngamma"}
