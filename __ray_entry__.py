@@ -2902,6 +2902,23 @@ def _q_embeddings_jl(sf_dir: str):
     return jl_project(emb)
 
 
+def _q_events_regression(sf_dir: str):
+    """Per-event-type OLS trend (value vs time) as a distributed
+    sufficient-statistics reduce: per-block partial (n, Σx, Σy, Σxy, Σx²)
+    combiner → one vocabulary-sized keyed sum → closed-form slope on an
+    exact integer lattice (x = whole hours since 2024-01-01, y =
+    floor(value·1000), slope_e6 truncated toward zero as DuckDB's ``//``
+    does). The driver never sees an event row."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import grouped_ols
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+    return grouped_ols(ev)
+
+
 def _q_events_mad(sf_dir: str):
     """Robust MAD outlier screen: per-user exact 'lower' medians on the
     1e-3 lattice, |v−med| > 3·MAD — all int64, two group_quantiles
@@ -4709,6 +4726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "events_regression": _q_events_regression,
         "docs_dedup_lines": _q_docs_dedup_lines,
         "web_reciprocity": _q_web_reciprocity,
         "cdx_index": _q_cdx_index,
@@ -4864,6 +4882,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # sufficient-statistics OLS: everything on the integer lattice the
+        # Ray kernel uses (hours since 2024-01-01, floor(value·1000));
+        # HUGEINT for the closed form, // truncation matching the kernel
+        "events_regression": """
+WITH q AS (
+  SELECT event_type,
+         (epoch_us(ts) - 1704067200000000) // 3600000000 AS x,
+         CAST(floor(value * 1000) AS BIGINT) AS y
+  FROM events
+),
+s AS (
+  SELECT event_type,
+         count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sum_x,
+         sum(y)::BIGINT AS sum_y,
+         sum(x * y)::HUGEINT AS sxy,
+         sum(x * x)::HUGEINT AS sxx
+  FROM q GROUP BY 1
+)
+SELECT event_type, n, sum_x, sum_y,
+       CAST(n * sxy - sum_x::HUGEINT * sum_y AS BIGINT) AS num,
+       CAST(n * sxx - sum_x::HUGEINT * sum_x AS BIGINT) AS den,
+       CAST(CASE WHEN n * sxx - sum_x::HUGEINT * sum_x = 0 THEN 0
+            ELSE ((n * sxy - sum_x::HUGEINT * sum_y) * 1000000)
+                 // (n * sxx - sum_x::HUGEINT * sum_x)
+       END AS BIGINT) AS slope_e6
+FROM s
+""",
         "kg_episodes": f"""
 WITH {_BASE_CTE.lstrip()}
 SELECT md5(url) AS uuid, url AS name, group_id,

@@ -1008,3 +1008,132 @@ def scd2_intervals(
         block_fn,
         order_cols=[ts_col, tiebreak],
     )
+
+
+def grouped_ols(
+    events: rd.Dataset,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    quant: int = 1000,
+    x_unit_s: int = 3600,
+    origin_us: int = 1704067200000000,  # 2024-01-01T00:00:00Z
+) -> rd.Dataset:
+    """Per-group ordinary-least-squares trend (value vs time) computed as
+    a DISTRIBUTED SUFFICIENT-STATISTICS reduce — the canonical way to fit
+    per-key linear models over a corpus too large for any single pass to
+    hold a group: each block emits partial (n, Σx, Σy, Σxy, Σx²) per key
+    (a combiner), one small keyed sum merges them, and the closed form
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    is evaluated on the vocabulary-sized stats table. All arithmetic is
+    EXACT on an integer lattice so the DuckDB twin can reproduce it
+    bit-for-bit: x quantizes to ``(ts − origin) // x_unit_s`` whole units,
+    y to ``floor(value·quant)``, and the emitted ``slope_e6`` is the
+    numerator×10⁶ over the denominator with TRUNCATION TOWARD ZERO
+    (DuckDB's integer ``//``; Python's floors, so the kernel adjusts).
+    The driver sees only one row per key — never the events.
+
+    Reference analogue: graphiti's telemetry/eval summaries fit simple
+    trends over episode streams driver-side; here the same statistic is a
+    two-shuffle-free Dataset reduce (one combiner pass + one small
+    groupby), the shape a 100-TB event log requires.
+
+    Output: (key, n, sum_x, sum_y, num, den, slope_e6) where
+    num = n·Σxy − Σx·Σy and den = n·Σx² − (Σx)² are carried exactly so a
+    consumer can re-derive the unrounded slope.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = (
+            batch.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        x = (ts_us - origin_us) // (x_unit_s * 1_000_000)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        y = np.floor(v * quant).astype(np.int64)
+        # numpy int64 wraps silently — bound-check the block BEFORE the
+        # products so an out-of-lattice input raises instead of corrupting
+        if len(x) and int(np.abs(x).max()) * max(int(np.abs(y).max()), 1) * len(
+            x
+        ) >= 2**62:
+            raise ValueError(
+                "grouped_ols int64 lattice overflow — raise x_unit_s or "
+                "lower quant"
+            )
+        t = pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": pa.array(np.ones(len(x), np.int64), pa.int64()),
+                "sum_x": pa.array(x, pa.int64()),
+                "sum_y": pa.array(y, pa.int64()),
+                "sum_xy": pa.array(x * y, pa.int64()),
+                "sum_xx": pa.array(x * x, pa.int64()),
+            }
+        )
+        g = t.group_by([key_col]).aggregate(
+            [
+                ("n", "sum"),
+                ("sum_x", "sum"),
+                ("sum_y", "sum"),
+                ("sum_xy", "sum"),
+                ("sum_xx", "sum"),
+            ]
+        )
+        return g.rename_columns(
+            [key_col, "n", "sum_x", "sum_y", "sum_xy", "sum_xx"]
+        )
+
+    stats = (
+        events.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .sum(["n", "sum_x", "sum_y", "sum_xy", "sum_xx"])
+        .map_batches(
+            lambda t: t.rename_columns(
+                [key_col, "n", "sum_x", "sum_y", "sum_xy", "sum_xx"]
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        # Python ints (arbitrary precision) for the closed form: n·Σxy
+        # brushes int64 at sandbox scale already, and HUGEINT is the SQL
+        # twin's type. Truncate-toward-zero to match DuckDB's ``//``.
+        n = batch.column("n").to_pylist()
+        sx = batch.column("sum_x").to_pylist()
+        sy = batch.column("sum_y").to_pylist()
+        sxy = batch.column("sum_xy").to_pylist()
+        sxx = batch.column("sum_xx").to_pylist()
+        num, den, slope = [], [], []
+        for ni, sxi, syi, sxyi, sxxi in zip(n, sx, sy, sxy, sxx):
+            nu = ni * sxyi - sxi * syi
+            de = ni * sxxi - sxi * sxi
+            if abs(nu) >= 2**63 or abs(de) >= 2**63:
+                raise ValueError(
+                    "grouped_ols int64 lattice overflow — raise x_unit_s "
+                    f"or lower quant (num={nu}, den={de})"
+                )
+            num.append(nu)
+            den.append(de)
+            if de == 0:
+                slope.append(0)
+            else:
+                q = (abs(nu) * 1_000_000) // abs(de)
+                slope.append(-q if (nu < 0) != (de < 0) else q)
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "n": batch.column("n"),
+                "sum_x": batch.column("sum_x"),
+                "sum_y": batch.column("sum_y"),
+                "num": pa.array(num, pa.int64()),
+                "den": pa.array(den, pa.int64()),
+                "slope_e6": pa.array(slope, pa.int64()),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")

@@ -1522,3 +1522,67 @@ def test_bpe_pair_stats_matches_counter(ray_session):
     assert list(zip(out.pair, out.n)) == expect
     # top-1 sanity: "aa" (from "aa aa aa" + banana runs) dominates
     assert out.n.iloc[0] == ref.most_common(1)[0][1]
+
+
+def test_grouped_ols_matches_numpy_lattice(ray_session):
+    from datetime import datetime, timedelta
+
+    from graphiti_ray.stages.windows import grouped_ols
+
+    origin = datetime(2024, 1, 1)
+    rng = np.random.default_rng(11)
+    rows = []
+    # planted slopes: key 'up' trends +2.5/h, 'down' -1.25/h, 'flat' 0
+    for key, slope, base in [("up", 2.5, 10.0), ("down", -1.25, 200.0), ("flat", 0.0, 50.0)]:
+        for i in range(60):
+            ts = origin + timedelta(hours=i, minutes=int(rng.integers(0, 59)))
+            rows.append(
+                {
+                    "event_type": key,
+                    "ts": ts,
+                    "value": float(max(base + slope * i + rng.normal(0, 0.5), 0.01)),
+                }
+            )
+    out = (
+        grouped_ols(rd.from_items(rows).repartition(5))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    assert len(out) == 3
+    # re-derive on the same lattice with arbitrary-precision ints
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    df["x"] = ((df.ts - origin).dt.total_seconds() // 3600).astype(int)
+    df["y"] = np.floor(df.value * 1000).astype(int)
+    for key, g in df.groupby("event_type"):
+        n = len(g)
+        sx, sy = int(g.x.sum()), int(g.y.sum())
+        sxy, sxx = int((g.x * g.y).sum()), int((g.x * g.x).sum())
+        nu, de = n * sxy - sx * sy, n * sxx - sx * sx
+        q = (abs(nu) * 10**6) // abs(de)
+        want = -q if (nu < 0) != (de < 0) else q
+        row = out.loc[key]
+        assert row.num == nu and row.den == de and row.slope_e6 == want
+    # slopes recover the planted trend: slope_e6 is in (value·1000)/hour
+    # ×1e6 units, so +2.5/h → ~2.5e9 and −1.25/h → ~−1.25e9
+    assert abs(out.loc["up"].slope_e6 - 2.5e9) < 0.25e9
+    assert abs(out.loc["down"].slope_e6 + 1.25e9) < 0.125e9
+    assert abs(out.loc["flat"].slope_e6) < 0.2e9
+
+
+def test_grouped_ols_overflow_guard(ray_session):
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from graphiti_ray.stages.windows import grouped_ols
+
+    rows = [
+        {"event_type": "a", "ts": datetime(2300, 1, 1), "value": 1e15},
+        {"event_type": "a", "ts": datetime(2301, 1, 1), "value": 2e15},
+        {"event_type": "a", "ts": datetime(2302, 1, 1), "value": 3e15},
+    ]
+    with _pytest.raises(Exception, match="lattice overflow|int64"):
+        grouped_ols(rd.from_items(rows)).to_pandas()
