@@ -953,6 +953,20 @@ def _q_dedup_embedding_lsh_full(sf_dir: str):
     )
 
 
+def _q_dedup_snm(sf_dir: str):
+    """Sorted-neighborhood (Hernández–Stolfo) near-dup blocking: ONE
+    global range sort by the space-stripped 24-char text prefix, each row
+    compared only with the ≤3 rows before it in sort order (the window
+    rides `ops.sorted_lag_list`'s block-tail exchange — no shuffle join,
+    no bucket skew), exact distinct-token Jaccard on the 1e6 lattice."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import sorted_neighborhood_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return sorted_neighborhood_pairs(docs, window=4, key_len=24)
+
+
 def _q_dedup_ngram(sf_dir: str):
     """Exact n-gram Jaccard near-dup pairs (rarity-filtered bottom-k
     blocking + full-set intersection verification) — the exact member of
@@ -4727,6 +4741,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tail.
     return {
         "events_regression": _q_events_regression,
+        "dedup_snm": _q_dedup_snm,
         "docs_dedup_lines": _q_docs_dedup_lines,
         "web_reciprocity": _q_web_reciprocity,
         "cdx_index": _q_cdx_index,
@@ -4882,6 +4897,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the whole SNM pipeline relationally: same sort key, row_number
+        # self-join bounded by the window, distinct-token Jaccard on the
+        # 1e6 lattice with // truncation
+        "dedup_snm": """
+WITH t AS (
+  SELECT doc_id,
+         substr(replace(lower(text), ' ', ''), 1, 24) AS key,
+         list_distinct(list_filter(string_split(lower(text), ' '),
+                                   x -> x <> '')) AS toks
+  FROM documents
+),
+r AS (SELECT *, row_number() OVER (ORDER BY key, doc_id) AS rn FROM t),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.toks, b.toks)) AS inter,
+         len(a.toks) + len(b.toks)
+           - len(list_intersect(a.toks, b.toks)) AS uni
+  FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3
+)
+SELECT doc_a, doc_b, (1000000 * inter) // uni AS jacc_e6
+FROM p WHERE uni > 0 AND (1000000 * inter) // uni >= 500000
+""",
         # sufficient-statistics OLS: everything on the integer lattice the
         # Ray kernel uses (hours since 2024-01-01, floor(value·1000));
         # HUGEINT for the closed form, // truncation matching the kernel

@@ -1912,3 +1912,103 @@ def dedup_lines_corpus(
     return sorted_run_map(
         kept.union(empties), [id_col], reconstruct, order_cols=["line_no"]
     )
+
+
+def sorted_neighborhood_pairs(
+    docs: rd.Dataset,
+    window: int = 4,
+    key_len: int = 24,
+    threshold_e6: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Sorted-neighborhood (SNM) near-dup blocking — the classic entity-
+    resolution alternative to hash/LSH blocking (Hernández & Stolfo 1995):
+    sort the corpus ONCE by a cheap discriminating key (here the first
+    ``key_len`` chars of the space-stripped lowercased text) and compare
+    each record only with the ``window−1`` records immediately before it
+    in the global sort order. Cost is one range sort + O(window·n) pair
+    checks with NO shuffle join and no bucket skew by construction — a
+    hub key degrades gracefully to window-bounded comparisons instead of
+    an O(k²) bucket.
+
+    Ray shape: the global sliding window is ``ops.sorted_lag_list`` over a
+    constant partition (each block receives its predecessor's ≤window−1
+    tail rows, so windows straddling block boundaries cost one tiny
+    object exchange, never a groupby). Verification is exact distinct-
+    token Jaccard on the 1e6 integer lattice — the SQL twin reproduces
+    every pair bit-for-bit via row_number self-join + list_intersect.
+
+    Output: (doc_a, doc_b, jacc_e6) with doc_a the earlier row in sort
+    order, jacc_e6 = 1e6·|A∩B| // |A∪B| ≥ ``threshold_e6``.
+
+    Reference analogue: dedup candidate generation in
+    graphiti_core/utils/maintenance/dedup_helpers.py (MinHash blocking) —
+    SNM trades its recall profile for a single sort and strictly bounded
+    per-row work, the right tool when the corpus is already sort-friendly.
+    """
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import sorted_lag_list
+
+    sep = "\x01"
+
+    def prep(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(t.column(text_col))
+        key = pc.utf8_slice_codeunits(
+            pc.replace_substring(low, " ", ""), 0, key_len
+        )
+        ids = t.column(id_col).cast(pa.string())
+        comp = pc.binary_join_element_wise(ids, low, sep)
+        return pa.table(
+            {
+                "_snm_key": key,
+                id_col: t.column(id_col),
+                "_one": pa.array(
+                    np.zeros(t.num_rows, np.int8), pa.int8()
+                ),
+                "comp": comp,
+            }
+        )
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    lagged = sorted_lag_list(
+        prepped,
+        ["_one"],
+        ["_snm_key", id_col],
+        "comp",
+        k=window - 1,
+        out_col="prev",
+    )
+
+    def toks(s: str) -> frozenset[str]:
+        return frozenset(x for x in s.split(" ") if x)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        comp = t.column("comp").to_pylist()
+        prev = t.column("prev").to_pylist()
+        a_ids, b_ids, jacc = [], [], []
+        for cur, win in zip(comp, prev):
+            cid, ctext = cur.split(sep, 1)
+            ctoks = toks(ctext)
+            for p in win or []:
+                pid, ptext = p.split(sep, 1)
+                ptoks = toks(ptext)
+                inter = len(ctoks & ptoks)
+                uni = len(ctoks) + len(ptoks) - inter
+                if uni == 0:
+                    continue
+                j = (1_000_000 * inter) // uni
+                if j >= threshold_e6:
+                    a_ids.append(int(pid))
+                    b_ids.append(int(cid))
+                    jacc.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(a_ids, pa.int64()),
+                "doc_b": pa.array(b_ids, pa.int64()),
+                "jacc_e6": pa.array(jacc, pa.int64()),
+            }
+        )
+
+    return lagged.map_batches(pairs, batch_format="pyarrow")

@@ -807,3 +807,42 @@ def test_dedup_lines_corpus_keep_first(ray_session):
     )
     out = {r["doc_id"]: r["text"] for r in dedup_lines_corpus(docs).take_all()}
     assert out == {1: "alpha\nbeta", 2: "\ngamma"}
+
+
+def test_sorted_neighborhood_pairs_window_and_lattice(ray_session):
+    import pyarrow as pa
+
+    from graphiti_ray.stages.dedup import sorted_neighborhood_pairs
+
+    # two planted near-dup clusters with shared prefixes, plus decoys whose
+    # prefixes sort far apart; many tiny blocks force window carries
+    texts = {
+        10: "the quick brown fox jumps over the lazy dog tonight",
+        11: "the quick brown fox jumps over the lazy dog today",
+        12: "the quick brown fox jumps over a lazy dog tonight",
+        20: "zebra yak xylophone walrus vulture turtle snake",
+        21: "zebra yak xylophone walrus vulture turtle shark",
+        30: "completely unrelated middle text about databases",
+    }
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": [texts[k] for k in sorted(texts)],
+            }
+        )
+    ).repartition(6)
+    out = sorted_neighborhood_pairs(docs, window=4, key_len=24).to_pandas()
+    got = {(a, b) for a, b in zip(out.doc_a, out.doc_b)}
+    # prefix-adjacent near-dups found in both clusters
+    assert (10, 11) in got and (20, 21) in got
+    # the decoy pairs with nothing: no pair involves 30
+    assert not any(30 in p for p in got)
+    # exact lattice: re-derive one pair's jaccard by hand
+    row = out[(out.doc_a == 10) & (out.doc_b == 11)].iloc[0]
+    a = set(texts[10].split())
+    b = set(texts[11].split())
+    assert row.jacc_e6 == (1_000_000 * len(a & b)) // len(a | b)
+    # window bound respected: sort order is (prefix, doc_id); 12 shares
+    # the 24-char prefix so (10,12)/(11,12) are in-window candidates
+    assert (11, 12) in got
