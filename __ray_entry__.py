@@ -3898,6 +3898,26 @@ def _q_web_link_graph(sf_dir: str):
     return extract_link_graph(_pages(sf_dir))
 
 
+def _q_web_host_scc(sf_dir: str):
+    """Strongly connected components of the directed host link graph —
+    the Broder-bowtie structure primitive. Small graphs collapse on the
+    driver with iterative Tarjan behind the connected_components-style
+    count gate; at scale the FW-BW peeling path (two directed min-label
+    fixpoints per round, all labels/convergence dataset-side) takes over
+    and is pytest-proven equal to Tarjan with the gate monkeypatched.
+    Oracle: recursive-CTE reachability closure, scc_id = min mutually-
+    reachable id."""
+    from graphiti_ray.stages.graph import scc
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return scc(lg, src="src_host", dst="dst_host").map_batches(
+        lambda t: t.rename_columns(["host", "scc_id"]), batch_format="pyarrow"
+    )
+
+
 def _q_web_host_pagerank(sf_dir: str):
     """PageRank over the extracted host link graph (the classic
     Common-Crawl web-graph ranking): distinct host pairs from
@@ -4742,6 +4762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_regression": _q_events_regression,
         "dedup_snm": _q_dedup_snm,
+        "web_host_scc": _q_web_host_scc,
         "docs_dedup_lines": _q_docs_dedup_lines,
         "web_reciprocity": _q_web_reciprocity,
         "cdx_index": _q_cdx_index,
@@ -4897,6 +4918,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # SCC via the transitive closure: scc_id(v) = min u with v→u and
+        # u→v (v itself included via least) — the 20-host graph keeps the
+        # recursive CTE tiny
+        "web_host_scc": f"""
+WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
+he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),
+nodes AS (SELECT s AS x FROM he UNION SELECT t FROM he),
+reach(s, t) AS (
+  SELECT s, t FROM he
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN he e ON e.s = r.t
+),
+mutual AS (
+  SELECT r1.s AS v, r1.t AS u
+  FROM reach r1 JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s
+)
+SELECT n.x AS host, least(n.x, coalesce(min(m.u), n.x)) AS scc_id
+FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
+""",
         # the whole SNM pipeline relationally: same sort key, row_number
         # self-join bounded by the window, distinct-token Jaccard on the
         # 1e6 lattice with // truncation

@@ -1553,3 +1553,291 @@ def degree_assortativity_moments(
             batch_format="pyarrow",
         )
     )
+
+
+SCC_SMALL_LIMIT = 100_000
+
+
+def _scc_minlabel_fixpoint(
+    nodes: rd.Dataset, edges: rd.Dataset, forward: bool, max_rounds: int
+) -> rd.Dataset:
+    """Directed min-label propagation to fixpoint: lbl(v) = min id v can
+    reach (forward=True) / min id that can reach v (forward=False),
+    labels and convergence both dataset-side (the label_propagation
+    convention: a changed-flag column + one sum aggregate per round, no
+    driver materialization)."""
+    import numpy as np
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"), "lbl": t.column("node")}),
+        batch_format="pyarrow",
+    ).materialize()
+    # forward: v hears from its out-neighbor w over edge (v, w);
+    # backward: v hears from its in-neighbor u over edge (u, v)
+    recv, send = ("s", "t") if forward else ("t", "s")
+    msg = edges.map_batches(
+        lambda t, _r=recv, _s=send: pa.table(
+            {"_rv": t.column(_r), "_sd": t.column(_s)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    parts = default_join_partitions()
+    for _ in range(max_rounds):
+        lab_s = labels.map_batches(
+            lambda t: pa.table({"_sd": t.column("node"), "_slbl": t.column("lbl")}),
+            batch_format="pyarrow",
+        )
+        inc = (
+            safe_join(msg, lab_s, join_type="inner", num_partitions=parts, on=("_sd",))
+            .groupby("_rv")
+            .aggregate(Min("_slbl", alias_name="_m"))
+            .map_batches(
+                lambda t: pa.table({"node": t.column("_rv"), "_m": t.column("_m")}),
+                batch_format="pyarrow",
+            )
+        )
+        joined = safe_join(
+            labels, inc, join_type="left_outer", num_partitions=parts, on=("node",)
+        )
+
+        def step(t: pa.Table) -> pa.Table:
+            old = t.column("lbl")
+            m = t.column("_m")
+            new = pc.min_element_wise(old, pc.coalesce(m, old))
+            changed = pc.cast(pc.less(new, old), pa.int64())
+            return pa.table(
+                {"node": t.column("node"), "lbl": new, "changed": changed}
+            )
+
+        stepped = joined.map_batches(step, batch_format="pyarrow").materialize()
+        n_changed = stepped.sum("changed")
+        labels = stepped.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            break
+    return labels
+
+
+def scc(
+    edges: rd.Dataset,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+    max_peels: int = 50,
+    max_rounds: int = 50,
+) -> rd.Dataset:
+    """Strongly connected components of a DIRECTED edge list →
+    (node, scc_id), scc_id = the SCC's minimum member id — the web-graph
+    structure primitive (Broder 2000's bowtie analysis runs on exactly
+    this) the undirected connected_components cannot express.
+
+    Small edge sets (≤ SCC_SMALL_LIMIT after distinct) collapse on the
+    driver with iterative Tarjan — the connected_components gate
+    convention. Above it: FW-BW-style PEELING, each round two directed
+    min-label fixpoints over the still-active subgraph (fwd(v) = min id
+    reachable from v, bwd(v) = min id reaching v); every node with
+    fwd == bwd is mutually reachable with that min id, so the whole SCC
+    of the current minimum ids retires per round (assignment is provably
+    complete per SCC: fwd/bwd are constant on an SCC). Removing a
+    complete SCC never disconnects a surviving one — any path between
+    two members of one SCC lies entirely inside it — so peeling is safe.
+    All label state, convergence tests and survivor filtering stay
+    dataset-side (anti-join via left_outer + null filter; the
+    incremental path's pattern).
+    """
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t.column(src).cast(pa.string())
+        d = t.column(dst).cast(pa.string())
+        return pa.table(
+            {
+                "s": s,
+                "t": d,
+                "_k": pc.binary_join_element_wise(s, d, "\x01"),
+            }
+        )
+
+    e = distinct_by_key(
+        edges.select_columns([src, dst]).map_batches(
+            norm, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "_k",
+    ).drop_columns(["_k"]).materialize()
+    n_edges = e.count()
+    empty = pa.table(
+        {"node": pa.array([], pa.string()), "scc_id": pa.array([], pa.string())}
+    )
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+
+    if n_edges <= SCC_SMALL_LIMIT:
+        df = e.to_pandas()
+        adj: dict[str, list[str]] = {}
+        node_set: set[str] = set()
+        for a, b in zip(df["s"], df["t"]):
+            adj.setdefault(a, []).append(b)
+            node_set.add(a)
+            node_set.add(b)
+        index: dict[str, int] = {}
+        low: dict[str, int] = {}
+        on_stack: set[str] = set()
+        stack: list[str] = []
+        comp_of: dict[str, str] = {}
+        counter = 0
+        for root in sorted(node_set):
+            if root in index:
+                continue
+            # iterative Tarjan: (node, child-iterator position) frames
+            work = [(root, 0)]
+            while work:
+                v, pi = work.pop()
+                if pi == 0:
+                    index[v] = low[v] = counter
+                    counter += 1
+                    stack.append(v)
+                    on_stack.add(v)
+                recurse = False
+                children = adj.get(v, ())
+                for i in range(pi, len(children)):
+                    w = children[i]
+                    if w not in index:
+                        work.append((v, i + 1))
+                        work.append((w, 0))
+                        recurse = True
+                        break
+                    if w in on_stack:
+                        low[v] = min(low[v], index[w])
+                if recurse:
+                    continue
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    cid = min(comp)
+                    for w in comp:
+                        comp_of[w] = cid
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[v])
+        out = sorted(comp_of)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(out, pa.string()),
+                    "scc_id": pa.array([comp_of[x] for x in out], pa.string()),
+                }
+            )
+        )
+
+    # distributed peeling path
+    parts = default_join_partitions()
+    nodes = distinct_by_key(
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t.column("s").combine_chunks(),
+                            t.column("t").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "node",
+    ).materialize()
+    active_nodes = nodes
+    active_edges = e
+    assigned: list[rd.Dataset] = []
+    for _ in range(max_peels):
+        if active_nodes.count() == 0:
+            break
+        if active_edges.count() == 0:
+            # every surviving node is edge-less → singleton SCCs
+            assigned.append(
+                active_nodes.map_batches(
+                    lambda t: pa.table(
+                        {"node": t.column("node"), "scc_id": t.column("node")}
+                    ),
+                    batch_format="pyarrow",
+                )
+            )
+            break
+        f = _scc_minlabel_fixpoint(active_nodes, active_edges, True, max_rounds)
+        b = _scc_minlabel_fixpoint(active_nodes, active_edges, False, max_rounds)
+        fb = safe_join(
+            f,
+            b.map_batches(
+                lambda t: pa.table(
+                    {"node": t.column("node"), "_blbl": t.column("lbl")}
+                ),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=parts,
+            on=("node",),
+        )
+        done = fb.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "scc_id": t.column("lbl")}
+            ).filter(pc.equal(t.column("lbl"), t.column("_blbl"))),
+            batch_format="pyarrow",
+        ).materialize()
+        if done.count() == 0:  # unreachable: the min active id always retires
+            break
+        assigned.append(done)
+        flag = done.map_batches(
+            lambda t: pa.table(
+                {"node": t.column("node"), "_gone": pa.array([1] * t.num_rows, pa.int8())}
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        active_nodes = (
+            safe_join(
+                active_nodes, flag, join_type="left_outer",
+                num_partitions=parts, on=("node",),
+            )
+            .map_batches(
+                lambda t: t.filter(pc.is_null(t.column("_gone"))),
+                batch_format="pyarrow",
+            )
+            .select_columns(["node"])
+            .materialize()
+        )
+        for col in ("s", "t"):
+            # materialize + count per endpoint: an all-empty dataset loses
+            # its schema, and a join against it raises — the loop-top
+            # singleton branch then owns whatever nodes remain
+            if active_edges.count() == 0:
+                break
+            active_edges = (
+                safe_join(
+                    active_edges.map_batches(
+                        lambda t, _c=col: t.append_column(
+                            "node", t.column(_c)
+                        ),
+                        batch_format="pyarrow",
+                    ),
+                    flag,
+                    join_type="left_outer",
+                    num_partitions=parts,
+                    on=("node",),
+                )
+                .map_batches(
+                    lambda t: t.filter(pc.is_null(t.column("_gone"))),
+                    batch_format="pyarrow",
+                )
+                .select_columns(["s", "t"])
+                .materialize()
+            )
+    result = assigned[0]
+    for d in assigned[1:]:
+        result = result.union(d)
+    return result

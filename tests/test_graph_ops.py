@@ -456,3 +456,52 @@ def test_reciprocity_moments_hand_graph(ray_session):
     r = reciprocity_moments(edges).take_all()[0]
     assert r["n_edges"] == 3  # ab, ba, ac (cc self-loop dropped, dup ab once)
     assert r["n_recip"] == 2  # ab and ba are each reciprocated
+
+
+def _scc_fixture():
+    import pyarrow as pa
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),   # 3-cycle
+        ("c", "d"), ("d", "e"), ("e", "d"),   # 2-cycle downstream
+        ("e", "f"),                             # sink singleton
+        ("g", "a"),                             # source singleton
+        ("h", "h"),                             # self-loop singleton SCC
+        ("a", "b"),                             # duplicate edge
+    ]
+    return pa.table(
+        {
+            "s": pa.array([e[0] for e in edges], pa.string()),
+            "t": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+
+
+_SCC_WANT = {
+    "a": "a", "b": "a", "c": "a",
+    "d": "d", "e": "d",
+    "f": "f", "g": "g", "h": "h",
+}
+
+
+def test_scc_tarjan_small_path(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import scc
+
+    out = scc(rd_.from_arrow(_scc_fixture()), src="s", dst="t").to_pandas()
+    got = dict(zip(out.node, out.scc_id))
+    assert got == _SCC_WANT
+
+
+def test_scc_distributed_peeling_matches_tarjan(ray_session, monkeypatch):
+    import ray.data as rd_
+
+    import graphiti_ray.stages.graph as g
+
+    monkeypatch.setattr(g, "SCC_SMALL_LIMIT", 0)
+    out = g.scc(
+        rd_.from_arrow(_scc_fixture()).repartition(4), src="s", dst="t"
+    ).to_pandas()
+    got = dict(zip(out.node, out.scc_id))
+    assert got == _SCC_WANT
