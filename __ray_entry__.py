@@ -3898,6 +3898,62 @@ def _q_web_link_graph(sf_dir: str):
     return extract_link_graph(_pages(sf_dir))
 
 
+def _q_web_walks(sf_dir: str):
+    """DeepWalk-style deterministic walk corpus over the host link graph:
+    2 walks × 4 steps from every host, hop k from node c taken to sorted
+    neighbor md5(c:walk:k)[:8] % outdeg(c) — neighbor indices from ONE
+    window_rank sort, one frontier⋈edges hash join per step, reproducible
+    on any cluster size. Oracle unrolls all 4 hops with the identical md5
+    arithmetic."""
+    from graphiti_ray.stages.graph import random_walks
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return random_walks(
+        lg, src="src_host", dst="dst_host", walks_per_node=2, length=4
+    )
+
+
+def _walks_oracle_sql(walks_per_node: int = 2, length: int = 4) -> str:
+    md5pick = (
+        "('0x' || substr(md5(f.cur || ':' || CAST(f.walk_id AS VARCHAR)"
+        " || ':' || '{k}'), 1, 8))::BIGINT % e.od"
+    )
+    parts = [
+        "he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk)",
+        "nodes AS (SELECT s AS x FROM he UNION SELECT t FROM he)",
+        """eidx AS (
+  SELECT s, t, row_number() OVER (PARTITION BY s ORDER BY t) - 1 AS idx,
+         count(*) OVER (PARTITION BY s) AS od
+  FROM he
+)""",
+        f"wn AS (SELECT unnest(generate_series(0, {walks_per_node - 1})) AS w)",
+        "w0 AS (SELECT n.x AS start, wn.w AS walk_id, n.x AS cur "
+        "FROM nodes n CROSS JOIN wn)",
+    ]
+    for k in range(1, length + 1):
+        parts.append(
+            f"""w{k} AS (
+  SELECT f.start, f.walk_id, e.t AS cur
+  FROM w{k - 1} f JOIN eidx e
+    ON e.s = f.cur AND e.idx = {md5pick.format(k=k)}
+)"""
+        )
+    selects = [
+        f"SELECT start AS start_host, walk_id, CAST({k} AS BIGINT) AS step,"
+        f" cur AS host FROM w{k}"
+        for k in range(0, length + 1)
+    ]
+    return (
+        f"WITH {_LINK_GRAPH_CTE.lstrip()},\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+    )
+
+
 def _q_web_host_scc(sf_dir: str):
     """Strongly connected components of the directed host link graph —
     the Broder-bowtie structure primitive. Small graphs collapse on the
@@ -4763,6 +4819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": _q_events_regression,
         "dedup_snm": _q_dedup_snm,
         "web_host_scc": _q_web_host_scc,
+        "web_walks": _q_web_walks,
         "docs_dedup_lines": _q_docs_dedup_lines,
         "web_reciprocity": _q_web_reciprocity,
         "cdx_index": _q_cdx_index,
@@ -4918,6 +4975,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # every hop replayed with identical md5 index arithmetic
+        "web_walks": _walks_oracle_sql(),
         # SCC via the transitive closure: scc_id(v) = min u with v→u and
         # u→v (v itself included via least) — the 20-host graph keeps the
         # recursive CTE tiny

@@ -1841,3 +1841,165 @@ def scc(
     for d in assigned[1:]:
         result = result.union(d)
     return result
+
+
+def random_walks(
+    edges: rd.Dataset,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+    walks_per_node: int = 2,
+    length: int = 4,
+) -> rd.Dataset:
+    """Deterministic 'random' walk corpus over a directed edge list — the
+    DeepWalk / node2vec preprocessing stage (Perozzi 2014): every node
+    starts ``walks_per_node`` walks of ≤``length`` steps; at step k a
+    walk at node c moves to c's sorted-neighbor number
+    ``md5(c:walk:k)[:8] % outdeg(c)`` — a pure function of (node, walk,
+    step), so the corpus is reproducible on any cluster size and the SQL
+    twin replays every hop exactly (the salted-md5-uniform convention the
+    epoch shuffle and A-ES sampler already use).
+
+    Ray shape: neighbor indices come from ONE ``ops.window_rank`` sort
+    (idx = row_number−1 and outdeg per src run — no per-node dispatch);
+    each step is one hash join of the live frontier against the indexed
+    edge table on (node, picked_idx). Walks leaving a sink node simply
+    end (inner join drops them), matching the twin's join semantics.
+    Output: (start_host, walk_id, step, host) — step 0 is the start node.
+    """
+    import hashlib
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import distinct_by_key, window_rank
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t.column(src).cast(pa.string())
+        d = t.column(dst).cast(pa.string())
+        return pa.table(
+            {"s": s, "t": d, "_k": pc.binary_join_element_wise(s, d, "\x01")}
+        )
+
+    e = (
+        distinct_by_key(
+            edges.select_columns([src, dst]).map_batches(
+                norm, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "_k",
+        )
+        .drop_columns(["_k"])
+    )
+    eidx = (
+        window_rank(e, ["s"], ["t"], rank_col="_r", count_col="_od")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "s": t.column("s"),
+                    "_nxt": t.column("t"),
+                    "_pick": pc.subtract(t.column("_r"), 1),
+                    "_od": t.column("_od"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    nodes = distinct_by_key(
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t.column("s").combine_chunks(),
+                            t.column("t").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "node",
+    )
+
+    def fanout(t: pa.Table, _w=walks_per_node) -> pa.Table:
+        node = t.column("node")
+        reps = pa.concat_arrays(
+            [node.combine_chunks()] * _w
+        ) if _w > 1 else node.combine_chunks()
+        walk = pa.array(
+            [w for w in range(_w) for _ in range(len(node))], pa.int64()
+        )
+        return pa.table({"start_host": reps, "walk_id": walk, "cur": reps})
+
+    frontier = nodes.map_batches(fanout, batch_format="pyarrow").materialize()
+    parts = default_join_partitions()
+
+    def emit(step: int):
+        return frontier.map_batches(
+            lambda t, _k=step: pa.table(
+                {
+                    "start_host": t.column("start_host"),
+                    "walk_id": t.column("walk_id"),
+                    "step": pa.array([_k] * t.num_rows, pa.int64()),
+                    "host": t.column("cur"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    out = emit(0)
+    for k in range(1, length + 1):
+        if frontier.count() == 0:
+            break
+
+        def pick_fn(t: pa.Table, _k=k) -> pa.Table:
+            cur = t.column("cur").to_pylist()
+            wid = t.column("walk_id").to_pylist()
+            od = t.column("_od").to_pylist()
+            pick = [
+                int(
+                    hashlib.md5(f"{c}:{w}:{_k}".encode()).hexdigest()[:8], 16
+                )
+                % o
+                for c, w, o in zip(cur, wid, od)
+            ]
+            return pa.table(
+                {
+                    "start_host": t.column("start_host"),
+                    "walk_id": t.column("walk_id"),
+                    "s": t.column("cur"),
+                    "_pick": pa.array(pick, pa.int64()),
+                }
+            )
+
+        # join 1: frontier ⋈ per-src degree (the _pick computation needs
+        # outdeg BEFORE the edge join); the degree row is eidx's idx-0 row
+        deg = eidx.map_batches(
+            lambda t: pa.table(
+                {"cur": t.column("s"), "_od": t.column("_od")}
+            ).filter(pc.equal(t.column("_pick"), 0)),
+            batch_format="pyarrow",
+        )
+        with_od = safe_join(
+            frontier, deg, join_type="inner", num_partitions=parts, on=("cur",)
+        )
+        picked = with_od.map_batches(pick_fn, batch_format="pyarrow")
+        nxt = safe_join(
+            picked,
+            eidx.map_batches(
+                lambda t: t.drop_columns(["_od"]), batch_format="pyarrow"
+            ),
+            join_type="inner",
+            num_partitions=parts,
+            on=("s", "_pick"),
+        )
+        frontier = nxt.map_batches(
+            lambda t: pa.table(
+                {
+                    "start_host": t.column("start_host"),
+                    "walk_id": t.column("walk_id"),
+                    "cur": t.column("_nxt"),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        out = out.union(emit(k))
+    return out

@@ -505,3 +505,43 @@ def test_scc_distributed_peeling_matches_tarjan(ray_session, monkeypatch):
     ).to_pandas()
     got = dict(zip(out.node, out.scc_id))
     assert got == _SCC_WANT
+
+
+def test_random_walks_deterministic_replay(ray_session):
+    import hashlib
+
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"), ("c", "d")]
+    t = pa.table(
+        {
+            "s": pa.array([e[0] for e in edges], pa.string()),
+            "t": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    out = random_walks(
+        rd_.from_arrow(t).repartition(3), src="s", dst="t",
+        walks_per_node=2, length=3,
+    ).to_pandas()
+    # driver replay of the md5 step rule over sorted adjacency
+    adj: dict = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+    want = []
+    for n in sorted({x for e in edges for x in e}):
+        for w in range(2):
+            cur = n
+            want.append((n, w, 0, n))
+            for k in range(1, 4):
+                if cur not in adj:
+                    break  # sink: the walk ends (d has no out-edges)
+                pick = int(
+                    hashlib.md5(f"{cur}:{w}:{k}".encode()).hexdigest()[:8], 16
+                ) % len(adj[cur])
+                cur = adj[cur][pick]
+                want.append((n, w, k, cur))
+    got = sorted(zip(out.start_host, out.walk_id, out.step, out.host))
+    assert got == sorted(want)
