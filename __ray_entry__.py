@@ -3898,6 +3898,23 @@ def _q_web_link_graph(sf_dir: str):
     return extract_link_graph(_pages(sf_dir))
 
 
+def _q_web_bowtie(sf_dir: str):
+    """Broder-2000 bowtie census of the host link graph: every host
+    labeled core (largest SCC) / in / out / other — composition of the
+    scc operator and two dataset-side BFS reachability fixpoints seeded
+    with the whole core. Oracle: the same zones off one recursive-CTE
+    reachability closure."""
+    from graphiti_ray.stages.graph import bowtie
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return bowtie(lg, src="src_host", dst="dst_host").map_batches(
+        lambda t: t.rename_columns(["host", "zone"]), batch_format="pyarrow"
+    )
+
+
 def _q_web_walks(sf_dir: str):
     """DeepWalk-style deterministic walk corpus over the host link graph:
     2 walks × 4 steps from every host, hop k from node c taken to sorted
@@ -4820,6 +4837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_snm": _q_dedup_snm,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
+        "web_bowtie": _q_web_bowtie,
         "docs_dedup_lines": _q_docs_dedup_lines,
         "web_reciprocity": _q_web_reciprocity,
         "cdx_index": _q_cdx_index,
@@ -4975,6 +4993,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the four Broder zones off one reachability closure; champion SCC
+        # by (size DESC, scc_id ASC)
+        "web_bowtie": f"""
+WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
+he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),
+-- inside WITH RECURSIVE DuckDB does NOT dedup a plain UNION in a
+-- non-recursive CTE (measured: 120 rows for 20 hosts) — force DISTINCT
+nodes AS (SELECT DISTINCT x FROM
+          (SELECT s AS x FROM he UNION ALL SELECT t FROM he)),
+reach(s, t) AS (
+  SELECT s, t FROM he
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN he e ON e.s = r.t
+),
+mutual AS (
+  SELECT r1.s AS v, r1.t AS u
+  FROM reach r1 JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s
+),
+sccm AS (
+  SELECT n.x AS node, least(n.x, coalesce(min(m.u), n.x)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
+),
+champ AS (
+  SELECT scc_id FROM sccm GROUP BY scc_id
+  ORDER BY count(*) DESC, scc_id ASC LIMIT 1
+),
+core AS (SELECT node FROM sccm WHERE scc_id = (SELECT scc_id FROM champ)),
+fwd AS (SELECT DISTINCT r.t AS node FROM reach r
+        WHERE r.s IN (SELECT node FROM core)),
+bwd AS (SELECT DISTINCT r.s AS node FROM reach r
+        WHERE r.t IN (SELECT node FROM core))
+SELECT n.x AS host,
+       CASE WHEN n.x IN (SELECT node FROM core) THEN 'core'
+            WHEN n.x IN (SELECT node FROM fwd) THEN 'out'
+            WHEN n.x IN (SELECT node FROM bwd) THEN 'in'
+            ELSE 'other' END AS zone
+FROM nodes n
+""",
         # every hop replayed with identical md5 index arithmetic
         "web_walks": _walks_oracle_sql(),
         # SCC via the transitive closure: scc_id(v) = min u with v→u and

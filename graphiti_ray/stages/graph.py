@@ -2003,3 +2003,149 @@ def random_walks(
         ).materialize()
         out = out.union(emit(k))
     return out
+
+
+def _directed_reach(
+    start: rd.Dataset, edges: rd.Dataset, forward: bool, max_rounds: int
+) -> rd.Dataset:
+    """Fixpoint reachability set from a starting node set over directed
+    edges (forward=False follows edges backwards) — the harmonic-
+    centrality BFS loop without per-seed bookkeeping: visited and
+    frontier are (node) Datasets, each round one hash join + one distinct
+    set difference (``ops.dataset_except``)."""
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import dataset_except
+
+    s, t = ("s", "t") if forward else ("t", "s")
+    e = edges.map_batches(
+        lambda b, _s=s, _t=t: pa.table(
+            {"node": b.column(_s), "_nxt": b.column(_t)}
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    visited = start.materialize()
+    frontier = visited
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            break
+        stepped = safe_join(
+            frontier,
+            e,
+            join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("node",),
+        ).map_batches(
+            lambda b: pa.table({"node": b.column("_nxt")}),
+            batch_format="pyarrow",
+        )
+        fresh = dataset_except(stepped, visited, ["node"]).materialize()
+        if fresh.count() == 0:
+            break
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+    return visited
+
+
+def bowtie(
+    edges: rd.Dataset,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+    max_rounds: int = 50,
+) -> rd.Dataset:
+    """Broder-2000 bowtie decomposition of a directed graph — THE
+    structural census of the web graph: every node labeled
+
+      - ``core``  — member of the largest SCC (ties → smaller scc_id),
+      - ``in``    — reaches the core but is not in it,
+      - ``out``   — reachable from the core but not in it,
+      - ``other`` — tendrils/tubes/disconnected (everything else).
+
+    fwd-reach(core) ∩ bwd-reach(core) = core exactly (a node in both is
+    mutually reachable with core members, hence in the core SCC), so the
+    four zones partition the nodes with no ambiguity.
+
+    Composition of proven pieces: :func:`scc` for the partition, a
+    vocabulary-sized groupby + sort-limit for the champion component,
+    then two :func:`_directed_reach` BFS fixpoints seeded with the whole
+    core. ``max_rounds`` bounds BFS depth (beyond any real web graph's
+    diameter; the SQL twin uses the full closure, so graphs deeper than
+    the bound would diverge — raise it rather than lowering).
+    Output: (node, zone).
+    """
+    from ray.data.aggregate import Count
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": t.column(src).cast(pa.string()),
+                "t": t.column(dst).cast(pa.string()),
+            }
+        )
+
+    e = edges.select_columns([src, dst]).map_batches(
+        norm, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    labels = scc(e, src="s", dst="t").materialize()
+    champion = (
+        labels.groupby("scc_id")
+        .aggregate(Count(alias_name="sz"))
+        .sort(["sz", "scc_id"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    core_id = champion[0]["scc_id"]
+    core = labels.map_batches(
+        lambda t, _c=core_id: pa.table(
+            {"node": t.column("node")}
+        ).filter(pc.equal(t.column("scc_id"), _c)),
+        batch_format="pyarrow",
+    ).materialize()
+    fwd = _directed_reach(core, e, True, max_rounds)
+    bwd = _directed_reach(core, e, False, max_rounds)
+    parts = default_join_partitions()
+
+    def flagged(ds: rd.Dataset, name: str) -> rd.Dataset:
+        return ds.map_batches(
+            lambda t, _n=name: pa.table(
+                {
+                    "node": t.column("node"),
+                    _n: pa.array([1] * t.num_rows, pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    nodes = labels.select_columns(["node"])
+    j = safe_join(
+        nodes, flagged(core, "_core"), join_type="left_outer",
+        num_partitions=parts, on=("node",),
+    )
+    j = safe_join(
+        j, flagged(fwd, "_fwd"), join_type="left_outer",
+        num_partitions=parts, on=("node",),
+    )
+    j = safe_join(
+        j, flagged(bwd, "_bwd"), join_type="left_outer",
+        num_partitions=parts, on=("node",),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        is_core = pc.is_valid(t.column("_core")).to_numpy(zero_copy_only=False)
+        is_fwd = pc.is_valid(t.column("_fwd")).to_numpy(zero_copy_only=False)
+        is_bwd = pc.is_valid(t.column("_bwd")).to_numpy(zero_copy_only=False)
+        zone = np.where(
+            is_core, "core",
+            np.where(is_fwd, "out", np.where(is_bwd, "in", "other")),
+        )
+        return pa.table(
+            {
+                "node": t.column("node"),
+                "zone": pa.array(zone.tolist(), pa.string()),
+            }
+        )
+
+    return j.map_batches(classify, batch_format="pyarrow")

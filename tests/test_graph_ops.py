@@ -545,3 +545,31 @@ def test_random_walks_deterministic_replay(ray_session):
                 want.append((n, w, k, cur))
     got = sorted(zip(out.start_host, out.walk_id, out.step, out.host))
     assert got == sorted(want)
+
+
+def test_bowtie_decomposition_hand_graph(ray_session):
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import bowtie
+
+    edges = [
+        ("c1", "c2"), ("c2", "c1"),  # the core 2-cycle
+        ("i", "c1"),                   # IN
+        ("c2", "o"),                   # OUT
+        ("i", "t"),                    # tendril off IN → other
+        ("d1", "d2"),                  # disconnected pair → other
+    ]
+    t = pa.table(
+        {
+            "s": pa.array([e[0] for e in edges], pa.string()),
+            "t": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    out = bowtie(rd_.from_arrow(t).repartition(3), src="s", dst="t").to_pandas()
+    got = dict(zip(out.node, out.zone))
+    assert got == {
+        "c1": "core", "c2": "core",
+        "i": "in", "o": "out",
+        "t": "other", "d1": "other", "d2": "other",
+    }
