@@ -953,6 +953,65 @@ def _q_dedup_embedding_lsh_full(sf_dir: str):
     )
 
 
+def _q_docs_minimizers(sf_dir: str):
+    """(w,k)-minimizer sketch (minimap-style): positional k-byte Horner
+    hashes (the MinHash shingle arithmetic), every length-8 window's
+    minimum hash at its leftmost position, distinct (doc_id, pos, h) —
+    the density-controlled substring-dedup sketch. One streaming numpy
+    pass (sliding_window_view argmin per doc); the twin replays the
+    window argmin with a bounded range join + row_number."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import minimizers
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minimizers(docs, w=8)
+
+
+def _minimizers_oracle_sql(k: int = 5, w: int = 8) -> str:
+    p_pow = [pow(_POLY_INT, j, _M64) for j in range(k)]
+    terms = " + ".join(
+        [f"b * {p_pow[k - 1]}::HUGEINT"]
+        + [
+            f"lead(b, {j}) OVER win * {p_pow[k - 1 - j]}::HUGEINT"
+            for j in range(1, k)
+        ]
+    )
+    return f"""
+WITH lt AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+  WHERE length(lower(text)) >= {k}
+),
+bytes AS (
+  SELECT doc_id, i, ord(substr(t, i, 1))::HUGEINT AS b, length(t) AS n
+  FROM lt, LATERAL unnest(range(1, length(t) + 1)) AS u(i)
+),
+sh0 AS (
+  SELECT doc_id, ({terms}) % 18446744073709551616::HUGEINT AS h64, i, n
+  FROM bytes
+  WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+),
+hashes AS (
+  SELECT doc_id, i, (h64 % 2305843009213693952::HUGEINT)::BIGINT AS h
+  FROM sh0 WHERE i <= n - {k - 1}
+),
+docm AS (SELECT doc_id, max(i) AS m FROM hashes GROUP BY doc_id),
+starts AS (
+  SELECT doc_id, u.j
+  FROM docm, LATERAL unnest(range(1, greatest(m - {w - 1}, 1) + 1)) AS u(j)
+),
+wj AS (
+  SELECT h.doc_id, s.j, h.i, h.h,
+         row_number() OVER (PARTITION BY h.doc_id, s.j ORDER BY h.h, h.i)
+           AS rk
+  FROM starts s
+  JOIN hashes h ON h.doc_id = s.doc_id
+   AND h.i BETWEEN s.j AND s.j + {w - 1}
+)
+SELECT DISTINCT doc_id, i AS pos, h FROM wj WHERE rk = 1
+"""
+
+
 def _q_dedup_snm(sf_dir: str):
     """Sorted-neighborhood (Hernández–Stolfo) near-dup blocking: ONE
     global range sort by the space-stripped 24-char text prefix, each row
@@ -4835,6 +4894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "events_regression": _q_events_regression,
         "dedup_snm": _q_dedup_snm,
+        "docs_minimizers": _q_docs_minimizers,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5052,6 +5112,9 @@ mutual AS (
 SELECT n.x AS host, least(n.x, coalesce(min(m.u), n.x)) AS scc_id
 FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
 """,
+        # window argmin replayed with a bounded range join + row_number;
+        # hash arithmetic shared with the MinHash shingle twin
+        "docs_minimizers": _minimizers_oracle_sql(),
         # the whole SNM pipeline relationally: same sort key, row_number
         # self-join bounded by the window, distinct-token Jaccard on the
         # 1e6 lattice with // truncation

@@ -2012,3 +2012,64 @@ def sorted_neighborhood_pairs(
         )
 
     return lagged.map_batches(pairs, batch_format="pyarrow")
+
+
+def minimizers(
+    docs: rd.Dataset,
+    k: int = SHINGLE_K,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """(w,k)-minimizer sampling (Roberts 2004 / minimap's sketch): per
+    document, the positional k-byte rolling hashes ``shingle_hash_seq``
+    already computes, then every length-w window contributes its minimum
+    hash's LEFTMOST position — the distinct (doc_id, pos, h) set is the
+    sketch. Guarantees: any two documents sharing a ≥(w+k−1)-byte
+    substring share a minimizer, at an expected 2/(w+1) sampling rate —
+    the density/recall dial large-scale substring dedup and overlap
+    detection want when full positional grams are too heavy.
+
+    Single streaming ``map_batches`` pass, numpy end to end: the window
+    argmin is one ``sliding_window_view(...).argmin`` per doc (ties →
+    first index = leftmost, the canonical tie rule); docs shorter than k
+    are excluded on BOTH sides (padding semantics aren't SQL-expressible
+    — the dedup_ngram convention). m ≤ w docs contribute their single
+    global-argmin window. Hash arithmetic is byte-for-byte the MinHash
+    shingle convention, so the SQL twin reuses the lead()-Horner CTE.
+    """
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(text_col).to_pylist()
+        out_id, out_pos, out_h = [], [], []
+        for did, text in zip(ids, texts):
+            if len(text.lower().encode("utf-8", "ignore")) < k:
+                continue
+            h = shingle_hash_seq(text, k)
+            m = len(h)
+            if m <= w:
+                pos = np.array([int(h.argmin())], dtype=np.int64)
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(h, w)
+                pos = np.unique(win.argmin(axis=1) + np.arange(len(win)))
+            out_id.append(np.full(len(pos), did, dtype=np.int64))
+            out_pos.append(pos + 1)  # 1-based, the SQL substr convention
+            out_h.append(h[pos])
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "h": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id), pa.int64()),
+                "pos": pa.array(np.concatenate(out_pos), pa.int64()),
+                "h": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -846,3 +846,54 @@ def test_sorted_neighborhood_pairs_window_and_lattice(ray_session):
     # window bound respected: sort order is (prefix, doc_id); 12 shares
     # the 24-char prefix so (10,12)/(11,12) are in-window candidates
     assert (11, 12) in got
+
+
+def test_minimizers_shared_substring_guarantee(ray_session):
+    import pyarrow as pa
+
+    from graphiti_ray.stages.dedup import minimizers
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 44 > w+k-1 = 12
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "AAAA " + shared + " BBBB",
+                    "CCCCCCCC " + shared + " DD",
+                    "nothing in common here at all with others",
+                ],
+            }
+        )
+    )
+    out = minimizers(docs, k=5, w=8).to_pandas()
+    h1 = set(out[out.doc_id == 1].h)
+    h2 = set(out[out.doc_id == 2].h)
+    h3 = set(out[out.doc_id == 3].h)
+    # the (w,k)-minimizer guarantee: a shared >= w+k-1 byte substring
+    # forces at least one shared minimizer hash
+    assert h1 & h2
+    # density: ~2/(w+1) of positions, never more than the window count
+    n_pos = len("AAAA " + shared + " BBBB") - 5 + 1
+    assert len(out[out.doc_id == 1]) <= n_pos
+    assert len(out[out.doc_id == 1]) >= n_pos // 9
+    # decoy shares far less than the twins share with each other
+    assert len(h1 & h3) < len(h1 & h2)
+
+
+def test_minimizers_short_doc_single_window(ray_session):
+    import pyarrow as pa
+
+    from graphiti_ray.stages.dedup import minimizers
+
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["abcdefgh", "abc"],  # m=4 ≤ w; len<k excluded
+            }
+        )
+    )
+    out = minimizers(docs, k=5, w=8).to_pandas()
+    assert set(out.doc_id) == {1}
+    assert len(out) == 1  # one global-argmin window
