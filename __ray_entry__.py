@@ -969,6 +969,28 @@ def _q_docs_minimizers(sf_dir: str):
 
 
 def _minimizers_oracle_sql(k: int = 5, w: int = 8) -> str:
+    return _minimizers_chain_sql(k, w) + (
+        "\nSELECT DISTINCT doc_id, i AS pos, h FROM wj WHERE rk = 1\n"
+    )
+
+
+def _minimizer_pairs_oracle_sql(
+    k: int = 5, w: int = 8, min_shared: int = 3, hot_df: int = 32
+) -> str:
+    return _minimizers_chain_sql(k, w) + f"""
+, mm AS (SELECT DISTINCT doc_id, h FROM wj WHERE rk = 1),
+okh AS (SELECT h FROM mm GROUP BY h HAVING count(*) BETWEEN 2 AND {hot_df}),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mm a JOIN mm b ON a.h = b.h AND a.doc_id < b.doc_id
+  WHERE a.h IN (SELECT h FROM okh)
+)
+SELECT doc_a, doc_b, count(*) AS shared
+FROM p GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+def _minimizers_chain_sql(k: int = 5, w: int = 8) -> str:
     p_pow = [pow(_POLY_INT, j, _M64) for j in range(k)]
     terms = " + ".join(
         [f"b * {p_pow[k - 1]}::HUGEINT"]
@@ -1008,8 +1030,21 @@ wj AS (
   JOIN hashes h ON h.doc_id = s.doc_id
    AND h.i BETWEEN s.j AND s.j + {w - 1}
 )
-SELECT DISTINCT doc_id, i AS pos, h FROM wj WHERE rk = 1
 """
+
+
+def _q_dedup_minimizer(sf_dir: str):
+    """Minimizer-sketch near-dup pairs: docs sharing ≥3 distinct
+    (8,5)-minimizer hashes, hub hashes (df > 32) dropped on both sides —
+    the substring-level dedup family member. One range sort on h + the
+    run pair kernel (bounded-carry truncate, provably exact under the
+    drop rule) + one keyed count."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import minimizer_dedup_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minimizer_dedup_pairs(docs)
 
 
 def _q_dedup_snm(sf_dir: str):
@@ -4895,6 +4930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_regression": _q_events_regression,
         "dedup_snm": _q_dedup_snm,
         "docs_minimizers": _q_docs_minimizers,
+        "dedup_minimizer": _q_dedup_minimizer,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5115,6 +5151,9 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # window argmin replayed with a bounded range join + row_number;
         # hash arithmetic shared with the MinHash shingle twin
         "docs_minimizers": _minimizers_oracle_sql(),
+        # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
+        # value-exact incl. the drop rule
+        "dedup_minimizer": _minimizer_pairs_oracle_sql(),
         # the whole SNM pipeline relationally: same sort key, row_number
         # self-join bounded by the window, distinct-token Jaccard on the
         # 1e6 lattice with // truncation

@@ -2073,3 +2073,105 @@ def minimizers(
         )
 
     return docs.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MINIMIZER_HOT_DF = 32  # drop minimizer hashes shared by more docs (hub grams)
+
+
+def minimizer_dedup_pairs(
+    docs: rd.Dataset,
+    k: int = SHINGLE_K,
+    w: int = 8,
+    min_shared: int = 3,
+    hot_df: int = MINIMIZER_HOT_DF,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Minimizer-sketch near-dup candidate pairs: docs sharing ≥
+    ``min_shared`` distinct (w,k)-minimizer hashes — the substring-level
+    member of the dedup family (MinHash estimates set Jaccard, n-gram
+    verifies it; minimizers catch LONG shared runs at 2/(w+1) the cost of
+    full positional grams). Hub hashes with document frequency >
+    ``hot_df`` are DROPPED, not capped — deterministic, skew-immune, and
+    exactly mirrored by the twin's HAVING clause (the dedup_ngram
+    convention; a capped bucket could not be value-exact).
+
+    Shape: minimizers → distinct (doc, h) → ONE range sort on h → pair
+    kernel over complete runs (``ops.sorted_run_map``; runs are ≤ hot_df
+    rows by the drop rule, so the carry is bounded) → one keyed count.
+    Output: (doc_a, doc_b, shared) with doc_a < doc_b.
+    """
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import distinct_by_key, sorted_run_map
+
+    m = minimizers(docs, k=k, w=w, id_col=id_col, text_col=text_col)
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "h": t.column("h"),
+                id_col: t.column(id_col),
+                "_k": pc.binary_join_element_wise(
+                    pc.cast(t.column("h"), pa.string()),
+                    pc.cast(t.column(id_col), pa.string()),
+                    "\x01",
+                ),
+            }
+        )
+
+    mm = distinct_by_key(
+        m.map_batches(key, batch_format="pyarrow"), "_k"
+    ).drop_columns(["_k"])
+
+    def pair_kernel(tbl: pa.Table) -> pa.Table:
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        starts = _table_run_starts(tbl, ["h"])
+        ax, bx = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2 or n > hot_df:
+                continue
+            x, y = _triu(n)
+            ax.append(ids[s:e][x])
+            bx.append(ids[s:e][y])
+        if not ax:
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                }
+            )
+        a = np.concatenate(ax)
+        b = np.concatenate(bx)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "doc_a": pa.array(lo, pa.int64()),
+                "doc_b": pa.array(hi, pa.int64()),
+            }
+        )
+
+    # truncate is EXACT here: a truncated hub run still presents ≥
+    # carry_cap (= 4·hot_df > hot_df) rows to the kernel, so it is dropped
+    # exactly like its untruncated self; runs the kernel keeps (≤ hot_df)
+    # are always carried whole
+    pairs = sorted_run_map(
+        mm,
+        ["h"],
+        pair_kernel,
+        order_cols=[id_col],
+        carry_cap=4 * hot_df,
+        on_carry_overflow="truncate",
+    )
+    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="shared")
+    )
+    return counted.map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t.column("shared"), min_shared)
+        ),
+        batch_format="pyarrow",
+    )

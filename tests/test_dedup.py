@@ -897,3 +897,33 @@ def test_minimizers_short_doc_single_window(ray_session):
     out = minimizers(docs, k=5, w=8).to_pandas()
     assert set(out.doc_id) == {1}
     assert len(out) == 1  # one global-argmin window
+
+
+def test_minimizer_dedup_pairs_planted_and_hub_drop(ray_session):
+    import pyarrow as pa
+
+    from graphiti_ray.stages.dedup import minimizer_dedup_pairs
+
+    shared = "an unmistakably long shared passage that dominates both docs"
+    hub = "common boilerplate"  # present in EVERY doc → its hashes are hubs
+    texts = {
+        1: hub + " alpha " + shared,
+        2: hub + " omega " + shared,
+        3: hub + " unrelated text number three entirely",
+        4: hub + " different again and saying nothing shared",
+    }
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": [texts[i] for i in sorted(texts)],
+            }
+        )
+    ).repartition(3)
+    out = minimizer_dedup_pairs(docs, min_shared=3, hot_df=3).to_pandas()
+    got = {(a, b): s for a, b, s in zip(out.doc_a, out.doc_b, out.shared)}
+    # the planted pair survives with several shared minimizers
+    assert (1, 2) in got and got[(1, 2)] >= 3
+    # hub grams (df=4 > hot_df=3) generate no pairs: 3 and 4 share only
+    # the boilerplate, so they never pair
+    assert not any(3 in p or 4 in p for p in got)
