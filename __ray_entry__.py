@@ -3649,6 +3649,82 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
 
 
+def _q_graph_ktruss(sf_dir: str):
+    """3-truss of the co-mention graph (every edge in ≥1 triangle inside
+    the truss — the cohesion mesh between k-core and cliques): bounded
+    edge peeling, per-round support from the degree-ordered wedge join,
+    final support recomputed over the surviving set. Oracle: the same
+    recurrence unrolled as MATERIALIZED CTE rounds."""
+    from graphiti_ray.stages.graph import k_truss
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ment = tables["mentions"].select_columns(["episode_uuid", "entity_uuid"])
+    right = ment.map_batches(
+        lambda t: t.rename_columns(["episode_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    co = safe_join(
+        ment,
+        right,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("episode_uuid",),
+    ).map_batches(
+        lambda t: t.select(["entity_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    return k_truss(co, k=3, rounds=4, src="entity_uuid", dst="entity_b")
+
+
+def _ktruss_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    # MATERIALIZED is load-bearing (the k-core/HITS fd-exhaustion note):
+    # each round's edge set is referenced 3× by the triangle self-join
+    parts = [
+        """r0 AS MATERIALIZED (
+  SELECT DISTINCT least(x.eu, y.eu) AS a, greatest(x.eu, y.eu) AS b
+  FROM mu x JOIN mu y
+    ON x.episode_uuid = y.episode_uuid AND x.eu <> y.eu
+)"""
+    ]
+    for i in range(rounds + 1):
+        parts.append(
+            f"""tri{i} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM r{i} e1
+  JOIN r{i} e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN r{i} e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+sup{i} AS MATERIALIZED (
+  SELECT a, b, count(*)::BIGINT AS n FROM (
+    SELECT x AS a, y AS b FROM tri{i}
+    UNION ALL SELECT x, z FROM tri{i}
+    UNION ALL SELECT y, z FROM tri{i}
+  ) GROUP BY 1, 2
+)"""
+        )
+        if i < rounds:
+            parts.append(
+                f"r{i + 1} AS MATERIALIZED "
+                f"(SELECT a, b FROM sup{i} WHERE n >= {k - 2})"
+            )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+mu AS (
+  SELECT m.episode_uuid,
+         md5(m.group_id || '|' || lower(c.canonical)) AS eu
+  FROM ment m
+  JOIN canon c ON c.group_id = m.group_id AND c.name = m.name
+),
+{chain}
+SELECT a AS node_a, b AS node_b, n AS support
+FROM sup{rounds} WHERE n >= {k - 2}
+"""
+
+
 def _q_events_scd2(sf_dir: str):
     """SCD2 dimension history over the event stream: per user, each
     maximal run of a constant event_type becomes one
@@ -4931,6 +5007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_snm": _q_dedup_snm,
         "docs_minimizers": _q_docs_minimizers,
         "dedup_minimizer": _q_dedup_minimizer,
+        "graph_ktruss": _q_graph_ktruss,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5154,6 +5231,8 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
         # value-exact incl. the drop rule
         "dedup_minimizer": _minimizer_pairs_oracle_sql(),
+        # bounded truss peeling unrolled; support = exploded triangle edges
+        "graph_ktruss": _ktruss_oracle_sql(),
         # the whole SNM pipeline relationally: same sort key, row_number
         # self-join bounded by the window, distinct-token Jaccard on the
         # 1e6 lattice with // truncation

@@ -2149,3 +2149,237 @@ def bowtie(
         )
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def _edge_support(e: rd.Dataset) -> rd.Dataset:
+    """Per-undirected-edge triangle support (ok_pair_key, support) over a
+    distinct (a, b) edge set — triangle_counts' degree-ordered wedge join
+    with the EDGES of each closed triangle exploded instead of its
+    vertices (each triangle supports exactly its 3 edges). Edges in no
+    triangle emit no row (support 0 by absence)."""
+    import numpy as np
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    parts = default_join_partitions()
+    deg = _undirected_degrees(e)
+
+    def joined_deg(side: str, out: str) -> rd.Dataset:
+        return deg.map_batches(
+            lambda t, _s=side, _o=out: pa.table(
+                {_s: t.column("node"), _o: t.column("deg")}
+            ),
+            batch_format="pyarrow",
+        )
+
+    ed = safe_join(
+        safe_join(
+            e.select_columns(["a", "b"]),
+            joined_deg("a", "da"),
+            join_type="inner",
+            num_partitions=parts,
+            on=("a",),
+        ),
+        joined_deg("b", "db"),
+        join_type="inner",
+        num_partitions=parts,
+        on=("b",),
+    )
+
+    def orient_by_degree(t: pa.Table) -> pa.Table:
+        a = np.asarray(t.column("a").to_pylist(), dtype=object)
+        b = np.asarray(t.column("b").to_pylist(), dtype=object)
+        da = t.column("da").to_numpy(zero_copy_only=False)
+        db = t.column("db").to_numpy(zero_copy_only=False)
+        a_first = (da < db) | ((da == db) & (a < b))
+        lo = np.where(a_first, a, b)
+        hi = np.where(a_first, b, a)
+        dhi = np.where(a_first, db, da)
+        out = pa.table(
+            {
+                "lo": pa.array(lo.tolist(), pa.string()),
+                "hi": pa.array(hi.tolist(), pa.string()),
+                "dhi": pa.array(dhi, pa.int64()),
+            }
+        )
+        return out.append_column(
+            "ok", _pair_key(out.column("lo"), out.column("hi"))
+        )
+
+    e_or = ed.map_batches(orient_by_degree, batch_format="pyarrow").materialize()
+    empty = pa.table(
+        {"ok": pa.array([], pa.string()), "support": pa.array([], pa.int64())}
+    )
+    wedges = safe_join(
+        e_or.select_columns(["lo", "hi", "dhi"]),
+        e_or.select_columns(["lo", "hi", "dhi"]).map_batches(
+            lambda t: t.rename_columns(["lo", "hi2", "dhi2"]),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=parts,
+        on=("lo",),
+    )
+
+    def keep_ordered_wedges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.or_(
+            pc.less(t.column("dhi"), t.column("dhi2")),
+            pc.and_(
+                pc.equal(t.column("dhi"), t.column("dhi2")),
+                pc.less(t.column("hi"), t.column("hi2")),
+            ),
+        )
+        t = t.filter(keep)
+        return t.append_column("ok3", _pair_key(t.column("hi"), t.column("hi2")))
+
+    wedges = wedges.map_batches(
+        keep_ordered_wedges, batch_format="pyarrow"
+    ).materialize()
+    if wedges.count() == 0:
+        return rd.from_arrow(empty)
+
+    def canon_key(x, y):
+        # the wedge columns are DEGREE-oriented; support keys must match
+        # the lexicographic (a < b) canonical edge key the peel joins on
+        import pyarrow.compute as pc
+
+        return _pair_key(pc.min_element_wise(x, y), pc.max_element_wise(x, y))
+
+    closed = safe_join(
+        wedges.map_batches(
+            lambda t: pa.table(
+                {
+                    "ok12": canon_key(t.column("lo"), t.column("hi")),
+                    "ok13": canon_key(t.column("lo"), t.column("hi2")),
+                    "ok23": canon_key(t.column("hi"), t.column("hi2")),
+                    "ok": t.column("ok3"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        e_or.select_columns(["ok"]).map_batches(
+            lambda t: t.append_column(
+                "_hit", pa.array([1] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=parts,
+        on=("ok",),
+    )
+
+    def explode_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ok": pa.concat_arrays(
+                    [
+                        t.column("ok12").combine_chunks(),
+                        t.column("ok13").combine_chunks(),
+                        t.column("ok23").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    sup = (
+        closed.map_batches(explode_edges, batch_format="pyarrow")
+        .groupby("ok")
+        .aggregate(Count(alias_name="support"))
+        .materialize()
+    )
+    return sup if sup.count() else rd.from_arrow(empty)
+
+
+def k_truss(
+    edges: rd.Dataset,
+    k: int = 3,
+    rounds: int = 4,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """k-truss decomposition (Cohen 2008): the maximal subgraph where
+    every EDGE sits in ≥ k−2 triangles — the cohesion mesh between k-core
+    (too loose) and cliques (too strict). Iterative edge peeling with a
+    FIXED round bound and early stop (the k_core convention, so a SQL
+    twin unrolls the identical recurrence and extra rounds are no-ops):
+    each round computes per-edge triangle support via the degree-ordered
+    wedge join (O(m^1.5) wedges even with hubs) and drops edges below
+    k−2; the FINAL support is recomputed once over the surviving set, so
+    the emitted numbers describe the truss itself, matching the twin's
+    last CTE. Output: (node_a, node_b, support), a < b.
+    """
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    parts = default_join_partitions()
+    cur = _undirected_distinct_edges(edges, src, dst).materialize()
+    empty = pa.table(
+        {
+            "node_a": pa.array([], pa.string()),
+            "node_b": pa.array([], pa.string()),
+            "support": pa.array([], pa.int64()),
+        }
+    )
+
+    def filtered(support: rd.Dataset) -> rd.Dataset:
+        return support.map_batches(
+            lambda t, _m=k - 2: t.filter(
+                pc.greater_equal(t.column("support"), _m)
+            ),
+            batch_format="pyarrow",
+        )
+
+    for _ in range(rounds):
+        n_cur = cur.count()
+        if n_cur == 0:
+            return rd.from_arrow(empty)
+        sup = _edge_support(cur)
+        keep = filtered(sup).materialize()
+        if keep.count() == 0:
+            return rd.from_arrow(empty)
+        nxt = safe_join(
+            cur.map_batches(
+                lambda t: t.append_column(
+                    "ok", _pair_key(t.column("a"), t.column("b"))
+                ),
+                batch_format="pyarrow",
+            ),
+            keep.select_columns(["ok"]),
+            join_type="inner",
+            num_partitions=parts,
+            on=("ok",),
+        ).select_columns(["a", "b"]).materialize()
+        if nxt.count() == n_cur:  # fixpoint — no edge dropped this round
+            cur = nxt
+            break
+        cur = nxt
+    if cur.count() == 0:
+        return rd.from_arrow(empty)
+    final_sup = filtered(_edge_support(cur)).materialize()
+    if final_sup.count() == 0:
+        return rd.from_arrow(empty)
+    out = safe_join(
+        cur.map_batches(
+            lambda t: t.append_column(
+                "ok", _pair_key(t.column("a"), t.column("b"))
+            ),
+            batch_format="pyarrow",
+        ),
+        final_sup,
+        join_type="inner",
+        num_partitions=parts,
+        on=("ok",),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "node_a": t.column("a"),
+                "node_b": t.column("b"),
+                "support": t.column("support"),
+            }
+        ),
+        batch_format="pyarrow",
+    )

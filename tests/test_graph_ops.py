@@ -573,3 +573,35 @@ def test_bowtie_decomposition_hand_graph(ray_session):
         "i": "in", "o": "out",
         "t": "other", "d1": "other", "d2": "other",
     }
+
+
+def test_k_truss_clique_triangle_tail(ray_session):
+    import itertools
+
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import k_truss
+
+    clique = list(itertools.combinations(["a", "b", "c", "d"], 2))
+    tri = [("d", "x"), ("d", "y"), ("x", "y")]      # triangle off the clique
+    tail = [("y", "z")]                                # in no triangle
+    edges = clique + tri + tail
+    t = pa.table(
+        {
+            "s": pa.array([e[0] for e in edges], pa.string()),
+            "t": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    ds = rd_.from_arrow(t).repartition(3)
+    # k=3: every edge in ≥1 triangle survives — the tail edge does not
+    out3 = k_truss(ds, k=3, src="s", dst="t").to_pandas()
+    got3 = {(a, b): s for a, b, s in zip(out3.node_a, out3.node_b, out3.support)}
+    assert set(got3) == set(clique) | set(tri)
+    # clique edges sit in 2 triangles, triangle edges in 1
+    assert all(got3[e] == 2 for e in clique)
+    assert all(got3[e] == 1 for e in tri)
+    # k=4: only the 4-clique (every edge in ≥2 triangles within the truss)
+    out4 = k_truss(ds, k=4, src="s", dst="t").to_pandas()
+    got4 = {(a, b): s for a, b, s in zip(out4.node_a, out4.node_b, out4.support)}
+    assert set(got4) == set(clique) and all(v == 2 for v in got4.values())
