@@ -3649,6 +3649,28 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
 
 
+def _q_crawl_budget(sf_dir: str):
+    """Largest-remainder (Hamilton) crawl-budget allocation: integer
+    fetch quotas per host summing exactly to 1000, bonus fetches to the
+    largest remainders (ties → host asc). Per-batch count combiner → one
+    vocabulary-sized keyed sum → ranking on the host table only."""
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.urls import crawl_budget
+
+    def to_host(t):
+        import pyarrow as pa
+
+        host = pc.struct_field(
+            pc.extract_regex(t.column("url"), r"^[^:/?#]+://(?P<h>[^/?#:]+)"),
+            "h",
+        )
+        return pa.table({"host": host})
+
+    pages = _pages(sf_dir).map_batches(to_host, batch_format="pyarrow")
+    return crawl_budget(pages, budget=1000)
+
+
 def _q_graph_ktruss(sf_dir: str):
     """3-truss of the co-mention graph (every edge in ≥1 triangle inside
     the truss — the cohesion mesh between k-core and cliques): bounded
@@ -5008,6 +5030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minimizers": _q_docs_minimizers,
         "dedup_minimizer": _q_dedup_minimizer,
         "graph_ktruss": _q_graph_ktruss,
+        "crawl_budget": _q_crawl_budget,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5231,6 +5254,27 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
         # value-exact incl. the drop rule
         "dedup_minimizer": _minimizer_pairs_oracle_sql(),
+        # Hamilton apportionment in pure integer arithmetic: base = floor,
+        # bonus by (budget*n) mod T rank
+        "crawl_budget": """
+WITH c AS (
+  SELECT source || '.example.com' AS host, count(*)::BIGINT AS n_pages
+  FROM documents GROUP BY 1
+),
+tt AS (SELECT sum(n_pages)::BIGINT AS T FROM c),
+b AS (
+  SELECT host, n_pages,
+         ((n_pages * 1000) // T)::BIGINT AS base,
+         ((n_pages * 1000) % T)::BIGINT AS rem
+  FROM c CROSS JOIN tt
+),
+lv AS (SELECT (1000 - sum(base))::BIGINT AS R FROM b),
+r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, host ASC) AS rk FROM b)
+SELECT host, n_pages,
+       (base + CASE WHEN rk <= (SELECT R FROM lv) THEN 1 ELSE 0 END)::BIGINT
+         AS alloc
+FROM r
+""",
         # bounded truss peeling unrolled; support = exploded triangle edges
         "graph_ktruss": _ktruss_oracle_sql(),
         # the whole SNM pipeline relationally: same sort key, row_number

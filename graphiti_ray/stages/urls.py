@@ -639,3 +639,94 @@ def latest_snapshots(
     ).map_batches(partial_argmax, batch_format="pyarrow")
     out = head_k_per_key(candidates, [key], ["__neg_us"], k=1)
     return out.drop_columns(["__neg_us"])
+
+
+def crawl_budget(
+    pages: rd.Dataset,
+    budget: int = 1000,
+    host_col: str = "host",
+) -> rd.Dataset:
+    """Proportional crawl-budget allocation by the largest-remainder
+    (Hamilton) method — the crawl-planning step that turns host page
+    counts into integer fetch quotas summing EXACTLY to ``budget``:
+    alloc_i = ⌊budget·n_i/T⌋ plus one bonus fetch for the R hosts with
+    the largest remainders (R = budget − Σ⌊·⌋; ties → host ascending).
+    All integer arithmetic — remainder ordering uses (budget·n_i) mod T,
+    which orders identically to the fractional parts — so the SQL twin
+    (two window functions) is value-exact.
+
+    Scale shape: per-batch partial host counts (combiner) → one
+    vocabulary-sized keyed sum → the ranking runs on the HOST table (one
+    row per host), never the pages; the only driver scalars are T and R.
+    Output: (host, n_pages, alloc).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.ops import window_rank
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    host_col: t.column(host_col),
+                    "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+                }
+            )
+            .group_by([host_col])
+            .aggregate([("n", "sum")])
+        )
+        return g.rename_columns([host_col, "n"])
+
+    counts = (
+        pages.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(host_col)
+        .aggregate(Sum("n", alias_name="n_pages"))
+        .materialize()
+    )
+    total = counts.sum("n_pages") or 0
+    if total == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    host_col: pa.array([], pa.string()),
+                    "n_pages": pa.array([], pa.int64()),
+                    "alloc": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def base_alloc(t: pa.Table, _T=total, _B=budget) -> pa.Table:
+        n = t.column("n_pages").to_numpy(zero_copy_only=False)
+        prod = n.astype(np.int64) * _B
+        base = prod // _T
+        rem = prod % _T
+        return pa.table(
+            {
+                host_col: t.column(host_col),
+                "n_pages": t.column("n_pages"),
+                "_base": pa.array(base, pa.int64()),
+                "_negrem": pa.array(-rem, pa.int64()),
+                "_one": pa.array(np.zeros(len(n), np.int8), pa.int8()),
+            }
+        )
+
+    allocs = counts.map_batches(base_alloc, batch_format="pyarrow").materialize()
+    leftover = budget - (allocs.sum("_base") or 0)
+    ranked = window_rank(
+        allocs, ["_one"], ["_negrem", host_col], rank_col="_rk", count_col="_n"
+    )
+
+    def finish(t: pa.Table, _R=leftover) -> pa.Table:
+        bonus = pc.cast(pc.less_equal(t.column("_rk"), _R), pa.int64())
+        return pa.table(
+            {
+                host_col: t.column(host_col),
+                "n_pages": t.column("n_pages"),
+                "alloc": pc.add(t.column("_base"), bonus),
+            }
+        )
+
+    return ranked.map_batches(finish, batch_format="pyarrow")

@@ -261,3 +261,29 @@ def test_cdx_index_surt_and_digest(ray_session):
     assert r["ts14"] == "20231114221320"  # 2023-11-14T22:13:20Z
     assert r["digest"] == hashlib.md5(html).hexdigest()
     assert r["length"] == len(html)
+
+
+def test_crawl_budget_hamilton_exact_sum(ray_session):
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.urls import crawl_budget
+
+    hosts = ["a"] * 7 + ["b"] * 2 + ["c"] * 1
+    ds = rd_.from_arrow(
+        pa.table({"host": pa.array(hosts, pa.string())})
+    ).repartition(3)
+    out = crawl_budget(ds, budget=10).to_pandas().set_index("host")
+    # proportional: 7/2/1 of 10 — exact, no remainder needed
+    assert out.alloc.to_dict() == {"a": 7, "b": 2, "c": 1}
+    # a remainder case: budget 11 → floors 7.7/2.2/1.1 → 7/2/1 + 1 bonus
+    # to the largest remainder (a: .7)
+    out11 = crawl_budget(ds, budget=11).to_pandas().set_index("host")
+    assert out11.alloc.to_dict() == {"a": 8, "b": 2, "c": 1}
+    assert int(out11.alloc.sum()) == 11
+    # ties break host-ascending: equal counts, budget not divisible
+    ds2 = rd_.from_arrow(
+        pa.table({"host": pa.array(["x", "y", "z"], pa.string())})
+    )
+    out2 = crawl_budget(ds2, budget=4).to_pandas().set_index("host")
+    assert out2.alloc.to_dict() == {"x": 2, "y": 1, "z": 1}
