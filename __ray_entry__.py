@@ -3403,8 +3403,11 @@ def _pagerank_chain_sql(
             f"SELECT count(*) AS n FROM nodes WHERE {seed_pred.format(x='x')}"
         )
     parts = [
-        f"nodes AS (SELECT s AS x FROM {edge_table} "
-        f"UNION SELECT t FROM {edge_table})",
+        # explicit DISTINCT: under WITH RECURSIVE DuckDB does not dedup a
+        # plain UNION in a non-recursive CTE (the web_bowtie finding), and
+        # this chain is composed into recursive contexts (web_core_rank)
+        f"nodes AS (SELECT DISTINCT x FROM (SELECT s AS x FROM {edge_table} "
+        f"UNION ALL SELECT t FROM {edge_table}))",
         f"nn AS ({nn_sql})",
         f"od AS (SELECT s, count(*) AS od FROM {edge_table} GROUP BY 1)",
         f"e AS (SELECT s, t FROM {edge_table})",
@@ -3647,6 +3650,85 @@ def _q_graph_triangles(sf_dir: str):
         batch_format="pyarrow",
     )
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
+
+
+def _q_web_core_rank(sf_dir: str):
+    """Composite: PageRank over the bowtie CORE subgraph only — the
+    Broder census gating which part of the web graph is worth the
+    expensive iteration (the real crawl-ranking production shape). Core
+    hosts from bowtie() broadcast as a sorted Arrow array (`ray.put` +
+    `pc.is_in` per batch — the canonical small-side pattern), edges
+    filtered to core×core, then the shared 5-round kernel."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from graphiti_ray.stages.graph import bowtie, pagerank
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    zones = bowtie(lg, src="src_host", dst="dst_host")
+    core = zones.map_batches(
+        lambda t: t.filter(pc.equal(t.column("zone"), "core")),
+        batch_format="pyarrow",
+    ).select_columns(["node"])
+    core_arr = pa.array(
+        sorted(r["node"] for r in core.take_all()), pa.string()
+    )
+    core_ref = ray.put(core_arr)
+
+    def core_only(t, _r=core_ref):
+        arr = ray.get(_r)
+        keep = pc.and_(
+            pc.is_in(t.column("src_host"), arr),
+            pc.is_in(t.column("dst_host"), arr),
+        )
+        return t.filter(keep)
+
+    core_edges = lg.map_batches(core_only, batch_format="pyarrow")
+    pr = pagerank(
+        core_edges, damping=0.85, rounds=5, src="src_host", dst="dst_host"
+    )
+    return pr.map_batches(
+        lambda t: t.rename_columns(["host", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _web_core_rank_oracle_sql(damping: float = 0.85, rounds: int = 5) -> str:
+    chain = _pagerank_chain_sql("he_core", damping, rounds)
+    return f"""
+WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
+he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),
+allx AS (SELECT DISTINCT x FROM
+         (SELECT s AS x FROM he UNION ALL SELECT t FROM he)),
+reach(s, t) AS (
+  SELECT s, t FROM he
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN he e ON e.s = r.t
+),
+mutual AS (
+  SELECT r1.s AS v, r1.t AS u
+  FROM reach r1 JOIN reach r2 ON r2.s = r1.t AND r2.t = r1.s
+),
+sccm AS (
+  SELECT n.x AS node, least(n.x, coalesce(min(m.u), n.x)) AS scc_id
+  FROM allx n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
+),
+champ AS (
+  SELECT scc_id FROM sccm GROUP BY scc_id
+  ORDER BY count(*) DESC, scc_id ASC LIMIT 1
+),
+core AS (SELECT node FROM sccm WHERE scc_id = (SELECT scc_id FROM champ)),
+he_core AS (
+  SELECT s, t FROM he
+  WHERE s IN (SELECT node FROM core) AND t IN (SELECT node FROM core)
+),
+{chain}
+SELECT node AS host, pr AS rank FROM r{rounds}
+"""
 
 
 def _q_crawl_budget(sf_dir: str):
@@ -5031,6 +5113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minimizer": _q_dedup_minimizer,
         "graph_ktruss": _q_graph_ktruss,
         "crawl_budget": _q_crawl_budget,
+        "web_core_rank": _q_web_core_rank,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5254,6 +5337,9 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
         # value-exact incl. the drop rule
         "dedup_minimizer": _minimizer_pairs_oracle_sql(),
+        # bowtie core derivation (recursive closure) + the shared unrolled
+        # pagerank chain over core-internal edges only
+        "web_core_rank": _web_core_rank_oracle_sql(),
         # Hamilton apportionment in pure integer arithmetic: base = floor,
         # bonus by (budget*n) mod T rank
         "crawl_budget": """
