@@ -3652,6 +3652,19 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
 
 
+def _q_web_degree_alpha(sf_dir: str):
+    """Hill power-law exponent of the host degree distribution (tail
+    d ≥ 2) — the one-number web-graph-shape diagnostic, log terms on the
+    int 1e-6 lattice, HUGEINT-exact division."""
+    from graphiti_ray.stages.graph import hill_alpha
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return hill_alpha(lg, src="src_host", dst="dst_host", dmin=2)
+
+
 def _q_web_core_rank(sf_dir: str):
     """Composite: PageRank over the bowtie CORE subgraph only — the
     Broder census gating which part of the web graph is worth the
@@ -5114,6 +5127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ktruss": _q_graph_ktruss,
         "crawl_budget": _q_crawl_budget,
         "web_core_rank": _q_web_core_rank,
+        "web_degree_alpha": _q_web_degree_alpha,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5337,6 +5351,32 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
         # value-exact incl. the drop rule
         "dedup_minimizer": _minimizer_pairs_oracle_sql(),
+        # Hill MLE on the 1e-6 ln lattice; HUGEINT division, trunc
+        "web_degree_alpha": f"""
+WITH {_LINK_GRAPH_CTE.lstrip()},
+he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),
+deg AS (
+  SELECT x, count(*)::BIGINT AS deg FROM
+    (SELECT s AS x FROM he UNION ALL SELECT t FROM he) GROUP BY 1
+),
+tail AS (SELECT deg FROM deg WHERE deg >= 2),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         coalesce(sum(CAST(round(ln(deg) * 1000000) AS BIGINT)), 0)::BIGINT
+           AS sl
+  FROM tail
+)
+SELECT n AS n_tail,
+       (sl - n * CAST(round(ln(2) * 1000000) AS BIGINT))::BIGINT AS s_e6,
+       CASE WHEN n = 0
+                 OR sl - n * CAST(round(ln(2) * 1000000) AS BIGINT) <= 0
+            THEN 0
+            ELSE CAST(1000000 + (n::HUGEINT * 1000000000000)
+                 // (sl - n * CAST(round(ln(2) * 1000000) AS BIGINT))
+                 AS BIGINT)
+       END AS alpha_e6
+FROM agg
+""",
         # bowtie core derivation (recursive closure) + the shared unrolled
         # pagerank chain over core-internal edges only
         "web_core_rank": _web_core_rank_oracle_sql(),

@@ -2383,3 +2383,89 @@ def k_truss(
         ),
         batch_format="pyarrow",
     )
+
+
+def hill_alpha(
+    edges: rd.Dataset,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+    dmin: int = 2,
+) -> rd.Dataset:
+    """Hill maximum-likelihood estimator of the degree-distribution
+    power-law exponent (Clauset–Shalizi–Newman 2009's discrete
+    approximation): α = 1 + n / Σ ln(d_i/dmin) over the tail d_i ≥ dmin —
+    the one-number web-graph-shape diagnostic (the web's in-degree tail
+    famously sits near α ≈ 2.1). Log terms quantize to the int 1e-6
+    lattice (the docs_entropy convention) so the SQL twin is value-exact;
+    the division is HUGEINT-ranged with truncation.
+
+    Scale shape: distinct directed edges → symmetric explode → one keyed
+    degree count (vocabulary-sized); the only driver residents are the
+    two sufficient statistics (n, Σlog). Output: one row
+    (n_tail, s_e6, alpha_e6); alpha_e6 = 0 when the tail is empty or
+    every tail degree equals dmin (Σ = 0, the estimator diverges).
+    """
+    import numpy as np
+
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    def norm(t: pa.Table) -> pa.Table:
+        s = t.column(src).cast(pa.string())
+        d = t.column(dst).cast(pa.string())
+        return pa.table(
+            {"s": s, "t": d, "_k": pc.binary_join_element_wise(s, d, "\x01")}
+        )
+
+    e = distinct_by_key(
+        edges.select_columns([src, dst]).map_batches(
+            norm, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "_k",
+    ).drop_columns(["_k"])
+    deg = (
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t.column("s").combine_chunks(),
+                            t.column("t").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )
+
+    def tail_terms(t: pa.Table, _m=dmin) -> pa.Table:
+        d = t.column("deg").to_numpy(zero_copy_only=False)
+        d = d[d >= _m]
+        li = np.rint(np.log(d.astype(np.float64)) * 1_000_000).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(d)], pa.int64()),
+                "sl": pa.array([int(li.sum())], pa.int64()),
+            }
+        )
+
+    stats = deg.map_batches(tail_terms, batch_format="pyarrow")
+    n = stats.sum("n") or 0
+    sl = stats.sum("sl") or 0
+    lmin = int(np.rint(np.log(float(dmin)) * 1_000_000))
+    s_e6 = sl - n * lmin
+    if n == 0 or s_e6 <= 0:
+        alpha = 0
+    else:
+        alpha = 1_000_000 + (n * 10**12) // s_e6
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_tail": pa.array([n], pa.int64()),
+                "s_e6": pa.array([s_e6], pa.int64()),
+                "alpha_e6": pa.array([alpha], pa.int64()),
+            }
+        )
+    )

@@ -68,3 +68,46 @@ def test_host_pagerank_mass(ray_session, pages_ds):
     assert rows and all(r["rank"] > 0 for r in rows)
     # evaporating-sink formulation: total mass never exceeds 1
     assert sum(r["rank"] for r in rows) <= 1.0 + 1e-9
+
+
+def test_hill_alpha_planted_powerlaw(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import hill_alpha
+
+    # star-ish graph: hub h linked by many leaves (deg 1 leaves are below
+    # dmin and excluded), plus a chain so several nodes clear the tail
+    edges = [("h", f"l{i}") for i in range(20)]
+    edges += [(f"l{i}", f"l{i+1}") for i in range(10)]
+    t = pa.table(
+        {
+            "s": pa.array([e[0] for e in edges], pa.string()),
+            "t": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    out = hill_alpha(
+        rd_.from_arrow(t).repartition(3), src="s", dst="t", dmin=2
+    ).to_pandas()
+    assert len(out) == 1
+    row = out.iloc[0]
+    # replicate on the driver
+    deg: dict = {}
+    for a, b in sorted(set(edges)):
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tail = [d for d in deg.values() if d >= 2]
+    sl = sum(int(np.rint(np.log(d) * 1e6)) for d in tail)
+    s_e6 = sl - len(tail) * int(np.rint(np.log(2) * 1e6))
+    assert row.n_tail == len(tail) and row.s_e6 == s_e6
+    assert row.alpha_e6 == 1_000_000 + (len(tail) * 10**12) // s_e6
+    # degenerate: all tail degrees == dmin → diverges → sentinel 0
+    t2 = pa.table(
+        {
+            "s": pa.array(["a", "b"], pa.string()),
+            "t": pa.array(["b", "a"], pa.string()),
+        }
+    )
+    out2 = hill_alpha(rd_.from_arrow(t2), src="s", dst="t", dmin=2).to_pandas()
+    assert out2.iloc[0].alpha_e6 == 0
