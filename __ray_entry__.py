@@ -3652,6 +3652,22 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
 
 
+def _q_events_funnel3(sf_dir: str):
+    """3-step funnel view→click→purchase (per-hop 24h window): the
+    N-step sequence-conversion kernel — streaming step prefilter, one
+    range sort, one np.minimum.at pass per hop over complete key runs."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import funnel_sequence
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_sequence(
+        ev, steps=["view", "click", "purchase"], within_s=86400
+    )
+
+
 def _q_web_degree_alpha(sf_dir: str):
     """Hill power-law exponent of the host degree distribution (tail
     d ≥ 2) — the one-number web-graph-shape diagnostic, log terms on the
@@ -5128,6 +5144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_budget": _q_crawl_budget,
         "web_core_rank": _q_web_core_rank,
         "web_degree_alpha": _q_web_degree_alpha,
+        "events_funnel3": _q_events_funnel3,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5351,6 +5368,33 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
         # value-exact incl. the drop rule
         "dedup_minimizer": _minimizer_pairs_oracle_sql(),
+        # sequential first-step mins, each hop gated by the previous
+        "events_funnel3": """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t_1
+    AND epoch_us(e.ts) - epoch_us(s1.t_1) <= 86400000000
+  GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t_2
+    AND epoch_us(e.ts) - epoch_us(s2.t_2) <= 86400000000
+  GROUP BY 1
+)
+SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3,
+       (1 + CASE WHEN s2.t_2 IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN s3.t_3 IS NULL THEN 0 ELSE 1 END)::BIGINT AS reached
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id
+""",
         # Hill MLE on the 1e-6 ln lattice; HUGEINT division, trunc
         "web_degree_alpha": f"""
 WITH {_LINK_GRAPH_CTE.lstrip()},

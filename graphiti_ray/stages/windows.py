@@ -1137,3 +1137,95 @@ def grouped_ols(
         )
 
     return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def funnel_sequence(
+    events: rd.Dataset,
+    steps: list[str],
+    within_s: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """N-step funnel — the general sequence-conversion kernel
+    (funnel_conversion is the 2-step special case): per key, t₁ = first
+    ``steps[0]`` event, then tᵢ = first ``steps[i]`` at-or-after tᵢ₋₁
+    within ``within_s`` seconds PER HOP. Same scale shape as the 2-step
+    kernel: streaming step-row prefilter, ONE range sort on (key, ts),
+    one vectorized ``np.minimum.at`` pass per step over complete key runs
+    — no per-key dispatch, hop count is a constant factor, never a
+    shuffle multiplier.
+
+    Output: (key, t_1 … t_k nullable timestamps, reached) — one row per
+    key with ≥1 first-step event; ``reached`` counts completed steps.
+    """
+    import functools
+
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    step_set = list(steps)
+
+    def prefilter(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column(type_col), pa.array(sorted(set(step_set)), pa.string())
+        )
+        return batch.filter(keep).select([key_col, ts_col, type_col])
+
+    rows = events.map_batches(
+        prefilter, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def block(tbl: pa.Table) -> pa.Table:
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        key_type = tbl.schema.field(key_col).type
+        cols = {key_col: pa.array([], key_type)}
+        for i in range(len(step_set)):
+            cols[f"t_{i + 1}"] = pa.array([], pa.timestamp("us"))
+        cols["reached"] = pa.array([], pa.int64())
+        empty = pa.table(cols)
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        starts = _table_run_starts(tbl, [key_col])[:-1]
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[starts] = 1
+        run_id = np.cumsum(run_id) - 1
+        n_runs = len(starts)
+        us = (
+            tbl.column(ts_col)
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        types = np.asarray(tbl.column(type_col).to_pylist(), dtype=object)
+        BIG = np.iinfo(np.int64).max
+        w_us = within_s * 1_000_000
+        t_steps = []
+        t_prev = None
+        for i, st in enumerate(step_set):
+            t_i = np.full(n_runs, BIG, dtype=np.int64)
+            mask = types == st
+            if i > 0:
+                prev = t_prev[run_id]
+                mask = mask & (us >= prev) & (us - prev <= w_us)
+            np.minimum.at(t_i, run_id[mask], us[mask])
+            t_steps.append(t_i)
+            t_prev = t_i
+        keep = np.nonzero(t_steps[0] != BIG)[0]
+        reached = np.zeros(len(keep), dtype=np.int64)
+        out = {key_col: tbl.column(key_col).take(pa.array(starts[keep], pa.int64()))}
+        for i, t_i in enumerate(t_steps):
+            hit = t_i[keep] != BIG
+            reached += hit.astype(np.int64)
+            vals = pa.array(
+                np.where(hit, t_i[keep], 0), pa.int64(), mask=~hit
+            ).cast(pa.timestamp("us"))
+            out[f"t_{i + 1}"] = vals
+        out["reached"] = pa.array(reached, pa.int64())
+        return pa.table(out)
+
+    return sorted_run_map(rows, [key_col], block, order_cols=[ts_col])

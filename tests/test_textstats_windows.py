@@ -1586,3 +1586,46 @@ def test_grouped_ols_overflow_guard(ray_session):
     ]
     with _pytest.raises(Exception, match="lattice overflow|int64"):
         grouped_ols(rd.from_items(rows)).to_pandas()
+
+
+def test_funnel_sequence_three_steps(ray_session):
+    import pandas as pd
+    from datetime import datetime, timedelta
+
+    from graphiti_ray.stages.windows import funnel_sequence
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(u, k, minutes):
+        return {"user_id": u, "event_type": k, "ts": t0 + timedelta(minutes=minutes)}
+
+    rows = [
+        # u1 completes all three in order, within the hop window
+        ev(1, "view", 0), ev(1, "click", 5), ev(1, "purchase", 9),
+        # u2: purchase BEFORE click → only 2 steps reached
+        ev(2, "view", 0), ev(2, "purchase", 1), ev(2, "click", 3),
+        # u3: click too late (hop window 10 min) → 1 step
+        ev(3, "view", 0), ev(3, "click", 25),
+        # u4: no view at all → no row
+        ev(4, "click", 0), ev(4, "purchase", 1),
+        # u5: earliest-first semantics — second view earlier window ignored
+        ev(5, "view", 0), ev(5, "view", 50), ev(5, "click", 8),
+        ev(5, "purchase", 30),  # >10 min after click → 2 steps
+    ]
+    out = (
+        funnel_sequence(
+            rd.from_items(rows).repartition(4),
+            steps=["view", "click", "purchase"],
+            within_s=600,
+        )
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(out.index) == [1, 2, 3, 5]
+    assert out.loc[1].reached == 3
+    assert out.loc[2].reached == 2  # purchase precedes click, not counted
+    assert out.loc[3].reached == 1
+    assert out.loc[5].reached == 2
+    assert out.loc[1].t_3 == t0 + timedelta(minutes=9)
+    assert pd.isna(out.loc[3].t_2)
