@@ -3652,6 +3652,113 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
 
 
+def _q_cdx_revisits(sf_dir: str):
+    """CDX revisit detection over the multi-crawl stream (rc1 fixture,
+    content changing every second crawl): a capture is a REVISIT when its
+    payload digest equals the immediately previous capture of the same
+    url — the WARC 'revisit' record rule that keeps recrawl storage
+    near-free. One sorted_lag_list pass (k=1 boundary carry), digest via
+    the md5 convention; lag() window twin."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from graphiti_ray.sources.pages import read_documents
+    from graphiti_ray.stages.ops import sorted_lag_list
+    from graphiti_ray.stages.urls import synthesize_recrawls
+
+    snaps = synthesize_recrawls(read_documents(sf_dir, columns=["doc_id", "source"]))
+
+    def with_digest(t: pa.Table) -> pa.Table:
+        urls = t.column("url").to_pylist()
+        revs = t.column("crawl_rev").to_pylist()
+        dig = [
+            hashlib.md5(f"{u}:{r - (r % 2)}".encode()).hexdigest()
+            for u, r in zip(urls, revs)
+        ]
+        return t.append_column("digest", pa.array(dig, pa.string()))
+
+    lagged = sorted_lag_list(
+        snaps.map_batches(with_digest, batch_format="pyarrow"),
+        ["url"],
+        ["warc_ts"],
+        "digest",
+        k=1,
+        out_col="_prev",
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        prev = t.column("_prev").to_pylist()
+        dig = t.column("digest").to_pylist()
+        rev = [bool(p) and p[-1] == d for p, d in zip(prev, dig)]
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "warc_ts": t.column("warc_ts"),
+                "crawl_rev": t.column("crawl_rev"),
+                "digest": t.column("digest"),
+                "is_revisit": pa.array(rev, pa.bool_()),
+            }
+        )
+
+    return lagged.map_batches(flag, batch_format="pyarrow")
+
+
+def _q_events_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase annotated with the same
+    user's most recent click at-or-before it (ops.sorted_asof_join — one
+    range sort + boundary carry), plus an exact integer within-1h
+    attribution flag. Oracle: DuckDB native ASOF LEFT JOIN + the same
+    CASE."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import sorted_asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    purchases = ev.map_batches(
+        lambda t: t.filter(
+            pc.equal(t.column("event_type"), "purchase")
+        ).select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "user_id": f.column("user_id"),
+                    "ts": f.column("ts"),
+                    "click_id": f.column("event_id"),
+                    "click_ts": f.column("ts"),
+                }
+            )
+        )(t.filter(pc.equal(t.column("event_type"), "click"))),
+        batch_format="pyarrow",
+    )
+    joined = sorted_asof_join(
+        purchases, clicks, by=["user_id"], ts_col="ts",
+        value_cols=["click_id", "click_ts"],
+    )
+
+    def flag(t: pa.Table) -> pa.Table:
+        p_us = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        c_us = t.column("click_ts").cast(pa.timestamp("us")).cast(pa.int64())
+        within = pc.and_(
+            pc.is_valid(t.column("click_id")),
+            pc.less_equal(
+                pc.subtract(p_us, pc.coalesce(c_us, p_us)), 3_600_000_000
+            ),
+        )
+        return t.append_column("attributed", pc.cast(within, pa.bool_()))
+
+    return joined.map_batches(flag, batch_format="pyarrow")
+
+
 def _q_events_funnel3(sf_dir: str):
     """3-step funnel view→click→purchase (per-hop 24h window): the
     N-step sequence-conversion kernel — streaming step prefilter, one
@@ -5145,6 +5252,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_core_rank": _q_web_core_rank,
         "web_degree_alpha": _q_web_degree_alpha,
         "events_funnel3": _q_events_funnel3,
+        "events_attribution": _q_events_attribution,
+        "cdx_revisits": _q_cdx_revisits,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5368,6 +5477,45 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
         # value-exact incl. the drop rule
         "dedup_minimizer": _minimizer_pairs_oracle_sql(),
+        # rc1 stream re-derived; revisit = digest equals lag(digest)
+        "cdx_revisits": """
+WITH rx AS (SELECT unnest(generate_series(0, 2)) AS r),
+snaps AS (
+  SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 HOUR
+           + rx.r * INTERVAL 7 DAY AS warc_ts,
+         CAST(rx.r AS BIGINT) AS crawl_rev
+  FROM documents CROSS JOIN rx
+  WHERE rx.r <= doc_id % 3
+),
+d AS (
+  SELECT url, warc_ts, crawl_rev,
+         md5(url || ':' || CAST(crawl_rev - (crawl_rev % 2) AS VARCHAR))
+           AS digest
+  FROM snaps
+)
+SELECT url, warc_ts, crawl_rev, digest,
+       coalesce(digest = lag(digest)
+                OVER (PARTITION BY url ORDER BY warc_ts), FALSE)
+         AS is_revisit
+FROM d
+""",
+        # native ASOF LEFT JOIN twin + identical integer window flag
+        "events_attribution": """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts, c.click_id, c.click_ts,
+       (c.click_id IS NOT NULL
+        AND epoch_us(p.ts) - epoch_us(c.click_ts) <= 3600000000)
+         AS attributed
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
         # sequential first-step mins, each hop gated by the previous
         "events_funnel3": """
 WITH s1 AS (
