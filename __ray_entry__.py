@@ -3375,7 +3375,11 @@ def _q_graph_pagerank(sf_dir: str):
 
 
 def _pagerank_chain_sql(
-    edge_table: str, damping: float, rounds: int, seed_pred: str | None = None
+    edge_table: str,
+    damping: float,
+    rounds: int,
+    seed_pred: str | None = None,
+    weight_col: str | None = None,
 ) -> str:
     """The unrolled-PageRank CTE chain over an edge table/CTE with columns
     (s, t) pre-exposed via ``edge_table`` — shared by the KG-entity and
@@ -3409,16 +3413,26 @@ def _pagerank_chain_sql(
         f"nodes AS (SELECT DISTINCT x FROM (SELECT s AS x FROM {edge_table} "
         f"UNION ALL SELECT t FROM {edge_table}))",
         f"nn AS ({nn_sql})",
-        f"od AS (SELECT s, count(*) AS od FROM {edge_table} GROUP BY 1)",
-        f"e AS (SELECT s, t FROM {edge_table})",
+        (
+            f"od AS (SELECT s, count(*) AS od FROM {edge_table} GROUP BY 1)"
+            if weight_col is None
+            else f"od AS (SELECT s, sum({weight_col}) AS od "
+                 f"FROM {edge_table} GROUP BY 1)"
+        ),
+        (
+            f"e AS (SELECT s, t FROM {edge_table})"
+            if weight_col is None
+            else f"e AS (SELECT s, t, {weight_col} AS w FROM {edge_table})"
+        ),
         f"r0 AS (SELECT x AS node, {r0_pr} AS pr FROM nodes CROSS JOIN nn)",
     ]
+    w_term = "" if weight_col is None else " * e.w"
     for k in range(1, rounds + 1):
         parts.append(
             f"""r{k} AS (
   SELECT n0.x AS node, {base_expr} + {damping!r} * coalesce(a.acc, 0) AS pr
   FROM nodes n0 CROSS JOIN nn
-  LEFT JOIN (SELECT e.t AS node, sum(r.pr / od.od) AS acc
+  LEFT JOIN (SELECT e.t AS node, sum(r.pr{w_term} / od.od) AS acc
              FROM e JOIN r{k - 1} r ON r.node = e.s JOIN od ON od.s = e.s
              GROUP BY 1) a ON a.node = n0.x
 )"""
@@ -3650,6 +3664,62 @@ def _q_graph_triangles(sf_dir: str):
         batch_format="pyarrow",
     )
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
+
+
+def _q_web_rank_weighted(sf_dir: str):
+    """WEIGHTED host PageRank: contributions split by link multiplicity
+    (pr·n_links / Σ_out n_links) — the standard web-graph ranking when
+    the edge list carries counts. Same unrolled 5-round kernel with a
+    weight column threaded through."""
+    from graphiti_ray.stages.graph import pagerank
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir))
+    pr = pagerank(
+        lg, damping=0.85, rounds=5, src="src_host", dst="dst_host",
+        weight="n_links",
+    )
+    return pr.map_batches(
+        lambda t: t.rename_columns(["host", "rank"]), batch_format="pyarrow"
+    )
+
+
+def _q_web_component_sizes(sf_dir: str):
+    """Weakly-connected-component size census of the host graph — the
+    Broder-study companion statistic (how much of the web is one blob):
+    undirected CC (min-label convention) → per-component size → size
+    histogram (size, n_components). Oracle: recursive-closure components
+    + two small groupbys."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    from graphiti_ray.stages.dedup import connected_components
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    pairs = lg.map_batches(
+        lambda t: t.rename_columns(["a", "b"]), batch_format="pyarrow"
+    )
+    cc = connected_components(pairs)
+    sizes = cc.groupby("component").aggregate(Count(alias_name="size"))
+    return (
+        sizes.groupby("size")
+        .aggregate(Count(alias_name="n_components"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "size": pa.compute.cast(t.column("size"), pa.int64()),
+                    "n_components": pa.compute.cast(
+                        t.column("n_components"), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
 
 
 def _q_cdx_revisits(sf_dir: str):
@@ -5254,6 +5324,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel3": _q_events_funnel3,
         "events_attribution": _q_events_attribution,
         "cdx_revisits": _q_cdx_revisits,
+        "web_component_sizes": _q_web_component_sizes,
+        "web_rank_weighted": _q_web_rank_weighted,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5477,6 +5549,38 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
         # value-exact incl. the drop rule
         "dedup_minimizer": _minimizer_pairs_oracle_sql(),
+        # the shared chain with the weight column threaded through
+        "web_rank_weighted": f"""
+WITH {_LINK_GRAPH_CTE.lstrip()},
+hw AS (
+  SELECT src_host AS s, dst_host AS t, count(*)::BIGINT AS w
+  FROM lk GROUP BY 1, 2
+),
+{_pagerank_chain_sql("hw", 0.85, 5, weight_col="w")}
+SELECT node AS host, pr AS rank FROM r5
+""",
+        # undirected closure components → size census
+        "web_component_sizes": f"""
+WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
+he AS (
+  SELECT DISTINCT s, t FROM (
+    SELECT src_host AS s, dst_host AS t FROM lk
+    UNION ALL SELECT dst_host, src_host FROM lk
+  )
+),
+allx AS (SELECT DISTINCT s AS x FROM he),
+reach(s, t) AS (
+  SELECT s, t FROM he
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN he e ON e.s = r.t
+),
+comp AS (
+  SELECT n.x AS node, least(n.x, coalesce(min(r.t), n.x)) AS component
+  FROM allx n LEFT JOIN reach r ON r.s = n.x GROUP BY n.x
+),
+sz AS (SELECT component, count(*)::BIGINT AS size FROM comp GROUP BY 1)
+SELECT size, count(*)::BIGINT AS n_components FROM sz GROUP BY 1
+""",
         # rc1 stream re-derived; revisit = digest equals lag(digest)
         "cdx_revisits": """
 WITH rx AS (SELECT unnest(generate_series(0, 2)) AS r),

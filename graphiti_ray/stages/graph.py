@@ -383,6 +383,7 @@ def pagerank(
     src: str = "subj_uuid",
     dst: str = "obj_uuid",
     seeds: list[str] | None = None,
+    weight: str | None = None,
 ) -> rd.Dataset:
     """Simplified PageRank over the directed edge list: fixed round count
     (so a SQL twin can unroll the recurrence), uniform 1/N start, and
@@ -438,11 +439,22 @@ def pagerank(
         )
     base = (1.0 - damping) / n
 
-    outdeg = edges.groupby(src).aggregate(Count(alias_name="od"))
-    msgs = safe_join(
-        edges.select_columns([src, dst]).map_batches(
+    # ``weight``: WEIGHTED PageRank — contributions split by edge weight
+    # (pr·w / Σ_out w) instead of uniformly by out-degree; the host link
+    # graph's n_links column is the canonical weight. weight=None keeps
+    # the classic kernel byte-identical.
+    if weight is None:
+        outdeg = edges.groupby(src).aggregate(Count(alias_name="od"))
+        edge_cols = edges.select_columns([src, dst]).map_batches(
             lambda t: t.rename_columns(["s", "t"]), batch_format="pyarrow"
-        ),
+        )
+    else:
+        outdeg = edges.groupby(src).aggregate(Sum(weight, alias_name="od"))
+        edge_cols = edges.select_columns([src, dst, weight]).map_batches(
+            lambda t: t.rename_columns(["s", "t", "w"]), batch_format="pyarrow"
+        )
+    msgs = safe_join(
+        edge_cols,
         outdeg.map_batches(
             lambda t: t.rename_columns(["s", "od"]), batch_format="pyarrow"
         ),
@@ -480,18 +492,22 @@ def pagerank(
             num_partitions=default_join_partitions(),
             on=("s",),
         )
-        contribs = joined.map_batches(
-            lambda t: pa.table(
+        def _contrib(t: pa.Table, _w=weight) -> pa.Table:
+            num = t.column("pr").to_numpy(zero_copy_only=False)
+            if _w is not None:
+                num = num * t.column("w").to_numpy(zero_copy_only=False)
+            return pa.table(
                 {
                     "node": t.column("t"),
                     "contrib": pa.array(
-                        t.column("pr").to_numpy(zero_copy_only=False)
-                        / t.column("od").to_numpy(zero_copy_only=False),
+                        num / t.column("od").to_numpy(zero_copy_only=False),
                         pa.float64(),
                     ),
                 }
-            ),
-            batch_format="pyarrow",
+            )
+
+        contribs = joined.map_batches(
+            _contrib, batch_format="pyarrow"
         ).union(zero_rows)
         def _finish_round(
             t: pa.Table, _b=base, _d=damping, _s=seed_arr

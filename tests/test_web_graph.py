@@ -111,3 +111,40 @@ def test_hill_alpha_planted_powerlaw(ray_session):
     )
     out2 = hill_alpha(rd_.from_arrow(t2), src="s", dst="t", dmin=2).to_pandas()
     assert out2.iloc[0].alpha_e6 == 0
+
+
+def test_weighted_pagerank_favors_heavy_edge(ray_session):
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import pagerank
+
+    # a splits its rank between b (weight 9) and c (weight 1)
+    t = pa.table(
+        {
+            "s": pa.array(["a", "a"], pa.string()),
+            "t": pa.array(["b", "c"], pa.string()),
+            "w": pa.array([9, 1], pa.int64()),
+        }
+    )
+    out = (
+        pagerank(rd_.from_arrow(t), rounds=3, src="s", dst="t", weight="w")
+        .to_pandas()
+        .set_index("entity_uuid")
+    )
+    assert out.loc["b", "rank"] > out.loc["c", "rank"]
+    # unweighted twin treats them equally
+    out_u = (
+        pagerank(
+            rd_.from_arrow(t.select(["s", "t"])), rounds=3, src="s", dst="t"
+        )
+        .to_pandas()
+        .set_index("entity_uuid")
+    )
+    assert abs(out_u.loc["b", "rank"] - out_u.loc["c", "rank"]) < 1e-12
+    # weight ratio shows up in the first-hop contribution split: the
+    # b:c rank GAP above the teleport base is 9:1
+    base = out.loc["a", "rank"]  # a receives only teleport mass
+    assert abs(
+        (out.loc["b", "rank"] - base) / (out.loc["c", "rank"] - base) - 9.0
+    ) < 1e-6
