@@ -3666,6 +3666,19 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
 
 
+def _q_web_rich_club(sf_dir: str):
+    """Rich-club coefficients φ(k) of the host graph for k = 1..5 — hub
+    interconnection census on the exact 1e6 lattice; per-k membership via
+    a shrinking broadcast rich-node set + pc.is_in."""
+    from graphiti_ray.stages.graph import rich_club
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return rich_club(lg, ks=[1, 2, 3, 4, 5], src="src_host", dst="dst_host")
+
+
 def _q_web_rank_weighted(sf_dir: str):
     """WEIGHTED host PageRank: contributions split by link multiplicity
     (pr·n_links / Σ_out n_links) — the standard web-graph ranking when
@@ -5326,6 +5339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_revisits": _q_cdx_revisits,
         "web_component_sizes": _q_web_component_sizes,
         "web_rank_weighted": _q_web_rank_weighted,
+        "web_rich_club": _q_web_rich_club,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5549,6 +5563,37 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
         # value-exact incl. the drop rule
         "dedup_minimizer": _minimizer_pairs_oracle_sql(),
+        # per-k hub-subgraph density on the exact lattice
+        "web_rich_club": f"""
+WITH {_LINK_GRAPH_CTE.lstrip()},
+und AS (
+  SELECT DISTINCT least(src_host, dst_host) AS a,
+         greatest(src_host, dst_host) AS b
+  FROM lk WHERE src_host <> dst_host
+),
+deg AS (
+  SELECT x, count(*)::BIGINT AS deg FROM
+    (SELECT a AS x FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+),
+ks AS (SELECT unnest([1, 2, 3, 4, 5]) AS k),
+rich AS (SELECT ks.k, d.x FROM ks JOIN deg d ON d.deg > ks.k),
+nn AS (SELECT k, count(*)::BIGINT AS n_nodes FROM rich GROUP BY 1),
+ee AS (
+  SELECT r1.k, count(*)::BIGINT AS n_edges
+  FROM und e
+  JOIN rich r1 ON r1.x = e.a
+  JOIN rich r2 ON r2.k = r1.k AND r2.x = e.b
+  GROUP BY 1
+)
+SELECT ks.k::BIGINT AS k,
+       coalesce(nn.n_nodes, 0)::BIGINT AS n_nodes,
+       coalesce(ee.n_edges, 0)::BIGINT AS n_edges,
+       CASE WHEN coalesce(nn.n_nodes, 0) < 2 THEN 0
+            ELSE (2 * coalesce(ee.n_edges, 0) * 1000000)
+                 // (nn.n_nodes * (nn.n_nodes - 1))
+       END::BIGINT AS phi_e6
+FROM ks LEFT JOIN nn ON nn.k = ks.k LEFT JOIN ee ON ee.k = ks.k
+""",
         # the shared chain with the weight column threaded through
         "web_rank_weighted": f"""
 WITH {_LINK_GRAPH_CTE.lstrip()},

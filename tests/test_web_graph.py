@@ -148,3 +148,33 @@ def test_weighted_pagerank_favors_heavy_edge(ray_session):
     assert abs(
         (out.loc["b", "rank"] - base) / (out.loc["c", "rank"] - base) - 9.0
     ) < 1e-6
+
+
+def test_rich_club_hand_graph(ray_session):
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import rich_club
+
+    # triangle of hubs (a,b,c) + leaves hanging off each hub
+    edges = [("a", "b"), ("b", "c"), ("a", "c"),
+             ("a", "l1"), ("b", "l2"), ("c", "l3")]
+    t = pa.table(
+        {
+            "s": pa.array([e[0] for e in edges], pa.string()),
+            "t": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    out = (
+        rich_club(rd_.from_arrow(t), ks=[1, 2], src="s", dst="t")
+        .to_pandas()
+        .set_index("k")
+    )
+    # k=1: club = {a,b,c} (deg 3 each; leaves deg 1 excluded) — a perfect
+    # triangle → phi = 1
+    assert out.loc[1].n_nodes == 3 and out.loc[1].n_edges == 3
+    assert out.loc[1].phi_e6 == 1_000_000
+    # k=2: same club (deg 3 > 2) — still 1; k above max degree → empty
+    assert out.loc[2].phi_e6 == 1_000_000
+    out5 = rich_club(rd_.from_arrow(t), ks=[5], src="s", dst="t").to_pandas()
+    assert out5.iloc[0].n_nodes == 0 and out5.iloc[0].phi_e6 == 0
