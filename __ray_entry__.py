@@ -3666,6 +3666,38 @@ def _q_graph_triangles(sf_dir: str):
     return triangle_counts(co, src="entity_uuid", dst="entity_b")
 
 
+def _q_kg_ego_network(sf_dir: str):
+    """Ego-network export (the reference's get-subgraph serving shape):
+    undirected BFS depth ≤ 2 from the lexicographically smallest subject
+    entity, then every fact edge with BOTH endpoints inside the ego set
+    (broadcast sorted Arrow membership + pc.is_in — the ego set is
+    frontier-sized). Oracle: the graph_bfs recursive walk + an IN-filter
+    edge join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray
+
+    from graphiti_ray.stages.graph import bfs_frontier
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    edges = tables["edges"]
+    center = edges.min("subj_uuid")
+    reached = bfs_frontier(edges, [center], max_depth=2)
+    arr = pa.array(sorted(reached["entity_uuid"]), pa.string())
+    ref = ray.put(arr)
+
+    def ego_edges(t, _r=ref):
+        a = ray.get(_r)
+        keep = pc.and_(
+            pc.is_in(t.column("subj_uuid"), a),
+            pc.is_in(t.column("obj_uuid"), a),
+        )
+        return t.filter(keep).select(["uuid", "subj_uuid", "pred", "obj_uuid"])
+
+    return edges.map_batches(ego_edges, batch_format="pyarrow")
+
+
 def _q_web_rich_club(sf_dir: str):
     """Rich-club coefficients φ(k) of the host graph for k = 1..5 — hub
     interconnection census on the exact 1e6 lattice; per-k membership via
@@ -5340,6 +5372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_component_sizes": _q_web_component_sizes,
         "web_rank_weighted": _q_web_rank_weighted,
         "web_rich_club": _q_web_rich_club,
+        "kg_ego_network": _q_kg_ego_network,
         "web_host_scc": _q_web_host_scc,
         "web_walks": _q_web_walks,
         "web_bowtie": _q_web_bowtie,
@@ -5563,6 +5596,28 @@ FROM nodes n LEFT JOIN mutual m ON m.v = n.x GROUP BY n.x
         # hub-hash drop (HAVING ≤ hot_df) + pair self-join + shared count —
         # value-exact incl. the drop rule
         "dedup_minimizer": _minimizer_pairs_oracle_sql(),
+        # BFS walk (d ≤ 2) + both-endpoints-reached edge filter
+        "kg_ego_network": f"""
+WITH RECURSIVE {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+sym AS (
+  SELECT subj_uuid AS x, obj_uuid AS y FROM merged_id
+  UNION SELECT obj_uuid, subj_uuid FROM merged_id
+),
+start AS (SELECT min(subj_uuid) AS c FROM merged_id),
+walk AS (
+  SELECT c AS node, 0 AS d FROM start
+  UNION ALL
+  SELECT s.y, w.d + 1 FROM walk w JOIN sym s ON s.x = w.node WHERE w.d < 2
+),
+reached AS (SELECT DISTINCT node FROM walk)
+SELECT m.uuid, m.subj_uuid, m.pred, m.obj_uuid
+FROM merged_id m
+WHERE m.subj_uuid IN (SELECT node FROM reached)
+  AND m.obj_uuid IN (SELECT node FROM reached)
+""",
         # per-k hub-subgraph density on the exact lattice
         "web_rich_club": f"""
 WITH {_LINK_GRAPH_CTE.lstrip()},
