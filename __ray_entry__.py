@@ -1661,6 +1661,148 @@ FROM fin WHERE rk = 1
     )
 
 
+def _q_embeddings_pq(sf_dir: str):
+    """Product quantization (Jégou et al. 2011) — the vector-compression
+    half of billion-scale ANN: m per-subspace codebooks trained with
+    Lloyd's in ONE streaming pass per iteration (all subspaces share the
+    scan; partials reduce to m*k*(sub_dim+1) keys), then one encode pass.
+    Integer-lattice arithmetic (floor(v*1000), exact int squared-L2,
+    floor-divide update, argmin ties → lowest cid) reproduces every code
+    and quantization error exactly in the DuckDB twin."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import pq_encode
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pq_encode(emb, m=4, k=8, n_iters=2)
+
+
+def _q_knn_pq(sf_dir: str):
+    """PQ asymmetric-distance (ADC) top-k: per query an m×k exact int
+    distance table is built once on the driver; the corpus scan is
+    encode + m table lookups + a sum per candidate (no float math), one
+    fused map_batches pass → per-batch local top-k → tiny per-query
+    reduce. Approximate by construction but deterministic end to end, so
+    the oracle is value-exact on the approximation itself; the m=1,
+    k>=n, n_iters=1 degenerate == exact brute force gate is pytest."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import knn_pq
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return knn_pq(emb, n_queries=16, k_top=10, m=4, k=8, n_iters=2)
+
+
+def _pq_ctes(m: int = 4, k: int = 8, n_iters: int = 2) -> str:
+    """Shared WITH-prefix for the PQ twins: the k-means Lloyd's CTEs
+    generalized with a ``sub`` dimension — every (vec_id, sub) pair runs
+    its own assign/update on the engine's integer lattice. ``sub`` is
+    derived in SQL from the 1-based unnest position, so the same text
+    works at any embedding dim divisible by m."""
+    parts = [
+        f"""
+vx AS (
+  SELECT vec_id, i AS pos, ((i - 1) * {m}) // len(embedding) AS sub,
+         floor(embedding[i]::DOUBLE * 1000)::BIGINT AS x
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+c0 AS (
+  SELECT v.sub, r.rn - 1 AS cid, v.pos, v.x AS c
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings) r
+  JOIN vx v USING (vec_id)
+  WHERE r.rn <= {k}
+)"""
+    ]
+    for t in range(n_iters - 1):
+        parts.append(f"""
+a{t} AS (
+  SELECT vec_id, sub, cid,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+  FROM (
+    SELECT v.vec_id, c.sub, c.cid, sum((v.x - c.c) * (v.x - c.c)) AS d2
+    FROM vx v JOIN c{t} c USING (pos)
+    GROUP BY 1, 2, 3
+  )
+),
+c{t + 1} AS (
+  SELECT a.sub, a.cid, v.pos,
+         floor(sum(v.x)::DOUBLE / count(*))::BIGINT AS c
+  FROM a{t} a JOIN vx v ON v.vec_id = a.vec_id AND v.sub = a.sub
+  WHERE a.rk = 1
+  GROUP BY 1, 2, 3
+)""")
+    final_c = f"c{n_iters - 1}"
+    return (
+        "WITH "
+        + ",".join(p.strip() for p in parts)
+        + f""",
+fin AS (
+  SELECT vec_id, sub, cid, d2,
+         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cid) AS rk
+  FROM (
+    SELECT v.vec_id, c.sub, c.cid, sum((v.x - c.c) * (v.x - c.c)) AS d2
+    FROM vx v JOIN {final_c} c USING (pos)
+    GROUP BY 1, 2, 3
+  )
+)"""
+    )
+
+
+def _pq_oracle_sql(m: int = 4, k: int = 8, n_iters: int = 2) -> str:
+    return (
+        _pq_ctes(m, k, n_iters)
+        + """
+SELECT vec_id, sub::BIGINT AS sub, cid::BIGINT AS code, d2::BIGINT AS d2
+FROM fin WHERE rk = 1
+"""
+    )
+
+
+def _knn_pq_oracle_sql(
+    n_queries: int = 16, k_top: int = 10, m: int = 4, k: int = 8, n_iters: int = 2
+) -> str:
+    """ADC twin: the query-side distance table is the same subspace
+    distance aggregate evaluated against the FINAL codebook; a
+    candidate's adc is the sum of its m looked-up entries; top-k by
+    (adc, vec_id) reproduces the engine's tie order."""
+    final_c = f"c{n_iters - 1}"
+    return (
+        _pq_ctes(m, k, n_iters)
+        + f""",
+q AS (
+  SELECT vec_id AS qid
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+        FROM embeddings)
+  WHERE rn <= {n_queries}
+),
+dtab AS (
+  SELECT qv.vec_id AS qid, c.sub, c.cid,
+         sum((qv.x - c.c) * (qv.x - c.c)) AS d2
+  FROM vx qv JOIN q ON qv.vec_id = q.qid
+  JOIN {final_c} c USING (pos)
+  GROUP BY 1, 2, 3
+),
+codes AS (SELECT vec_id, sub, cid FROM fin WHERE rk = 1),
+adc AS (
+  SELECT d.qid, f.vec_id, sum(d.d2) AS adc
+  FROM codes f JOIN dtab d ON d.sub = f.sub AND d.cid = f.cid
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT qid AS query_id, vec_id, adc::BIGINT AS adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rank
+  FROM adc
+)
+SELECT query_id, vec_id, adc, rank FROM ranked WHERE rank <= {k_top}
+"""
+    )
+
+
 def _semdedup_oracle_sql(
     k: int = 8, n_iters: int = 3, t_num: int = 7, t_den: int = 20
 ) -> str:
@@ -5358,6 +5500,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "embeddings_pq": _q_embeddings_pq,
+        "knn_pq": _q_knn_pq,
         "events_regression": _q_events_regression,
         "dedup_snm": _q_dedup_snm,
         "docs_minimizers": _q_docs_minimizers,
@@ -7167,6 +7311,8 @@ GROUP BY 1, 2
         # Lloyd's unrolled (assign → floor-divide update) on the integer
         # lattice; ties and empty clusters identical on both sides
         "embeddings_kmeans": _kmeans_oracle_sql(),
+        "embeddings_pq": _pq_oracle_sql(),
+        "knn_pq": _knn_pq_oracle_sql(),
         # SemDeDup: same Lloyd's CTEs + exact-integer cosine dominance
         "embeddings_semdedup": _semdedup_oracle_sql(),
         # Laplace bigram LM: int-lattice log-probs summed exactly

@@ -563,3 +563,264 @@ def mutual_knn(
         return batch.filter(keep).select(["a", "b", "cosine"])
 
     return flags.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- Product quantization (integer lattice, oracle-exact) -------------------
+
+
+def _pq_fit(
+    emb: rd.Dataset,
+    m: int,
+    k: int,
+    n_iters: int,
+    vec_col: str,
+    id_col: str,
+):
+    """Train ``m`` per-subspace codebooks with Lloyd's on the engine's
+    integer lattice — ALL subspaces in the SAME streaming pass (one
+    corpus scan per iteration, not one per subspace): broadcast the m
+    codebooks via ``ray.put`` (m*k*sub_dim ints, tiny) → per-block
+    partial (sum, count) in long (sub, cid, pos, s) form →
+    ``groupby(sub, cid, pos).sum`` reduces to m*k*(sub_dim+1) keys → the
+    driver folds only that. Same arithmetic contract as
+    ``kmeans_assign`` (floor(v*1000) int64, exact int squared-L2,
+    floor-divide update, argmin ties → lowest cid, empty clusters drop),
+    so the DuckDB twin is value-exact per subspace.
+
+    Init: the k lowest-``id_col`` vectors' subvectors, cid = rank-1 in
+    every subspace. Returns (dim, sub_dim, books) with books[s] =
+    (cids_s, cents_s).
+    """
+    import ray
+
+    from graphiti_ray.stages.embed import column_to_matrix
+
+    init = emb.sort(id_col).limit(k).to_pandas()
+    mat0 = np.stack(
+        [
+            np.floor(np.asarray(v, np.float64) * KMEANS_QUANT).astype(np.int64)
+            for v in init[vec_col]
+        ]
+    )
+    dim = mat0.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sd = dim // m
+    kk0 = len(mat0)
+    books = [
+        (np.arange(kk0, dtype=np.int64), mat0[:, s * sd : (s + 1) * sd].copy())
+        for s in range(m)
+    ]
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        x = column_to_matrix(batch.column(vec_col), dtype=np.float64)
+        return np.floor(x * KMEANS_QUANT).astype(np.int64)
+
+    for _ in range(n_iters - 1):
+        ref = ray.put(books)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            import ray as _ray
+
+            bks = _ray.get(_ref)
+            x = _quant(batch)
+            subs, cids_l, poss, vals = [], [], [], []
+            for s, (cids_s, cents_s) in enumerate(bks):
+                xs = x[:, s * sd : (s + 1) * sd]
+                d2 = ((xs[:, None, :] - cents_s[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1) if len(xs) else np.zeros(0, np.int64)
+                kk = len(cids_s)
+                sums = np.zeros((kk, sd), np.int64)
+                np.add.at(sums, a, xs)
+                counts = np.bincount(a, minlength=kk).astype(np.int64)
+                subs.append(np.full(kk * (sd + 1), s, np.int64))
+                cids_l.append(np.repeat(cids_s, sd + 1))
+                poss.append(np.tile(np.arange(-1, sd), kk))
+                vals.append(
+                    np.concatenate([counts[:, None], sums], axis=1).ravel()
+                )
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(subs), pa.int64()),
+                    "cid": pa.array(np.concatenate(cids_l), pa.int64()),
+                    "pos": pa.array(np.concatenate(poss), pa.int64()),
+                    "s": pa.array(np.concatenate(vals), pa.int64()),
+                }
+            )
+
+        reduced = (
+            emb.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["sub", "cid", "pos"])
+            .sum("s")
+            .to_pandas()
+        )  # m*k*(sub_dim+1) rows — codebook-sized, never corpus-sized
+        new_books = []
+        for s in range(m):
+            r = reduced[reduced["sub"] == s]
+            piv = r.pivot(index="cid", columns="pos", values="sum(s)").sort_index()
+            n = piv[-1].to_numpy()
+            keep = n > 0  # empty clusters drop (SQL twin: absent from GROUP BY)
+            sums = piv[[p for p in range(sd)]].to_numpy()[keep]
+            cids_s = piv.index.to_numpy()[keep].astype(np.int64)
+            cents_s = np.floor(sums / n[keep][:, None]).astype(np.int64)
+            new_books.append((cids_s, cents_s))
+        books = new_books
+    return dim, sd, books
+
+
+def pq_encode(
+    emb: rd.Dataset,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Product quantization (Jégou et al. 2011): split each vector into
+    ``m`` subvectors, vector-quantize every subspace with its own k-entry
+    codebook → each vector compresses to m small codes (here m*log2(k)
+    bits of payload vs 4*dim bytes), the memory trick that lets a
+    billion-vector ANN index live in RAM. Training is ``_pq_fit`` (one
+    streaming pass per Lloyd iteration for ALL subspaces); encoding is
+    one more streaming pass (broadcast codebooks, vectorized argmin per
+    subspace). Integer-lattice arithmetic end to end → the DuckDB twin
+    reproduces every code and distance exactly.
+
+    Output (long form, SQL-friendly): (vec_id, sub, code, d2) — one row
+    per (vector, subspace), ``d2`` the exact int squared-L2 quantization
+    error of that subvector.
+
+    Reference analogue: the embedder seam (graphiti_core/embedder/
+    client.py) stores full float vectors in Neo4j; PQ is the
+    corpus-scale compression counterpart a 100-TB pipeline needs.
+    """
+    import ray
+
+    from graphiti_ray.stages.embed import column_to_matrix
+
+    _, sd, books = _pq_fit(emb, m, k, n_iters, vec_col, id_col)
+    ref = ray.put(books)
+
+    def final(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        bks = _cached_lut(_ref)
+        x = np.floor(
+            column_to_matrix(batch.column(vec_col), dtype=np.float64)
+            * KMEANS_QUANT
+        ).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        o_id, o_sub, o_code, o_d2 = [], [], [], []
+        for s, (cids_s, cents_s) in enumerate(bks):
+            xs = x[:, s * sd : (s + 1) * sd]
+            d2 = ((xs[:, None, :] - cents_s[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1) if len(xs) else np.zeros(0, np.int64)
+            o_id.append(ids)
+            o_sub.append(np.full(len(ids), s, np.int64))
+            o_code.append(cids_s[a])
+            o_d2.append(d2[np.arange(len(a)), a] if len(a) else np.zeros(0, np.int64))
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(o_id), pa.int64()),
+                "sub": pa.array(np.concatenate(o_sub), pa.int64()),
+                "code": pa.array(np.concatenate(o_code), pa.int64()),
+                "d2": pa.array(np.concatenate(o_d2), pa.int64()),
+            }
+        )
+
+    return emb.map_batches(final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _final_topk_asc(k: int, score_col: str = "adc"):
+    def f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [score_col, "vec_id"], ascending=True, kind="mergesort"
+        ).head(k)
+        g = g.copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return f
+
+
+def knn_pq(
+    emb: rd.Dataset,
+    n_queries: int = 16,
+    k_top: int = 10,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """PQ asymmetric-distance (ADC) top-k search: queries stay
+    full-precision, corpus vectors are represented only by their m codes;
+    per query a distance TABLE (m × k exact int subspace distances to
+    every codebook entry) is precomputed once on the driver, and a
+    candidate's approximate distance is m table lookups + a sum — no
+    float math in the scan at all. The corpus streams through ONE
+    map_batches pass (encode + lookup fused, so codes never round-trip
+    through a shuffle); per-batch local top-k then a tiny per-query
+    reduce, exactly the ``knn_brute_force`` reduction shape.
+
+    Approximate by construction (quantization error), but deterministic:
+    the DuckDB twin reproduces codes, distance tables, ADC sums and the
+    (adc, vec_id) tie order exactly, so the oracle is value-exact on the
+    approximation itself. With m=1, k >= n_vectors, n_iters=1 the codes
+    are the identity and ADC degenerates to exact integer squared-L2 —
+    the full-fidelity gate (pytest).
+
+    Output: (query_id, vec_id, adc, rank), rank 1..k_top ascending adc.
+    """
+    import ray
+
+    from graphiti_ray.stages.embed import column_to_matrix
+
+    _, sd, books = _pq_fit(emb, m, k, n_iters, vec_col, id_col)
+    q_ids, qmat = query_matrix_from_first(emb, n_queries, vec_col, id_col)
+    qx = np.floor(qmat.astype(np.float64) * KMEANS_QUANT).astype(np.int64)
+    # per-subspace (n_q, kk_s) exact int distance tables, indexed by
+    # CODEBOOK POSITION (not cid — surviving cids can be sparse)
+    dtabs = [
+        ((qx[:, s * sd : (s + 1) * sd][:, None, :] - cents_s[None, :, :]) ** 2).sum(
+            axis=2
+        )
+        for s, (_, cents_s) in enumerate(books)
+    ]
+    ref = ray.put((q_ids, books, dtabs))
+
+    def run(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        q_ids_, bks, dts = _cached_lut(_ref)
+        x = np.floor(
+            column_to_matrix(batch.column(vec_col), dtype=np.float64)
+            * KMEANS_QUANT
+        ).astype(np.int64)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(ids)
+        adc = np.zeros((n, len(q_ids_)), np.int64)
+        for s, (cids_s, cents_s) in enumerate(bks):
+            xs = x[:, s * sd : (s + 1) * sd]
+            d2 = ((xs[:, None, :] - cents_s[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1) if n else np.zeros(0, np.int64)
+            adc += dts[s][:, a].T  # (n_q, n) gather → (n, n_q)
+        kk = min(k_top, n)
+        o_q, o_v, o_s = [], [], []
+        for qi in range(len(q_ids_)):
+            order = np.lexsort((ids, adc[:, qi]))[:kk]
+            o_q.extend([int(q_ids_[qi])] * len(order))
+            o_v.extend(int(ids[r]) for r in order)
+            o_s.extend(int(adc[r, qi]) for r in order)
+        return pa.table(
+            {
+                "query_id": pa.array(o_q, pa.int64()),
+                "vec_id": pa.array(o_v, pa.int64()),
+                "adc": pa.array(o_s, pa.int64()),
+            }
+        )
+
+    candidates = emb.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+    return candidates.groupby("query_id").map_groups(
+        _final_topk_asc(k_top), batch_format="pandas"
+    )
