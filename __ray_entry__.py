@@ -1697,6 +1697,44 @@ def _q_knn_pq(sf_dir: str):
     return knn_pq(emb, n_queries=16, k_top=10, m=4, k=8, n_iters=2)
 
 
+def _q_docs_len_quantiles(sf_dir: str):
+    """Document-length quantiles via the KLL/MRL mergeable quantile
+    sketch — the fourth classic sketch next to HLL/CMS/Bloom, built as a
+    Ray AggregateFn (per-block accumulate, associative merge, only the
+    capacity-bounded sketch moves through the reduce). Driver-gate mode
+    runs at full capacity where the sketch is lossless, so the twin is
+    the explicit integer row_number rule; compacted-mode rank error and
+    mergeability are pytest-asserted."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import kll_quantiles
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    lens = docs.map_batches(
+        lambda t: pa.table(
+            {"v": pc.utf8_length(t.column("text")).cast(pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return kll_quantiles(lens, "v")
+
+
+_DOCS_LEN_QUANTILES_ORACLE = """
+WITH vals AS (SELECT length(text)::BIGINT AS v FROM documents),
+n AS (SELECT count(*)::BIGINT AS c FROM vals),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM vals),
+qs AS (SELECT * FROM (VALUES (100000), (250000), (500000), (750000),
+                             (900000)) AS t(q6))
+SELECT qs.q6::BIGINT AS q6, min(r.v)::BIGINT AS value, max(n.c)::BIGINT AS n
+FROM qs CROSS JOIN n
+JOIN r ON r.rn >= greatest(1, (qs.q6 * n.c + 999999) // 1000000)
+GROUP BY qs.q6
+"""
+
+
 def _pq_ctes(m: int = 4, k: int = 8, n_iters: int = 2) -> str:
     """Shared WITH-prefix for the PQ twins: the k-means Lloyd's CTEs
     generalized with a ``sub`` dimension — every (vec_id, sub) pair runs
@@ -5502,6 +5540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
+        "docs_len_quantiles": _q_docs_len_quantiles,
         "events_regression": _q_events_regression,
         "dedup_snm": _q_dedup_snm,
         "docs_minimizers": _q_docs_minimizers,
@@ -7313,6 +7352,7 @@ GROUP BY 1, 2
         "embeddings_kmeans": _kmeans_oracle_sql(),
         "embeddings_pq": _pq_oracle_sql(),
         "knn_pq": _knn_pq_oracle_sql(),
+        "docs_len_quantiles": _DOCS_LEN_QUANTILES_ORACLE,
         # SemDeDup: same Lloyd's CTEs + exact-integer cosine dominance
         "embeddings_semdedup": _semdedup_oracle_sql(),
         # Laplace bigram LM: int-lattice log-probs summed exactly

@@ -356,3 +356,124 @@ def cms_registers_by(
         .groupby([by, "sketch_row", "bucket"])
         .aggregate(Sum("n", alias_name="n"))
     )
+
+
+# --- KLL/MRL quantile sketch -------------------------------------------------
+
+KLL_CAP_EXACT = 1 << 17  # capacity at/above which no compaction happens at
+# test scale → the sketch stores every value and quantiles are EXACT (the
+# oracle-gate mode, same trick as knn_ivf_full / dedup_embedding_lsh_full)
+
+
+def _kll_compact(levels: list, capacity: int) -> list:
+    """Deterministic Munro-Paterson-style compaction: while total stored
+    items exceed ``capacity``, the LOWEST level with >= 2 items sorts its
+    buffer and promotes alternate items of its even-length prefix to the
+    next level (weight doubles; total weight is preserved exactly, an odd
+    tail item stays behind). The alternation offset is a deterministic
+    function of the buffer (parity of its half-length), so the sketch is
+    reproducible run-to-run — the rank-error bound of the classic
+    randomized rule is asserted empirically in pytest instead."""
+    while sum(len(b) for b in levels) > capacity:
+        for i in range(len(levels)):
+            buf = levels[i]
+            if len(buf) >= 2:
+                buf = np.sort(buf)
+                even = len(buf) - (len(buf) % 2)
+                off = (even // 2) % 2  # deterministic alternation
+                promoted = buf[off:even:2]
+                levels[i] = buf[even:]
+                if i + 1 == len(levels):
+                    levels.append(np.empty(0, np.int64))
+                levels[i + 1] = np.concatenate([levels[i + 1], promoted])
+                break
+        else:  # nothing compactable (capacity < 2): keep as-is
+            break
+    return levels
+
+
+def _kll_add(levels: list, values: np.ndarray, capacity: int) -> list:
+    levels = list(levels)
+    levels[0] = np.concatenate([levels[0], values.astype(np.int64)])
+    return _kll_compact(levels, capacity)
+
+
+def _kll_merge(a: list, b: list, capacity: int) -> list:
+    out = []
+    for i in range(max(len(a), len(b))):
+        bufs = []
+        if i < len(a):
+            bufs.append(a[i])
+        if i < len(b):
+            bufs.append(b[i])
+        out.append(np.concatenate(bufs) if bufs else np.empty(0, np.int64))
+    return _kll_compact(out, capacity)
+
+
+def kll_aggregate(ds: rd.Dataset, col: str, capacity: int) -> list:
+    """One mergeable quantile sketch over a whole int column, built as a
+    Ray Data ``AggregateFn`` — per-block accumulate, associative merges
+    in Ray's distributed reduce, only the capacity-bounded sketch ever
+    moves. The missing member of the sketch family next to HLL
+    (cardinality), CMS (frequency) and Bloom (membership): quantiles."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc(levels, block) -> list:
+        vals = block.column(col).to_numpy(zero_copy_only=False)
+        return _kll_add(levels, vals, capacity)
+
+    fn = AggregateFn(
+        init=lambda k: [np.empty(0, np.int64)],
+        merge=lambda x, y: _kll_merge(x, y, capacity),
+        accumulate_block=acc,
+        name="kll",
+    )
+    return ds.aggregate(fn)["kll"]
+
+
+def _kll_expand(levels: list):
+    """(sorted values, cumulative weights, total weight N)."""
+    vals = np.concatenate(levels) if levels else np.empty(0, np.int64)
+    wts = np.concatenate(
+        [np.full(len(b), 1 << i, np.int64) for i, b in enumerate(levels)]
+    ) if levels else np.empty(0, np.int64)
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    return vals, np.cumsum(wts), int(wts.sum())
+
+
+def kll_rank_value(levels: list, q6: int) -> tuple[int, int]:
+    """(value at quantile q6/1e6, total weight N) — the value is the
+    smallest stored item whose cumulative weight reaches the EXACT
+    integer target rank max(1, ceil(q6 * N / 1e6)) (pure int ceiling, no
+    float division, so at full capacity this equals the explicit
+    row_number rule of the SQL twin)."""
+    vals, cumw, n = _kll_expand(levels)
+    if n == 0:
+        return 0, 0
+    r = max(1, (q6 * n + 999_999) // 1_000_000)
+    idx = int(np.searchsorted(cumw, r, side="left"))
+    idx = min(idx, len(vals) - 1)
+    return int(vals[idx]), n
+
+
+DEFAULT_Q6 = (100_000, 250_000, 500_000, 750_000, 900_000)
+
+
+def kll_quantiles(
+    ds: rd.Dataset,
+    col: str,
+    qs6: tuple = DEFAULT_Q6,
+    capacity: int = KLL_CAP_EXACT,
+) -> rd.Dataset:
+    """Quantiles of an int64 column via the KLL aggregate. Output: one
+    row per requested quantile — (q6, value, n). With ``capacity`` >= the
+    column length the sketch is lossless and the result is the exact
+    order statistic (oracle mode); smaller capacities trade memory for a
+    bounded rank error (pytest-asserted)."""
+    levels = kll_aggregate(ds, col, capacity)
+    rows = []
+    for q6 in qs6:
+        v, n = kll_rank_value(levels, q6)
+        rows.append({"q6": int(q6), "value": v, "n": n})
+    return rd.from_items(rows)

@@ -1218,3 +1218,75 @@ def test_skyline_2d_dominance(ray_session):
         rd_.from_items(rows).repartition(3), "x", "y", ["id"]
     ).to_pandas()
     assert set(out.id) == {0, 1, 2, 4}
+
+
+def test_kll_exact_at_full_capacity(ray_session):
+    """Capacity >= n: the sketch is lossless, quantiles equal the exact
+    order statistic under the integer-ceiling rank rule, independent of
+    block layout."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import kll_quantiles
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 10_000, size=5_000).astype(np.int64)
+    ds = rd.from_items([{"v": int(v)} for v in vals]).repartition(13)
+    out = kll_quantiles(ds, "v", capacity=1 << 14).to_pandas()
+    s = np.sort(vals)
+    n = len(s)
+    for _, row in out.iterrows():
+        r = max(1, (row.q6 * n + 999_999) // 1_000_000)
+        assert row.value == s[r - 1]
+        assert row.n == n
+
+
+def test_kll_compacted_rank_error_bounded(ray_session):
+    """Compacted mode (capacity << n): every reported quantile's true
+    rank error stays within a few percent of n, regardless of how the
+    input is partitioned (merge-order independence of the BOUND, not of
+    the exact answer)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import kll_quantiles
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 1_000_000, size=20_000).astype(np.int64)
+    s = np.sort(vals)
+    n = len(s)
+    for parts in (4, 17):
+        ds = rd.from_items([{"v": int(v)} for v in vals]).repartition(parts)
+        out = kll_quantiles(ds, "v", capacity=256).to_pandas()
+        assert (out.n == n).all()  # compaction preserves total weight
+        for _, row in out.iterrows():
+            true_rank = np.searchsorted(s, row.value, side="right")
+            target = max(1, (row.q6 * n + 999_999) // 1_000_000)
+            assert abs(true_rank - target) <= 0.08 * n, (
+                row.q6,
+                true_rank,
+                target,
+            )
+
+
+def test_kll_merge_weight_and_order_invariants():
+    """Driver-level merge properties: total weight is preserved exactly
+    through compaction, and merging [a, b] vs [b, a] yields sketches of
+    identical total weight and size bound."""
+    from graphiti_ray.stages.sketch import _kll_add, _kll_merge
+
+    rng = np.random.RandomState(5)
+    a = [np.empty(0, np.int64)]
+    b = [np.empty(0, np.int64)]
+    va = rng.randint(0, 1000, 3_000)
+    vb = rng.randint(0, 1000, 2_000)
+    a = _kll_add(a, va, 128)
+    b = _kll_add(b, vb, 128)
+
+    def total_weight(levels):
+        return sum(len(buf) * (1 << i) for i, buf in enumerate(levels))
+
+    assert total_weight(a) == 3_000
+    assert total_weight(b) == 2_000
+    ab = _kll_merge([x.copy() for x in a], [x.copy() for x in b], 128)
+    ba = _kll_merge([x.copy() for x in b], [x.copy() for x in a], 128)
+    assert total_weight(ab) == total_weight(ba) == 5_000
+    assert sum(len(x) for x in ab) <= 128 + 1
