@@ -1661,6 +1661,31 @@ FROM fin WHERE rk = 1
     )
 
 
+def _q_docs_blocklist(sf_dir: str):
+    """C4-style blocklist (badword-ratio) gate: keep documents whose
+    blocklisted-term density stays <= 1/20 of the whitespace token count
+    — Raffel et al. 2020's bad-words filter in its RefinedWeb/Gopher
+    ratio form. One vectorized RE2 alternation pass
+    (pc.count_substring_regex), integer ratio test, no shuffle. Oracle:
+    the identical \\b-alternation via regexp_extract_all."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import blocklist_gate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return blocklist_gate(docs)
+
+
+_DOCS_BLOCKLIST_ORACLE = r"""
+WITH s AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\b(slow|stale|legacy)\b'))::BIGINT AS n_bad,
+    len(string_split_regex(text, '\s+'))::BIGINT AS n_words
+  FROM documents)
+SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
+"""
+
+
 def _q_embeddings_pq(sf_dir: str):
     """Product quantization (Jégou et al. 2011) — the vector-compression
     half of billion-scale ANN: m per-subspace codebooks trained with
@@ -5538,6 +5563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "docs_blocklist": _q_docs_blocklist,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -5714,6 +5740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_blocklist": _DOCS_BLOCKLIST_ORACLE,
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

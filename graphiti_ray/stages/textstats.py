@@ -1088,3 +1088,58 @@ def bpe_pair_stats(
         .limit(top_n)
         .map_batches(decode, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+# --- blocklist (badword-ratio) gate ------------------------------------------
+
+# Default blocklist for the synthetic corpus: words that actually occur in
+# the generated vocabulary so the gate is non-vacuous at every sf.
+BLOCKLIST_DEFAULT: tuple[str, ...] = ("slow", "stale", "legacy")
+
+# keep iff n_bad * BLOCKLIST_DEN <= n_words  (ratio <= 1/DEN = 5%)
+BLOCKLIST_DEN = 20
+
+
+def blocklist_gate(
+    docs: rd.Dataset,
+    patterns: tuple[str, ...] = BLOCKLIST_DEFAULT,
+    den: int = BLOCKLIST_DEN,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """C4-style blocklist gate (Raffel et al. 2020 §2.2 'bad words'
+    filter, RefinedWeb/Gopher use the ratio variant): drop documents
+    whose blocklisted-term density exceeds 1/``den`` of the whitespace
+    token count. Reference analogue: the corpus-gating family around
+    graphiti's ingest filters (utils/text_utils.py) — here generalized
+    to the standard training-data blocklist shape.
+
+    Kernel: ONE vectorized pass — ``pc.count_substring_regex`` with a
+    single RE2 alternation ``\\b(w1|w2|...)\\b`` (compiled once inside
+    Arrow, no per-row Python), token counts off the same batch, integer
+    ratio test ``n_bad * den <= n_words`` (no float). The pattern list is
+    a constant broadcast in the closure — at 100 TB this is a pure
+    streaming map, no shuffle.
+
+    Output: (id, n_bad, n_words) for KEPT documents only.
+    """
+    import pyarrow.compute as pc
+
+    pat = r"\b(" + "|".join(patterns) + r")\b"
+
+    def gate(batch: pa.Table, _pat=pat, _den=den) -> pa.Table:
+        text = batch.column(text_col)
+        n_bad = pc.cast(pc.count_substring_regex(text, _pat), pa.int64())
+        n_words = pc.cast(
+            pc.list_value_length(pc.split_pattern_regex(text, r"\s+")), pa.int64()
+        )
+        keep = pc.less_equal(pc.multiply(n_bad, _den), n_words)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_bad": n_bad,
+                "n_words": n_words,
+            }
+        ).filter(keep)
+
+    return docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)

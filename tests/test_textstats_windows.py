@@ -1717,3 +1717,20 @@ def test_pq_adc_bounds_true_distance(ray_session):
         hits += len(exact5 & got5)
         total += 5
     assert hits / total >= 0.7
+
+
+def test_blocklist_gate(ray_session):
+    from graphiti_ray.stages.textstats import blocklist_gate
+
+    texts = [
+        "slow slow slow db",             # 3 bad / 4 words -> dropped
+        " ".join(["ok"] * 19 + ["slow"]),  # 1 bad / 20 words -> kept (boundary)
+        " ".join(["ok"] * 18 + ["slow"]),  # 1 bad / 19 words -> dropped
+        "slowly but surely",             # \b: 'slowly' is NOT a match -> kept
+        "clean text entirely",           # 0 bad -> kept
+    ]
+    out = blocklist_gate(_docs(texts)).to_pandas().sort_values("doc_id")
+    assert out.doc_id.tolist() == [1, 3, 4]
+    kept = {r.doc_id: (r.n_bad, r.n_words) for r in out.itertuples()}
+    assert kept[1] == (1, 20)
+    assert kept[3] == (0, 3)
