@@ -1686,6 +1686,68 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+def _q_docs_nb_lang(sf_dir: str):
+    """Multinomial Naive Bayes language classifier trained on the
+    doc_id%5!=0 split, scored on the rest — distributed combiner-shaped
+    training, parameter-sized model broadcast, exact integer scoring on
+    the 1e-6 ln lattice. Oracle: the identical count → round(ln·1e6) →
+    argmax recurrence in SQL."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import naive_bayes_lang
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return naive_bayes_lang(docs)
+
+
+_DOCS_NB_LANG_ORACLE = r"""
+WITH tr AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+te AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+ttok AS (SELECT lang,
+                unnest(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS tok
+         FROM tr),
+cnt AS (SELECT lang, tok, count(*)::BIGINT AS c FROM ttok GROUP BY 1, 2),
+voc AS (SELECT count(DISTINCT tok)::BIGINT AS v FROM ttok),
+ncl AS (SELECT lang, sum(c)::BIGINT AS n FROM cnt GROUP BY lang),
+dcl AS (SELECT lang, count(*)::BIGINT AS nd FROM tr GROUP BY lang),
+tot AS (SELECT count(*)::BIGINT AS nd FROM tr),
+base AS (
+  SELECT ncl.lang,
+         CAST(round(ln(ncl.n + voc.v) * 1000000) AS BIGINT) AS big_l,
+         CAST(round(ln(dcl.nd) * 1000000) AS BIGINT)
+           - CAST(round(ln(tot.nd) * 1000000) AS BIGINT) AS prior
+  FROM ncl, voc, dcl, tot WHERE dcl.lang = ncl.lang),
+dtok AS (SELECT doc_id,
+                unnest(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> '')) AS tok
+         FROM te),
+dn AS (SELECT te.doc_id, coalesce(x.n, 0)::BIGINT AS n
+       FROM te LEFT JOIN (SELECT doc_id, count(*)::BIGINT AS n
+                          FROM dtok GROUP BY 1) x USING (doc_id)),
+dtc AS (SELECT doc_id, tok, count(*)::BIGINT AS m FROM dtok GROUP BY 1, 2),
+hits AS (
+  SELECT d.doc_id, c.lang,
+         sum(d.m * CAST(round(ln(c.c + 1) * 1000000) AS BIGINT))::BIGINT
+           AS amass
+  FROM dtc d JOIN cnt c ON c.tok = d.tok
+  GROUP BY 1, 2),
+scores AS (
+  SELECT dn.doc_id, b.lang,
+         (b.prior - dn.n * b.big_l + coalesce(h.amass, 0))::BIGINT AS score
+  FROM dn CROSS JOIN base b
+  LEFT JOIN hits h ON h.doc_id = dn.doc_id AND h.lang = b.lang),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rk
+  FROM scores)
+SELECT doc_id, lang AS pred_lang, score FROM ranked WHERE rk = 1
+"""
+
+
 def _q_embeddings_pq(sf_dir: str):
     """Product quantization (Jégou et al. 2011) — the vector-compression
     half of billion-scale ANN: m per-subspace codebooks trained with
@@ -5564,6 +5626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # tail.
     return {
         "docs_blocklist": _q_docs_blocklist,
+        "docs_nb_lang": _q_docs_nb_lang,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -5741,6 +5804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "docs_blocklist": _DOCS_BLOCKLIST_ORACLE,
+        "docs_nb_lang": _DOCS_NB_LANG_ORACLE,
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

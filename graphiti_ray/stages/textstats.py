@@ -1143,3 +1143,149 @@ def blocklist_gate(
         ).filter(keep)
 
     return docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- multinomial Naive Bayes language classifier ------------------------------
+
+NB_TEST_MOD = 5  # doc_id % NB_TEST_MOD == 0 → test split, else train
+NB_LN_SCALE = 1_000_000  # the repo's 1e-6 ln lattice (token_entropy convention)
+
+
+def naive_bayes_lang(
+    docs: rd.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    test_mod: int = NB_TEST_MOD,
+) -> rd.Dataset:
+    """Multinomial Naive Bayes with Laplace smoothing (the fastText-shape
+    linear text classifier; McCallum & Nigam 1998) trained distributed
+    and applied streaming — the quality/language-classification stage a
+    training-data pipeline runs corpus-wide. Reference analogue: the
+    model-scoring seam family (stages/models.py); here the model is
+    TRAINED inside the pipeline rather than loaded.
+
+    Split: ``doc_id % test_mod == 0`` is the scored test set, the rest is
+    the training set (the docs_split convention of deterministic
+    arithmetic splits).
+
+    Training (all dataset-side, combiner-shaped): per-batch (label,
+    token) Counters → one vocabulary-sized keyed sum — the shuffle moves
+    pre-summed partials, never raw tokens. The fitted model (per-class
+    token log-counts, class totals, priors) is PARAMETER-sized
+    (vocab × n_classes), broadcast once via ``ray.put``.
+
+    Scoring, exact on the 1e-6 ln lattice so the SQL twin can replicate
+    it with integer sums (each ln term individually quantized, the
+    token_entropy convention):
+
+        A(c,t)   = rint(1e6·ln(cnt(c,t)+1))
+        L(c)     = rint(1e6·ln(n_c + V))
+        prior(c) = rint(1e6·ln(docs_c)) − rint(1e6·ln(docs_total))
+        score(d,c) = prior(c) − n_d·L(c) + Σ_t m_t·A(c,t)
+
+    (unseen tokens contribute −L(c) each, folded into the n_d term).
+    Prediction: argmax score, ties broken by label ascending.
+
+    Output: (id, pred_lang, score) for the test split.
+    """
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    is_test = lambda t: pa.array(  # noqa: E731
+        (t.column(id_col).to_numpy(zero_copy_only=False) % test_mod) == 0
+    )
+    train = docs.map_batches(
+        lambda t: t.filter(pc.invert(is_test(t))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    test = docs.map_batches(
+        lambda t: t.filter(is_test(t)).select([id_col, text_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        dc: Counter = Counter()
+        for lab, t in zip(
+            batch.column(label_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            dc[lab] += 1
+            for tok in ws.split(t or ""):
+                if tok:
+                    c[(lab, tok)] += 1
+        keys = [f"{lab}\x00{tok}" for lab, tok in c]
+        # per-class doc counts ride along as sentinel rows (token = "")
+        keys += [f"{lab}\x00" for lab in dc]
+        vals = list(c.values()) + list(dc.values())
+        return pa.table(
+            {"k": pa.array(keys, pa.string()), "n": pa.array(vals, pa.int64())}
+        )
+
+    counts = (
+        train.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+
+    # fit the parameter-sized model on the driver (vocab × classes rows)
+    tok_cnt: dict[str, dict[str, int]] = {}
+    doc_cnt: dict[str, int] = {}
+    vocab: set[str] = set()
+    for row in counts:
+        lab, tok = row["k"].split("\x00", 1)
+        if tok == "":
+            doc_cnt[lab] = int(row["n"])
+        else:
+            tok_cnt.setdefault(lab, {})[tok] = int(row["n"])
+            vocab.add(tok)
+    labels = sorted(doc_cnt)
+    v_size = len(vocab)
+    n_docs_total = sum(doc_cnt.values())
+    n_c = np.array(
+        [sum(tok_cnt.get(lab, {}).values()) for lab in labels], dtype=np.int64
+    )
+    big_l = np.rint(np.log(n_c + v_size) * NB_LN_SCALE).astype(np.int64)
+    prior = np.rint(
+        np.log(np.array([doc_cnt[lab] for lab in labels], np.float64)) * NB_LN_SCALE
+    ).astype(np.int64) - np.int64(np.rint(np.log(n_docs_total) * NB_LN_SCALE))
+    a_vec: dict[str, np.ndarray] = {}
+    for tok in vocab:
+        cnts = np.array(
+            [tok_cnt.get(lab, {}).get(tok, 0) for lab in labels], np.float64
+        )
+        a_vec[tok] = np.rint(np.log(cnts + 1.0) * NB_LN_SCALE).astype(np.int64)
+    model_ref = ray.put((labels, a_vec, big_l, prior))
+
+    def predict(batch: pa.Table, _ref=model_ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        labels_, a_, l_, p_ = _cached_lut(_ref)
+        out_pred, out_score = [], []
+        for t in batch.column(text_col).to_pylist():
+            toks = [x for x in ws.split(t or "") if x]
+            score = p_ - np.int64(len(toks)) * l_
+            for tok, m in Counter(toks).items():
+                av = a_.get(tok)
+                if av is not None:
+                    score = score + np.int64(m) * av
+            i = int(np.argmax(score))  # labels sorted asc → ties pick low label
+            out_pred.append(labels_[i])
+            out_score.append(int(score[i]))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pred_lang": pa.array(out_pred, pa.string()),
+                "score": pa.array(out_score, pa.int64()),
+            }
+        )
+
+    return test.map_batches(predict, batch_format="pyarrow", zero_copy_batch=True)

@@ -1734,3 +1734,25 @@ def test_blocklist_gate(ray_session):
     kept = {r.doc_id: (r.n_bad, r.n_words) for r in out.itertuples()}
     assert kept[1] == (1, 20)
     assert kept[3] == (0, 3)
+
+
+def test_naive_bayes_lang(ray_session):
+    from graphiti_ray.stages.textstats import naive_bayes_lang
+
+    # train docs (doc_id % 5 != 0): two clearly separated vocabularies
+    rows = [
+        {"doc_id": i, "text": "aaa bbb aaa", "lang": "en"}
+        for i in (1, 6, 11, 16)
+    ] + [
+        {"doc_id": i, "text": "xxx yyy xxx", "lang": "de"}
+        for i in (2, 7, 12, 17)
+    ]
+    rows.append({"doc_id": 0, "text": "aaa aaa bbb", "lang": "zz"})   # test
+    rows.append({"doc_id": 5, "text": "xxx xxx yyy", "lang": "zz"})   # test
+    rows.append({"doc_id": 10, "text": "qqq www", "lang": "zz"})      # test, OOV only
+    out = naive_bayes_lang(rd.from_items(rows)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[5, "pred_lang"] == "de"
+    # all-OOV doc: equal token mass per class -> tie broken label-asc
+    assert out.loc[10, "pred_lang"] == "de"
+    assert out.score.dtype == "int64"
