@@ -1091,12 +1091,17 @@ def _q_dedup_ngram(sf_dir: str):
     return ngram_jaccard_pairs(docs, threshold=0.8)
 
 
-def _ngram_oracle_sql() -> str:
+def _ngram_oracle_sql(measure: str = "jaccard", threshold: float = 0.8) -> str:
     from graphiti_ray.stages.dedup import (
         NGRAM_CAND_KEYS,
         NGRAM_HOT_DF,
         SHINGLE_K,
     )
+
+    if measure == "containment":
+        expr = "i.shared::DOUBLE / least(za.n, zb.n)"
+    else:
+        expr = "i.shared::DOUBLE / (za.n + zb.n - i.shared)"
 
     p_pow = [pow(_POLY_INT, k, _M64) for k in range(SHINGLE_K)]
     shingle_terms = " + ".join(
@@ -1157,12 +1162,11 @@ inter AS (
   JOIN shingles sb ON sb.doc_id = p.b AND sb.h = sa.h
   GROUP BY 1, 2
 )
-SELECT i.a, i.b,
-       i.shared::DOUBLE / (za.n + zb.n - i.shared) AS jaccard
+SELECT i.a, i.b, {expr} AS {measure}
 FROM inter i
 JOIN sizes za ON za.doc_id = i.a
 JOIN sizes zb ON zb.doc_id = i.b
-WHERE i.shared::DOUBLE / (za.n + zb.n - i.shared) >= 0.8
+WHERE {expr} >= {threshold}
 """
 
 
@@ -1684,6 +1688,20 @@ WITH s AS (
   FROM documents)
 SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
+
+
+def _q_dedup_containment(sf_dir: str):
+    """Broder containment near-dup pairs (|∩|/min(|A|,|B|) ≥ 0.9): the
+    subset/quote detector resemblance misses, over the same
+    rarity-filtered bottom-k blocking as dedup_ngram. Oracle: the full
+    shingle→bottom-k→hub-drop→min-shared-key→exact-intersection chain in
+    SQL with the containment denominator."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import ngram_containment_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_containment_pairs(docs)
 
 
 def _q_docs_nb_lang(sf_dir: str):
@@ -5627,6 +5645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "docs_blocklist": _q_docs_blocklist,
         "docs_nb_lang": _q_docs_nb_lang,
+        "dedup_containment": _q_dedup_containment,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -5805,6 +5824,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "docs_blocklist": _DOCS_BLOCKLIST_ORACLE,
         "docs_nb_lang": _DOCS_NB_LANG_ORACLE,
+        "dedup_containment": _ngram_oracle_sql("containment", 0.9),
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

@@ -623,19 +623,25 @@ def _shingle_set_batch(
     )
 
 
-def _ngram_block_pairs(tbl: pa.Table, threshold: float) -> pa.Table:
+def _ngram_block_pairs(
+    tbl: pa.Table, threshold: float, measure: str = "jaccard"
+) -> pa.Table:
     """Vectorized pair kernel over all key-hash runs in a sorted block
     (sorted_run_map contract; runs ≤ NGRAM_HOT_DF rows by construction, so
     the MAX_BUCKET cap never binds). Each pair is emitted only from the
     bucket of its SMALLEST shared surviving key (both docs' hub-filtered
     key lists ride along) — globally distinct without a later shuffle —
     then verified with an exact set intersection over the full shingle
-    blobs."""
+    blobs.
+
+    ``measure``: "jaccard" (resemblance, |∩|/|∪|) or "containment"
+    (Broder 1997's subset detector, |∩|/min(|A|,|B|) — catches a short
+    doc quoted inside a long one, which resemblance misses)."""
     empty = pa.table(
         {
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
+            measure: pa.array([], pa.float64()),
         }
     )
     n = tbl.num_rows
@@ -675,13 +681,16 @@ def _ngram_block_pairs(tbl: pa.Table, threshold: float) -> pa.Table:
         dtype=np.int64,
         count=len(px),
     )
-    jac = inter / (n_sh[px] + n_sh[py] - inter)
+    if measure == "containment":
+        jac = inter / np.minimum(n_sh[px], n_sh[py])
+    else:
+        jac = inter / (n_sh[px] + n_sh[py] - inter)
     keep = jac >= threshold
     return pa.table(
         {
             "a": pa.array(doc[px[keep]].astype("int64"), pa.int64()),
             "b": pa.array(doc[py[keep]].astype("int64"), pa.int64()),
-            "jaccard": pa.array(jac[keep], pa.float64()),
+            measure: pa.array(jac[keep], pa.float64()),
         }
     )
 
@@ -693,6 +702,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     cand_keys: int = NGRAM_CAND_KEYS,
     hot_df: int = NGRAM_HOT_DF,
+    measure: str = "jaccard",
 ) -> rd.Dataset:
     """Exact char-n-gram Jaccard near-dup pairs: (a, b, jaccard) with
     a < b and jaccard ≥ threshold, blocked on rarity-filtered bottom-k
@@ -700,7 +710,11 @@ def ngram_jaccard_pairs(
     rows → one count aggregate (only colliding keys reach the driver;
     hub keys with df > hot_df are DROPPED, so buckets are ≤ hot_df by
     construction and nothing truncates) → blob re-attach for colliding
-    docs only → one ``sorted_run_map`` pass."""
+    docs only → one ``sorted_run_map`` pass.
+
+    ``measure="containment"`` switches the verify step to Broder
+    containment |∩|/min(|A|,|B|) (see ``_ngram_block_pairs``) with the
+    same blocking — the subset/quote detector."""
     import functools
 
     import ray
@@ -757,7 +771,7 @@ def ngram_jaccard_pairs(
         {
             "a": pa.array([], pa.int64()),
             "b": pa.array([], pa.int64()),
-            "jaccard": pa.array([], pa.float64()),
+            measure: pa.array([], pa.float64()),
         }
     )
     if col.empty:
@@ -798,9 +812,24 @@ def ngram_jaccard_pairs(
         colliding,
         key_cols=["h"],
         order_cols=["doc_id"],
-        block_fn=functools.partial(_ngram_block_pairs, threshold=threshold),
+        block_fn=functools.partial(
+            _ngram_block_pairs, threshold=threshold, measure=measure
+        ),
         # runs are ≤ hot_df ≤ MAX_BUCKET rows — carry overflow is impossible,
         # so the loud default stands
+    )
+
+
+def ngram_containment_pairs(
+    docs: rd.Dataset,
+    threshold: float = 0.9,
+    **kw,
+) -> rd.Dataset:
+    """Broder containment pairs (a, b, containment ≥ threshold): the
+    subset/quote near-dup detector — |A∩B|/min(|A|,|B|) over the same
+    rarity-filtered bottom-k blocking as :func:`ngram_jaccard_pairs`."""
+    return ngram_jaccard_pairs(
+        docs, threshold=threshold, measure="containment", **kw
     )
 
 

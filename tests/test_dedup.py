@@ -927,3 +927,39 @@ def test_minimizer_dedup_pairs_planted_and_hub_drop(ray_session):
     # hub grams (df=4 > hot_df=3) generate no pairs: 3 and 4 share only
     # the boilerplate, so they never pair
     assert not any(3 in p or 4 in p for p in got)
+
+
+def test_containment_catches_subset_jaccard_misses(ray_session):
+    import pyarrow as pa
+
+    from graphiti_ray.stages.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the exact passage lifted verbatim into a much longer article"
+    filler = (
+        " surrounding prose that goes on at considerable length about other "
+        "matters entirely unrelated to the quoted material and keeps adding "
+        "more and more distinct content so the union grows far past the "
+        "intersection while the short document stays fully contained inside"
+    )
+    texts = {
+        1: quote,                     # short doc = pure subset
+        2: quote + filler + filler,   # long doc quoting it
+        3: "completely different text with nothing in common at all here",
+    }
+    docs = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": [texts[i] for i in sorted(texts)],
+            }
+        )
+    ).repartition(2)
+    cont = ngram_containment_pairs(docs, threshold=0.9).to_pandas()
+    jac = ngram_jaccard_pairs(docs, threshold=0.8).to_pandas()
+    # the subset pair: containment ~1.0, jaccard far below 0.8
+    assert [(a, b) for a, b in zip(cont.a, cont.b)] == [(1, 2)]
+    assert cont.containment.iloc[0] >= 0.95
+    assert jac.empty
