@@ -1690,6 +1690,34 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+def _q_graph_jaccard_links(sf_dir: str):
+    """Neighborhood-Jaccard link prediction over the co-mention graph
+    (Liben-Nowell & Kleinberg 2003): non-adjacent pairs scored
+    cn/(deg_a+deg_b−cn) on the exact (cn·10^6)//union integer lattice;
+    top 200 by (score desc, a, b). Same wedge self-join shape as
+    graph_adamic_adar with an exact denominator instead of log-lattice."""
+    from graphiti_ray.stages.graph import neighborhood_jaccard
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ment = tables["mentions"].select_columns(["episode_uuid", "entity_uuid"])
+    right = ment.map_batches(
+        lambda t: t.rename_columns(["episode_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    co = safe_join(
+        ment,
+        right,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("episode_uuid",),
+    ).map_batches(
+        lambda t: t.select(["entity_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    return neighborhood_jaccard(co, src="entity_uuid", dst="entity_b", top_n=200)
+
+
 def _q_dedup_containment(sf_dir: str):
     """Broder containment near-dup pairs (|∩|/min(|A|,|B|) ≥ 0.9): the
     subset/quote detector resemblance misses, over the same
@@ -5646,6 +5674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_blocklist": _q_docs_blocklist,
         "docs_nb_lang": _q_docs_nb_lang,
         "dedup_containment": _q_dedup_containment,
+        "graph_jaccard_links": _q_graph_jaccard_links,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -7352,6 +7381,42 @@ FROM pairs p
 LEFT JOIN und e ON e.a = p.node_a AND e.b = p.node_b
 WHERE e.a IS NULL
 ORDER BY p.aa_score_micro DESC, p.node_a, p.node_b
+LIMIT 200
+""",
+        "graph_jaccard_links": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+mu AS (
+  SELECT m.episode_uuid,
+         md5(m.group_id || '|' || lower(c.canonical)) AS eu
+  FROM ment m
+  JOIN canon c ON c.group_id = m.group_id AND c.name = m.name
+),
+und AS (
+  SELECT DISTINCT least(x.eu, y.eu) AS a, greatest(x.eu, y.eu) AS b
+  FROM mu x JOIN mu y
+    ON x.episode_uuid = y.episode_uuid AND x.eu <> y.eu
+),
+adjx AS (SELECT a AS v, b AS nbr FROM und UNION ALL SELECT b, a FROM und),
+degs AS (SELECT v, count(*)::BIGINT AS deg FROM adjx GROUP BY v),
+wedge AS (
+  SELECT a1.nbr AS node_a, a2.nbr AS node_b
+  FROM adjx a1 JOIN adjx a2 ON a2.v = a1.v AND a1.nbr < a2.nbr
+),
+pairs AS (
+  SELECT node_a, node_b, count(*)::BIGINT AS common_neighbors
+  FROM wedge GROUP BY 1, 2
+)
+SELECT p.node_a, p.node_b, p.common_neighbors,
+       ((p.common_neighbors * 1000000)
+        // (da.deg + db.deg - p.common_neighbors))::BIGINT AS jaccard_micro
+FROM pairs p
+JOIN degs da ON da.v = p.node_a
+JOIN degs db ON db.v = p.node_b
+LEFT JOIN und e ON e.a = p.node_a AND e.b = p.node_b
+WHERE e.a IS NULL
+ORDER BY jaccard_micro DESC, p.node_a, p.node_b
 LIMIT 200
 """,
         "graph_degree": f"""

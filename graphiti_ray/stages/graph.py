@@ -1482,6 +1482,162 @@ def adamic_adar(
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def neighborhood_jaccard(
+    edges: rd.Dataset,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+    top_n: int = 200,
+    edge_key_broadcast_limit: int = 5_000_000,
+) -> rd.Dataset:
+    """Neighborhood-Jaccard link prediction (Liben-Nowell & Kleinberg
+    2003) over the UNDIRECTED distinct edge set: for every non-adjacent
+    pair (a, b) with at least one common neighbor,
+
+        J(a, b) = |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| = cn / (deg(a)+deg(b)−cn)
+
+    emitted on the exact integer lattice ``jaccard_micro =
+    (cn·10^6) // (deg_a+deg_b−cn)`` so the DuckDB twin hash-matches
+    (the adamic_adar convention, with the denominator exact instead of
+    log-lattice). Same shape as :func:`adamic_adar`: one keyed self-join
+    on the wedge center, per-batch combiner, pair-count groupby, two
+    degree joins, broadcast edge-key ``pc.is_in`` adjacency drop
+    (bounded; raise above it), top_n by (score desc, a, b).
+
+    Output: (node_a, node_b, common_neighbors, jaccard_micro).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    e = _undirected_distinct_edges(edges, src, dst)
+    empty = pa.table(
+        {
+            "node_a": pa.array([], pa.string()),
+            "node_b": pa.array([], pa.string()),
+            "common_neighbors": pa.array([], pa.int64()),
+            "jaccard_micro": pa.array([], pa.int64()),
+        }
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        return rd.from_arrow(empty)
+    if n_edges > edge_key_broadcast_limit:
+        raise ValueError(
+            f"neighborhood_jaccard: {n_edges} distinct edges exceeds the "
+            f"broadcast bound {edge_key_broadcast_limit}; hash-anti-join "
+            "the pair table against the edge table instead of is_in"
+        )
+    parts = default_join_partitions()
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "v": pa.concat_arrays(
+                    [t.column("a").combine_chunks(), t.column("b").combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [t.column("b").combine_chunks(), t.column("a").combine_chunks()]
+                ),
+            }
+        )
+
+    adj = e.map_batches(
+        symmetrize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    deg = _undirected_degrees(e)
+
+    wedges = safe_join(
+        adj,
+        adj.map_batches(
+            lambda t: t.rename_columns(["v", "nbr2"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=parts,
+        on=("v",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("nbr"), t.column("nbr2")))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "node_a": pa.array([], pa.string()),
+                    "node_b": pa.array([], pa.string()),
+                    "cn": pa.array([], pa.int64()),
+                }
+            )
+        part = (
+            pa.table({"node_a": t.column("nbr"), "node_b": t.column("nbr2")})
+            .group_by(["node_a", "node_b"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "node_a": part.column("node_a"),
+                "node_b": part.column("node_b"),
+                "cn": pc.cast(part.column("count_all"), pa.int64()),
+            }
+        )
+
+    pairs = (
+        wedges.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["node_a", "node_b"])
+        .aggregate(Sum("cn", alias_name="common_neighbors"))
+    )
+
+    for side in ("node_a", "node_b"):
+        pairs = safe_join(
+            pairs,
+            deg.map_batches(
+                lambda t, _s=side: t.rename_columns([_s, f"deg_{_s[-1]}"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=parts,
+            on=(side,),
+        )
+
+    ek_arr = pa.concat_arrays(
+        [
+            b.column("ek").combine_chunks()
+            for b in e.select_columns(["ek"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    )
+    ek_ref = ray.put(ek_arr)
+
+    def score(t: pa.Table, _ref=ek_ref) -> pa.Table:
+        keys = _pair_key(t.column("node_a"), t.column("node_b"))
+        t = t.filter(pc.invert(pc.is_in(keys, value_set=ray.get(_ref))))
+        cn = t.column("common_neighbors").to_numpy(zero_copy_only=False)
+        da = t.column("deg_a").to_numpy(zero_copy_only=False)
+        db = t.column("deg_b").to_numpy(zero_copy_only=False)
+        jm = (cn.astype(np.int64) * 1_000_000) // (da + db - cn)
+        return pa.table(
+            {
+                "node_a": pc.cast(t.column("node_a"), pa.string()),
+                "node_b": pc.cast(t.column("node_b"), pa.string()),
+                "common_neighbors": pc.cast(
+                    t.column("common_neighbors"), pa.int64()
+                ),
+                "jaccard_micro": pa.array(jm, pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(
+            ["jaccard_micro", "node_a", "node_b"],
+            descending=[True, False, False],
+        )
+        .limit(top_n)
+    )
+
+
 def degree_assortativity_moments(
     edges: rd.Dataset, src: str = "subj_uuid", dst: str = "obj_uuid"
 ) -> rd.Dataset:

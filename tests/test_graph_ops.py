@@ -605,3 +605,55 @@ def test_k_truss_clique_triangle_tail(ray_session):
     out4 = k_truss(ds, k=4, src="s", dst="t").to_pandas()
     got4 = {(a, b): s for a, b, s in zip(out4.node_a, out4.node_b, out4.support)}
     assert set(got4) == set(clique) and all(v == 2 for v in got4.values())
+
+
+def test_neighborhood_jaccard_square_and_path(ray_session):
+    """Square a-b-c-d-a: (a,c) shares {b,d}, deg 2 each -> J = 2/(2+2-2)
+    = 1.0; (b,d) symmetric. Path x-y-z appended: (x,z) -> J = 1/1 = 1.0
+    via center y. Adjacent pairs never appear."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import neighborhood_jaccard
+
+    edges = rd_.from_items(
+        [
+            {"subj_uuid": "a", "obj_uuid": "b"},
+            {"subj_uuid": "b", "obj_uuid": "c"},
+            {"subj_uuid": "c", "obj_uuid": "d"},
+            {"subj_uuid": "d", "obj_uuid": "a"},
+            {"subj_uuid": "x", "obj_uuid": "y"},
+            {"subj_uuid": "y", "obj_uuid": "z"},
+        ]
+    )
+    out = {
+        (r["node_a"], r["node_b"]): (r["common_neighbors"], r["jaccard_micro"])
+        for r in neighborhood_jaccard(edges).take_all()
+    }
+    assert out == {
+        ("a", "c"): (2, 1_000_000),
+        ("b", "d"): (2, 1_000_000),
+        ("x", "z"): (1, 1_000_000),
+    }
+
+
+def test_neighborhood_jaccard_partial_overlap(ray_session):
+    """Star centers: u-{m,n}, v-{m,p}: pair (u,v) cn=1 (m), deg(u)=deg(v)=2
+    -> J = 1/3 -> 333333 on the floor lattice. (n,p) shares nothing."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import neighborhood_jaccard
+
+    edges = rd_.from_items(
+        [
+            {"subj_uuid": "u", "obj_uuid": "m"},
+            {"subj_uuid": "u", "obj_uuid": "n"},
+            {"subj_uuid": "v", "obj_uuid": "m"},
+            {"subj_uuid": "v", "obj_uuid": "p"},
+        ]
+    )
+    out = {
+        (r["node_a"], r["node_b"]): r["jaccard_micro"]
+        for r in neighborhood_jaccard(edges).take_all()
+    }
+    assert out[("u", "v")] == 333_333
+    assert ("n", "p") not in out
