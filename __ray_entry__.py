@@ -1690,6 +1690,60 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+def _q_embeddings_dbscan(sf_dir: str):
+    """DBSCAN over the embeddings table (cosine eps=0.35, min_pts=3),
+    deterministic border assignment (min core-neighbor cluster), cluster
+    id = min core id in the core-core component, noise = -1. Oracle: the
+    identical neighbor counts / core set / recursive-CTE core closure /
+    min-border rule in SQL."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import dbscan_cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dbscan_cosine(emb)
+
+
+_EMBEDDINGS_DBSCAN_ORACLE = """
+WITH RECURSIVE sims AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]), 6) >= 0.35
+),
+ncnt AS (
+  SELECT e.vec_id AS v, coalesce(s.n, 0)::BIGINT AS n
+  FROM embeddings e
+  LEFT JOIN (SELECT a, count(*)::BIGINT AS n FROM sims GROUP BY a) s
+    ON s.a = e.vec_id
+),
+core AS (SELECT v FROM ncnt WHERE n >= 3),
+ce AS (
+  SELECT s.a, s.b FROM sims s
+  JOIN core x ON x.v = s.a JOIN core y ON y.v = s.b
+),
+reach(v, u) AS (
+  SELECT v, v FROM core
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN ce e ON e.a = r.u
+),
+clus AS (SELECT v, min(u)::BIGINT AS cid FROM reach GROUP BY v),
+bord AS (
+  SELECT s.a AS v, min(c.cid)::BIGINT AS cid
+  FROM sims s JOIN clus c ON c.v = s.b
+  WHERE s.a NOT IN (SELECT v FROM core)
+  GROUP BY s.a
+)
+SELECT n.v AS vec_id,
+       coalesce(cl.cid, bo.cid, -1)::BIGINT AS label,
+       (CASE WHEN cl.v IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS is_core,
+       n.n AS n_nbrs
+FROM ncnt n
+LEFT JOIN clus cl ON cl.v = n.v
+LEFT JOIN bord bo ON bo.v = n.v
+"""
+
+
 def _q_graph_jaccard_links(sf_dir: str):
     """Neighborhood-Jaccard link prediction over the co-mention graph
     (Liben-Nowell & Kleinberg 2003): non-adjacent pairs scored
@@ -5675,6 +5729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_lang": _q_docs_nb_lang,
         "dedup_containment": _q_dedup_containment,
         "graph_jaccard_links": _q_graph_jaccard_links,
+        "embeddings_dbscan": _q_embeddings_dbscan,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -5854,6 +5909,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_blocklist": _DOCS_BLOCKLIST_ORACLE,
         "docs_nb_lang": _DOCS_NB_LANG_ORACLE,
         "dedup_containment": _ngram_oracle_sql("containment", 0.9),
+        "embeddings_dbscan": _EMBEDDINGS_DBSCAN_ORACLE,
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

@@ -824,3 +824,140 @@ def knn_pq(
     return candidates.groupby("query_id").map_groups(
         _final_topk_asc(k_top), batch_format="pandas"
     )
+
+
+# --- DBSCAN over an embedding column (cosine proximity) ----------------------
+
+DBSCAN_EPS = 0.35  # cosine-similarity proximity threshold (>= eps → neighbor)
+DBSCAN_MIN_PTS = 3  # neighbors (EXCLUDING self) required for a core point
+
+
+def dbscan_cosine(
+    emb: rd.Dataset,
+    eps: float = DBSCAN_EPS,
+    min_pts: int = DBSCAN_MIN_PTS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """DBSCAN (Ester et al. 1996) over an embedding column with cosine
+    proximity — the density clustering a training-data pipeline uses for
+    topic grouping / outlier isolation before mixture sampling.
+
+    Deterministic variant (plain DBSCAN's border assignment is
+    scan-order-dependent): a border point joins the MINIMUM cluster id
+    among its core neighbors; cluster id = min core vec_id in the
+    core-core component (the repo's CC min-label convention); noise = -1.
+    Similarities are float64 + round(6) BEFORE thresholding so the DuckDB
+    twin's boundary is identical (the dedup_embedding convention).
+
+    Like :func:`graphiti_ray.stages.dedup.embedding_near_dup_exact`, the
+    normalized corpus matrix is broadcast once and every pass streams
+    batches against it — the EXACT oracle baseline (O(n²/batch) work,
+    documented as the small/medium-corpus default; LSH-bucket the
+    neighbor search for a 100-TB corpus). Three streamed passes:
+    neighbor counts → core-core pairs → labels; core→cluster map is
+    core-sized, broadcast via ``ray.put``.
+
+    Output: (vec_id, label, is_core, n_nbrs), label int64, is_core 0/1.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from graphiti_ray.stages.dedup import connected_components
+    from graphiti_ray.stages.embed import column_to_matrix
+    from graphiti_ray.stages.link import _cached_lut
+
+    full = emb.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy(dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in full[vec_col]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    ref = ray.put((ids_all, (mat / norms).T))  # (dim, n)
+
+    def _sims(batch: pa.Table):
+        ids_a, matT = _cached_lut(ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = (
+            column_to_matrix(batch.column(vec_col), np.float64)
+            if batch.num_rows
+            else np.zeros((0, matT.shape[0]))
+        )
+        n = np.linalg.norm(rows, axis=1, keepdims=True)
+        n[n == 0] = 1
+        sims = np.round((rows / n) @ matT, 6)
+        nbr = (sims >= eps) & (ids[:, None] != ids_a[None, :])
+        return ids, ids_a, nbr
+
+    # pass 1: exact neighbor counts → the core set (corpus-bounded ids)
+    def count_nbrs(batch: pa.Table) -> pa.Table:
+        ids, _, nbr = _sims(batch)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_nbrs": pa.array(nbr.sum(axis=1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    counts = emb.map_batches(
+        count_nbrs, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # narrow (id, n) — same driver bound as the matrix above
+    core_ids = np.sort(
+        counts.loc[counts["n_nbrs"] >= min_pts, id_col].to_numpy(dtype=np.int64)
+    )
+    core_ref = ray.put(core_ids)
+
+    # pass 2: core-core pairs (a < b) → components → core→cluster map
+    def core_pairs(batch: pa.Table) -> pa.Table:
+        cores = _cached_lut(core_ref)
+        ids, ids_a, nbr = _sims(batch)
+        row_core = np.isin(ids, cores)
+        col_core = np.isin(ids_a, cores)
+        m = nbr & row_core[:, None] & col_core[None, :] & (
+            ids[:, None] < ids_a[None, :]
+        )
+        r, c = np.nonzero(m)
+        return pa.table(
+            {
+                "a": pa.array(ids[r], pa.int64()),
+                "b": pa.array(ids_a[c], pa.int64()),
+            }
+        )
+
+    pair_ds = emb.map_batches(core_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    comp = connected_components(pair_ds)
+    cluster: dict[int, int] = {int(i): int(i) for i in core_ids}  # singletons
+    for row in comp.take_all() if core_ids.size else []:
+        cluster[int(row["doc_id"])] = int(row["component"])
+    clus_ref = ray.put(cluster)
+
+    # pass 3: labels — core → own cluster; border → min core-neighbor
+    # cluster; noise → -1
+    def label(batch: pa.Table) -> pa.Table:
+        cores = _cached_lut(core_ref)
+        cmap = _cached_lut(clus_ref)
+        ids, ids_a, nbr = _sims(batch)
+        col_cluster = np.array(
+            [cmap.get(int(i), -1) for i in ids_a], dtype=np.int64
+        )
+        col_core = col_cluster >= 0
+        cand = np.where(
+            nbr & col_core[None, :], col_cluster[None, :], np.iinfo(np.int64).max
+        )
+        border_lab = cand.min(axis=1) if len(ids) else np.zeros(0, np.int64)
+        border_lab = np.where(
+            border_lab == np.iinfo(np.int64).max, -1, border_lab
+        )
+        row_core = np.isin(ids, cores)
+        own = np.array([cmap.get(int(i), -1) for i in ids], dtype=np.int64)
+        lab = np.where(row_core, own, border_lab)
+        nn = nbr.sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "label": pa.array(lab, pa.int64()),
+                "is_core": pa.array(row_core.astype(np.int64), pa.int64()),
+                "n_nbrs": pa.array(nn, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)

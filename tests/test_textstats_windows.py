@@ -1756,3 +1756,24 @@ def test_naive_bayes_lang(ray_session):
     # all-OOV doc: equal token mass per class -> tie broken label-asc
     assert out.loc[10, "pred_lang"] == "de"
     assert out.score.dtype == "int64"
+
+
+def test_dbscan_cosine_hand_case(ray_session):
+    from graphiti_ray.stages.similarity import dbscan_cosine
+
+    # unit vectors at 0/10/20/30/90 degrees; eps=0.95 (~18.2 deg) links
+    # only adjacent pairs -> cores {1,2}, borders {0,3}, noise {4}
+    angs = np.deg2rad([0, 10, 20, 30, 90])
+    rows = [
+        {"vec_id": i, "embedding": [float(np.cos(a)), float(np.sin(a))]}
+        for i, a in enumerate(angs)
+    ]
+    out = (
+        dbscan_cosine(rd.from_items(rows), eps=0.95, min_pts=2)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out.label.tolist() == [1, 1, 1, 1, -1]
+    assert out.is_core.tolist() == [0, 1, 1, 0, 0]
+    assert out.n_nbrs.tolist() == [1, 2, 2, 1, 0]
