@@ -3887,6 +3887,77 @@ SELECT node AS host, pr AS rank FROM r{rounds}
 """
 
 
+def _q_graph_salsa(sf_dir: str):
+    """SALSA (degree-normalized HITS: each push is a random-walk
+    transition over outdeg resp. indeg) over the merged edge list — 4
+    fixed rounds, L1 normalizer per half-round, the graph_hits compare
+    convention."""
+    from graphiti_ray.stages.graph import salsa
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    return salsa(tables["edges"], rounds=4)
+
+
+def _salsa_oracle_sql(rounds: int = 4) -> str:
+    # the _hits_oracle_sql chain with degree-normalized pushes (see the
+    # MATERIALIZED note there)
+    parts = [
+        "nodes AS MATERIALIZED (SELECT subj_uuid AS x FROM merged_id "
+        "UNION SELECT obj_uuid FROM merged_id)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "e AS MATERIALIZED (SELECT subj_uuid AS s, obj_uuid AS t FROM merged_id)",
+        "od AS MATERIALIZED (SELECT s, count(*) AS d FROM e GROUP BY s)",
+        "idg AS MATERIALIZED (SELECT t, count(*) AS d FROM e GROUP BY t)",
+        "h0 AS MATERIALIZED "
+        "(SELECT x AS node, 1.0 / nn.n AS sc FROM nodes CROSS JOIN nn)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"""a{k}r AS MATERIALIZED (
+  SELECT n0.x AS node, coalesce(m.acc, 0) AS v
+  FROM nodes n0 LEFT JOIN (
+    SELECT e.t AS node, sum(h.sc / od.d) AS acc
+    FROM e JOIN h{k - 1} h ON h.node = e.s JOIN od ON od.s = e.s GROUP BY 1
+  ) m ON m.node = n0.x
+)"""
+        )
+        parts.append(
+            f"a{k}n AS (SELECT CASE WHEN sum(v) = 0 THEN 1 ELSE sum(v) END AS z"
+            f" FROM a{k}r)"
+        )
+        parts.append(
+            f"a{k} AS MATERIALIZED "
+            f"(SELECT node, v / a{k}n.z AS sc FROM a{k}r CROSS JOIN a{k}n)"
+        )
+        parts.append(
+            f"""h{k}r AS MATERIALIZED (
+  SELECT n0.x AS node, coalesce(m.acc, 0) AS v
+  FROM nodes n0 LEFT JOIN (
+    SELECT e.s AS node, sum(a.sc / idg.d) AS acc
+    FROM e JOIN a{k} a ON a.node = e.t JOIN idg ON idg.t = e.t GROUP BY 1
+  ) m ON m.node = n0.x
+)"""
+        )
+        parts.append(
+            f"h{k}n AS (SELECT CASE WHEN sum(v) = 0 THEN 1 ELSE sum(v) END AS z"
+            f" FROM h{k}r)"
+        )
+        parts.append(
+            f"h{k} AS MATERIALIZED "
+            f"(SELECT node, v / h{k}n.z AS sc FROM h{k}r CROSS JOIN h{k}n)"
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+{chain}
+SELECT h.node AS entity_uuid, h.sc AS hub, a.sc AS authority
+FROM h{rounds} h JOIN a{rounds} a USING (node)
+"""
+
+
 def _q_graph_hits(sf_dir: str):
     """HITS hubs & authorities (4 fixed rounds, per-round L1
     normalization keeping magnitudes ~1/N so the engines' 1e-15
@@ -5730,6 +5801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_containment": _q_dedup_containment,
         "graph_jaccard_links": _q_graph_jaccard_links,
         "embeddings_dbscan": _q_embeddings_dbscan,
+        "graph_salsa": _q_graph_salsa,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -5910,6 +5982,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_nb_lang": _DOCS_NB_LANG_ORACLE,
         "dedup_containment": _ngram_oracle_sql("containment", 0.9),
         "embeddings_dbscan": _EMBEDDINGS_DBSCAN_ORACLE,
+        "graph_salsa": _salsa_oracle_sql(),
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

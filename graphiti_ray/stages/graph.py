@@ -814,6 +814,167 @@ def hits(
     )
 
 
+def salsa(
+    edges: rd.Dataset,
+    rounds: int = 4,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """SALSA (Lempel & Moran 2000) — the stochastic cousin of HITS used
+    by web/social link analysis (e.g. Twitter's who-to-follow): each push
+    is DEGREE-NORMALIZED, i.e. a random-walk transition, so within a
+    component authorities converge toward indegree-proportional mass
+    instead of HITS's principal-eigenvector concentration.
+
+    Per round: authority(t) = Σ_{s→t} hub(s)/outdeg(s), then
+    hub(s) = Σ_{s→t} authority(t)/indeg(t); uniform 1/N start, L1
+    normalization per half-round (the :func:`hits` convention — mass is
+    already conserved by the stochastic transition, the normalizer only
+    guards the all-zero component case and float drift). Degrees count
+    edge ROWS (multi-edges weight the walk, as in the reference
+    multigraph). Same dataset-side shape as :func:`hits`: degrees joined
+    onto the edge table once, then two joins + two groupbys per round.
+
+    Output: (entity_uuid, hub, authority) after ``rounds`` rounds.
+    """
+    import numpy as np
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    nodes = distinct_by_key(
+        _symmetric(edges, src, dst).map_batches(
+            lambda t: pa.table({"node": t.column("x")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "node",
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity_uuid": pa.array([], pa.string()),
+                    "hub": pa.array([], pa.float64()),
+                    "authority": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    nparts = default_join_partitions()
+    e0 = edges.select_columns([src, dst]).map_batches(
+        lambda t: t.rename_columns(["s", "t"]), batch_format="pyarrow"
+    ).materialize()
+
+    def _deg(col: str, out: str) -> rd.Dataset:
+        return (
+            e0.map_batches(
+                lambda t, _c=col: pa.table({_c: t.column(_c)}),
+                batch_format="pyarrow",
+            )
+            .groupby(col)
+            .aggregate(Count(alias_name=out))
+        )
+
+    e = safe_join(
+        safe_join(
+            e0, _deg("s", "od"), join_type="inner", num_partitions=nparts, on=("s",)
+        ),
+        _deg("t", "idg"),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("t",),
+    ).materialize()
+
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t.column("node"),
+                "v": pa.array(np.zeros(t.num_rows), pa.float64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def _push(scores: rd.Dataset, join_key: str, out_key: str, deg_col: str):
+        """One stochastic half-round: join scores at ``join_key``, push
+        sc/deg to ``out_key``, sum, L1-normalize."""
+        joined = safe_join(
+            e,
+            scores.map_batches(
+                lambda t, _k=join_key: t.rename_columns([_k, "sc"]),
+                batch_format="pyarrow",
+            ),
+            join_type="inner",
+            num_partitions=nparts,
+            on=(join_key,),
+        )
+
+        def contrib_fn(t: pa.Table, _o=out_key, _d=deg_col) -> pa.Table:
+            v = t.column("sc").to_numpy(zero_copy_only=False) / t.column(
+                _d
+            ).to_numpy(zero_copy_only=False)
+            return pa.table({"node": t.column(_o), "v": pa.array(v, pa.float64())})
+
+        contrib = joined.map_batches(contrib_fn, batch_format="pyarrow").union(
+            zero_rows
+        )
+        acc = (
+            contrib.groupby("node")
+            .aggregate(Sum("v", alias_name="acc"))
+            .materialize()
+        )
+        total = float(acc.sum("acc"))
+        norm = total if total != 0.0 else 1.0
+        return acc.map_batches(
+            lambda t, _n=norm: pa.table(
+                {
+                    "node": t.column("node"),
+                    "sc": pa.array(
+                        t.column("acc").to_numpy(zero_copy_only=False) / _n,
+                        pa.float64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+
+    hub = nodes.map_batches(
+        lambda t, _p=1.0 / n: t.append_column(
+            "sc", pa.array(np.full(t.num_rows, _p), pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    auth = hub
+    for _ in range(rounds):
+        auth = _push(hub, "s", "t", "od")  # authority ← walk s→t over outdeg
+        hub = _push(auth, "t", "s", "idg")  # hub ← walk t→s over indeg
+
+    merged = safe_join(
+        hub.map_batches(
+            lambda t: t.rename_columns(["node", "hub"]), batch_format="pyarrow"
+        ),
+        auth.map_batches(
+            lambda t: t.rename_columns(["node", "authority"]),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("node",),
+    )
+    return merged.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_uuid": t.column("node"),
+                "hub": t.column("hub"),
+                "authority": t.column("authority"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _pair_key(a, b):
     import pyarrow.compute as pc
 

@@ -657,3 +657,30 @@ def test_neighborhood_jaccard_partial_overlap(ray_session):
     }
     assert out[("u", "v")] == 333_333
     assert ("n", "p") not in out
+
+
+def test_salsa_indegree_proportional(ray_session):
+    """Bipartite s1,s2 -> {t1,t2,t3} with t1 doubly cited: SALSA
+    authorities are indegree-proportional at stationarity (t1 = 2/4,
+    t2 = t3 = 1/4 of authority mass within the component); HITS would
+    concentrate toward the principal eigenvector instead. Hubs with
+    identical out-profiles score equally."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import salsa
+
+    edges = rd_.from_items(
+        [
+            {"subj_uuid": "s1", "obj_uuid": "t1"},
+            {"subj_uuid": "s1", "obj_uuid": "t2"},
+            {"subj_uuid": "s2", "obj_uuid": "t1"},
+            {"subj_uuid": "s2", "obj_uuid": "t3"},
+        ]
+    )
+    out = {r["entity_uuid"]: r for r in salsa(edges, rounds=8).take_all()}
+    auth_mass = sum(r["authority"] for r in out.values())
+    assert abs(out["t1"]["authority"] / auth_mass - 0.5) < 1e-6
+    assert abs(out["t2"]["authority"] - out["t3"]["authority"]) < 1e-12
+    assert abs(out["s1"]["hub"] - out["s2"]["hub"]) < 1e-12
+    # sources get no authority, sinks no hub mass
+    assert out["s1"]["authority"] == 0.0 and out["t1"]["hub"] == 0.0
