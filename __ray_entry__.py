@@ -1690,6 +1690,39 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+def _q_docs_trending(sf_dir: str):
+    """Day-over-day burst/trending terms (Kleinberg-lite ratio form):
+    token counts per (day = doc_id % 7, token), burst_micro =
+    (c·10^6) // (c_prev+1), c ≥ 5, day ≥ 1; top 200 by (burst desc, day,
+    token). Combiner partials → one keyed sum → one self hash-join on
+    (token, prev-day)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import trending_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return trending_terms(docs)
+
+
+_DOCS_TRENDING_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id % 7 AS day,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+c AS (SELECT day, token, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2)
+SELECT cur.day::BIGINT AS day, cur.token, cur.c,
+       coalesce(prev.c, 0)::BIGINT AS c_prev,
+       ((cur.c * 1000000) // (coalesce(prev.c, 0) + 1))::BIGINT AS burst_micro
+FROM c cur
+LEFT JOIN c prev ON prev.token = cur.token AND prev.day = cur.day - 1
+WHERE cur.day >= 1 AND cur.c >= 5
+ORDER BY burst_micro DESC, cur.day, cur.token
+LIMIT 200
+"""
+
+
 def _q_embeddings_dbscan(sf_dir: str):
     """DBSCAN over the embeddings table (cosine eps=0.35, min_pts=3),
     deterministic border assignment (min core-neighbor cluster), cluster
@@ -5802,6 +5835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_jaccard_links": _q_graph_jaccard_links,
         "embeddings_dbscan": _q_embeddings_dbscan,
         "graph_salsa": _q_graph_salsa,
+        "docs_trending": _q_docs_trending,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -5983,6 +6017,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": _ngram_oracle_sql("containment", 0.9),
         "embeddings_dbscan": _EMBEDDINGS_DBSCAN_ORACLE,
         "graph_salsa": _salsa_oracle_sql(),
+        "docs_trending": _DOCS_TRENDING_ORACLE,
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

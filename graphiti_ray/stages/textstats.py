@@ -1289,3 +1289,115 @@ def naive_bayes_lang(
         )
 
     return test.map_batches(predict, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- trending / burst term detection ------------------------------------------
+
+TREND_DAYS = 7
+TREND_MIN_COUNT = 5
+TREND_TOP_N = 200
+
+
+def trending_terms(
+    docs: rd.Dataset,
+    n_days: int = TREND_DAYS,
+    min_count: int = TREND_MIN_COUNT,
+    top_n: int = TREND_TOP_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Burst/trending-term detection (Kleinberg 2002 in its simplest
+    day-over-day ratio form — the freshness signal a web-corpus pipeline
+    computes per crawl): token counts per (day, token), burst score vs
+    the previous day on the exact integer lattice
+
+        burst_micro = (c_day · 10^6) // (c_prev + 1)
+
+    (the +1 smooths first appearances instead of dividing by zero; a
+    token absent yesterday and frequent today maxes the score). The day
+    bucket is ``doc_id % n_days`` — the fixture stand-in for
+    ``date(warc_ts)`` at scale, the docs_epoch_shuffle convention.
+
+    Scale shape: per-batch (day, token) Counter partials → ONE
+    vocabulary×days-sized keyed sum → a self hash-join on (token,
+    prev-day) — no driver-side tables; top_n by (burst desc, day, token)
+    keeps the result bounded.
+
+    Output: (day, token, c, c_prev, burst_micro) for day ≥ 1,
+    c ≥ min_count.
+    """
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            day = int(i) % n_days
+            for tok in ws.split(t or ""):
+                if tok:
+                    cnt[(day, tok)] += 1
+        days = pa.array([k[0] for k in cnt], pa.int64())
+        toks = pa.array([k[1] for k in cnt], pa.string())
+        return pa.table(
+            {"day": days, "token": toks, "n": pa.array(list(cnt.values()), pa.int64())}
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "token"])
+        .aggregate(Sum("n", alias_name="c"))
+        .materialize()
+    )
+
+    prev = counts.map_batches(
+        lambda t: pa.table(
+            {
+                "day": pc.add(t.column("day"), 1),
+                "token": t.column("token"),
+                "c_prev": t.column("c"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = safe_join(
+        counts,
+        prev,
+        join_type="left_outer",
+        num_partitions=default_join_partitions(),
+        on=("day", "token"),
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        cp = (
+            pc.fill_null(pc.cast(t.column("c_prev"), pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        burst = (c * 1_000_000) // (cp + 1)
+        day = t.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (day >= 1) & (c >= min_count)
+        return pa.table(
+            {
+                "day": pa.array(day[keep], pa.int64()),
+                "token": pc.cast(
+                    t.column("token").filter(pa.array(keep)), pa.string()
+                ),
+                "c": pa.array(c[keep], pa.int64()),
+                "c_prev": pa.array(cp[keep], pa.int64()),
+                "burst_micro": pa.array(burst[keep], pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["burst_micro", "day", "token"], descending=[True, False, False])
+        .limit(top_n)
+    )

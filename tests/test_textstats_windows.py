@@ -1777,3 +1777,27 @@ def test_dbscan_cosine_hand_case(ray_session):
     assert out.label.tolist() == [1, 1, 1, 1, -1]
     assert out.is_core.tolist() == [0, 1, 1, 0, 0]
     assert out.n_nbrs.tolist() == [1, 2, 2, 1, 0]
+
+
+def test_trending_terms_burst_and_smoothing(ray_session):
+    from graphiti_ray.stages.textstats import trending_terms
+
+    # day = doc_id % 3; plant: 'boom' absent day 0, heavy day 1 (max
+    # burst via the +1 smoother); 'flat' constant across days (burst ~1e6)
+    rows = []
+    for d, ids in enumerate([(0, 3), (1, 4), (2, 5)]):
+        for i in ids:
+            extra = " boom boom boom boom boom" if i % 3 == 1 else ""
+            rows.append({"doc_id": i, "text": "flat flat flat" + extra})
+    out = (
+        trending_terms(rd.from_items(rows), n_days=3, min_count=5, top_n=50)
+        .to_pandas()
+        .set_index(["day", "token"])
+    )
+    # boom: c=10 on day 1, absent day 0 -> 10e6 // 1
+    assert out.loc[(1, "boom"), "burst_micro"] == 10_000_000
+    assert out.loc[(1, "boom"), "c_prev"] == 0
+    # flat: 6 per day -> 6e6 // 7
+    assert out.loc[(1, "flat"), "burst_micro"] == 6_000_000 // 7
+    # day 0 rows never emitted
+    assert 0 not in out.index.get_level_values("day")
