@@ -1690,6 +1690,53 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+_PROX_PAIRS = [
+    ("data", "query"),
+    ("slow", "fast"),
+    ("hash", "join"),
+    ("vector", "line"),
+]
+
+
+def _q_docs_proximity(sf_dir: str):
+    """NEAR/3 proximity search over 4 probe term pairs: query-pruned
+    postings + per-doc sorted-merge min position distance (either
+    order). Oracle: positional unnest + pair join + min(abs(Δpos))."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.search import proximity_search
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return proximity_search(docs, _PROX_PAIRS, window=3)
+
+
+_DOCS_PROXIMITY_ORACLE = (
+    r"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, l[u.i] AS token, (u.i - 1)::BIGINT AS pos
+  FROM lists, LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+),
+pairs(term_a, term_b) AS (VALUES """
+    + ", ".join(f"('{a}', '{b}')" for a, b in _PROX_PAIRS)
+    + r"""),
+d AS (
+  SELECT p.term_a, p.term_b, a.doc_id,
+         min(abs(a.pos - b.pos))::BIGINT AS min_dist
+  FROM pairs p
+  JOIN tok a ON a.token = p.term_a
+  JOIN tok b ON b.token = p.term_b AND b.doc_id = a.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT term_a, term_b, doc_id, min_dist FROM d WHERE min_dist <= 3
+"""
+)
+
+
 def _q_docs_trending(sf_dir: str):
     """Day-over-day burst/trending terms (Kleinberg-lite ratio form):
     token counts per (day = doc_id % 7, token), burst_micro =
@@ -5836,6 +5883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_dbscan": _q_embeddings_dbscan,
         "graph_salsa": _q_graph_salsa,
         "docs_trending": _q_docs_trending,
+        "docs_proximity": _q_docs_proximity,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -6018,6 +6066,7 @@ def oracle_sql() -> dict[str, str]:
         "embeddings_dbscan": _EMBEDDINGS_DBSCAN_ORACLE,
         "graph_salsa": _salsa_oracle_sql(),
         "docs_trending": _DOCS_TRENDING_ORACLE,
+        "docs_proximity": _DOCS_PROXIMITY_ORACLE,
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

@@ -848,3 +848,113 @@ def phrase_search(
     return sorted_run_map(
         post, key_cols=[id_col], order_cols=["pos"], block_fn=verify
     )
+
+
+def proximity_search(
+    docs: "rd.Dataset",
+    term_pairs: list[tuple[str, str]],
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """NEAR/k proximity search — the classic IR operator next to phrase
+    search: a (term_a, term_b) pair matches a document when some
+    occurrence of each lands within ``window`` word positions (either
+    order). Same query-pruned posting shape as :func:`phrase_search`
+    (work ∝ query-term postings, never corpus bytes), then one
+    doc-keyed pass computes the exact minimum position distance per pair
+    with a sorted ``searchsorted`` merge — no position cross-product.
+
+    Output: (term_a, term_b, doc_id, min_dist) for min_dist ≤ window.
+    """
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    terms = sorted({t for p in term_pairs for t in p})
+    term_id = {t: i for i, t in enumerate(terms)}
+    pair_ids = [(term_id[a], term_id[b], a, b) for a, b in term_pairs]
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids, pos, tid = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            p = 0
+            for tok in ws.split(t or ""):
+                if not tok:
+                    continue
+                j = term_id.get(tok)
+                if j is not None:
+                    ids.append(i)
+                    pos.append(p)
+                    tid.append(j)
+                p += 1
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "tid": pa.array(tid, pa.int64()),
+            }
+        )
+
+    post = docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                id_col: pa.array([], pa.int64()),
+                "min_dist": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        starts = _table_run_starts(tbl, [id_col])
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        pos = tbl.column("pos").to_numpy(zero_copy_only=False)
+        tid = tbl.column("tid").to_numpy(zero_copy_only=False)
+        o_a, o_b, o_d, o_m = [], [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            by_term = {}
+            for j in range(s, e):
+                by_term.setdefault(int(tid[j]), []).append(int(pos[j]))
+            for ia, ib, ta, tb in pair_ids:
+                pa_, pb_ = by_term.get(ia), by_term.get(ib)
+                if not pa_ or not pb_:
+                    continue
+                a_arr = np.asarray(pa_, dtype=np.int64)  # ascending (doc order)
+                b_arr = np.asarray(pb_, dtype=np.int64)
+                idx = np.searchsorted(b_arr, a_arr)
+                best = np.iinfo(np.int64).max
+                lo = np.clip(idx - 1, 0, len(b_arr) - 1)
+                hi = np.clip(idx, 0, len(b_arr) - 1)
+                best = int(
+                    np.minimum(
+                        np.abs(a_arr - b_arr[lo]), np.abs(a_arr - b_arr[hi])
+                    ).min()
+                )
+                if best <= window:
+                    o_a.append(ta)
+                    o_b.append(tb)
+                    o_d.append(int(ids[s]))
+                    o_m.append(best)
+        return pa.table(
+            {
+                "term_a": pa.array(o_a, pa.string()),
+                "term_b": pa.array(o_b, pa.string()),
+                id_col: pa.array(o_d, pa.int64()),
+                "min_dist": pa.array(o_m, pa.int64()),
+            }
+        )
+
+    return sorted_run_map(
+        post, key_cols=[id_col], order_cols=["pos"], block_fn=verify
+    )

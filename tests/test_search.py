@@ -214,3 +214,27 @@ def test_phrase_search_adjacency_and_boundaries(ray_session):
         ("beta gamma", 0), ("beta gamma", 1), ("beta gamma", 3),
         ("gamma delta", 0),
     }
+
+
+def test_proximity_search_window_and_order(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.search import proximity_search
+
+    docs = rd_.from_items(
+        [
+            # 'alpha' at 0, 'beta' at 3 -> dist 3 (boundary hit)
+            {"doc_id": 1, "text": "alpha x y beta"},
+            # reversed order: 'beta' at 0, 'alpha' at 2 -> dist 2
+            {"doc_id": 2, "text": "beta z alpha"},
+            # too far: dist 4
+            {"doc_id": 3, "text": "alpha a b c beta"},
+            # repeated occurrences: nearest pair wins (alpha@5, beta@6 -> 1)
+            {"doc_id": 4, "text": "alpha q q q q alpha beta"},
+            # one term missing
+            {"doc_id": 5, "text": "alpha only here"},
+        ]
+    )
+    out = proximity_search(docs, [("alpha", "beta")], window=3).to_pandas()
+    got = {r.doc_id: r.min_dist for r in out.itertuples()}
+    assert got == {1: 3, 2: 2, 4: 1}
