@@ -1690,6 +1690,64 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+def _q_events_markov(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain: the
+    transition-count reduce is the distributed stage; the |types|² chain
+    power-iterates 6 unrolled rounds (dangling states self-loop), the
+    pagerank convention."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import markov_stationary
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return markov_stationary(ev, rounds=6)
+
+
+def _markov_oracle_sql(rounds: int = 6) -> str:
+    parts = [
+        """s AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events
+)""",
+        "tc AS MATERIALIZED (SELECT event_type AS src, nxt AS dst, "
+        "count(*)::BIGINT AS n FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)",
+        "states AS MATERIALIZED (SELECT DISTINCT event_type AS state FROM events)",
+        "kk AS (SELECT count(*)::DOUBLE AS k FROM states)",
+        "rs AS MATERIALIZED (SELECT src, sum(n)::DOUBLE AS tot FROM tc GROUP BY src)",
+        "p AS MATERIALIZED (SELECT tc.src, tc.dst, tc.n / rs.tot AS p "
+        "FROM tc JOIN rs USING (src))",
+        "dang AS MATERIALIZED (SELECT state FROM states "
+        "WHERE state NOT IN (SELECT src FROM rs))",
+        "pi0 AS MATERIALIZED (SELECT state, 1.0 / kk.k AS sc "
+        "FROM states CROSS JOIN kk)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""pi{r} AS MATERIALIZED (
+  SELECT st.state,
+         coalesce(f.acc, 0)
+           + CASE WHEN st.state IN (SELECT state FROM dang)
+                  THEN prev.sc ELSE 0 END AS sc
+  FROM states st
+  JOIN pi{r - 1} prev ON prev.state = st.state
+  LEFT JOIN (
+    SELECT p.dst AS state, sum(prev2.sc * p.p) AS acc
+    FROM p JOIN pi{r - 1} prev2 ON prev2.state = p.src GROUP BY 1
+  ) f ON f.state = st.state
+)"""
+        )
+    chain = ",\n".join(parts)
+    return f"""
+WITH {chain}
+SELECT state AS event_type, sc AS prob FROM pi{rounds}
+"""
+
+
 _PROX_PAIRS = [
     ("data", "query"),
     ("slow", "fast"),
@@ -5884,6 +5942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_salsa": _q_graph_salsa,
         "docs_trending": _q_docs_trending,
         "docs_proximity": _q_docs_proximity,
+        "events_markov": _q_events_markov,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -6067,6 +6126,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_salsa": _salsa_oracle_sql(),
         "docs_trending": _DOCS_TRENDING_ORACLE,
         "docs_proximity": _DOCS_PROXIMITY_ORACLE,
+        "events_markov": _markov_oracle_sql(),
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

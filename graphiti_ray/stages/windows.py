@@ -1229,3 +1229,73 @@ def funnel_sequence(
         return pa.table(out)
 
     return sorted_run_map(rows, [key_col], block, order_cols=[ts_col])
+
+
+def markov_stationary(
+    events: rd.Dataset,
+    rounds: int = 6,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> rd.Dataset:
+    """Stationary distribution of the first-order event-type Markov
+    chain (the user-flow equilibrium a behavior model reads off): the
+    row-stochastic transition matrix from :func:`transition_counts`,
+    power-iterated ``rounds`` times from a uniform start — the pagerank
+    fixed-round unroll convention so the SQL twin replays the identical
+    recurrence. Dangling states (types never observed as a source) keep
+    their mass (self-loop convention).
+
+    Scale note: the DISTRIBUTED stage is the transition-count reduce
+    (corpus-sized input); the chain itself is |types|² — an event-type
+    vocabulary, parameter-sized at any corpus scale — so the iteration
+    runs in driver numpy by design.
+
+    Output: (event_type, prob) after ``rounds`` rounds.
+    """
+    tc = transition_counts(
+        events, key_col=key_col, ts_col=ts_col, id_col=id_col, type_col=type_col
+    ).to_pandas()
+
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    all_types = sorted(
+        r["event_type"]
+        for r in distinct_by_key(
+            events.map_batches(
+                lambda t: pa.table({"event_type": t.column(type_col)}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "event_type",
+        ).take_all()
+    )
+    idx = {t: i for i, t in enumerate(all_types)}
+    k = len(all_types)
+    if k == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "prob": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cnt = np.zeros((k, k), dtype=np.float64)
+    for f, t, n in zip(tc["from_type"], tc["to_type"], tc["n"]):
+        cnt[idx[f], idx[t]] = float(n)
+    rowsum = cnt.sum(axis=1)
+    dangling = rowsum == 0
+    p = np.divide(cnt, np.where(dangling, 1.0, rowsum)[:, None])
+    pi = np.full(k, 1.0 / k)
+    for _ in range(rounds):
+        pi = pi @ p + pi * dangling
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(all_types, pa.string()),
+                "prob": pa.array(pi, pa.float64()),
+            }
+        )
+    )

@@ -1801,3 +1801,31 @@ def test_trending_terms_burst_and_smoothing(ray_session):
     assert out.loc[(1, "flat"), "burst_micro"] == 6_000_000 // 7
     # day 0 rows never emitted
     assert 0 not in out.index.get_level_values("day")
+
+
+def test_markov_stationary_two_state(ray_session):
+    from datetime import datetime
+
+    from graphiti_ray.stages.windows import markov_stationary
+
+    # one user alternating A<->B ... -> P = [[0,1],[1,0]], uniform start
+    # stays exactly uniform at every round; C appears once as a final
+    # event only (dangling, never a source, never a destination) ->
+    # keeps its 1/3 mass via the self-loop rule
+    rows = []
+    seq = ["A", "B"] * 6 + ["C"]
+    for j, et in enumerate(seq):
+        rows.append(
+            {
+                "event_id": j,
+                "user_id": 1 if j < 12 else 2,
+                "ts": datetime(2024, 1, 1, 0, 0, j),
+                "event_type": et,
+            }
+        )
+    out = {
+        r["event_type"]: r["prob"]
+        for r in markov_stationary(rd.from_items(rows), rounds=4).take_all()
+    }
+    assert abs(out["C"] - 1 / 3) < 1e-12
+    assert abs(out["A"] - 1 / 3) < 1e-12 and abs(out["B"] - 1 / 3) < 1e-12
