@@ -1690,6 +1690,48 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+def _q_docs_len_quantiles_by_lang(sf_dir: str):
+    """Grouped KLL quantiles (per-language document-length order
+    statistics): one mergeable sketch per group through the keyed
+    reduce; full-capacity gate == the explicit per-group row_number
+    rule."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import kll_quantiles_by
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    lens = docs.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "v": pc.utf8_length(t.column("text")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return kll_quantiles_by(lens, "v", "lang")
+
+
+_DOCS_LEN_QUANTILES_BY_LANG_ORACLE = """
+WITH vals AS (SELECT lang, length(text)::BIGINT AS v FROM documents),
+n AS (SELECT lang, count(*)::BIGINT AS c FROM vals GROUP BY lang),
+r AS (SELECT lang, v,
+             row_number() OVER (PARTITION BY lang ORDER BY v) AS rn
+      FROM vals),
+qs AS (SELECT * FROM (VALUES (100000), (250000), (500000), (750000),
+                             (900000)) AS t(q6))
+SELECT n.lang, qs.q6::BIGINT AS q6, min(r.v)::BIGINT AS value,
+       max(n.c)::BIGINT AS n
+FROM qs CROSS JOIN n
+JOIN r ON r.lang = n.lang
+      AND r.rn >= greatest(1, (qs.q6 * n.c + 999999) // 1000000)
+GROUP BY n.lang, qs.q6
+"""
+
+
 def _q_events_markov(sf_dir: str):
     """Stationary distribution of the event-type Markov chain: the
     transition-count reduce is the distributed stage; the |types|² chain
@@ -5943,6 +5985,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_trending": _q_docs_trending,
         "docs_proximity": _q_docs_proximity,
         "events_markov": _q_events_markov,
+        "docs_len_quantiles_by_lang": _q_docs_len_quantiles_by_lang,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -6127,6 +6170,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_trending": _DOCS_TRENDING_ORACLE,
         "docs_proximity": _DOCS_PROXIMITY_ORACLE,
         "events_markov": _markov_oracle_sql(),
+        "docs_len_quantiles_by_lang": _DOCS_LEN_QUANTILES_BY_LANG_ORACLE,
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

@@ -477,3 +477,40 @@ def kll_quantiles(
         v, n = kll_rank_value(levels, q6)
         rows.append({"q6": int(q6), "value": v, "n": n})
     return rd.from_items(rows)
+
+
+def kll_quantiles_by(
+    ds: rd.Dataset,
+    col: str,
+    by: str,
+    qs6: tuple = DEFAULT_Q6,
+    capacity: int = KLL_CAP_EXACT,
+) -> rd.Dataset:
+    """Grouped KLL quantiles — the per-key variant of
+    :func:`kll_quantiles`, completing the grouped-sketch family next to
+    ``hll_registers_by`` / ``cms_registers_by``: one mergeable sketch per
+    group rides the keyed reduce (per-block accumulate, associative
+    merge), then each group's rank rule runs on its own sketch. At
+    ``capacity`` >= the largest group the result is the exact per-group
+    order statistic (oracle mode).
+
+    Output: (by, q6, value, n) — one row per group × quantile."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc(levels, block) -> list:
+        vals = block.column(col).to_numpy(zero_copy_only=False)
+        return _kll_add(levels, vals, capacity)
+
+    fn = AggregateFn(
+        init=lambda k: [np.empty(0, np.int64)],
+        merge=lambda x, y: _kll_merge(x, y, capacity),
+        accumulate_block=acc,
+        name="kll",
+    )
+    rows = []
+    for r in ds.groupby(by).aggregate(fn).take_all():  # vocabulary-sized
+        levels = [np.asarray(b, np.int64) for b in r["kll"]]
+        for q6 in qs6:
+            v, n = kll_rank_value(levels, q6)
+            rows.append({by: r[by], "q6": int(q6), "value": v, "n": n})
+    return rd.from_items(rows)

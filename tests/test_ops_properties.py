@@ -1290,3 +1290,28 @@ def test_kll_merge_weight_and_order_invariants():
     ba = _kll_merge([x.copy() for x in b], [x.copy() for x in a], 128)
     assert total_weight(ab) == total_weight(ba) == 5_000
     assert sum(len(x) for x in ab) <= 128 + 1
+
+
+def test_kll_by_group_matches_solo(ray_session):
+    """Grouped KLL == running the solo sketch per group slice."""
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.sketch import kll_quantiles, kll_quantiles_by
+
+    rng = np.random.default_rng(7)
+    rows = [
+        {"g": ["a", "b", "c"][i % 3], "v": int(rng.integers(0, 10_000))}
+        for i in range(900)
+    ]
+    ds = rd_.from_items(rows).repartition(5)
+    grouped = {
+        (r["g"], r["q6"]): (r["value"], r["n"])
+        for r in kll_quantiles_by(ds, "v", "g").take_all()
+    }
+    for g in "abc":
+        solo = kll_quantiles(
+            rd_.from_items([r for r in rows if r["g"] == g])
+        , "v")
+        for r in solo.take_all():
+            assert grouped[(g, r["q6"])] == (r["value"], r["n"])
