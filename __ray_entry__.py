@@ -1690,6 +1690,47 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+def _q_kg_negative_samples(sf_dir: str):
+    """Filtered negative sampling over the KG edge table (TransE-style
+    corrupted triples): deterministic md5-pick from the entity
+    vocabulary, candidates equal to the true object or forming a real
+    edge dropped. Oracle: identical md5[:8] % n arithmetic over the
+    row_number-indexed entity vocabulary + NOT EXISTS filter."""
+    from graphiti_ray.stages.graph import negative_samples
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    return negative_samples(tables["edges"], attempts=4)
+
+
+_KG_NEGATIVE_SAMPLES_ORACLE_TAIL = """
+ents AS (
+  SELECT DISTINCT e FROM (
+    SELECT subj_uuid AS e FROM merged_id UNION SELECT obj_uuid FROM merged_id
+  )
+),
+eidx AS (SELECT e, row_number() OVER (ORDER BY e) - 1 AS idx FROM ents),
+nn AS (SELECT count(*)::BIGINT AS n FROM ents),
+att AS (SELECT unnest(generate_series(0, 3)) AS a),
+cand AS (
+  SELECT m.uuid, att.a,
+         ('0x' || substr(md5(m.uuid || ':' || CAST(att.a AS VARCHAR)),
+                         1, 8))::BIGINT % nn.n AS idx,
+         m.subj_uuid, m.pred, m.obj_uuid
+  FROM merged_id m CROSS JOIN att CROSS JOIN nn
+),
+neg AS (
+  SELECT c.uuid, c.a, x.e AS neg_obj_uuid, c.subj_uuid, c.pred, c.obj_uuid
+  FROM cand c JOIN eidx x ON x.idx = c.idx
+)
+SELECT uuid, a::BIGINT AS attempt, neg_obj_uuid
+FROM neg n
+WHERE n.neg_obj_uuid <> n.obj_uuid
+  AND NOT EXISTS (SELECT 1 FROM merged_id t
+                  WHERE t.subj_uuid = n.subj_uuid AND t.pred = n.pred
+                    AND t.obj_uuid = n.neg_obj_uuid)
+"""
+
+
 def _q_docs_len_quantiles_by_lang(sf_dir: str):
     """Grouped KLL quantiles (per-language document-length order
     statistics): one mergeable sketch per group through the keyed
@@ -5986,6 +6027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_proximity": _q_docs_proximity,
         "events_markov": _q_events_markov,
         "docs_len_quantiles_by_lang": _q_docs_len_quantiles_by_lang,
+        "kg_negative_samples": _q_kg_negative_samples,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -6171,6 +6213,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_proximity": _DOCS_PROXIMITY_ORACLE,
         "events_markov": _markov_oracle_sql(),
         "docs_len_quantiles_by_lang": _DOCS_LEN_QUANTILES_BY_LANG_ORACLE,
+        "kg_negative_samples": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+{_KG_NEGATIVE_SAMPLES_ORACLE_TAIL.lstrip()}
+""",
         # the four Broder zones off one reachability closure; champion SCC
         # by (size DESC, scc_id ASC)
         "web_bowtie": f"""

@@ -2856,3 +2856,114 @@ def rich_club(
             }
         )
     )
+
+
+def negative_samples(
+    edges: rd.Dataset,
+    attempts: int = 4,
+    id_col: str = "uuid",
+    src: str = "subj_uuid",
+    pred_col: str = "pred",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """Filtered negative sampling for KG link-prediction training
+    (Bordes et al. 2013, TransE): every positive (subj, pred, obj) edge
+    spawns up to ``attempts`` corrupted negatives by replacing the
+    object with a DETERMINISTIC pick from the entity vocabulary —
+    candidate(a) = entities[int(md5(uuid ':' a)[:8], 16) % n] (the
+    web_walks md5 arithmetic, so the SQL twin replays every pick) —
+    keeping a candidate only if it differs from the true object and the
+    corrupted triple is not itself a real edge (the 'filtered' setting).
+
+    Scale shape: one streaming pass; the entity vocabulary and the
+    true-triple key set are broadcast once via ``ray.put`` (vocabulary-
+    resp. edge-count-sized — same bound class as adamic_adar's edge-key
+    broadcast; anti-join instead above it).
+
+    Output: (uuid, attempt, neg_obj_uuid).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from graphiti_ray.stages.link import _cached_lut
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    ents_ds = distinct_by_key(
+        _symmetric(edges, src, dst).map_batches(
+            lambda t: pa.table({"e": t.column("x")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "e",
+    )
+    ents = np.sort(
+        np.asarray(ents_ds.to_pandas()["e"].to_numpy(), dtype=object)
+    )
+    n_ents = len(ents)
+    empty = pa.table(
+        {
+            "uuid": pa.array([], pa.string()),
+            "attempt": pa.array([], pa.int64()),
+            "neg_obj_uuid": pa.array([], pa.string()),
+        }
+    )
+    if n_ents == 0:
+        return rd.from_arrow(empty)
+
+    def triple_key(s, p, o) -> pa.Array:
+        return pc.binary_join_element_wise(s, p, o, "|")
+
+    keys = pa.concat_arrays(
+        [
+            triple_key(b.column(src), b.column(pred_col), b.column(dst))
+            .combine_chunks()
+            for b in edges.select_columns([src, pred_col, dst]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    )
+    ref = ray.put((ents, keys))
+
+    def corrupt(batch: pa.Table, _ref=ref) -> pa.Table:
+        ents_, keys_ = _cached_lut(_ref)
+        uu = batch.column(id_col).to_pylist()
+        ss = batch.column(src).to_pylist()
+        pp = batch.column(pred_col).to_pylist()
+        oo = batch.column(dst).to_pylist()
+        o_u, o_a, o_n, o_s, o_p = [], [], [], [], []
+        for u, s, p, o in zip(uu, ss, pp, oo):
+            for a in range(attempts):
+                h = int(hashlib.md5(f"{u}:{a}".encode()).hexdigest()[:8], 16)
+                cand = ents_[h % len(ents_)]
+                if cand == o:
+                    continue
+                o_u.append(u)
+                o_a.append(a)
+                o_n.append(cand)
+                o_s.append(s)
+                o_p.append(p)
+        if not o_u:
+            return empty
+        tbl = pa.table(
+            {
+                "uuid": pa.array(o_u, pa.string()),
+                "attempt": pa.array(o_a, pa.int64()),
+                "neg_obj_uuid": pa.array(o_n, pa.string()),
+                "_s": pa.array(o_s, pa.string()),
+                "_p": pa.array(o_p, pa.string()),
+            }
+        )
+        real = pc.is_in(
+            triple_key(tbl.column("_s"), tbl.column("_p"), tbl.column("neg_obj_uuid")),
+            value_set=keys_,
+        )
+        return tbl.filter(pc.invert(real)).select(
+            ["uuid", "attempt", "neg_obj_uuid"]
+        )
+
+    return edges.select_columns([id_col, src, pred_col, dst]).map_batches(
+        corrupt, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -684,3 +684,33 @@ def test_salsa_indegree_proportional(ray_session):
     assert abs(out["s1"]["hub"] - out["s2"]["hub"]) < 1e-12
     # sources get no authority, sinks no hub mass
     assert out["s1"]["authority"] == 0.0 and out["t1"]["hub"] == 0.0
+
+
+def test_negative_samples_filtered_and_deterministic(ray_session):
+    import hashlib
+
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import negative_samples
+
+    edges = rd_.from_items(
+        [
+            {"uuid": "e1", "subj_uuid": "a", "pred": "P", "obj_uuid": "b"},
+            {"uuid": "e2", "subj_uuid": "a", "pred": "P", "obj_uuid": "c"},
+        ]
+    )
+    out = negative_samples(edges, attempts=8).to_pandas()
+    ents = ["a", "b", "c"]
+    # replay the md5 picks: every emitted row must match, and every
+    # filtered row must be either the true object or a real triple
+    for r in out.itertuples():
+        h = int(hashlib.md5(f"{r.uuid}:{r.attempt}".encode()).hexdigest()[:8], 16)
+        assert ents[h % 3] == r.neg_obj_uuid
+        assert r.neg_obj_uuid != {"e1": "b", "e2": "c"}[r.uuid]
+        # filtered setting: corrupted triple is never a real edge
+        assert (r.neg_obj_uuid, r.uuid) not in {("c", "e1"), ("b", "e2")}
+    # determinism: a second run is identical
+    out2 = negative_samples(edges, attempts=8).to_pandas()
+    assert out.sort_values(["uuid", "attempt"]).reset_index(drop=True).equals(
+        out2.sort_values(["uuid", "attempt"]).reset_index(drop=True)
+    )
