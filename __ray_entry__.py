@@ -1690,6 +1690,40 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+def _q_events_baskets(sf_dir: str):
+    """Frequent event-type pairs over per-user baskets (Apriori level
+    2): distinct (user, type) pass → per-user pair partials → one
+    |types|²-keyed sum; exact support counts for lift/confidence."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import basket_pairs
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return basket_pairs(ev, min_support=2)
+
+
+_EVENTS_BASKETS_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*)::BIGINT AS n_ab
+  FROM ut a JOIN ut b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+c AS (SELECT event_type, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+u AS (SELECT count(DISTINCT user_id)::BIGINT AS n_keys FROM events)
+SELECT p.type_a, p.type_b, p.n_ab, ca.n AS n_a, cb.n AS n_b, u.n_keys
+FROM p
+JOIN c ca ON ca.event_type = p.type_a
+JOIN c cb ON cb.event_type = p.type_b
+CROSS JOIN u
+WHERE p.n_ab >= 2
+"""
+
+
 def _q_kg_negative_samples(sf_dir: str):
     """Filtered negative sampling over the KG edge table (TransE-style
     corrupted triples): deterministic md5-pick from the entity
@@ -6028,6 +6062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": _q_events_markov,
         "docs_len_quantiles_by_lang": _q_docs_len_quantiles_by_lang,
         "kg_negative_samples": _q_kg_negative_samples,
+        "events_baskets": _q_events_baskets,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -6213,6 +6248,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_proximity": _DOCS_PROXIMITY_ORACLE,
         "events_markov": _markov_oracle_sql(),
         "docs_len_quantiles_by_lang": _DOCS_LEN_QUANTILES_BY_LANG_ORACLE,
+        "events_baskets": _EVENTS_BASKETS_ORACLE,
         "kg_negative_samples": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -1829,3 +1829,23 @@ def test_markov_stationary_two_state(ray_session):
     }
     assert abs(out["C"] - 1 / 3) < 1e-12
     assert abs(out["A"] - 1 / 3) < 1e-12 and abs(out["B"] - 1 / 3) < 1e-12
+
+
+def test_basket_pairs_counts(ray_session):
+    from graphiti_ray.stages.windows import basket_pairs
+
+    rows = []
+    # u1: {A,B,C} (A repeated), u2: {A,B}, u3: {C}
+    for u, ts_ in [(1, ["A", "A", "B", "C"]), (2, ["A", "B"]), (3, ["C"])]:
+        rows += [{"user_id": u, "event_type": t} for t in ts_]
+    out = basket_pairs(rd.from_items(rows), min_support=1).to_pandas()
+    got = {
+        (r.type_a, r.type_b): (r.n_ab, r.n_a, r.n_b, r.n_keys)
+        for r in out.itertuples()
+    }
+    assert got[("A", "B")] == (2, 2, 2, 3)
+    assert got[("A", "C")] == (1, 2, 2, 3)
+    assert got[("B", "C")] == (1, 2, 2, 3)
+    # min_support prunes
+    out2 = basket_pairs(rd.from_items(rows), min_support=2).to_pandas()
+    assert [(r.type_a, r.type_b) for r in out2.itertuples()] == [("A", "B")]
