@@ -1690,6 +1690,59 @@ SELECT doc_id, n_bad, n_words FROM s WHERE n_bad * 20 <= n_words
 """
 
 
+def _q_docs_coverage(sf_dir: str):
+    """Greedy max-coverage corpus selection (submodular data-selection
+    baseline): 5 unrolled rounds, each picking the doc with the most
+    still-uncovered distinct tokens (ties doc_id asc), stopping when the
+    marginal gain hits 0. Oracle: the identical greedy rounds as
+    MATERIALIZED CTEs."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import greedy_coverage_select
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return greedy_coverage_select(docs, k=5)
+
+
+def _coverage_oracle_sql(k: int = 5) -> str:
+    parts = [
+        r"""tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, l[u.i] || ' ' || l[u.i + 1] AS token
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS l
+        FROM documents),
+  LATERAL unnest(range(1, len(l))) AS u(i)
+)""",
+        """p1 AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS gain FROM tok GROUP BY doc_id
+  ORDER BY gain DESC, doc_id LIMIT 1
+)""",
+        "c1 AS MATERIALIZED (SELECT DISTINCT t.token FROM tok t "
+        "JOIN p1 USING (doc_id))",
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT doc_id, count(*)::BIGINT AS gain FROM tok
+  WHERE token NOT IN (SELECT token FROM c{r - 1})
+  GROUP BY doc_id ORDER BY gain DESC, doc_id LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT token FROM c{r - 1}
+  UNION
+  SELECT t.token FROM tok t JOIN p{r} USING (doc_id)
+)"""
+        )
+    selects = [
+        f"SELECT {r}::BIGINT AS round, doc_id, gain FROM p{r}"
+        for r in range(1, k + 1)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 def _q_events_baskets(sf_dir: str):
     """Frequent event-type pairs over per-user baskets (Apriori level
     2): distinct (user, type) pass → per-user pair partials → one
@@ -6063,6 +6116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_len_quantiles_by_lang": _q_docs_len_quantiles_by_lang,
         "kg_negative_samples": _q_kg_negative_samples,
         "events_baskets": _q_events_baskets,
+        "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
         "knn_pq": _q_knn_pq,
         "docs_len_quantiles": _q_docs_len_quantiles,
@@ -6249,6 +6303,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov": _markov_oracle_sql(),
         "docs_len_quantiles_by_lang": _DOCS_LEN_QUANTILES_BY_LANG_ORACLE,
         "events_baskets": _EVENTS_BASKETS_ORACLE,
+        "docs_coverage": _coverage_oracle_sql(),
         "kg_negative_samples": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -607,3 +607,96 @@ def encode_documents(
         )
 
     return ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def greedy_coverage_select(
+    ds: rd.Dataset,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Greedy maximum-coverage corpus selection (the classic 1−1/e
+    submodular data-selection baseline — pick the k documents that
+    together cover the most distinct vocabulary): round r picks the doc
+    with the most coverage units NOT yet covered by rounds 1..r−1, ties
+    by doc_id ascending, stopping when the marginal gain reaches 0. The
+    coverage unit is the word BIGRAM (adjacent token pair) — a corpus
+    vocabulary big enough that greedy runs genuinely multi-round.
+
+    Scale shape: greedy is inherently sequential in k, so the pipeline
+    is k streaming passes — each pass computes every doc's marginal gain
+    against the BROADCAST covered-token set (vocabulary-sized via
+    ``ray.put``) with a per-batch argmax partial, and only one (gain,
+    doc_id) candidate per batch reaches the driver-side k-way argmax.
+    The SQL twin unrolls the same k rounds.
+
+    Output: (round, doc_id, gain) — gain = newly covered distinct
+    tokens, round 1-based.
+    """
+    import re as _re
+
+    import pyarrow.compute as pc
+    import ray
+
+    from graphiti_ray.stages.link import _cached_lut
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def units(text: str) -> set:
+        toks = [x for x in ws.split(text or "") if x]
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    covered: set[str] = set()
+    out_rows = []
+    for r in range(1, k + 1):
+        cov_ref = ray.put(frozenset(covered))
+
+        def gains(batch: pa.Table, _ref=cov_ref) -> pa.Table:
+            cov = _cached_lut(_ref)
+            best_gain, best_id = -1, None
+            for i, t in zip(
+                batch.column(id_col).to_pylist(),
+                batch.column(text_col).to_pylist(),
+            ):
+                g = len(units(t) - cov)
+                if g > best_gain or (g == best_gain and i < best_id):
+                    best_gain, best_id = g, i
+            if best_id is None:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "gain": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "doc_id": pa.array([best_id], pa.int64()),
+                    "gain": pa.array([best_gain], pa.int64()),
+                }
+            )
+
+        cands = ds.map_batches(
+            gains, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        if not cands:
+            break
+        win = min(cands, key=lambda c: (-c["gain"], c["doc_id"]))
+        if win["gain"] <= 0:  # vocabulary exhausted — greedy stops
+            break
+        out_rows.append(
+            {"round": r, "doc_id": int(win["doc_id"]), "gain": int(win["gain"])}
+        )
+        # one narrow fetch of the winner's token set updates the cover
+        win_txt = (
+            ds.map_batches(
+                lambda t, _w=win["doc_id"]: t.filter(
+                    pc.equal(t.column(id_col), _w)
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .take_all()
+        )
+        for row in win_txt:
+            covered |= units(row[text_col])
+    return rd.from_items(out_rows)

@@ -121,3 +121,24 @@ def test_edges_have_embeddings(alice_graph):
     import numpy as np
 
     assert abs(float(np.linalg.norm(np.asarray(vec, dtype="float64"))) - 1.0) < 1e-5
+
+
+def test_greedy_coverage_select(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.corpus import greedy_coverage_select
+
+    docs = rd_.from_items(
+        [
+            # bigram sets: d0 {a b, b c, c d} (3), d1 {x y, y z} (2),
+            # d2 {a b, b c} (subset of d0 -> gain 0 after d0)
+            {"doc_id": 0, "text": "a b c d"},
+            {"doc_id": 1, "text": "x y z"},
+            {"doc_id": 2, "text": "a b c"},
+        ]
+    )
+    out = greedy_coverage_select(docs, k=5).to_pandas()
+    assert out[["round", "doc_id", "gain"]].values.tolist() == [
+        [1, 0, 3],
+        [2, 1, 2],
+    ]  # d2 contributes nothing -> greedy stops after round 2
