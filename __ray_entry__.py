@@ -1777,6 +1777,56 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_kg_validity_islands(sf_dir: str):
+    """Temporal interval coalescing (SQL:2011 'pack') over the KG edge
+    validity windows: per (group, subj, pred), overlapping-or-touching
+    [valid_at, invalid_at) intervals merge into maximal islands, open
+    intervals stay open. One range sort + per-run island kernel. Oracle:
+    the classic gaps-and-islands window chain."""
+    from graphiti_ray.stages.temporal import coalesce_intervals
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    return coalesce_intervals(
+        tables["edges"], key_cols=["group_id", "subj_uuid", "pred"]
+    )
+
+
+_KG_VALIDITY_ISLANDS_TAIL = """
+iv AS (
+  SELECT m.group_id, m.subj_uuid, m.pred, m.valid_at AS s,
+         coalesce(p.inv, s2.inv) AS t
+  FROM merged_id m
+  LEFT JOIN pair_inv p USING (uuid)
+  LEFT JOIN subj_inv s2 USING (uuid)
+),
+x AS (
+  SELECT *, max(coalesce(t, TIMESTAMP '9999-12-31 00:00:00')) OVER (
+      PARTITION BY group_id, subj_uuid, pred
+      ORDER BY s, coalesce(t, TIMESTAMP '9999-12-31 00:00:00')
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+),
+y AS (
+  SELECT *, CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS ni
+  FROM x
+),
+z AS (
+  SELECT *, sum(ni) OVER (
+      PARTITION BY group_id, subj_uuid, pred
+      ORDER BY s, coalesce(t, TIMESTAMP '9999-12-31 00:00:00')
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM y
+)
+SELECT group_id, subj_uuid, pred, min(s) AS valid_from,
+       CASE WHEN max(coalesce(t, TIMESTAMP '9999-12-31 00:00:00'))
+                 = TIMESTAMP '9999-12-31 00:00:00' THEN NULL
+            ELSE max(coalesce(t, TIMESTAMP '9999-12-31 00:00:00')) END
+         AS valid_to,
+       count(*)::BIGINT AS n_edges
+FROM z GROUP BY group_id, subj_uuid, pred, island
+"""
+
+
 def _q_kg_negative_samples(sf_dir: str):
     """Filtered negative sampling over the KG edge table (TransE-style
     corrupted triples): deterministic md5-pick from the entity
@@ -6115,6 +6165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov": _q_events_markov,
         "docs_len_quantiles_by_lang": _q_docs_len_quantiles_by_lang,
         "kg_negative_samples": _q_kg_negative_samples,
+        "kg_validity_islands": _q_kg_validity_islands,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6304,6 +6355,13 @@ def oracle_sql() -> dict[str, str]:
         "docs_len_quantiles_by_lang": _DOCS_LEN_QUANTILES_BY_LANG_ORACLE,
         "events_baskets": _EVENTS_BASKETS_ORACLE,
         "docs_coverage": _coverage_oracle_sql(),
+        "kg_validity_islands": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+{_KG_VALIDITY_ISLANDS_TAIL.lstrip()}
+""",
         "kg_negative_samples": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -429,3 +429,108 @@ def edges_valid_at_episodes(
         return batch.select(["episode_uuid", "group_id", "n_valid_edges"])
 
     return swept.map_batches(keep_probes, batch_format="pyarrow")
+
+
+# --- validity-interval coalescing ---------------------------------------------
+
+_TS_OPEN_US = (1 << 62)  # sentinel for an open (invalid_at IS NULL) interval
+
+
+def coalesce_intervals(
+    edges: rd.Dataset,
+    key_cols: list[str],
+    start_col: str = "valid_at",
+    end_col: str = "invalid_at",
+) -> rd.Dataset:
+    """Temporal interval coalescing (the SQL:2011 'pack' / gaps-and-
+    islands operator): per key, merge overlapping-or-touching
+    [start, end) validity intervals into maximal islands — e.g. "when
+    was ANY fact of this (subj, pred) active". Open intervals
+    (``end_col`` NULL) extend their island to +∞ (NULL in the output).
+    Touching intervals (next.start == prev.end) MERGE (the standard
+    coalesce rule).
+
+    One range sort by (key, start, end-with-∞-sentinel) → per-run island
+    detection on the ``sorted_run_map`` contract: new island ⇔ start >
+    running max of prior ends; reduceat aggregation per island — no
+    per-row Python, one shuffle total.
+
+    Output: key_cols + (valid_from, valid_to NULL-if-open, n_edges).
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    def add_sentinels(t: pa.Table) -> pa.Table:
+        # normalize to µs BEFORE the int64 view — inputs may arrive at
+        # s/ms/ns precision and the int64 cast preserves the raw unit
+        s = pc.cast(pc.cast(t.column(start_col), pa.timestamp("us")), pa.int64())
+        e = pc.fill_null(
+            pc.cast(
+                pc.cast(t.column(end_col), pa.timestamp("us")), pa.int64()
+            ),
+            _TS_OPEN_US,
+        )
+        keep = [c for c in key_cols if c in t.column_names]
+        return pa.table(
+            {**{c: t.column(c) for c in keep}, "s_us": s, "e_us": e}
+        )
+
+    narrow = edges.select_columns(
+        key_cols + [start_col, end_col]
+    ).map_batches(add_sentinels, batch_format="pyarrow", zero_copy_batch=True)
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        empty = pa.table(
+            {
+                **{c: pa.array([], pa.string()) for c in key_cols},
+                "valid_from": pa.array([], pa.timestamp("us")),
+                "valid_to": pa.array([], pa.timestamp("us")),
+                "n_edges": pa.array([], pa.int64()),
+            }
+        )
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        starts = _table_run_starts(tbl, key_cols)
+        s = tbl.column("s_us").to_numpy(zero_copy_only=False)
+        e = tbl.column("e_us").to_numpy(zero_copy_only=False)
+        # island starts: first row of each key run, or start beyond the
+        # running max of prior ends WITHIN the run
+        ni = np.zeros(n, dtype=bool)
+        for a, b in zip(starts[:-1], starts[1:]):
+            ni[a] = True
+            if b - a > 1:
+                run_max = np.maximum.accumulate(e[a:b])
+                ni[a + 1 : b] = s[a + 1 : b] > run_max[:-1]
+        isl = np.nonzero(ni)[0]
+        isl_end = np.append(isl[1:], n)
+        v_from = s[isl]  # rows sorted by s within runs → island min = first
+        v_to = np.maximum.reduceat(e, isl)
+        cnt = (isl_end - isl).astype(np.int64)
+        cols = {
+            c: tbl.column(c).take(pa.array(isl, pa.int64())) for c in key_cols
+        }
+        open_mask = v_to == _TS_OPEN_US
+        valid_to = pc.if_else(
+            pa.array(~open_mask),
+            pa.array(v_to, pa.int64()).cast(pa.timestamp("us")),
+            pa.nulls(len(v_to), pa.timestamp("us")),
+        )
+        return pa.table(
+            {
+                **cols,
+                "valid_from": pa.array(v_from, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "valid_to": valid_to,
+                "n_edges": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return sorted_run_map(
+        narrow, key_cols=key_cols, order_cols=["s_us", "e_us"], block_fn=kernel
+    )

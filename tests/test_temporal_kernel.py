@@ -98,3 +98,39 @@ def test_sweep_equal_then_later_still_invalidates():
     # skipping the equal-time LIKES@T1
     assert out.loc["a", "invalid_at"] == T2
     assert pd.isna(out.loc["b", "invalid_at"]) and pd.isna(out.loc["c", "invalid_at"])
+
+
+def test_coalesce_intervals_islands(ray_session):
+    from datetime import datetime
+
+    import ray.data as rd_
+
+    from graphiti_ray.stages.temporal import coalesce_intervals
+
+    T = lambda d: datetime(2024, 1, d)  # noqa: E731
+    rows = [
+        # key k1: [1,3) + [2,5) overlap -> island [1,5); [5,7) TOUCHES -> merges;
+        # [9, None) separate open island
+        {"k": "k1", "valid_at": T(1), "invalid_at": T(3)},
+        {"k": "k1", "valid_at": T(2), "invalid_at": T(5)},
+        {"k": "k1", "valid_at": T(5), "invalid_at": T(7)},
+        {"k": "k1", "valid_at": T(9), "invalid_at": None},
+        # key k2: earlier OPEN interval swallows everything after it
+        {"k": "k2", "valid_at": T(1), "invalid_at": None},
+        {"k": "k2", "valid_at": T(4), "invalid_at": T(6)},
+    ]
+    out = (
+        coalesce_intervals(rd_.from_items(rows), key_cols=["k"])
+        .to_pandas()
+        .sort_values(["k", "valid_from"])
+        .reset_index(drop=True)
+    )
+    recs = [
+        (r.k, r.valid_from.day, None if pd.isna(r.valid_to) else r.valid_to.day, r.n_edges)
+        for r in out.itertuples()
+    ]
+    assert recs == [
+        ("k1", 1, 7, 3),
+        ("k1", 9, None, 1),
+        ("k2", 1, None, 2),
+    ]
