@@ -1777,6 +1777,31 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_tokens_mg(sf_dir: str):
+    """Top-50 corpus tokens via the mergeable Misra-Gries heavy-hitter
+    summary (the counter-based deterministic cousin of CMS; fifth member
+    of the sketch family) — full-capacity gate, so the result equals the
+    exact GROUP BY / ORDER BY twin; compaction error and merge rule are
+    pytest-asserted."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.sketch import mg_top_tokens
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return mg_top_tokens(docs, k=50)
+
+
+_TOKENS_MG_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+)
+SELECT token, count(*)::BIGINT AS n FROM tok
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
 def _q_kg_validity_islands(sf_dir: str):
     """Temporal interval coalescing (SQL:2011 'pack') over the KG edge
     validity windows: per (group, subj, pred), overlapping-or-touching
@@ -6166,6 +6191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_len_quantiles_by_lang": _q_docs_len_quantiles_by_lang,
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_validity_islands": _q_kg_validity_islands,
+        "tokens_mg": _q_tokens_mg,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6355,6 +6381,7 @@ def oracle_sql() -> dict[str, str]:
         "docs_len_quantiles_by_lang": _DOCS_LEN_QUANTILES_BY_LANG_ORACLE,
         "events_baskets": _EVENTS_BASKETS_ORACLE,
         "docs_coverage": _coverage_oracle_sql(),
+        "tokens_mg": _TOKENS_MG_ORACLE,
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

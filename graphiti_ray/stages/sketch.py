@@ -514,3 +514,85 @@ def kll_quantiles_by(
             v, n = kll_rank_value(levels, q6)
             rows.append({by: r[by], "q6": int(q6), "value": v, "n": n})
     return rd.from_items(rows)
+
+
+# --- Misra-Gries heavy hitters -------------------------------------------------
+
+MG_CAP_EXACT = 1 << 16  # >= corpus distinct-token count → sketch is lossless
+
+
+def _mg_shrink(c: dict, capacity: int) -> dict:
+    """Misra-Gries decrement: if over capacity, subtract the (capacity+1)-th
+    largest count from every counter and drop the non-positive ones."""
+    if len(c) <= capacity:
+        return c
+    m = sorted(c.values(), reverse=True)[capacity]
+    return {t: v - m for t, v in c.items() if v - m > 0}
+
+
+def mg_aggregate(ds: rd.Dataset, col: str, capacity: int) -> dict:
+    """One mergeable Misra-Gries heavy-hitter summary over a string
+    column, built as a Ray Data ``AggregateFn`` — per-block vectorized
+    accumulate (np.unique counts), associative merges via counter-sum +
+    decrement (Agarwal et al. 2012's mergeable-summaries rule), only the
+    capacity-bounded dict moves through the reduce. The deterministic
+    counter-based cousin of CMS: every estimate undercounts by at most
+    N/(capacity+1), and with ``capacity`` >= the distinct count the
+    summary is EXACT (the KLL full-capacity gate convention)."""
+    from collections import Counter
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc(c: dict, block) -> dict:
+        vals, cnts = np.unique(
+            np.asarray(block.column(col).to_pylist(), dtype=object),
+            return_counts=True,
+        )
+        merged = Counter(c)
+        merged.update(dict(zip(vals.tolist(), cnts.tolist())))
+        return _mg_shrink(dict(merged), capacity)
+
+    def merge(a: dict, b: dict) -> dict:
+        from collections import Counter as _C
+
+        m = _C(a)
+        m.update(b)
+        return _mg_shrink(dict(m), capacity)
+
+    fn = AggregateFn(
+        init=lambda k: {},
+        merge=merge,
+        accumulate_block=acc,
+        name="mg",
+    )
+    return ds.aggregate(fn)["mg"]
+
+
+def mg_top_tokens(
+    docs: rd.Dataset,
+    k: int = 50,
+    capacity: int = MG_CAP_EXACT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Top-k corpus tokens via the Misra-Gries aggregate: tokenize
+    (whitespace, the corpus convention) → one MG reduce → top k by
+    (count desc, token asc). At full capacity this equals the exact
+    GROUP BY/ORDER BY twin; compacted capacities keep the N/(cap+1)
+    error guarantee (pytest-asserted).
+
+    Output: (token, n)."""
+    import re as _re
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+
+    def toks(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            out.extend(x for x in ws.split(t or "") if x)
+        return pa.table({"token": pa.array(out, pa.string())})
+
+    stream = docs.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+    counters = mg_aggregate(stream, "token", capacity)
+    top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return rd.from_items([{"token": t, "n": int(n)} for t, n in top])

@@ -1315,3 +1315,35 @@ def test_kll_by_group_matches_solo(ray_session):
         , "v")
         for r in solo.take_all():
             assert grouped[(g, r["q6"])] == (r["value"], r["n"])
+
+
+def test_misra_gries_exact_at_capacity_and_error_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.sketch import _mg_shrink, mg_aggregate
+
+    rng = np.random.default_rng(11)
+    # zipf-ish stream over 40 items
+    items = [f"t{int(i)}" for i in (rng.zipf(1.5, size=4000) % 40)]
+    ds = rd_.from_arrow(
+        pa.table({"token": pa.array(items, pa.string())})
+    ).repartition(7)
+    exact = {}
+    for t in items:
+        exact[t] = exact.get(t, 0) + 1
+    # full capacity -> exact
+    full = mg_aggregate(ds, "token", capacity=1000)
+    assert full == exact
+    # compacted -> undercount bounded by N/(cap+1)
+    cap = 8
+    sk = mg_aggregate(ds, "token", capacity=cap)
+    assert len(sk) <= cap
+    bound = len(items) / (cap + 1)
+    for t, est in sk.items():
+        assert 0 < est <= exact[t]
+        assert exact[t] - est <= bound
+    # shrink decrement rule: drops non-positives, keeps order of heavies
+    c = {"a": 10, "b": 5, "c": 1}
+    assert _mg_shrink(dict(c), 2) == {"a": 9, "b": 4}
