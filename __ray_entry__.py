@@ -1777,6 +1777,44 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_web_cocitation(sf_dir: str):
+    """Co-citation counts over the host link graph (Small 1973): hosts
+    cited together by a common source, n(a,b) = |{v: v→a ∧ v→b}|; top
+    200 by (n desc, a, b)."""
+    from graphiti_ray.stages.graph import common_neighbor_counts
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(["src_host", "dst_host"])
+    return common_neighbor_counts(lg, join_on="src", src="src_host", dst="dst_host")
+
+
+def _q_web_coupling(sf_dir: str):
+    """Bibliographic coupling over the host link graph (Kessler 1963):
+    hosts citing common targets, n(a,b) = |{v: a→v ∧ b→v}|; top 200."""
+    from graphiti_ray.stages.graph import common_neighbor_counts
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(["src_host", "dst_host"])
+    return common_neighbor_counts(lg, join_on="dst", src="src_host", dst="dst_host")
+
+
+def _common_nbr_oracle_sql(join_on: str) -> str:
+    if join_on == "src":
+        wedge = "JOIN he b ON b.s = a.s AND a.t < b.t"
+        pair = "a.t AS node_a, b.t AS node_b"
+    else:
+        wedge = "JOIN he b ON b.t = a.t AND a.s < b.s"
+        pair = "a.s AS node_a, b.s AS node_b"
+    return f"""
+WITH {_LINK_GRAPH_CTE.lstrip()},
+he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk
+       WHERE src_host <> dst_host),
+w AS (SELECT {pair} FROM he a {wedge})
+SELECT node_a, node_b, count(*)::BIGINT AS n FROM w
+GROUP BY 1, 2 ORDER BY n DESC, node_a, node_b LIMIT 200
+"""
+
+
 def _q_tokens_mg(sf_dir: str):
     """Top-50 corpus tokens via the mergeable Misra-Gries heavy-hitter
     summary (the counter-based deterministic cousin of CMS; fifth member
@@ -6192,6 +6230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_negative_samples": _q_kg_negative_samples,
         "kg_validity_islands": _q_kg_validity_islands,
         "tokens_mg": _q_tokens_mg,
+        "web_cocitation": _q_web_cocitation,
+        "web_coupling": _q_web_coupling,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6382,6 +6422,8 @@ def oracle_sql() -> dict[str, str]:
         "events_baskets": _EVENTS_BASKETS_ORACLE,
         "docs_coverage": _coverage_oracle_sql(),
         "tokens_mg": _TOKENS_MG_ORACLE,
+        "web_cocitation": _common_nbr_oracle_sql("src"),
+        "web_coupling": _common_nbr_oracle_sql("dst"),
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

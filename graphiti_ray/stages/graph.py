@@ -2967,3 +2967,96 @@ def negative_samples(
     return edges.select_columns([id_col, src, pred_col, dst]).map_batches(
         corrupt, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def common_neighbor_counts(
+    edges: rd.Dataset,
+    join_on: str = "src",
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+    top_n: int = 200,
+) -> rd.Dataset:
+    """Co-citation (Small 1973) / bibliographic coupling (Kessler 1963)
+    over the DIRECTED distinct edge set — the two classic directional
+    common-neighbor statistics of web/citation analysis:
+
+    - ``join_on="src"`` → co-citation: n(a, b) = |{v : v→a and v→b}|
+      (pages cited together — wedges share their SOURCE);
+    - ``join_on="dst"`` → coupling: n(a, b) = |{v : a→v and b→v}|
+      (pages citing the same things — wedges share their TARGET).
+
+    One keyed self-join on the shared endpoint, per-batch pair-count
+    combiner, one keyed sum, top_n by (n desc, a, b) — the
+    :func:`neighborhood_jaccard` shape on the directed graph with no
+    degree joins. Output: (node_a, node_b, n).
+    """
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    def orient(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({"s": batch.column(src), "t": batch.column(dst)})
+        tbl = tbl.filter(pc.not_equal(tbl.column("s"), tbl.column("t")))
+        return tbl.append_column("ek", _pair_key(tbl.column("s"), tbl.column("t")))
+
+    e = distinct_by_key(
+        edges.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True),
+        "ek",
+    ).materialize()
+    shared, other = ("s", "t") if join_on == "src" else ("t", "s")
+
+    adj = e.map_batches(
+        lambda t: pa.table({"v": t.column(shared), "nbr": t.column(other)}),
+        batch_format="pyarrow",
+    ).materialize()
+    wedges = safe_join(
+        adj,
+        adj.map_batches(
+            lambda t: t.rename_columns(["v", "nbr2"]), batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("v",),
+    )
+
+    def combine(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("nbr"), t.column("nbr2")))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "node_a": pa.array([], pa.string()),
+                    "node_b": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        part = (
+            pa.table({"node_a": t.column("nbr"), "node_b": t.column("nbr2")})
+            .group_by(["node_a", "node_b"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "node_a": part.column("node_a"),
+                "node_b": part.column("node_b"),
+                "c": pc.cast(part.column("count_all"), pa.int64()),
+            }
+        )
+
+    return (
+        wedges.map_batches(combine, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["node_a", "node_b"])
+        .aggregate(Sum("c", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node_a": pc.cast(t.column("node_a"), pa.string()),
+                    "node_b": pc.cast(t.column("node_b"), pa.string()),
+                    "n": pc.cast(t.column("n"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["n", "node_a", "node_b"], descending=[True, False, False])
+        .limit(top_n)
+    )

@@ -178,3 +178,35 @@ def test_rich_club_hand_graph(ray_session):
     assert out.loc[2].phi_e6 == 1_000_000
     out5 = rich_club(rd_.from_arrow(t), ks=[5], src="s", dst="t").to_pandas()
     assert out5.iloc[0].n_nodes == 0 and out5.iloc[0].phi_e6 == 0
+
+
+def test_cocitation_vs_coupling_direction(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import common_neighbor_counts
+
+    edges = rd_.from_items(
+        [
+            {"src_host": "v", "dst_host": "a"},
+            {"src_host": "v", "dst_host": "b"},   # a,b co-cited by v
+            {"src_host": "a", "dst_host": "x"},
+            {"src_host": "b", "dst_host": "x"},   # a,b couple via x
+            {"src_host": "w", "dst_host": "a"},   # second co-citer of a only
+        ]
+    )
+    co = {
+        (r["node_a"], r["node_b"]): r["n"]
+        for r in common_neighbor_counts(
+            edges, join_on="src", src="src_host", dst="dst_host"
+        ).take_all()
+    }
+    cp = {
+        (r["node_a"], r["node_b"]): r["n"]
+        for r in common_neighbor_counts(
+            edges, join_on="dst", src="src_host", dst="dst_host"
+        ).take_all()
+    }
+    assert co == {("a", "b"): 1}
+    # coupling: (a,b) via x; also (v,w) both cite a — and (a,v),(b,v)? no:
+    # v cites a,b; a cites x — no shared target with v
+    assert cp == {("a", "b"): 1, ("v", "w"): 1}
