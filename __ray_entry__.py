@@ -1777,6 +1777,25 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_web_page_meta(sf_dir: str):
+    """Page-metadata extraction off the raw html bytes (title, first h1,
+    paragraph/anchor censuses — the CDX-sidecar header fields). Oracle:
+    every field re-derived from the pg1.2 template arithmetic."""
+    from graphiti_ray.stages.urls import extract_page_meta
+
+    return extract_page_meta(_pages(sf_dir))
+
+
+_WEB_PAGE_META_ORACLE = """
+SELECT 'https://' || source || '.example.com/doc/' || doc_id AS url,
+       'Doc ' || doc_id || ' - ' || source || '.example.com' AS title,
+       source || '.example.com' AS h1,
+       3::BIGINT AS n_paragraphs,
+       (3 + doc_id % 3)::BIGINT AS n_anchors
+FROM documents
+"""
+
+
 def _q_web_cocitation(sf_dir: str):
     """Co-citation counts over the host link graph (Small 1973): hosts
     cited together by a common source, n(a,b) = |{v: v→a ∧ v→b}|; top
@@ -6232,6 +6251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tokens_mg": _q_tokens_mg,
         "web_cocitation": _q_web_cocitation,
         "web_coupling": _q_web_coupling,
+        "web_page_meta": _q_web_page_meta,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6424,6 +6444,7 @@ def oracle_sql() -> dict[str, str]:
         "tokens_mg": _TOKENS_MG_ORACLE,
         "web_cocitation": _common_nbr_oracle_sql("src"),
         "web_coupling": _common_nbr_oracle_sql("dst"),
+        "web_page_meta": _WEB_PAGE_META_ORACLE,
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -730,3 +730,54 @@ def crawl_budget(
         )
 
     return ranked.map_batches(finish, batch_format="pyarrow")
+
+
+_META_RES: dict = {}
+
+
+def _meta_res():
+    import re
+
+    global _META_RES
+    if not _META_RES:
+        _META_RES = {
+            "title": re.compile(rb"<title>([^<]*)</title>"),
+            "h1": re.compile(rb"<h1[^>]*>([^<]*)</h1>"),
+            "p": re.compile(rb"<p>"),
+            "a": re.compile(rb"<a "),
+        }
+    return _META_RES
+
+
+def extract_page_meta(pages: rd.Dataset) -> rd.Dataset:
+    """Page-metadata extraction off the raw html bytes — the header
+    fields a web-corpus index materializes next to the CDX record
+    (title, first h1, paragraph and anchor censuses). Compiled byte
+    regexes, one streaming pass, no shuffle; column-pruned to
+    (url, html).
+
+    Output: (url, title, h1, n_paragraphs, n_anchors)."""
+    def meta(batch: pa.Table) -> pa.Table:
+        res = _meta_res()
+        urls = batch.column("url")
+        titles, h1s, nps, nas = [], [], [], []
+        for h in batch.column("html").to_pylist():
+            m = res["title"].search(h)
+            titles.append((m.group(1) if m else b"").decode("utf-8"))
+            m = res["h1"].search(h)
+            h1s.append((m.group(1) if m else b"").decode("utf-8"))
+            nps.append(len(res["p"].findall(h)))
+            nas.append(len(res["a"].findall(h)))
+        return pa.table(
+            {
+                "url": urls,
+                "title": pa.array(titles, pa.string()),
+                "h1": pa.array(h1s, pa.string()),
+                "n_paragraphs": pa.array(nps, pa.int64()),
+                "n_anchors": pa.array(nas, pa.int64()),
+            }
+        )
+
+    return pages.select_columns(["url", "html"]).map_batches(
+        meta, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -72,3 +72,27 @@ def test_head_k_per_key_keeps_ordered_head(ray_session):
     out = head_k_per_key(ds, ["host"], ["rank"], k=3).take_all()
     got = sorted((r["host"], r["rank"]) for r in out)
     assert got == [(h, r) for h in ("a", "b", "c") for r in range(3)]
+
+
+def test_extract_page_meta_fields(ray_session):
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.urls import extract_page_meta
+
+    html = (
+        b"<html><head><title>My Title</title></head><body>"
+        b'<h1 class="x">Heading</h1><p>one</p><p>two</p>'
+        b'<a href="/a">x</a><a href="/b"></a></body></html>'
+    )
+    pages = rd_.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["u1", "u2"], pa.string()),
+                "html": pa.array([html, b"<html></html>"], pa.binary()),
+            }
+        )
+    )
+    out = extract_page_meta(pages).to_pandas().set_index("url")
+    assert out.loc["u1"].tolist() == ["My Title", "Heading", 2, 2]
+    assert out.loc["u2"].tolist() == ["", "", 0, 0]
