@@ -1777,6 +1777,40 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_search_classifier(sf_dir: str):
+    """ST4: the OpenAI-reranker-shaped yes/no classifier as a SECOND
+    concrete scorer through the same actor-pool rerank stage —
+    ce_score = query-coverage logit margin on the exact integer lattice
+    (monotone transform of P(yes)); (score desc, uuid) sort, limit 20."""
+    from graphiti_ray.pipelines.search import classifier_rerank
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ds = tables["nodes"].select_columns(["uuid", "name"])
+    return classifier_rerank(ds, "alice smith", "name", limit=20)
+
+
+_SEARCH_CLASSIFIER_TAIL = r"""
+nodes AS (
+  SELECT md5(group_id || '|' || lower(canonical)) AS uuid,
+         min(canonical) AS name
+  FROM canon GROUP BY group_id, md5(group_id || '|' || lower(canonical))
+),
+scored AS (
+  SELECT uuid, name,
+         ((2 * ((CASE WHEN list_contains(
+                   list_transform(string_split_regex(lower(name), '\s+'),
+                                  x -> x), 'alice') THEN 1 ELSE 0 END)
+               + (CASE WHEN list_contains(
+                   list_transform(string_split_regex(lower(name), '\s+'),
+                                  x -> x), 'smith') THEN 1 ELSE 0 END))
+           * 1000000) // 2 - 1000000)::DOUBLE AS ce_score
+  FROM nodes
+)
+SELECT uuid, name, ce_score FROM scored
+ORDER BY ce_score DESC, uuid LIMIT 20
+"""
+
+
 def _q_web_page_meta(sf_dir: str):
     """Page-metadata extraction off the raw html bytes (title, first h1,
     paragraph/anchor censuses — the CDX-sidecar header fields). Oracle:
@@ -6252,6 +6286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_cocitation": _q_web_cocitation,
         "web_coupling": _q_web_coupling,
         "web_page_meta": _q_web_page_meta,
+        "search_classifier": _q_search_classifier,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6445,6 +6480,12 @@ def oracle_sql() -> dict[str, str]:
         "web_cocitation": _common_nbr_oracle_sql("src"),
         "web_coupling": _common_nbr_oracle_sql("dst"),
         "web_page_meta": _WEB_PAGE_META_ORACLE,
+        "search_classifier": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_SEARCH_CLASSIFIER_TAIL.lstrip()}
+""",
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -375,6 +375,51 @@ def default_cross_encoder(query: str, passages: list[str]) -> list[float]:
     return [float(round(s, 9)) for s in pv @ qv]
 
 
+def yesno_classifier_scorer(query: str, passages: list[str]) -> list[float]:
+    """ST4 parity — the reference's SECOND reranker shape: the OpenAI
+    reranker classifies each (query, passage) as relevant yes/no with a
+    logit_bias restricted to the two class tokens and ranks by P("yes")
+    from the logprobs (cross_encoder/openai_reranker_client.py:34-121).
+    This deterministic twin keeps the binary-classifier semantics with
+    the query-coverage logit margin on the exact integer lattice:
+
+        c = |distinct query tokens present in the passage|
+        margin_micro = floor(2·c·10^6 / |q|) − 10^6   ∈ [−10^6, 10^6]
+
+    P(yes) = sigmoid(k·margin) is a strictly monotone transform, so the
+    RANKING equals the reference's P(yes) order while the score stays
+    hash-exact for the SQL twin (no cross-engine exp())."""
+    q_toks = sorted({t for t in query.lower().split() if t})
+    if not q_toks:
+        return [0.0] * len(passages)
+    out = []
+    for p in passages:
+        p_toks = {t for t in (p or "").lower().split() if t}
+        c = sum(1 for t in q_toks if t in p_toks)
+        out.append(float((2 * c * 1_000_000) // len(q_toks) - 1_000_000))
+    return out
+
+
+def classifier_rerank(
+    ds: rd.Dataset,
+    query: str,
+    text_col: str,
+    limit: int = DEFAULT_SEARCH_LIMIT,
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """The OpenAI-reranker-shaped second scorer through the SAME
+    actor-pool stage as :func:`cross_encoder_rerank` — proving the
+    model_loader seam takes a second concrete scorer unchanged."""
+    return cross_encoder_rerank(
+        ds,
+        query,
+        text_col,
+        limit=limit,
+        model_loader=lambda: yesno_classifier_scorer,
+        concurrency=concurrency,
+    )
+
+
 # --- search config / entry (search_config.py shapes) ------------------------
 
 

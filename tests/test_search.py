@@ -238,3 +238,31 @@ def test_proximity_search_window_and_order(ray_session):
     out = proximity_search(docs, [("alpha", "beta")], window=3).to_pandas()
     got = {r.doc_id: r.min_dist for r in out.itertuples()}
     assert got == {1: 3, 2: 2, 4: 1}
+
+
+def test_yesno_classifier_scorer_margins(ray_session):
+    from graphiti_ray.pipelines.search import yesno_classifier_scorer
+
+    scores = yesno_classifier_scorer(
+        "alice smith", ["Alice Smith Corp", "alice only", "nobody here", ""]
+    )
+    assert scores == [1_000_000.0, 0.0, -1_000_000.0, -1_000_000.0]
+    # empty query -> all zeros
+    assert yesno_classifier_scorer("", ["x"]) == [0.0]
+
+
+def test_classifier_rerank_through_actor_pool(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.search import classifier_rerank
+
+    ds = rd_.from_items(
+        [
+            {"uuid": "u1", "name": "alice smith"},
+            {"uuid": "u2", "name": "bob smith"},
+            {"uuid": "u3", "name": "charlie"},
+        ]
+    )
+    out = classifier_rerank(ds, "alice smith", "name", limit=3).to_pandas()
+    assert out.uuid.tolist() == ["u1", "u2", "u3"]
+    assert out.ce_score.tolist() == [1_000_000.0, 0.0, -1_000_000.0]
