@@ -1777,6 +1777,130 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_rank_tau(sf_dir: str):
+    """Ranking-agreement evaluation (Kendall tau counts) between two
+    top-100 document rankings — by chars vs by words, both with doc_id
+    tiebreaks (the shape of comparing two retrieval scorers' top-k
+    lists). The top-k extraction is the distributed part (two
+    sort+limit passes); the tau pair census runs on the eval-sized
+    intersection. Output: one row of exact integers
+    (n_common, n_pairs, n_concordant, n_discordant)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+
+    def add_words(t):
+        import pyarrow as pa
+
+        nw = pc.list_value_length(
+            pc.split_pattern_regex(t.column("text"), r"\s+")
+        ).cast(pa.int64())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": t.column("n_chars"),
+                "n_words": nw,
+            }
+        )
+
+    narrow = docs.map_batches(
+        add_words, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    top_a = narrow.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+    top_b = narrow.sort(["n_words", "doc_id"], descending=[True, False]).limit(100)
+    rank_a = {r["doc_id"]: i for i, r in enumerate(top_a.take_all())}
+    rank_b = {r["doc_id"]: i for i, r in enumerate(top_b.take_all())}
+    common = sorted(set(rank_a) & set(rank_b))
+    ra = np.array([rank_a[d] for d in common])
+    rb = np.array([rank_b[d] for d in common])
+    ii, jj = np.triu_indices(len(common), k=1)
+    sgn = np.sign(ra[ii] - ra[jj]) * np.sign(rb[ii] - rb[jj])
+    return pd.DataFrame(
+        {
+            "n_common": [len(common)],
+            "n_pairs": [int(len(ii))],
+            "n_concordant": [int((sgn > 0).sum())],
+            "n_discordant": [int((sgn < 0).sum())],
+        }
+    ).astype("int64")
+
+
+_DOCS_RANK_TAU_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, n_chars,
+         len(string_split_regex(text, '\s+'))::BIGINT AS n_words
+  FROM documents
+),
+ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+  FROM w QUALIFY r < 100
+),
+rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_words DESC, doc_id) - 1 AS r
+  FROM w QUALIFY r < 100
+),
+c AS (SELECT ra.doc_id, ra.r AS r_a, rb.r AS r_b
+      FROM ra JOIN rb USING (doc_id)),
+p AS (
+  SELECT sign(x.r_a - y.r_a) * sign(x.r_b - y.r_b) AS s
+  FROM c x JOIN c y ON x.doc_id < y.doc_id
+)
+SELECT (SELECT count(*) FROM c)::BIGINT AS n_common,
+       count(*)::BIGINT AS n_pairs,
+       count(*) FILTER (s > 0)::BIGINT AS n_concordant,
+       count(*) FILTER (s < 0)::BIGINT AS n_discordant
+FROM p
+"""
+
+
+def _q_docs_nb_confusion(sf_dir: str):
+    """Classifier evaluation: the Naive Bayes language predictions
+    joined back to gold labels as an exact confusion matrix
+    (lang, pred_lang, n) — the model-eval census every training-data
+    pipeline reports. One keyed hash join + one |langs|² reduce."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.textstats import naive_bayes_lang
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pred = naive_bayes_lang(docs)
+    gold = docs.map_batches(
+        lambda t: t.select(["doc_id", "lang"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = safe_join(
+        pred,
+        gold,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("doc_id",),
+    )
+    out = joined.groupby(["lang", "pred_lang"]).aggregate(Count(alias_name="n"))
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t.column("lang"),
+                "pred_lang": t.column("pred_lang"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_search_classifier(sf_dir: str):
     """ST4: the OpenAI-reranker-shaped yes/no classifier as a SECOND
     concrete scorer through the same actor-pool rerank stage —
@@ -6287,6 +6411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_coupling": _q_web_coupling,
         "web_page_meta": _q_web_page_meta,
         "search_classifier": _q_search_classifier,
+        "docs_nb_confusion": _q_docs_nb_confusion,
+        "docs_rank_tau": _q_docs_rank_tau,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6486,6 +6612,13 @@ WITH {_BASE_CTE.lstrip()},
 {_CANON_CTE.lstrip()},
 {_SEARCH_CLASSIFIER_TAIL.lstrip()}
 """,
+        "docs_nb_confusion": f"""
+SELECT d.lang, nb.pred_lang, count(*)::BIGINT AS n
+FROM ({_DOCS_NB_LANG_ORACLE}) nb
+JOIN documents d ON d.doc_id = nb.doc_id
+GROUP BY 1, 2
+""",
+        "docs_rank_tau": _DOCS_RANK_TAU_ORACLE,
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -1849,3 +1849,15 @@ def test_basket_pairs_counts(ray_session):
     # min_support prunes
     out2 = basket_pairs(rd.from_items(rows), min_support=2).to_pandas()
     assert [(r.type_a, r.type_b) for r in out2.itertuples()] == [("A", "B")]
+
+
+def test_rank_tau_query_invariants(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["docs_rank_tau"]("/root/testdata/sf0.001").iloc[0]
+    n = int(out.n_common)
+    assert out.n_pairs == n * (n - 1) // 2
+    assert 0 < n <= 100
+    # strict total orders on both sides -> no tied pairs
+    assert out.n_concordant + out.n_discordant == out.n_pairs
+    assert out.n_discordant > 0  # chars and words orders genuinely differ
