@@ -1777,6 +1777,37 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_psi(sf_dir: str):
+    """Population-stability-index drift census between the doc_id%2
+    splits over the lang distribution: exact split counts + each
+    bucket's Laplace-smoothed PSI term on the 1e-6 lattice (PSI = Σ
+    terms; >0.2 flags drift)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import psi_by_bucket
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return psi_by_bucket(docs, bucket_col="lang")
+
+
+_DOCS_PSI_ORACLE = """
+WITH c AS (
+  SELECT lang AS bucket,
+         count(*) FILTER (doc_id % 2 = 0)::BIGINT AS n_a,
+         count(*) FILTER (doc_id % 2 <> 0)::BIGINT AS n_b
+  FROM documents GROUP BY lang
+),
+t AS (SELECT count(*)::BIGINT AS k, sum(n_a)::BIGINT AS ta,
+             sum(n_b)::BIGINT AS tb FROM c)
+SELECT c.bucket, c.n_a, c.n_b,
+       CAST(round(
+         (((c.n_a + 1.0) / (t.ta + t.k)) - ((c.n_b + 1.0) / (t.tb + t.k)))
+         * ln(((c.n_a + 1.0) / (t.ta + t.k)) / ((c.n_b + 1.0) / (t.tb + t.k)))
+         * 1000000) AS BIGINT) AS psi_term_e6
+FROM c CROSS JOIN t
+"""
+
+
 def _q_docs_rank_tau(sf_dir: str):
     """Ranking-agreement evaluation (Kendall tau counts) between two
     top-100 document rankings — by chars vs by words, both with doc_id
@@ -6413,6 +6444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_classifier": _q_search_classifier,
         "docs_nb_confusion": _q_docs_nb_confusion,
         "docs_rank_tau": _q_docs_rank_tau,
+        "docs_psi": _q_docs_psi,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6619,6 +6651,7 @@ JOIN documents d ON d.doc_id = nb.doc_id
 GROUP BY 1, 2
 """,
         "docs_rank_tau": _DOCS_RANK_TAU_ORACLE,
+        "docs_psi": _DOCS_PSI_ORACLE,
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

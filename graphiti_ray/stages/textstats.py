@@ -1401,3 +1401,74 @@ def trending_terms(
         .sort(["burst_micro", "day", "token"], descending=[True, False, False])
         .limit(top_n)
     )
+
+
+# --- distribution drift (population stability index) --------------------------
+
+
+def psi_by_bucket(
+    docs: rd.Dataset,
+    bucket_col: str = "lang",
+    id_col: str = "doc_id",
+    split_mod: int = 2,
+) -> rd.Dataset:
+    """Population-stability-index census — the distribution-drift check a
+    data pipeline runs between corpus snapshots/splits: bucket counts on
+    the two splits (here ``doc_id % split_mod`` — the fixture stand-in
+    for crawl A vs crawl B), Laplace-smoothed shares, and each bucket's
+    PSI term on the 1e-6 lattice
+
+        term = (p_a − p_b) · ln(p_a / p_b),  p_x = (n_x+1)/(N_x+K)
+
+    (PSI = Σ terms; > 0.2 conventionally flags drift). All counts exact
+    int64; the float term is quantized per bucket (the token_entropy
+    convention) so the SQL twin hash-matches. One combiner pass → one
+    |buckets|-keyed sum → driver-side parameter-sized finish.
+
+    Output: (bucket, n_a, n_b, psi_term_e6).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        side = (ids % split_mod) == 0
+        bk = batch.column(bucket_col).to_pylist()
+        from collections import Counter
+
+        ca: Counter = Counter()
+        cb: Counter = Counter()
+        for b, s in zip(bk, side):
+            (ca if s else cb)[b] += 1
+        keys = sorted(set(ca) | set(cb))
+        return pa.table(
+            {
+                "bucket": pa.array(keys, pa.string()),
+                "n_a": pa.array([ca.get(k, 0) for k in keys], pa.int64()),
+                "n_b": pa.array([cb.get(k, 0) for k in keys], pa.int64()),
+            }
+        )
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n_a", alias_name="n_a"), Sum("n_b", alias_name="n_b"))
+        .take_all()  # |buckets| rows — parameter-sized
+    )
+    k = len(agg)
+    total_a = sum(int(r["n_a"]) for r in agg)
+    total_b = sum(int(r["n_b"]) for r in agg)
+    rows = []
+    for r in sorted(agg, key=lambda x: x["bucket"]):
+        na, nb = int(r["n_a"]), int(r["n_b"])
+        p_a = (na + 1.0) / (total_a + k)
+        p_b = (nb + 1.0) / (total_b + k)
+        term = (p_a - p_b) * np.log(p_a / p_b)
+        rows.append(
+            {
+                "bucket": r["bucket"],
+                "n_a": na,
+                "n_b": nb,
+                "psi_term_e6": int(np.rint(term * 1e6)),
+            }
+        )
+    return rd.from_items(rows)

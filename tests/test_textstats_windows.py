@@ -1861,3 +1861,21 @@ def test_rank_tau_query_invariants(ray_session):
     # strict total orders on both sides -> no tied pairs
     assert out.n_concordant + out.n_discordant == out.n_pairs
     assert out.n_discordant > 0  # chars and words orders genuinely differ
+
+
+def test_psi_identical_splits_zero(ray_session):
+    from graphiti_ray.stages.textstats import psi_by_bucket
+
+    # perfectly balanced buckets across the two splits -> every term 0
+    rows = [
+        {"doc_id": i, "lang": ["en", "de"][i // 2 % 2]} for i in range(40)
+    ]
+    out = psi_by_bucket(rd.from_items(rows)).to_pandas()
+    assert sorted(out.bucket) == ["de", "en"]
+    assert (out.psi_term_e6 == 0).all()
+    assert (out.n_a + out.n_b).sum() == 40
+
+    # skewed bucket -> strictly positive term on that bucket
+    rows2 = [{"doc_id": i, "lang": "en" if i % 2 == 0 else "de"} for i in range(40)]
+    out2 = psi_by_bucket(rd.from_items(rows2)).to_pandas().set_index("bucket")
+    assert out2.loc["en", "psi_term_e6"] > 0 and out2.loc["de", "psi_term_e6"] > 0
