@@ -1777,6 +1777,46 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_snippet(sf_dir: str):
+    """Best-snippet selection for probe terms (slow|fast|join), window
+    10: per doc the densest query-term span anchored at its first
+    matching token, ties to the smallest anchor. Query-pruned postings +
+    one per-doc searchsorted argmax. Oracle: the anchored window
+    pair-join + row_number rule."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.search import best_snippet
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return best_snippet(docs, ["slow", "fast", "join"], window=10)
+
+
+_DOCS_SNIPPET_ORACLE = r"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, l[u.i] AS token, (u.i - 1)::BIGINT AS pos
+  FROM lists, LATERAL unnest(range(1, len(l) + 1)) AS u(i)
+),
+hits AS (SELECT doc_id, pos FROM tok WHERE token IN ('slow', 'fast', 'join')),
+cand AS (
+  SELECT a.doc_id, a.pos AS anchor_pos, count(*)::BIGINT AS n_hits
+  FROM hits a JOIN hits b
+    ON b.doc_id = a.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 10
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY n_hits DESC, anchor_pos) AS rk
+  FROM cand
+)
+SELECT doc_id, anchor_pos, n_hits FROM best WHERE rk = 1
+"""
+
+
 def _q_docs_psi(sf_dir: str):
     """Population-stability-index drift census between the doc_id%2
     splits over the lang distribution: exact split counts + each
@@ -6445,6 +6485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_nb_confusion": _q_docs_nb_confusion,
         "docs_rank_tau": _q_docs_rank_tau,
         "docs_psi": _q_docs_psi,
+        "docs_snippet": _q_docs_snippet,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6652,6 +6693,7 @@ GROUP BY 1, 2
 """,
         "docs_rank_tau": _DOCS_RANK_TAU_ORACLE,
         "docs_psi": _DOCS_PSI_ORACLE,
+        "docs_snippet": _DOCS_SNIPPET_ORACLE,
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

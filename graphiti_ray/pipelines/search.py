@@ -1003,3 +1003,86 @@ def proximity_search(
     return sorted_run_map(
         post, key_cols=[id_col], order_cols=["pos"], block_fn=verify
     )
+
+
+def best_snippet(
+    docs: "rd.Dataset",
+    terms: list[str],
+    window: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Best-snippet selection — the search-result highlighting kernel:
+    for every document containing a query term, the width-``window``
+    token span holding the most query-term occurrences, anchored at its
+    first matching token (deterministic: ties take the smallest anchor).
+    Same query-pruned posting shape as :func:`phrase_search` /
+    :func:`proximity_search`; the per-doc argmax is one vectorized
+    ``searchsorted`` over the sorted hit positions — work ∝ query-term
+    postings.
+
+    Output: (doc_id, anchor_pos, n_hits)."""
+    import re as _re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    term_set = frozenset(terms)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        ids, pos = [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            p = 0
+            for tok in ws.split(t or ""):
+                if not tok:
+                    continue
+                if tok in term_set:
+                    ids.append(i)
+                    pos.append(p)
+                p += 1
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+            }
+        )
+
+    post = docs.map_batches(postings, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "anchor_pos": pa.array([], pa.int64()),
+                "n_hits": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        starts = _table_run_starts(tbl, [id_col])
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        pos = tbl.column("pos").to_numpy(zero_copy_only=False)
+        o_d, o_a, o_n = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            p = pos[s:e]  # ascending (doc order)
+            cnt = np.searchsorted(p, p + window, side="left") - np.arange(len(p))
+            i = int(np.argmax(cnt))  # first max → smallest anchor
+            o_d.append(int(ids[s]))
+            o_a.append(int(p[i]))
+            o_n.append(int(cnt[i]))
+        return pa.table(
+            {
+                id_col: pa.array(o_d, pa.int64()),
+                "anchor_pos": pa.array(o_a, pa.int64()),
+                "n_hits": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    return sorted_run_map(post, key_cols=[id_col], order_cols=["pos"], block_fn=pick)

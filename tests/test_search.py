@@ -266,3 +266,33 @@ def test_classifier_rerank_through_actor_pool(ray_session):
     out = classifier_rerank(ds, "alice smith", "name", limit=3).to_pandas()
     assert out.uuid.tolist() == ["u1", "u2", "u3"]
     assert out.ce_score.tolist() == [1_000_000.0, 0.0, -1_000_000.0]
+
+
+def test_best_snippet_density_and_ties(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.search import best_snippet
+
+    docs = rd_.from_items(
+        [
+            # hits at 0 and 9 (inside w=10 from 0), denser pair at 20,21
+            {"doc_id": 1, "text": "hit a b c d e f g h hit "
+                                  + "x " * 10 + "hit hit"},
+            # single hit
+            {"doc_id": 2, "text": "a hit b"},
+            # no hits -> absent
+            {"doc_id": 3, "text": "nothing here"},
+        ]
+    )
+    out = (
+        best_snippet(docs, ["hit"], window=10)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.index.tolist() == [1, 2]
+    assert out.loc[1].tolist() == [0, 2] or out.loc[1].tolist() == [20, 2]
+    # tie between window@0 (hits 0,9) and window@20 (hits 20,21): the
+    # smaller anchor wins
+    assert out.loc[1, "anchor_pos"] == 0
+    assert out.loc[2].tolist() == [1, 1]
