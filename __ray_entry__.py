@@ -1777,6 +1777,51 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_jsonl_roundtrip(sf_dir: str):
+    """JSONL connector roundtrip — the LLM-corpus interchange format
+    (one JSON object per line, sharded per block): documents → .jsonl
+    shards → ray.data.read_json → identical table. Oracle: the source
+    table itself."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from graphiti_ray.sources.jsonl import read_jsonl, write_jsonl
+
+    root = f"/tmp/graphiti_ray_jsonl/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    write_jsonl(docs, root)
+    return read_jsonl(root).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def _q_docs_partition_prune(sf_dir: str):
+    """Partitioned parquet sink + partition-pruned re-read: documents
+    written hive-partitioned by lang, then ONLY the lang=en directory is
+    scanned (no other partition's bytes leave storage — the resumable /
+    pruned output layout the 100-TB pipeline writes). Oracle: the en
+    slice of the source table."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    root = (
+        f"/tmp/graphiti_ray_part/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars", "lang"]
+    )
+    docs.write_parquet(root, partition_cols=["lang"])
+    return rd.read_parquet(f"{root}/lang=en").select_columns(
+        ["doc_id", "n_chars"]
+    )
+
+
 def _q_docs_snippet(sf_dir: str):
     """Best-snippet selection for probe terms (slow|fast|join), window
     10: per doc the densest query-term span anchored at its first
@@ -6486,6 +6531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rank_tau": _q_docs_rank_tau,
         "docs_psi": _q_docs_psi,
         "docs_snippet": _q_docs_snippet,
+        "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
+        "docs_partition_prune": _q_docs_partition_prune,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6694,6 +6741,12 @@ GROUP BY 1, 2
         "docs_rank_tau": _DOCS_RANK_TAU_ORACLE,
         "docs_psi": _DOCS_PSI_ORACLE,
         "docs_snippet": _DOCS_SNIPPET_ORACLE,
+        "docs_jsonl_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "docs_partition_prune": (
+            "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"
+        ),
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -1,0 +1,24 @@
+"""JSONL source/sink — the lingua-franca interchange format of LLM
+training corpora (one JSON object per line; The Pile / RedPajama / Dolma
+all ship this way). Reference analogue: the corpus parser family
+(SURVEY §2 S11) next to the WARC connector (sources/warc.py).
+
+Write: one ``.jsonl`` shard per block via ``Dataset.write_json`` —
+partitioned output, resumable by shard like every sink here. Read:
+``ray.data.read_json`` (Arrow JSON reader — vectorized, zero
+per-row Python on the hot path).
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+
+def write_jsonl(ds: rd.Dataset, out_dir: str) -> None:
+    """Write one .jsonl shard per block (lines format)."""
+    ds.write_json(out_dir)
+
+
+def read_jsonl(path: str | list[str]) -> rd.Dataset:
+    """Read a JSONL directory/file set back as a Dataset."""
+    return rd.read_json(path)
