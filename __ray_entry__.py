@@ -1777,6 +1777,33 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental MinHash near-dup (the nightly-crawl shape): existing
+    corpus = doc_id%2==0 (persisted signature index), new batch = the
+    rest; a new doc is flagged when it collides with anything. Oracle:
+    the full minhash pair prefix restricted to pairs touching a new
+    doc."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import incremental_near_dup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(keep_even: bool):
+        def f(t, _k=keep_even):
+            import numpy as np
+            import pyarrow as pa
+
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 2 == 0) == _k
+            return t.filter(pa.array(mask))
+
+        return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    return incremental_near_dup(split(True), split(False))
+
+
 def _q_docs_jsonl_roundtrip(sf_dir: str):
     """JSONL connector roundtrip — the LLM-corpus interchange format
     (one JSON object per line, sharded per block): documents → .jsonl
@@ -6533,6 +6560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snippet": _q_docs_snippet,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "docs_partition_prune": _q_docs_partition_prune,
+        "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
         "embeddings_pq": _q_embeddings_pq,
@@ -6744,6 +6772,17 @@ GROUP BY 1, 2
         "docs_jsonl_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
+        "dedup_incremental": _minhash_pairs_prefix_sql()
+        + """,
+sides AS (
+  SELECT a AS doc_id, b AS partner FROM pairs WHERE a % 2 <> 0
+  UNION ALL
+  SELECT b, a FROM pairs WHERE b % 2 <> 0
+)
+SELECT doc_id, count(*)::BIGINT AS n_partners,
+       min(partner)::BIGINT AS min_partner
+FROM sides GROUP BY doc_id
+""",
         "docs_partition_prune": (
             "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"
         ),

@@ -2204,3 +2204,83 @@ def minimizer_dedup_pairs(
         ),
         batch_format="pyarrow",
     )
+
+
+def incremental_near_dup(
+    existing: rd.Dataset,
+    new: rd.Dataset,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Incremental MinHash near-dup — the nightly-crawl production shape:
+    the EXISTING corpus contributes its (persisted) signature rows, only
+    the NEW batch computes signatures fresh, and a new document is
+    flagged when it collides with anything — an existing doc or another
+    new one. Reference analogue: the incremental upsert family
+    (pipelines/incremental.py) applied to the dedup index.
+
+    Candidates run through the SAME banded machinery as
+    :func:`minhash_near_dup` over the unioned signature rows (band
+    buckets co-locate both sides; old×old pairs inside shared buckets
+    are pruned vectorized after the pair kernel — their cost is bounded
+    by the bucket caps; a production variant tags sides and skips them
+    inside the kernel).
+
+    Output: one row per flagged NEW doc —
+    (doc_id, n_partners, min_partner).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    sig_e = minhash_signatures(existing, text_col, id_col)
+    sig_n = minhash_signatures(new, text_col, id_col)
+    new_ids = pa.concat_arrays(
+        [
+            b.column(id_col).combine_chunks()
+            for b in new.select_columns([id_col]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    )
+    import ray
+
+    nref = ray.put(new_ids)
+    pairs = candidate_pairs(sig_e.union(sig_n), threshold)
+
+    def new_sides(batch: pa.Table, _ref=nref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        nids = _cached_lut(_ref)
+        a, b = batch.column("a"), batch.column("b")
+        a_new = pc.is_in(a, value_set=nids)
+        b_new = pc.is_in(b, value_set=nids)
+        left = pa.table({"doc_id": a, "partner": b}).filter(a_new)
+        right = pa.table({"doc_id": b, "partner": a}).filter(b_new)
+        tbl = pa.concat_tables([left, right])
+        return pa.table(
+            {
+                "doc_id": tbl.column("doc_id"),
+                "partner": tbl.column("partner"),
+                "one": pa.array(np.ones(tbl.num_rows, np.int64)),
+            }
+        )
+
+    return (
+        pairs.map_batches(new_sides, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("one", alias_name="n_partners"),
+            Min("partner", alias_name="min_partner"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                    "n_partners": pc.cast(t.column("n_partners"), pa.int64()),
+                    "min_partner": pc.cast(t.column("min_partner"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

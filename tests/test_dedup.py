@@ -963,3 +963,45 @@ def test_containment_catches_subset_jaccard_misses(ray_session):
     assert [(a, b) for a, b in zip(cont.a, cont.b)] == [(1, 2)]
     assert cont.containment.iloc[0] >= 0.95
     assert jac.empty
+
+
+def test_incremental_near_dup_flags_only_new(ray_session):
+    import pyarrow as pa
+
+    from graphiti_ray.stages.dedup import incremental_near_dup
+
+    base = (
+        "a genuinely long shared passage that repeats across documents and "
+        "dominates the shingle set entirely for near duplicate detection "
+    ) * 3
+    other = (
+        "completely different content about unrelated matters that shares "
+        "nothing with the first passage at all in any shingle whatsoever "
+    ) * 3
+    existing = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 2, 4], pa.int64()),
+                "text": [base + "v0", base + "v2", other + "x"],
+            }
+        )
+    )
+    new = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 3, 5], pa.int64()),
+                # 1 dups the existing family; 3 and 5 dup each other only
+                "text": [base + "v1", other + "y", other + "z"],
+            }
+        )
+    )
+    out = (
+        incremental_near_dup(existing, new)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # existing-only dup pair (0,2) is NOT reported; every new dup is
+    assert out.index.tolist() == [1, 3, 5]
+    assert out.loc[1, "min_partner"] in (0, 2)
+    assert out.loc[3, "min_partner"] in (4, 5) and out.loc[5, "min_partner"] in (3, 4)
