@@ -1825,6 +1825,25 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
     )
 
 
+def _q_docs_csv_roundtrip(sf_dir: str):
+    """CSV connector roundtrip (the third interchange format next to
+    JSONL and WARC): documents → quoted CSV shards → ray.data.read_csv →
+    identical table. Oracle: the source table."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from graphiti_ray.sources.jsonl import read_csv, write_csv
+
+    root = f"/tmp/graphiti_ray_csv/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    shutil.rmtree(root, ignore_errors=True)
+    write_csv(rd.read_parquet(f"{sf_dir}/documents.parquet"), root)
+    return read_csv(root).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _q_docs_partition_prune(sf_dir: str):
     """Partitioned parquet sink + partition-pruned re-read: documents
     written hive-partitioned by lang, then ONLY the lang=en directory is
@@ -6560,6 +6579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_snippet": _q_docs_snippet,
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "docs_partition_prune": _q_docs_partition_prune,
+        "docs_csv_roundtrip": _q_docs_csv_roundtrip,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -6785,6 +6805,9 @@ FROM sides GROUP BY doc_id
 """,
         "docs_partition_prune": (
             "SELECT doc_id, n_chars FROM documents WHERE lang = 'en'"
+        ),
+        "docs_csv_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},

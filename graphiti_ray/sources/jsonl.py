@@ -22,3 +22,13 @@ def write_jsonl(ds: rd.Dataset, out_dir: str) -> None:
 def read_jsonl(path: str | list[str]) -> rd.Dataset:
     """Read a JSONL directory/file set back as a Dataset."""
     return rd.read_json(path)
+
+
+def write_csv(ds: rd.Dataset, out_dir: str) -> None:
+    """CSV sink: one shard per block (Arrow CSV writer — quoted, UTF-8)."""
+    ds.write_csv(out_dir)
+
+
+def read_csv(path: str | list[str]) -> rd.Dataset:
+    """Arrow CSV reader back to a Dataset (types inferred per shard)."""
+    return rd.read_csv(path)

@@ -34,3 +34,22 @@ def test_partitioned_write_prunes(ray_session, tmp_path):
     en = rd.read_parquet(f"{root}/lang=en").to_pandas()
     assert sorted(en.doc_id) == [1, 3, 5, 7, 9]
     assert "lang" not in en.columns or (en.lang == "en").all()
+
+
+def test_csv_roundtrip_quoting(ray_session, tmp_path):
+    from graphiti_ray.sources.jsonl import read_csv, write_csv
+
+    root = str(tmp_path / "csv")
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    ['with, comma and "quotes"', "and\nnewline"], pa.string()
+                ),
+            }
+        )
+    )
+    write_csv(ds, root)
+    back = read_csv(root).to_pandas().sort_values("doc_id")
+    assert back.text.tolist() == ['with, comma and "quotes"', "and\nnewline"]
