@@ -1777,6 +1777,34 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_balanced(sf_dir: str):
+    """Class-balanced downsampling: every lang keeps exactly n_min docs
+    (minority-class size), deterministically the smallest md5(doc_id)
+    keys per class — the training-mix rebalancing step. Oracle: the
+    identical md5[:8] ranking as row_number."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import balanced_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return balanced_sample(docs)
+
+
+_DOCS_BALANCED_ORACLE = """
+WITH k AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS mk
+  FROM documents
+),
+n AS (SELECT min(c)::BIGINT AS n_min
+      FROM (SELECT count(*)::BIGINT AS c FROM documents GROUP BY lang)),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY mk, doc_id) AS rk
+      FROM k)
+SELECT doc_id, lang FROM r, n WHERE rk <= n.n_min
+"""
+
+
 def _q_dedup_incremental(sf_dir: str):
     """Incremental MinHash near-dup (the nightly-crawl shape): existing
     corpus = doc_id%2==0 (persisted signature index), new batch = the
@@ -6580,6 +6608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
         "docs_partition_prune": _q_docs_partition_prune,
         "docs_csv_roundtrip": _q_docs_csv_roundtrip,
+        "docs_balanced": _q_docs_balanced,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -6809,6 +6838,7 @@ FROM sides GROUP BY doc_id
         "docs_csv_roundtrip": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
+        "docs_balanced": _DOCS_BALANCED_ORACLE,
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -700,3 +700,60 @@ def greedy_coverage_select(
         for row in win_txt:
             covered |= units(row[text_col])
     return rd.from_items(out_rows)
+
+
+def balanced_sample(
+    docs: rd.Dataset,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """Class-balanced downsampling — the minority-match rebalancing step
+    of training-mix preparation: every class keeps exactly n_min docs
+    (the size of the smallest class), chosen DETERMINISTICALLY as the
+    n_min smallest md5(doc_id) keys per class (the repo's
+    reproducible-"random" convention; same subset on every run/engine).
+
+    Shape: one parameter-sized class-count aggregate → one
+    ``window_rank`` range sort on (class, md5key, id) → rank ≤ n_min
+    filter. Hub classes cost only the sort.
+
+    Output: (id, class) for the kept docs.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from graphiti_ray.stages.ops import window_rank
+
+    counts = (
+        docs.groupby(class_col).aggregate(Count(alias_name="c")).take_all()
+    )
+    if not counts:
+        return rd.from_items([])
+    n_min = min(int(r["c"]) for r in counts)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        k = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids
+        ]
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                class_col: t.column(class_col),
+                "mk": pa.array(k, pa.int64()),
+            }
+        )
+
+    keyed = docs.select_columns([id_col, class_col]).map_batches(
+        add_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ranked = window_rank(keyed, [class_col], ["mk", id_col])
+    return ranked.map_batches(
+        lambda t, _n=n_min: t.filter(
+            pc.less_equal(t.column("rank"), _n)
+        ).select([id_col, class_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

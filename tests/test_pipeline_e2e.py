@@ -142,3 +142,19 @@ def test_greedy_coverage_select(ray_session):
         [1, 0, 3],
         [2, 1, 2],
     ]  # d2 contributes nothing -> greedy stops after round 2
+
+
+def test_balanced_sample_equal_classes(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.corpus import balanced_sample
+
+    rows = (
+        [{"doc_id": i, "lang": "en"} for i in range(10)]
+        + [{"doc_id": 100 + i, "lang": "de"} for i in range(3)]
+    )
+    out = balanced_sample(rd_.from_items(rows)).to_pandas()
+    assert out.lang.value_counts().to_dict() == {"en": 3, "de": 3}
+    # determinism: same subset twice
+    out2 = balanced_sample(rd_.from_items(rows)).to_pandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
