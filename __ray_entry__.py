@@ -1777,6 +1777,102 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_kg_node_summaries(sf_dir: str):
+    """Per-entity fact sheet — the entity-summary serving shape: each
+    subject's edge census (n_edges, n_preds, first/last valid_at,
+    n_active = edges never invalidated). One |entities|-keyed reduce
+    over the edges table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    edges = tables["edges"].select_columns(
+        ["subj_uuid", "pred", "valid_at", "invalid_at"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        active = pc.cast(pc.is_null(t.column("invalid_at")), pa.int64())
+        return pa.table(
+            {
+                "subj_uuid": t.column("subj_uuid"),
+                "pred": t.column("pred"),
+                "valid_at": pc.cast(t.column("valid_at"), pa.timestamp("us")),
+                "active": active,
+            }
+        )
+
+    base = edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    # distinct predicate count via a (subj, pred) distinct pass
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    sp = distinct_by_key(
+        base.map_batches(
+            lambda t: pa.table(
+                {
+                    "k": pc.binary_join_element_wise(
+                        t.column("subj_uuid"), t.column("pred"), "|"
+                    ),
+                    "subj_uuid": t.column("subj_uuid"),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "k",
+    )
+    npred = sp.groupby("subj_uuid").aggregate(Count(alias_name="n_preds"))
+    agg = base.groupby("subj_uuid").aggregate(
+        Count(alias_name="n_edges"),
+        Min("valid_at", alias_name="first_valid_at"),
+        Max("valid_at", alias_name="last_valid_at"),
+        Sum("active", alias_name="n_active"),
+    )
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    out = safe_join(
+        agg,
+        npred,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("subj_uuid",),
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "subj_uuid": t.column("subj_uuid"),
+                "n_edges": pc.cast(t.column("n_edges"), pa.int64()),
+                "n_preds": pc.cast(t.column("n_preds"), pa.int64()),
+                "first_valid_at": pc.cast(
+                    t.column("first_valid_at"), pa.timestamp("us")
+                ),
+                "last_valid_at": pc.cast(
+                    t.column("last_valid_at"), pa.timestamp("us")
+                ),
+                "n_active": pc.cast(t.column("n_active"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_KG_NODE_SUMMARIES_TAIL = """
+ed AS (
+  SELECT m.subj_uuid, m.pred, m.valid_at,
+         coalesce(p.inv, s2.inv) AS invalid_at
+  FROM merged_id m
+  LEFT JOIN pair_inv p USING (uuid)
+  LEFT JOIN subj_inv s2 USING (uuid)
+)
+SELECT subj_uuid,
+       count(*)::BIGINT AS n_edges,
+       count(DISTINCT pred)::BIGINT AS n_preds,
+       min(valid_at) AS first_valid_at,
+       max(valid_at) AS last_valid_at,
+       count(*) FILTER (invalid_at IS NULL)::BIGINT AS n_active
+FROM ed GROUP BY subj_uuid
+"""
+
+
 def _q_docs_balanced(sf_dir: str):
     """Class-balanced downsampling: every lang keeps exactly n_min docs
     (minority-class size), deterministically the smallest md5(doc_id)
@@ -6609,6 +6705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_partition_prune": _q_docs_partition_prune,
         "docs_csv_roundtrip": _q_docs_csv_roundtrip,
         "docs_balanced": _q_docs_balanced,
+        "kg_node_summaries": _q_kg_node_summaries,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -6839,6 +6936,13 @@ FROM sides GROUP BY doc_id
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "docs_balanced": _DOCS_BALANCED_ORACLE,
+        "kg_node_summaries": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+{_KG_NODE_SUMMARIES_TAIL.lstrip()}
+""",
         "kg_validity_islands": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},
