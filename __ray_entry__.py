@@ -1777,6 +1777,21 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_web_distance_histogram(sf_dir: str):
+    """Directed distance histogram over the host link graph (the
+    neighbourhood function N(d); diameter = last nonzero row, effective
+    diameter = 90% crossing). Layered dataset-side BFS seeded with every
+    host. Oracle: bounded recursive-CTE min-depth closure counted per
+    depth."""
+    from graphiti_ray.stages.graph import distance_histogram
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return distance_histogram(lg, max_depth=6, src="src_host", dst="dst_host")
+
+
 def _q_kg_node_summaries(sf_dir: str):
     """Per-entity fact sheet — the entity-summary serving shape: each
     subject's edge census (n_edges, n_preds, first/last valid_at,
@@ -6706,6 +6721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_csv_roundtrip": _q_docs_csv_roundtrip,
         "docs_balanced": _q_docs_balanced,
         "kg_node_summaries": _q_kg_node_summaries,
+        "web_distance_histogram": _q_web_distance_histogram,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -6936,6 +6952,21 @@ FROM sides GROUP BY doc_id
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "docs_balanced": _DOCS_BALANCED_ORACLE,
+        "web_distance_histogram": f"""
+WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
+he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),
+nodes AS (SELECT DISTINCT x FROM
+          (SELECT s AS x FROM he UNION ALL SELECT t FROM he)),
+walk(seed, node, d) AS (
+  SELECT x, x, 0 FROM nodes
+  UNION
+  SELECT w.seed, e.t, w.d + 1
+  FROM walk w JOIN he e ON e.s = w.node WHERE w.d < 6
+),
+md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
+SELECT d::BIGINT AS d, count(*)::BIGINT AS n_pairs
+FROM md WHERE d >= 1 GROUP BY d
+""",
         "kg_node_summaries": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -3060,3 +3060,70 @@ def common_neighbor_counts(
         .sort(["n", "node_a", "node_b"], descending=[True, False, False])
         .limit(top_n)
     )
+
+
+def distance_histogram(
+    edges: rd.Dataset,
+    max_depth: int = 6,
+    src: str = "subj_uuid",
+    dst: str = "obj_uuid",
+) -> rd.Dataset:
+    """Directed distance histogram (the neighbourhood function N(d) of
+    web-graph analysis — HyperANF's exact small-graph counterpart):
+    n_pairs(d) = |{(u, v) : d(u, v) = d}| for 1 ≤ d ≤ max_depth; the
+    diameter is the largest d with a row, the effective diameter the
+    d where the cumulative sum crosses 90%. Same dataset-side layered
+    BFS as :func:`harmonic_centrality`, seeded with EVERY node — the
+    (seed, node) frontier/visited sets are Datasets, one hash join + one
+    distinct set-difference per round, one count per depth.
+
+    Output: (d, n_pairs)."""
+    from ray.data.aggregate import Count
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import dataset_except, distinct_by_key
+
+    e = edges.select_columns([src, dst]).map_batches(
+        lambda t: t.rename_columns(["node", "nxt"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nodes = distinct_by_key(
+        _symmetric(edges, src, dst).map_batches(
+            lambda t: pa.table({"node": t.column("x")}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "node",
+    )
+    frontier = nodes.map_batches(
+        lambda t: pa.table({"seed": t.column("node"), "node": t.column("node")}),
+        batch_format="pyarrow",
+    ).materialize()
+    visited = frontier
+    rows = []
+    for depth in range(1, max_depth + 1):
+        stepped = safe_join(
+            frontier,
+            e,
+            join_type="inner",
+            num_partitions=default_join_partitions(),
+            on=("node",),
+        ).map_batches(
+            lambda t: pa.table({"seed": t.column("seed"), "node": t.column("nxt")}),
+            batch_format="pyarrow",
+        )
+        fresh = dataset_except(stepped, visited, ["seed", "node"]).materialize()
+        n = fresh.count()
+        if n == 0:
+            break
+        rows.append({"d": depth, "n_pairs": int(n)})
+        visited = visited.union(fresh).materialize()
+        frontier = fresh
+    if not rows:
+        return rd.from_arrow(
+            pa.table(
+                {"d": pa.array([], pa.int64()), "n_pairs": pa.array([], pa.int64())}
+            )
+        )
+    return rd.from_items(rows)

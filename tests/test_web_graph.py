@@ -210,3 +210,27 @@ def test_cocitation_vs_coupling_direction(ray_session):
     # coupling: (a,b) via x; also (v,w) both cite a — and (a,v),(b,v)? no:
     # v cites a,b; a cites x — no shared target with v
     assert cp == {("a", "b"): 1, ("v", "w"): 1}
+
+
+def test_distance_histogram_path_and_cycle(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import distance_histogram
+
+    # directed path a->b->c->d plus cycle edge d->a
+    edges = rd_.from_items(
+        [
+            {"src_host": "a", "dst_host": "b"},
+            {"src_host": "b", "dst_host": "c"},
+            {"src_host": "c", "dst_host": "d"},
+            {"src_host": "d", "dst_host": "a"},
+        ]
+    )
+    out = {
+        r["d"]: r["n_pairs"]
+        for r in distance_histogram(
+            edges, max_depth=6, src="src_host", dst="dst_host"
+        ).take_all()
+    }
+    # 4-cycle: every node reaches the 3 others at d=1,2,3; never itself
+    assert out == {1: 4, 2: 4, 3: 4}
