@@ -1777,6 +1777,141 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_kg_pred_pairs(sf_dir: str):
+    """Predicate co-occurrence census (schema discovery): which
+    predicate pairs appear on the same SUBJECT — the KG instance of the
+    basket kernel (distinct (subj, pred) pass → per-subject pairs →
+    |preds|² reduce)."""
+    from graphiti_ray.stages.windows import basket_pairs
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    edges = tables["edges"].select_columns(["subj_uuid", "pred"])
+    return basket_pairs(
+        edges, min_support=1, key_col="subj_uuid", type_col="pred"
+    )
+
+
+_KG_PRED_PAIRS_TAIL = """
+ut AS (SELECT DISTINCT subj_uuid, pred FROM merged_id),
+p AS (
+  SELECT a.pred AS type_a, b.pred AS type_b, count(*)::BIGINT AS n_ab
+  FROM ut a JOIN ut b
+    ON b.subj_uuid = a.subj_uuid AND a.pred < b.pred
+  GROUP BY 1, 2
+),
+c AS (SELECT pred, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+u AS (SELECT count(DISTINCT subj_uuid)::BIGINT AS n_keys FROM merged_id)
+SELECT p.type_a, p.type_b, p.n_ab, ca.n AS n_a, cb.n AS n_b, u.n_keys
+FROM p
+JOIN c ca ON ca.pred = p.type_a
+JOIN c cb ON cb.pred = p.type_b
+CROSS JOIN u
+WHERE p.n_ab >= 1
+"""
+
+
+def _q_events_gaps(sf_dir: str):
+    """Per-user inter-arrival statistics (session-health census): exact
+    int64 (n_gaps, sum_gap_us, max_gap_us) over consecutive events in
+    (ts, event_id) order — one range sort + one lag pass, moment sums
+    only (floats derived downstream)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import sorted_lag_list
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": pc.cast(
+                    pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64()
+                ),
+            }
+        )
+
+    lagged = sorted_lag_list(
+        ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"],
+        ["ts_us", "event_id"],
+        "ts_us",
+        k=1,
+        out_col="ts_us_lag",
+    )
+
+    def gaps(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        prev = t.column("ts_us_lag").to_pylist()
+        cur = t.column("ts_us").to_numpy(zero_copy_only=False)
+        uid = t.column("user_id")
+        has = np.array([len(p) == 1 for p in prev])
+        # lag values ride as strings through the generic carry column
+        gap = np.array(
+            [c - int(p[0]) if len(p) == 1 else 0 for c, p in zip(cur, prev)],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "user_id": uid,
+                "one": pa.array(has.astype(np.int64), pa.int64()),
+                "gap": pa.array(np.where(has, gap, 0), pa.int64()),
+                "mx": pa.array(
+                    np.where(has, gap, np.iinfo(np.int64).min), pa.int64()
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Max, Sum
+
+    agg = (
+        lagged.map_batches(gaps, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Sum("one", alias_name="n_gaps"),
+            Sum("gap", alias_name="sum_gap_us"),
+            Max("mx", alias_name="max_gap_us"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n_gaps"), pa.int64())
+        mx = pc.cast(t.column("max_gap_us"), pa.int64())
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "n_gaps": n,
+                "sum_gap_us": pc.cast(t.column("sum_gap_us"), pa.int64()),
+                "max_gap_us": pc.if_else(
+                    pc.greater(n, 0), mx, pa.nulls(t.num_rows, pa.int64())
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_EVENTS_GAPS_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT user_id,
+       count(gap)::BIGINT AS n_gaps,
+       coalesce(sum(gap), 0)::BIGINT AS sum_gap_us,
+       max(gap)::BIGINT AS max_gap_us
+FROM s GROUP BY user_id
+"""
+
+
 def _q_web_distance_histogram(sf_dir: str):
     """Directed distance histogram over the host link graph (the
     neighbourhood function N(d); diameter = last nonzero row, effective
@@ -6722,6 +6857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_balanced": _q_docs_balanced,
         "kg_node_summaries": _q_kg_node_summaries,
         "web_distance_histogram": _q_web_distance_histogram,
+        "kg_pred_pairs": _q_kg_pred_pairs,
+        "events_gaps": _q_events_gaps,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -6952,6 +7089,14 @@ FROM sides GROUP BY doc_id
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "docs_balanced": _DOCS_BALANCED_ORACLE,
+        "kg_pred_pairs": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+{_KG_PRED_PAIRS_TAIL.lstrip()}
+""",
+        "events_gaps": _EVENTS_GAPS_ORACLE,
         "web_distance_histogram": f"""
 WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
 he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),

@@ -346,7 +346,9 @@ def _lag_list_block(
     seed = [v for p, v in (prev_tail or []) if p == first_part][-k:]
     m = len(seed)
     vals = _col_array(block, value_col).cast(pa.string())
-    ext = pa.concat_arrays([pa.array(seed, pa.string()), vals])
+    # the carried tail holds raw Python values (e.g. int64 ts) — stringify
+    # to match the generic string carry column
+    ext = pa.concat_arrays([pa.array([str(v) for v in seed], pa.string()), vals])
     starts = _table_run_starts(block, part_cols)  # partition starts (row coords)
     run_len = np.diff(starts)
     part_start = starts[:-1] + m  # partition starts in extended coords

@@ -1879,3 +1879,19 @@ def test_psi_identical_splits_zero(ray_session):
     rows2 = [{"doc_id": i, "lang": "en" if i % 2 == 0 else "de"} for i in range(40)]
     out2 = psi_by_bucket(rd.from_items(rows2)).to_pandas().set_index("bucket")
     assert out2.loc["en", "psi_term_e6"] > 0 and out2.loc["de", "psi_term_e6"] > 0
+
+
+def test_events_gaps_and_pred_pairs_queries(ray_session):
+    import __ray_entry__ as e
+
+    gaps = e.queries()["events_gaps"]("/root/testdata/sf0.001").to_pandas()
+    # single-event users: n_gaps 0, null max
+    solo = gaps[gaps.n_gaps == 0]
+    assert solo.max_gap_us.isna().all() if len(solo) else True
+    multi = gaps[gaps.n_gaps > 0]
+    assert (multi.sum_gap_us >= multi.max_gap_us).all()
+    assert (multi.max_gap_us > 0).all()
+
+    pp = e.queries()["kg_pred_pairs"]("/root/testdata/sf0.001").to_pandas()
+    assert (pp.type_a < pp.type_b).all()
+    assert (pp.n_ab <= pp[["n_a", "n_b"]].min(axis=1)).all()
