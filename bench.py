@@ -182,6 +182,23 @@ def _extras(sf_dir: str) -> dict[str, float]:
         pass
 
     try:
+        from graphiti_ray.stages.similarity import dbscan_cosine
+        from graphiti_ray.stages.textstats import naive_bayes_lang, trending_terms
+        import ray.data as rd
+
+        docs6 = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        timed("nb_lang", lambda: naive_bayes_lang(docs6).count())
+        timed("trending", lambda: trending_terms(docs6).count())
+        emb3 = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        timed("dbscan", lambda: dbscan_cosine(emb3).count())
+    except ImportError:
+        pass
+
+    try:
         from graphiti_ray.pipelines.web import clean_web_corpus
         from graphiti_ray.sources.pages import pages_dataset, read_documents
         from graphiti_ray.stages.urls import synthesize_robots
