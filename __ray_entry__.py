@@ -1777,6 +1777,42 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_training_mix(sf_dir: str):
+    """End-to-end training-mix composite: exact-dedup winners →
+    class-balanced downsampling → deterministic 80/10/10 split, each
+    stage the already-proven operator chained (the docs-side
+    web_pipeline). Oracle: the same three CTE stages composed."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import training_mix
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return training_mix(docs)
+
+
+_DOCS_TRAINING_MIX_ORACLE = """
+WITH w AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+d AS (SELECT doc_id, lang FROM documents JOIN w USING (doc_id)),
+k AS (SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS mk
+      FROM d),
+n AS (SELECT min(c)::BIGINT AS n_min
+      FROM (SELECT count(*)::BIGINT AS c FROM d GROUP BY lang)),
+r AS (SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang ORDER BY mk, doc_id) AS rk
+      FROM k)
+SELECT doc_id, lang,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cc000000'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6000000'
+            THEN 'val' ELSE 'test' END AS split
+FROM r, n WHERE rk <= n.n_min
+"""
+
+
 def _q_kg_pred_pairs(sf_dir: str):
     """Predicate co-occurrence census (schema discovery): which
     predicate pairs appear on the same SUBJECT — the KG instance of the
@@ -6859,6 +6895,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_distance_histogram": _q_web_distance_histogram,
         "kg_pred_pairs": _q_kg_pred_pairs,
         "events_gaps": _q_events_gaps,
+        "docs_training_mix": _q_docs_training_mix,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7097,6 +7134,7 @@ WITH {_BASE_CTE.lstrip()},
 {_KG_PRED_PAIRS_TAIL.lstrip()}
 """,
         "events_gaps": _EVENTS_GAPS_ORACLE,
+        "docs_training_mix": _DOCS_TRAINING_MIX_ORACLE,
         "web_distance_histogram": f"""
 WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
 he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),

@@ -757,3 +757,55 @@ def balanced_sample(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def training_mix(
+    docs: rd.Dataset,
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> rd.Dataset:
+    """The end-to-end training-mix composite (the docs-side flagship,
+    mirroring web_pipeline's composition proof): exact dedup winners →
+    class-balanced downsampling → deterministic 80/10/10 split — each
+    stage the already-oracle-proven operator, chained.
+
+    Output: (id, class, split)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+    import ray
+
+    from graphiti_ray.stages.dedup import exact_dedup_documents
+    from graphiti_ray.stages.link import _cached_lut
+
+    winners = exact_dedup_documents(docs, text_col=text_col, id_col=id_col)
+    keep = pa.concat_arrays(
+        [
+            b.column("keep_id").combine_chunks().cast(pa.int64())
+            for b in winners.select_columns(["keep_id"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ]
+    )
+    kref = ray.put(keep)
+    deduped = docs.select_columns([id_col, class_col]).map_batches(
+        lambda t, _r=kref: t.filter(
+            pc.is_in(t.column(id_col), value_set=_cached_lut(_r))
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    balanced = balanced_sample(deduped, class_col=class_col, id_col=id_col)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        splits = []
+        for i in ids:
+            h = hashlib.md5(str(i).encode()).hexdigest()[:8]
+            splits.append(
+                "train" if h < "cc000000" else ("val" if h < "e6000000" else "test")
+            )
+        return t.append_column("split", pa.array(splits, pa.string()))
+
+    return balanced.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

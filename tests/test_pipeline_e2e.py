@@ -158,3 +158,21 @@ def test_balanced_sample_equal_classes(ray_session):
     # determinism: same subset twice
     out2 = balanced_sample(rd_.from_items(rows)).to_pandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)
+
+
+def test_training_mix_composition(ray_session):
+    import ray.data as rd_
+
+    from graphiti_ray.pipelines.corpus import training_mix
+
+    rows = (
+        [{"doc_id": i, "text": f"unique text {i}", "lang": "en"} for i in range(8)]
+        + [{"doc_id": 100, "text": "dup", "lang": "de"},
+           {"doc_id": 101, "text": "dup", "lang": "de"},   # exact-dup loser
+           {"doc_id": 102, "text": "other de", "lang": "de"}]
+    )
+    out = training_mix(rd_.from_items(rows)).to_pandas()
+    # dedup dropped 101; balanced: de has 2 distinct -> en capped at 2
+    assert 101 not in set(out.doc_id)
+    assert out.lang.value_counts().to_dict() == {"en": 2, "de": 2}
+    assert set(out.split) <= {"train", "val", "test"}
