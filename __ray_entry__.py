@@ -1777,6 +1777,65 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_graph_transitivity(sf_dir: str):
+    """Global transitivity ratio census (Newman's C = 3T/W) over the
+    co-mention graph, as exact int64 sufficient statistics: t3 = Σ
+    per-node triangle memberships (= 3·T, straight off the
+    degree-ordered wedge-join kernel) and n_wedges = Σ C(deg, 2) over
+    the distinct undirected degrees — the float ratio stays off the
+    hash (the assortativity convention)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.graph import (
+        _undirected_degrees,
+        _undirected_distinct_edges,
+        triangle_counts,
+    )
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ment = tables["mentions"].select_columns(["episode_uuid", "entity_uuid"])
+    right = ment.map_batches(
+        lambda t: t.rename_columns(["episode_uuid", "entity_b"]),
+        batch_format="pyarrow",
+    )
+    co = safe_join(
+        ment,
+        right,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("episode_uuid",),
+    ).map_batches(
+        lambda t: t.select(["entity_uuid", "entity_b"]), batch_format="pyarrow"
+    )
+    tri = triangle_counts(co, src="entity_uuid", dst="entity_b")
+    t3 = int(tri.aggregate(Sum("n_triangles"))["sum(n_triangles)"] or 0)
+    deg = _undirected_degrees(
+        _undirected_distinct_edges(co, "entity_uuid", "entity_b")
+    ).take_all()
+    wedges = sum(int(r["deg"]) * (int(r["deg"]) - 1) // 2 for r in deg)
+    return pd.DataFrame({"t3": [t3], "n_wedges": [wedges]}).astype("int64")
+
+
+_GRAPH_TRANSITIVITY_TAIL = """
+tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+),
+degs AS (
+  SELECT v, count(*)::BIGINT AS d FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b FROM und
+  ) GROUP BY v
+)
+SELECT (SELECT 3 * count(*) FROM tri)::BIGINT AS t3,
+       (SELECT sum(d * (d - 1) // 2) FROM degs)::BIGINT AS n_wedges
+"""
+
+
 def _q_docs_training_mix(sf_dir: str):
     """End-to-end training-mix composite: exact-dedup winners →
     class-balanced downsampling → deterministic 80/10/10 split, each
@@ -6896,6 +6955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pred_pairs": _q_kg_pred_pairs,
         "events_gaps": _q_events_gaps,
         "docs_training_mix": _q_docs_training_mix,
+        "graph_transitivity": _q_graph_transitivity,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7135,6 +7195,23 @@ WITH {_BASE_CTE.lstrip()},
 """,
         "events_gaps": _EVENTS_GAPS_ORACLE,
         "docs_training_mix": _DOCS_TRAINING_MIX_ORACLE,
+        "graph_transitivity": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+mu AS (
+  SELECT m.episode_uuid,
+         md5(m.group_id || '|' || lower(c.canonical)) AS eu
+  FROM ment m
+  JOIN canon c ON c.group_id = m.group_id AND c.name = m.name
+),
+und AS (
+  SELECT DISTINCT least(x.eu, y.eu) AS a, greatest(x.eu, y.eu) AS b
+  FROM mu x JOIN mu y
+    ON x.episode_uuid = y.episode_uuid AND x.eu <> y.eu
+),
+{_GRAPH_TRANSITIVITY_TAIL.lstrip()}
+""",
         "web_distance_histogram": f"""
 WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
 he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),

@@ -714,3 +714,33 @@ def test_negative_samples_filtered_and_deterministic(ray_session):
     assert out.sort_values(["uuid", "attempt"]).reset_index(drop=True).equals(
         out2.sort_values(["uuid", "attempt"]).reset_index(drop=True)
     )
+
+
+def test_transitivity_stats_triangle_plus_tail(ray_session):
+    """Triangle a-b-c plus pendant c-d: T=1 -> t3=3; wedges = C(2,2)*2
+    + C(3,2)... degrees a:2 b:2 c:3 d:1 -> 1+1+3+0 = 5."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import (
+        _undirected_degrees,
+        _undirected_distinct_edges,
+        triangle_counts,
+    )
+
+    edges = rd_.from_items(
+        [
+            {"subj_uuid": "a", "obj_uuid": "b"},
+            {"subj_uuid": "b", "obj_uuid": "c"},
+            {"subj_uuid": "c", "obj_uuid": "a"},
+            {"subj_uuid": "c", "obj_uuid": "d"},
+        ]
+    )
+    tri = triangle_counts(edges)
+    t3 = int(tri.aggregate(Sum("n_triangles"))["sum(n_triangles)"])
+    deg = _undirected_degrees(
+        _undirected_distinct_edges(edges, "subj_uuid", "obj_uuid")
+    ).take_all()
+    wedges = sum(int(r["deg"]) * (int(r["deg"]) - 1) // 2 for r in deg)
+    assert (t3, wedges) == (3, 5)
