@@ -1777,6 +1777,92 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_vocab_growth(sf_dir: str):
+    """Heaps-law vocabulary growth: cumulative distinct-token count over
+    the corpus in doc_id order — token first-seen min-reduce → per-doc
+    new-token counts → one cross-block prefix sum (the events_growth
+    kernel over the vocabulary). Output rows only for docs that
+    introduce tokens."""
+    import re as _re
+
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from graphiti_ray.stages.ops import sorted_prefix_sum
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        ids, out = [], []
+        for i, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for x in set(ws.split(t or "")):
+                if x:
+                    ids.append(i)
+                    out.append(x)
+        return pa.table(
+            {
+                "token": pa.array(out, pa.string()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    first = (
+        docs.map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(["doc_id"])
+            .group_by(["doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        return t.rename_columns(["doc_id", "p_n"])
+
+    new_per_doc = (
+        first.map_batches(per_doc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(Sum("p_n", alias_name="n_new_tokens"))
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return batch.append_column(
+            "_k", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64())
+        )
+
+    return sorted_prefix_sum(
+        new_per_doc.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True),
+        by=["_k"],
+        order_cols=["doc_id"],
+        delta_col="n_new_tokens",
+        out_col="cum_vocab",
+    ).drop_columns(["_k"])
+
+
+_DOCS_VOCAB_GROWTH_ORACLE = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+first AS (SELECT token, min(doc_id) AS doc_id FROM tok GROUP BY token),
+per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_new_tokens
+            FROM first GROUP BY doc_id)
+SELECT doc_id, n_new_tokens,
+       (sum(n_new_tokens) OVER (ORDER BY doc_id))::BIGINT AS cum_vocab
+FROM per_doc
+"""
+
+
 def _q_graph_transitivity(sf_dir: str):
     """Global transitivity ratio census (Newman's C = 3T/W) over the
     co-mention graph, as exact int64 sufficient statistics: t3 = Σ
@@ -6956,6 +7042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gaps": _q_events_gaps,
         "docs_training_mix": _q_docs_training_mix,
         "graph_transitivity": _q_graph_transitivity,
+        "docs_vocab_growth": _q_docs_vocab_growth,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7195,6 +7282,7 @@ WITH {_BASE_CTE.lstrip()},
 """,
         "events_gaps": _EVENTS_GAPS_ORACLE,
         "docs_training_mix": _DOCS_TRAINING_MIX_ORACLE,
+        "docs_vocab_growth": _DOCS_VOCAB_GROWTH_ORACLE,
         "graph_transitivity": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -1895,3 +1895,16 @@ def test_events_gaps_and_pred_pairs_queries(ray_session):
     pp = e.queries()["kg_pred_pairs"]("/root/testdata/sf0.001").to_pandas()
     assert (pp.type_a < pp.type_b).all()
     assert (pp.n_ab <= pp[["n_a", "n_b"]].min(axis=1)).all()
+
+
+def test_vocab_growth_monotone_and_exact(ray_session):
+    import __ray_entry__ as e
+
+    out = (
+        e.queries()["docs_vocab_growth"]("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert (out.n_new_tokens > 0).all()
+    assert out.cum_vocab.is_monotonic_increasing
+    assert out.cum_vocab.iloc[-1] == out.n_new_tokens.sum()
