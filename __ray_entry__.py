@@ -1777,6 +1777,45 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_zipf_alpha(sf_dir: str):
+    """Zipf exponent of the token-frequency distribution (Hill MLE over
+    counts ≥ 2, ln terms on the 1e-6 lattice, HUGEINT division) — the
+    corpus-shape diagnostic twin of web_degree_alpha."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import zipf_alpha
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return zipf_alpha(docs, cmin=2)
+
+
+_DOCS_ZIPF_ALPHA_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+tail AS (SELECT c FROM c WHERE c >= 2),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         coalesce(sum(CAST(round(ln(c) * 1000000) AS BIGINT)), 0)::BIGINT
+           AS sl
+  FROM tail
+)
+SELECT n AS n_tail,
+       (sl - n * CAST(round(ln(2) * 1000000) AS BIGINT))::BIGINT AS s_e6,
+       CASE WHEN n = 0
+                 OR sl - n * CAST(round(ln(2) * 1000000) AS BIGINT) <= 0
+            THEN 0
+            ELSE CAST(1000000 + (n::HUGEINT * 1000000000000)
+                 // (sl - n * CAST(round(ln(2) * 1000000) AS BIGINT))
+                 AS BIGINT)
+       END AS alpha_e6
+FROM agg
+"""
+
+
 def _q_docs_vocab_growth(sf_dir: str):
     """Heaps-law vocabulary growth: cumulative distinct-token count over
     the corpus in doc_id order — token first-seen min-reduce → per-doc
@@ -7043,6 +7082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_training_mix": _q_docs_training_mix,
         "graph_transitivity": _q_graph_transitivity,
         "docs_vocab_growth": _q_docs_vocab_growth,
+        "docs_zipf_alpha": _q_docs_zipf_alpha,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7283,6 +7323,7 @@ WITH {_BASE_CTE.lstrip()},
         "events_gaps": _EVENTS_GAPS_ORACLE,
         "docs_training_mix": _DOCS_TRAINING_MIX_ORACLE,
         "docs_vocab_growth": _DOCS_VOCAB_GROWTH_ORACLE,
+        "docs_zipf_alpha": _DOCS_ZIPF_ALPHA_ORACLE,
         "graph_transitivity": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

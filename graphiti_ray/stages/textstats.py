@@ -1472,3 +1472,69 @@ def psi_by_bucket(
             }
         )
     return rd.from_items(rows)
+
+
+def zipf_alpha(
+    docs: rd.Dataset,
+    cmin: int = 2,
+    text_col: str = "text",
+) -> rd.Dataset:
+    """Hill MLE of the token-FREQUENCY power-law exponent (Zipf's law —
+    the corpus-linguistics twin of the web-graph degree estimator
+    ``graph.hill_alpha``, same Clauset-Shalizi-Newman arithmetic):
+    α = 1 + n / Σ ln(c_i/cmin) over token counts c_i ≥ cmin, log terms
+    on the int 1e-6 lattice, HUGEINT-exact division.
+
+    Combiner token counts → one vocabulary-sized keyed sum → the two
+    sufficient statistics. Output: (n_tail, s_e6, alpha_e6)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            for x in ws.split(t or ""):
+                if x:
+                    cnt[x] += 1
+        return pa.table(
+            {
+                "token": pa.array(list(cnt), pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="c"))
+    )
+
+    def tail_terms(t: pa.Table, _m=cmin) -> pa.Table:
+        c = t.column("c").to_numpy(zero_copy_only=False)
+        c = c[c >= _m]
+        li = np.rint(np.log(c.astype(np.float64)) * 1_000_000).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "sl": pa.array([int(li.sum())], pa.int64()),
+            }
+        )
+
+    stats = counts.map_batches(tail_terms, batch_format="pyarrow")
+    n = stats.sum("n") or 0
+    sl = stats.sum("sl") or 0
+    lmin = int(np.rint(np.log(float(cmin)) * 1_000_000))
+    s_e6 = sl - n * lmin
+    alpha = 0 if (n == 0 or s_e6 <= 0) else 1_000_000 + (n * 10**12) // s_e6
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_tail": pa.array([n], pa.int64()),
+                "s_e6": pa.array([s_e6], pa.int64()),
+                "alpha_e6": pa.array([alpha], pa.int64()),
+            }
+        )
+    )

@@ -1908,3 +1908,15 @@ def test_vocab_growth_monotone_and_exact(ray_session):
     assert (out.n_new_tokens > 0).all()
     assert out.cum_vocab.is_monotonic_increasing
     assert out.cum_vocab.iloc[-1] == out.n_new_tokens.sum()
+
+
+def test_zipf_alpha_planted_distribution(ray_session):
+    from graphiti_ray.stages.textstats import zipf_alpha
+
+    # tokens with counts 4, 2, 1 (cmin=2 keeps {4, 2})
+    docs = rd.from_items([{"text": "a a a a b b c"}])
+    out = zipf_alpha(docs, cmin=2).take_all()[0]
+    li4 = round(np.log(4) * 1e6)
+    s = int(li4 + round(np.log(2) * 1e6) - 2 * round(np.log(2) * 1e6))
+    assert out["n_tail"] == 2 and out["s_e6"] == s
+    assert out["alpha_e6"] == 1_000_000 + (2 * 10**12) // s
