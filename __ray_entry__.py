@@ -1777,6 +1777,90 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_gini(sf_dir: str):
+    """Gini coefficient of the token-frequency distribution as exact
+    int64 sufficient statistics (the corpus-concentration diagnostic
+    next to Zipf): n tokens, s = Σc, w = Σ rank·c with ranks by
+    (c asc, token asc) — G = (2w)/(n·s) − (n+1)/n stays a derived float
+    off the hash. One keyed count + one window_rank sort."""
+    import re as _re
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.ops import window_rank
+
+    ws = _re.compile(r"\s+", _re.ASCII)
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            for x in ws.split(t or ""):
+                if x:
+                    cnt[x] += 1
+        return pa.table(
+            {
+                "token": pa.array(list(cnt), pa.string()),
+                "n": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="c"))
+        .map_batches(
+            lambda t: t.append_column(
+                "_k", pa.array([0] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ranked = window_rank(counts, ["_k"], ["c", "token"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        c = t.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = t.column("rank").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(c)], pa.int64()),
+                "s": pa.array([int(c.sum())], pa.int64()),
+                "w": pa.array([int((r * c).sum())], pa.int64()),
+            }
+        )
+
+    st = ranked.map_batches(stats, batch_format="pyarrow")
+    return pd.DataFrame(
+        {
+            "n": [int(st.sum("n") or 0)],
+            "s": [int(st.sum("s") or 0)],
+            "w": [int(st.sum("w") or 0)],
+        }
+    ).astype("int64")
+
+
+_DOCS_GINI_ORACLE = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+r AS (SELECT c, row_number() OVER (ORDER BY c, token)::BIGINT AS rk FROM c)
+SELECT count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+       sum(rk * c)::BIGINT AS w
+FROM r
+"""
+
+
 def _q_docs_zipf_alpha(sf_dir: str):
     """Zipf exponent of the token-frequency distribution (Hill MLE over
     counts ≥ 2, ln terms on the 1e-6 lattice, HUGEINT division) — the
@@ -7083,6 +7167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_transitivity": _q_graph_transitivity,
         "docs_vocab_growth": _q_docs_vocab_growth,
         "docs_zipf_alpha": _q_docs_zipf_alpha,
+        "docs_gini": _q_docs_gini,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7324,6 +7409,7 @@ WITH {_BASE_CTE.lstrip()},
         "docs_training_mix": _DOCS_TRAINING_MIX_ORACLE,
         "docs_vocab_growth": _DOCS_VOCAB_GROWTH_ORACLE,
         "docs_zipf_alpha": _DOCS_ZIPF_ALPHA_ORACLE,
+        "docs_gini": _DOCS_GINI_ORACLE,
         "graph_transitivity": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

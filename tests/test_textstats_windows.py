@@ -1920,3 +1920,20 @@ def test_zipf_alpha_planted_distribution(ray_session):
     s = int(li4 + round(np.log(2) * 1e6) - 2 * round(np.log(2) * 1e6))
     assert out["n_tail"] == 2 and out["s_e6"] == s
     assert out["alpha_e6"] == 1_000_000 + (2 * 10**12) // s
+
+
+def test_gini_stats_hand_case(ray_session):
+    import __ray_entry__  # noqa: F401 (ensures module imports clean)
+
+    # direct hand-check of the statistic definition on a tiny dataset
+    from graphiti_ray.stages.ops import window_rank
+
+    # counts: a:1, b:2, c:3 -> ranks 1,2,3; w = 1+4+9 = 14; G = 2*14/(3*6) - 4/3
+    counts = rd.from_items(
+        [{"token": t, "c": c, "_k": 0} for t, c in [("a", 1), ("b", 2), ("c", 3)]]
+    )
+    ranked = window_rank(counts, ["_k"], ["c", "token"]).to_pandas()
+    w = int((ranked["rank"] * ranked["c"]).sum())
+    assert w == 14
+    g = 2 * w / (3 * 6) - 4 / 3
+    assert abs(g - (28 / 18 - 4 / 3)) < 1e-12
