@@ -1777,6 +1777,43 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_events_streaks(sf_dir: str):
+    """Longest consecutive-day activity streak per user (the retention
+    analytic next to cohorts): distinct active days → maximal
+    day-adjacent run, one sorted pass. Oracle: the day − row_number
+    gaps-and-islands trick."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import user_streaks
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return user_streaks(ev)
+
+
+_EVENTS_STREAKS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) // 86400000000)::BIGINT AS day
+  FROM events
+),
+g AS (
+  SELECT user_id, day,
+         day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM d
+),
+runs AS (
+  SELECT user_id, count(*)::BIGINT AS run_len
+  FROM g GROUP BY user_id, grp
+)
+SELECT d2.user_id, count(*)::BIGINT AS n_active_days,
+       max(r.max_run)::BIGINT AS max_streak
+FROM d d2
+JOIN (SELECT user_id, max(run_len) AS max_run FROM runs GROUP BY user_id) r
+  USING (user_id)
+GROUP BY d2.user_id
+"""
+
+
 def _q_docs_gini(sf_dir: str):
     """Gini coefficient of the token-frequency distribution as exact
     int64 sufficient statistics (the corpus-concentration diagnostic
@@ -7168,6 +7205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vocab_growth": _q_docs_vocab_growth,
         "docs_zipf_alpha": _q_docs_zipf_alpha,
         "docs_gini": _q_docs_gini,
+        "events_streaks": _q_events_streaks,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7410,6 +7448,7 @@ WITH {_BASE_CTE.lstrip()},
         "docs_vocab_growth": _DOCS_VOCAB_GROWTH_ORACLE,
         "docs_zipf_alpha": _DOCS_ZIPF_ALPHA_ORACLE,
         "docs_gini": _DOCS_GINI_ORACLE,
+        "events_streaks": _EVENTS_STREAKS_ORACLE,
         "graph_transitivity": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

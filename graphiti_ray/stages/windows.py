@@ -1420,3 +1420,72 @@ def basket_pairs(
         return out.filter(pc.greater_equal(out.column("n_ab"), min_support))
 
     return pairs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def user_streaks(
+    events: rd.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> rd.Dataset:
+    """Longest consecutive-day activity streak per key — the retention
+    analytic next to cohorts: distinct active days per key, then the
+    maximal run of day-adjacent values (the day − row_number
+    gaps-and-islands trick, computed per complete key run on the
+    ``sorted_run_map`` contract with one vectorized diff pass).
+
+    Output: (key, n_active_days, max_streak)."""
+    import functools
+
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import distinct_by_key, sorted_run_map
+
+    def to_day(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64())
+        day = pc.cast(pc.divide(us, 86400 * 1_000_000), pa.int64())
+        k = pc.binary_join_element_wise(
+            pc.cast(t.column(key_col), pa.string()),
+            pc.cast(day, pa.string()),
+            "\x00",
+        )
+        return pa.table({"k": k, key_col: t.column(key_col), "day": day})
+
+    ud = distinct_by_key(
+        events.select_columns([key_col, ts_col]).map_batches(
+            to_day, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "k",
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "n_active_days": pa.array([], pa.int64()),
+                "max_streak": pa.array([], pa.int64()),
+            }
+        )
+        if tbl.num_rows == 0:
+            return empty
+        starts = _table_run_starts(tbl, [key_col])
+        days = tbl.column("day").to_numpy(zero_copy_only=False)
+        keys = tbl.column(key_col)
+        o_k, o_n, o_s = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            d = days[s:e]  # ascending distinct days
+            breaks = np.nonzero(np.diff(d) != 1)[0]
+            bounds = np.concatenate([[-1], breaks, [len(d) - 1]])
+            o_k.append(keys[s].as_py())
+            o_n.append(len(d))
+            o_s.append(int(np.diff(bounds).max()))
+        return pa.table(
+            {
+                key_col: pa.array(o_k),
+                "n_active_days": pa.array(o_n, pa.int64()),
+                "max_streak": pa.array(o_s, pa.int64()),
+            }
+        )
+
+    return sorted_run_map(ud, key_cols=[key_col], order_cols=["day"], block_fn=kernel)

@@ -1937,3 +1937,23 @@ def test_gini_stats_hand_case(ray_session):
     assert w == 14
     g = 2 * w / (3 * 6) - 4 / 3
     assert abs(g - (28 / 18 - 4 / 3)) < 1e-12
+
+
+def test_user_streaks_gaps(ray_session):
+    from datetime import datetime
+
+    from graphiti_ray.stages.windows import user_streaks
+
+    rows = []
+    # u1: days 1,2,3, 7,8 -> n=5, streak 3; u2: day 4 twice -> n=1, streak 1
+    for d in [1, 2, 3, 7, 8]:
+        rows.append({"user_id": 1, "ts": datetime(2024, 1, d, 12)})
+    rows += [
+        {"user_id": 2, "ts": datetime(2024, 1, 4, 1)},
+        {"user_id": 2, "ts": datetime(2024, 1, 4, 23)},
+    ]
+    out = (
+        user_streaks(rd.from_items(rows)).to_pandas().set_index("user_id")
+    )
+    assert out.loc[1].tolist() == [5, 3]
+    assert out.loc[2].tolist() == [1, 1]
