@@ -1777,6 +1777,59 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_kg_entity_pmi(sf_dir: str):
+    """Entity-association mining: PMI over episode co-mentions
+    (docs_pmi's collocation arithmetic lifted to the KG) — the basket
+    kernel on (episode, entity) baskets, then pmi_e6 =
+    rint(ln(N·n_ab/(n_a·n_b))·1e6) on the exact count lattice."""
+    import numpy as np
+    import pyarrow as pa
+
+    from graphiti_ray.stages.windows import basket_pairs
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    ment = tables["mentions"].select_columns(["episode_uuid", "entity_uuid"])
+    pairs = basket_pairs(
+        ment, min_support=2, key_col="episode_uuid", type_col="entity_uuid"
+    )
+
+    def pmi(t: pa.Table) -> pa.Table:
+        nab = t.column("n_ab").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = t.column("n_keys").to_numpy(zero_copy_only=False).astype(np.float64)
+        e6 = np.rint(np.log(nn * nab / (na * nb)) * 1e6).astype(np.int64)
+        return t.append_column("pmi_e6", pa.array(e6, pa.int64()))
+
+    return pairs.map_batches(pmi, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_KG_ENTITY_PMI_TAIL = """
+ut AS (
+  SELECT DISTINCT m.episode_uuid,
+         md5(m.group_id || '|' || lower(c.canonical)) AS eu
+  FROM ment m
+  JOIN canon c ON c.group_id = m.group_id AND c.name = m.name
+),
+p AS (
+  SELECT a.eu AS type_a, b.eu AS type_b, count(*)::BIGINT AS n_ab
+  FROM ut a JOIN ut b
+    ON b.episode_uuid = a.episode_uuid AND a.eu < b.eu
+  GROUP BY 1, 2
+),
+cnt AS (SELECT eu, count(*)::BIGINT AS n FROM ut GROUP BY 1),
+u AS (SELECT count(DISTINCT episode_uuid)::BIGINT AS n_keys FROM ut)
+SELECT p.type_a, p.type_b, p.n_ab, ca.n AS n_a, cb.n AS n_b, u.n_keys,
+       CAST(round(ln(u.n_keys::DOUBLE * p.n_ab / (ca.n * cb.n)) * 1000000)
+            AS BIGINT) AS pmi_e6
+FROM p
+JOIN cnt ca ON ca.eu = p.type_a
+JOIN cnt cb ON cb.eu = p.type_b
+CROSS JOIN u
+WHERE p.n_ab >= 2
+"""
+
+
 def _q_events_streaks(sf_dir: str):
     """Longest consecutive-day activity streak per user (the retention
     analytic next to cohorts): distinct active days → maximal
@@ -7206,6 +7259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf_alpha": _q_docs_zipf_alpha,
         "docs_gini": _q_docs_gini,
         "events_streaks": _q_events_streaks,
+        "kg_entity_pmi": _q_kg_entity_pmi,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7449,6 +7503,12 @@ WITH {_BASE_CTE.lstrip()},
         "docs_zipf_alpha": _DOCS_ZIPF_ALPHA_ORACLE,
         "docs_gini": _DOCS_GINI_ORACLE,
         "events_streaks": _EVENTS_STREAKS_ORACLE,
+        "kg_entity_pmi": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_KG_ENTITY_PMI_TAIL.lstrip()}
+""",
         "graph_transitivity": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -1957,3 +1957,15 @@ def test_user_streaks_gaps(ray_session):
     )
     assert out.loc[1].tolist() == [5, 3]
     assert out.loc[2].tolist() == [1, 1]
+
+
+def test_kg_entity_pmi_signs(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["kg_entity_pmi"]("/root/testdata/sf0.001").to_pandas()
+    assert (out.n_ab >= 2).all()
+    # pmi definition invariants: pairs co-occurring in EVERY episode of
+    # both entities have pmi >= 0; independence bound n_ab <= min(n_a,n_b)
+    assert (out.n_ab <= out[["n_a", "n_b"]].min(axis=1)).all()
+    full = out[(out.n_ab == out.n_a) & (out.n_ab == out.n_b)]
+    assert (full.pmi_e6 >= 0).all()
