@@ -1777,6 +1777,56 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_diversity(sf_dir: str):
+    """Per-source language-diversity census: Simpson concentration
+    sufficient statistics (n_docs, Σ n_lang²) per source — diversity
+    1 − Σ(n/N)² stays a derived float off the hash. Two-level keyed
+    reduce, all int64."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    per = docs.groupby(["source", "lang"]).aggregate(Count(alias_name="n"))
+
+    def sq(t: pa.Table) -> pa.Table:
+        n = pc.cast(t.column("n"), pa.int64())
+        return pa.table(
+            {
+                "source": t.column("source"),
+                "n": n,
+                "n2": pc.multiply(n, n),
+            }
+        )
+
+    return (
+        per.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_docs"), Sum("n2", alias_name="sum_n2"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "source": t.column("source"),
+                    "n_docs": pc.cast(t.column("n_docs"), pa.int64()),
+                    "sum_n2": pc.cast(t.column("sum_n2"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+_DOCS_DIVERSITY_ORACLE = """
+WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2)
+SELECT source, sum(n)::BIGINT AS n_docs, sum(n * n)::BIGINT AS sum_n2
+FROM c GROUP BY source
+"""
+
+
 def _q_kg_entity_pmi(sf_dir: str):
     """Entity-association mining: PMI over episode co-mentions
     (docs_pmi's collocation arithmetic lifted to the KG) — the basket
@@ -7260,6 +7310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_gini": _q_docs_gini,
         "events_streaks": _q_events_streaks,
         "kg_entity_pmi": _q_kg_entity_pmi,
+        "docs_diversity": _q_docs_diversity,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7503,6 +7554,7 @@ WITH {_BASE_CTE.lstrip()},
         "docs_zipf_alpha": _DOCS_ZIPF_ALPHA_ORACLE,
         "docs_gini": _DOCS_GINI_ORACLE,
         "events_streaks": _EVENTS_STREAKS_ORACLE,
+        "docs_diversity": _DOCS_DIVERSITY_ORACLE,
         "kg_entity_pmi": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

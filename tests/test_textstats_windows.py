@@ -1969,3 +1969,12 @@ def test_kg_entity_pmi_signs(ray_session):
     assert (out.n_ab <= out[["n_a", "n_b"]].min(axis=1)).all()
     full = out[(out.n_ab == out.n_a) & (out.n_ab == out.n_b)]
     assert (full.pmi_e6 >= 0).all()
+
+
+def test_docs_diversity_moments(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["docs_diversity"]("/root/testdata/sf0.001").to_pandas()
+    # sum_n2 bounded by n^2 (one lang) and below n^2, >= n (all distinct)
+    assert (out.sum_n2 <= out.n_docs**2).all()
+    assert (out.sum_n2 >= out.n_docs).all()
