@@ -1777,6 +1777,65 @@ WHERE p.n_ab >= 2
 """
 
 
+def _q_docs_mi(sf_dir: str):
+    """Mutual information between lang and source (the column-dependency
+    diagnostic a data profiler reports): per-cell PMI terms
+    n_ls·rint(ln(N·n_ls/(n_l·n_s))·1e6) as exact int64 (MI =
+    Σ terms / (N·1e6) derived) — the docs_psi quantization convention
+    per contingency cell. One |langs×sources| reduce."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang"]
+    )
+    cells = (
+        docs.groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_ls"))
+        .take_all()  # |langs×sources| — parameter-sized
+    )
+    n_l: dict = {}
+    n_s: dict = {}
+    total = 0
+    for r in cells:
+        n_l[r["lang"]] = n_l.get(r["lang"], 0) + int(r["n_ls"])
+        n_s[r["source"]] = n_s.get(r["source"], 0) + int(r["n_ls"])
+        total += int(r["n_ls"])
+    rows = []
+    for r in sorted(cells, key=lambda x: (x["lang"], x["source"])):
+        nls = int(r["n_ls"])
+        term = nls * int(
+            np.rint(
+                np.log(total * nls / (n_l[r["lang"]] * n_s[r["source"]])) * 1e6
+            )
+        )
+        rows.append(
+            {
+                "lang": r["lang"],
+                "source": r["source"],
+                "n_ls": nls,
+                "mi_term_e6": term,
+            }
+        )
+    return rd.from_items(rows)
+
+
+_DOCS_MI_ORACLE = """
+WITH c AS (SELECT lang, source, count(*)::BIGINT AS n_ls
+           FROM documents GROUP BY 1, 2),
+l AS (SELECT lang, sum(n_ls)::BIGINT AS n_l FROM c GROUP BY lang),
+s AS (SELECT source, sum(n_ls)::BIGINT AS n_s FROM c GROUP BY source),
+t AS (SELECT sum(n_ls)::BIGINT AS n FROM c)
+SELECT c.lang, c.source, c.n_ls,
+       (c.n_ls * CAST(round(
+          ln(t.n::DOUBLE * c.n_ls / (l.n_l * s.n_s)) * 1000000)
+          AS BIGINT))::BIGINT AS mi_term_e6
+FROM c JOIN l USING (lang) JOIN s USING (source) CROSS JOIN t
+"""
+
+
 def _q_docs_diversity(sf_dir: str):
     """Per-source language-diversity census: Simpson concentration
     sufficient statistics (n_docs, Σ n_lang²) per source — diversity
@@ -7311,6 +7370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_streaks": _q_events_streaks,
         "kg_entity_pmi": _q_kg_entity_pmi,
         "docs_diversity": _q_docs_diversity,
+        "docs_mi": _q_docs_mi,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7555,6 +7615,7 @@ WITH {_BASE_CTE.lstrip()},
         "docs_gini": _DOCS_GINI_ORACLE,
         "events_streaks": _EVENTS_STREAKS_ORACLE,
         "docs_diversity": _DOCS_DIVERSITY_ORACLE,
+        "docs_mi": _DOCS_MI_ORACLE,
         "kg_entity_pmi": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

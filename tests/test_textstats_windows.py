@@ -1978,3 +1978,12 @@ def test_docs_diversity_moments(ray_session):
     # sum_n2 bounded by n^2 (one lang) and below n^2, >= n (all distinct)
     assert (out.sum_n2 <= out.n_docs**2).all()
     assert (out.sum_n2 >= out.n_docs).all()
+
+
+def test_docs_mi_independence_zero(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["docs_mi"]("/root/testdata/sf0.001").to_pandas()
+    # MI total is >= 0 up to per-cell rounding; each cell count positive
+    assert (out.n_ls > 0).all()
+    assert out.mi_term_e6.sum() >= -out.n_ls.sum()  # rounding slack only
