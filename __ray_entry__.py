@@ -1777,6 +1777,115 @@ WHERE p.n_ab >= 2
 """
 
 
+_BM25_BATCH_QUERIES = ["spark stream", "hash join merge", "slow fast"]
+
+
+def _q_docs_bm25_batch(sf_dir: str):
+    """BATCHED multi-query BM25 retrieval — the production search shape
+    (N queries amortize ONE corpus scoring pass instead of N): every
+    batch scores all queries against one query-scoped broadcast index
+    subset; per-query top-10 via one (query_id, score) range sort +
+    head-per-key. Oracle: the pivoted Okapi formula per query, unioned."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.search import _tokens, build_bm25_index
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    idx = build_bm25_index(docs, "text")
+    q_terms = [_tokens(q) for q in _BM25_BATCH_QUERIES]
+    all_terms = sorted({t for q in q_terms for t in q})
+    iref = ray.put(idx.subset(all_terms))
+
+    def score(batch: pa.Table, _ref=iref) -> pa.Table:
+        import numpy as np
+        import pandas as pd
+
+        from graphiti_ray.pipelines.search import bm25_score_texts
+        from graphiti_ray.stages.link import _cached_lut
+
+        index = _cached_lut(_ref)
+        texts = pd.Series(batch.column("text").to_pylist())
+        parts = []
+        for qi, terms in enumerate(q_terms):
+            s = np.round(bm25_score_texts(index, terms, texts), 6)
+            parts.append(
+                pa.table(
+                    {
+                        "query_id": pa.array([qi] * len(texts), pa.int64()),
+                        "doc_id": batch.column("doc_id"),
+                        "bm25": pa.array(s, pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import head_k_per_key
+
+    scored = docs.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    # head_k_per_key orders ascending: negate the score for desc-order heads
+    keyed = scored.map_batches(
+        lambda t: t.append_column("neg_bm25", pc.negate(t.column("bm25"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return head_k_per_key(
+        keyed,
+        key_cols=["query_id"],
+        order_cols=["neg_bm25", "doc_id"],
+        k=10,
+    ).drop_columns(["neg_bm25"])
+
+
+def _bm25_batch_oracle_sql() -> str:
+    from graphiti_ray.pipelines.search import _tokens
+
+    selects = []
+    for qi, q in enumerate(_BM25_BATCH_QUERIES):
+        terms = _tokens(q)
+        fcols = ",\n".join(
+            f"         len(list_filter(tk, x -> x = '{t}'))::DOUBLE AS f{j}"
+            for j, t in enumerate(terms)
+        )
+        dcols = ", ".join(
+            f"sum((f{j} > 0)::INT)::DOUBLE AS d{j}" for j in range(len(terms))
+        )
+        score = "\n  + ".join(
+            f"(CASE WHEN f{j} > 0 THEN ln(1 + (n - d{j} + 0.5) / (d{j} + 0.5))"
+            f" * f{j} * (1.2 + 1)"
+            f" / (f{j} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) ELSE 0 END)"
+            for j in range(len(terms))
+        )
+        selects.append(
+            rf"""
+SELECT * FROM (
+  WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM documents
+  ),
+  stats AS (
+    SELECT count(*)::DOUBLE AS n,
+           sum(len(tk))::DOUBLE / count(*) AS avgdl
+    FROM toks
+  ),
+  tf AS (
+    SELECT doc_id, len(tk)::DOUBLE AS dl,
+{fcols}
+    FROM toks
+  ),
+  dfs AS (SELECT {dcols} FROM tf)
+  SELECT {qi}::BIGINT AS query_id, doc_id,
+         round({score}, 6) AS bm25
+  FROM tf, stats, dfs
+  ORDER BY bm25 DESC, doc_id LIMIT 10
+)"""
+        )
+    return "\nUNION ALL ".join(selects)
+
+
 def _q_docs_mi(sf_dir: str):
     """Mutual information between lang and source (the column-dependency
     diagnostic a data profiler reports): per-cell PMI terms
@@ -7371,6 +7480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_pmi": _q_kg_entity_pmi,
         "docs_diversity": _q_docs_diversity,
         "docs_mi": _q_docs_mi,
+        "docs_bm25_batch": _q_docs_bm25_batch,
         "dedup_incremental": _q_dedup_incremental,
         "events_baskets": _q_events_baskets,
         "docs_coverage": _q_docs_coverage,
@@ -7616,6 +7726,7 @@ WITH {_BASE_CTE.lstrip()},
         "events_streaks": _EVENTS_STREAKS_ORACLE,
         "docs_diversity": _DOCS_DIVERSITY_ORACLE,
         "docs_mi": _DOCS_MI_ORACLE,
+        "docs_bm25_batch": _bm25_batch_oracle_sql(),
         "kg_entity_pmi": f"""
 WITH {_BASE_CTE.lstrip()},
 {_MENTIONS_CTE.lstrip()},

@@ -296,3 +296,16 @@ def test_best_snippet_density_and_ties(ray_session):
     # smaller anchor wins
     assert out.loc[1, "anchor_pos"] == 0
     assert out.loc[2].tolist() == [1, 1]
+
+
+def test_bm25_batch_per_query_topk(ray_session):
+    import __ray_entry__ as e
+
+    out = e.queries()["docs_bm25_batch"]("/root/testdata/sf0.001").to_pandas()
+    # 3 queries x top-10, each block sorted desc with doc_id ties asc
+    assert sorted(out.query_id.unique()) == [0, 1, 2]
+    for qi, grp in out.groupby("query_id"):
+        assert len(grp) == 10
+        s = grp.sort_values(["bm25", "doc_id"], ascending=[False, True])
+        assert (s.doc_id.values == grp.doc_id.values).all()
+        assert (grp.bm25 > 0).all()
