@@ -18,10 +18,24 @@ No ray.init()/ray.shutdown() here (driver owns the session).
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 from typing import Any
 
 from graphiti_ray.sources import synth_spec as spec
+
+
+
+def _entry_floor_div(us, div):
+    """Floor division for int64 Arrow arrays (SQL // semantics; pc.divide
+    truncates toward zero, wrong for pre-epoch timestamps)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    vals = pc.cast(us, pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.array(np.floor_divide(vals, div), pa.int64())
 
 
 def _sql_str_list(items) -> str:
@@ -763,7 +777,10 @@ def _q_kg_edges_incremental(sf_dir: str):
     from graphiti_ray.stages.extract import episodes_dataset
     from graphiti_ray.state.checkpoint import checkpointed_write, read_table
 
-    root = f"/tmp/graphiti_ray_incr/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    root = (
+        "/tmp/graphiti_ray_incr/"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     pages = _pages(sf_dir).materialize()
 
@@ -2702,7 +2719,10 @@ def _q_docs_jsonl_roundtrip(sf_dir: str):
 
     from graphiti_ray.sources.jsonl import read_jsonl, write_jsonl
 
-    root = f"/tmp/graphiti_ray_jsonl/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    root = (
+        "/tmp/graphiti_ray_jsonl/"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet")
     write_jsonl(docs, root)
@@ -2722,7 +2742,10 @@ def _q_docs_csv_roundtrip(sf_dir: str):
 
     from graphiti_ray.sources.jsonl import read_csv, write_csv
 
-    root = f"/tmp/graphiti_ray_csv/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    root = (
+        "/tmp/graphiti_ray_csv/"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
+    )
     shutil.rmtree(root, ignore_errors=True)
     write_csv(rd.read_parquet(f"{sf_dir}/documents.parquet"), root)
     return read_csv(root).select_columns(
@@ -2742,7 +2765,8 @@ def _q_docs_partition_prune(sf_dir: str):
     import ray.data as rd
 
     root = (
-        f"/tmp/graphiti_ray_part/{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+        "/tmp/graphiti_ray_part/"
+        f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
     )
     shutil.rmtree(root, ignore_errors=True)
     docs = rd.read_parquet(
@@ -4257,7 +4281,7 @@ def _q_events_growth(sf_dir: str):
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "day": pc.cast(pc.divide(us, 86400 * 1000000), pa.int64()),
+                "day": _entry_floor_div(us, 86400 * 1000000),
             }
         )
 
@@ -6397,6 +6421,7 @@ def _q_warc_roundtrip(sf_dir: str):
     out_dir = (
         "/tmp/graphiti_warc_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        + f"_{os.getpid()}"
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     write_warc(_pages(sf_dir), out_dir)

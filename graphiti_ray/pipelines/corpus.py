@@ -628,14 +628,15 @@ def greedy_coverage_select(
     against the BROADCAST covered-token set (vocabulary-sized via
     ``ray.put``) with a per-batch argmax partial, and only one (gain,
     doc_id) candidate per batch reaches the driver-side k-way argmax.
-    The SQL twin unrolls the same k rounds.
+    The SQL twin unrolls the same k rounds. Each batch candidate carries
+    its own unit set, so the winner's cover update needs no second
+    corpus scan — exactly k passes total.
 
-    Output: (round, doc_id, gain) — gain = newly covered distinct
-    tokens, round 1-based.
+    Output: (round, doc_id, gain) — gain = newly covered distinct word
+    BIGRAMS, round 1-based.
     """
     import re as _re
 
-    import pyarrow.compute as pc
     import ray
 
     from graphiti_ray.stages.link import _cached_lut
@@ -653,25 +654,30 @@ def greedy_coverage_select(
 
         def gains(batch: pa.Table, _ref=cov_ref) -> pa.Table:
             cov = _cached_lut(_ref)
-            best_gain, best_id = -1, None
+            best_gain, best_id, best_units = -1, None, None
             for i, t in zip(
                 batch.column(id_col).to_pylist(),
                 batch.column(text_col).to_pylist(),
             ):
-                g = len(units(t) - cov)
+                u = units(t)
+                g = len(u - cov)
                 if g > best_gain or (g == best_gain and i < best_id):
-                    best_gain, best_id = g, i
+                    best_gain, best_id, best_units = g, i, u
             if best_id is None:
                 return pa.table(
                     {
                         "doc_id": pa.array([], pa.int64()),
                         "gain": pa.array([], pa.int64()),
+                        "units": pa.array([], pa.list_(pa.string())),
                     }
                 )
             return pa.table(
                 {
                     "doc_id": pa.array([best_id], pa.int64()),
                     "gain": pa.array([best_gain], pa.int64()),
+                    "units": pa.array(
+                        [sorted(best_units)], pa.list_(pa.string())
+                    ),
                 }
             )
 
@@ -686,19 +692,7 @@ def greedy_coverage_select(
         out_rows.append(
             {"round": r, "doc_id": int(win["doc_id"]), "gain": int(win["gain"])}
         )
-        # one narrow fetch of the winner's token set updates the cover
-        win_txt = (
-            ds.map_batches(
-                lambda t, _w=win["doc_id"]: t.filter(
-                    pc.equal(t.column(id_col), _w)
-                ),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-            .take_all()
-        )
-        for row in win_txt:
-            covered |= units(row[text_col])
+        covered |= set(win["units"])
     return rd.from_items(out_rows)
 
 

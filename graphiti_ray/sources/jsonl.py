@@ -30,5 +30,14 @@ def write_csv(ds: rd.Dataset, out_dir: str) -> None:
 
 
 def read_csv(path: str | list[str]) -> rd.Dataset:
-    """Arrow CSV reader back to a Dataset (types inferred per shard)."""
-    return rd.read_csv(path)
+    """Arrow CSV reader back to a Dataset (types inferred per shard).
+
+    ``newlines_in_values=True`` so quoted fields containing embedded
+    newlines (legal CSV, produced by the Arrow writer for multi-line
+    document text) parse correctly instead of splitting mid-record.
+    """
+    from pyarrow import csv as pa_csv
+
+    return rd.read_csv(
+        path, parse_options=pa_csv.ParseOptions(newlines_in_values=True)
+    )

@@ -923,11 +923,17 @@ def dbscan_cosine(
             }
         )
 
-    pair_ds = emb.map_batches(core_pairs, batch_format="pyarrow", zero_copy_batch=True)
-    comp = connected_components(pair_ds)
+    pair_ds = emb.map_batches(
+        core_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     cluster: dict[int, int] = {int(i): int(i) for i in core_ids}  # singletons
-    for row in comp.take_all() if core_ids.size else []:
-        cluster[int(row["doc_id"])] = int(row["component"])
+    # guard the components pass on pairs existing — cores with no
+    # core-core edge stay singleton clusters, and connected_components
+    # never sees an empty dataset
+    if core_ids.size and pair_ds.count() > 0:
+        comp = connected_components(pair_ds)
+        for row in comp.take_all():
+            cluster[int(row["doc_id"])] = int(row["component"])
     clus_ref = ray.put(cluster)
 
     # pass 3: labels — core → own cluster; border → min core-neighbor

@@ -486,7 +486,10 @@ def coalesce_intervals(
 
         empty = pa.table(
             {
-                **{c: pa.array([], pa.string()) for c in key_cols},
+                **{
+                    c: pa.array([], tbl.schema.field(c).type)
+                    for c in key_cols
+                },
                 "valid_from": pa.array([], pa.timestamp("us")),
                 "valid_to": pa.array([], pa.timestamp("us")),
                 "n_edges": pa.array([], pa.int64()),

@@ -28,6 +28,19 @@ from ray.data.aggregate import Count, Max, Min, Sum
 US = 1_000_000
 
 
+def _floor_div(us: pa.Array, div: int) -> pa.Array:
+    """Floor division of an int64 Arrow array by a positive int.
+
+    ``pc.divide`` on int64 truncates toward zero, which diverges from
+    SQL ``//`` (floor) for negative values — pre-epoch timestamps would
+    land in the wrong day bucket. numpy ``floor_divide`` matches SQL.
+    """
+    import pyarrow.compute as pc
+
+    vals = pc.cast(us, pa.int64()).to_numpy(zero_copy_only=False)
+    return pa.array(np.floor_divide(vals, div), pa.int64())
+
+
 def _bucket_col(batch: pa.Table, ts_col: str, size_s: int, offset_s: int = 0) -> pa.Array:
     import pyarrow.compute as pc
 
@@ -35,7 +48,7 @@ def _bucket_col(batch: pa.Table, ts_col: str, size_s: int, offset_s: int = 0) ->
     us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64())
     size_us = size_s * US
     start = pc.multiply(
-        pc.floor(pc.divide(pc.subtract(us, offset_s * US), size_us)), size_us
+        _floor_div(pc.subtract(us, offset_s * US), size_us), size_us
     )
     return pc.cast(
         pc.add(pc.cast(start, pa.int64()), offset_s * US), pa.timestamp("us")
@@ -879,7 +892,7 @@ def cohort_retention(
         return pa.table(
             {
                 key_col: batch.column(key_col),
-                "period": pc.cast(pc.floor(pc.divide(us, P)), pa.int64()),
+                "period": _floor_div(us, P),
             }
         )
 
@@ -1442,7 +1455,7 @@ def user_streaks(
 
     def to_day(t: pa.Table) -> pa.Table:
         us = pc.cast(pc.cast(t.column(ts_col), pa.timestamp("us")), pa.int64())
-        day = pc.cast(pc.divide(us, 86400 * 1_000_000), pa.int64())
+        day = _floor_div(us, 86400 * 1_000_000)
         k = pc.binary_join_element_wise(
             pc.cast(t.column(key_col), pa.string()),
             pc.cast(day, pa.string()),
