@@ -1471,8 +1471,9 @@ def adamic_adar(
     with a degree filter, a hub's 1/ln weight is negligible anyway) →
     per-batch combiner → groupby(a, b) sum → drop already-adjacent pairs
     via a BROADCAST edge-key array + ``pc.is_in`` (bounded by
-    ``edge_key_broadcast_limit``; above it, raise — the anti-join path
-    belongs to the caller at that scale) → top_n by (score desc, a, b).
+    ``edge_key_broadcast_limit``; above it, a hash-partitioned
+    ``left_anti`` join against the edge table — never a driver set) →
+    top_n by (score desc, a, b).
 
     Output: (node_a, node_b, common_neighbors, aa_score_micro).
     """
@@ -1513,12 +1514,10 @@ def adamic_adar(
     n_edges = e.count()
     if n_edges == 0:
         return rd.from_arrow(empty)
-    if n_edges > edge_key_broadcast_limit:
-        raise ValueError(
-            f"adamic_adar: {n_edges} distinct edges exceeds the broadcast "
-            f"bound {edge_key_broadcast_limit}; hash-anti-join the pair "
-            "table against the edge table instead of is_in at this scale"
-        )
+    # adjacency drop strategy: broadcast sorted edge keys + pc.is_in under
+    # the bound, hash-partitioned left_anti join above it (the
+    # _apply_near_dup_drops convention, pipelines/corpus.py)
+    broadcast_ok = n_edges <= edge_key_broadcast_limit
 
     parts = default_join_partitions()
 
@@ -1606,22 +1605,37 @@ def adamic_adar(
         )
     )
 
-    # drop pairs that are already edges: broadcast sorted edge-key array
-    ek_arr = pa.concat_arrays(
-        [c.combine_chunks() for c in
-         (b.column("ek") for b in e.select_columns(["ek"]).iter_batches(
-             batch_format="pyarrow", batch_size=None))]
-    )
-    ek_ref = ray.put(ek_arr)
+    # drop pairs that are already edges
+    if broadcast_ok:
+        ek_arr = pa.concat_arrays(
+            [c.combine_chunks() for c in
+             (b.column("ek") for b in e.select_columns(["ek"]).iter_batches(
+                 batch_format="pyarrow", batch_size=None))]
+        )
+        ek_ref = ray.put(ek_arr)
 
-    def drop_adjacent(t: pa.Table, _ref=ek_ref) -> pa.Table:
-        keys = pair_key(t.column("node_a"), t.column("node_b"))
-        mask = pc.invert(pc.is_in(keys, value_set=ray.get(_ref)))
-        return t.filter(mask)
+        def drop_adjacent(t: pa.Table, _ref=ek_ref) -> pa.Table:
+            keys = pair_key(t.column("node_a"), t.column("node_b"))
+            mask = pc.invert(pc.is_in(keys, value_set=ray.get(_ref)))
+            return t.filter(mask)
 
-    scored = pairs.map_batches(
-        drop_adjacent, batch_format="pyarrow", zero_copy_batch=True
-    )
+        scored = pairs.map_batches(
+            drop_adjacent, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        scored = safe_join(
+            pairs,
+            e.map_batches(
+                lambda t: pa.table(
+                    {"node_a": t.column("a"), "node_b": t.column("b")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            join_type="left_anti",
+            num_partitions=parts,
+            on=("node_a", "node_b"),
+        )
 
     out = scored.sort(
         ["aa_score_micro", "node_a", "node_b"],
@@ -1662,7 +1676,8 @@ def neighborhood_jaccard(
     log-lattice). Same shape as :func:`adamic_adar`: one keyed self-join
     on the wedge center, per-batch combiner, pair-count groupby, two
     degree joins, broadcast edge-key ``pc.is_in`` adjacency drop
-    (bounded; raise above it), top_n by (score desc, a, b).
+    (bounded; hash-partitioned ``left_anti`` join above the bound),
+    top_n by (score desc, a, b).
 
     Output: (node_a, node_b, common_neighbors, jaccard_micro).
     """
@@ -1685,12 +1700,9 @@ def neighborhood_jaccard(
     n_edges = e.count()
     if n_edges == 0:
         return rd.from_arrow(empty)
-    if n_edges > edge_key_broadcast_limit:
-        raise ValueError(
-            f"neighborhood_jaccard: {n_edges} distinct edges exceeds the "
-            f"broadcast bound {edge_key_broadcast_limit}; hash-anti-join "
-            "the pair table against the edge table instead of is_in"
-        )
+    # same two-path adjacency drop as adamic_adar: broadcast is_in under
+    # the bound, left_anti join above it
+    broadcast_ok = n_edges <= edge_key_broadcast_limit
     parts = default_join_partitions()
 
     def symmetrize(t: pa.Table) -> pa.Table:
@@ -1761,19 +1773,42 @@ def neighborhood_jaccard(
             on=(side,),
         )
 
-    ek_arr = pa.concat_arrays(
-        [
-            b.column("ek").combine_chunks()
-            for b in e.select_columns(["ek"]).iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        ]
-    )
-    ek_ref = ray.put(ek_arr)
+    if broadcast_ok:
+        ek_arr = pa.concat_arrays(
+            [
+                b.column("ek").combine_chunks()
+                for b in e.select_columns(["ek"]).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            ]
+        )
+        ek_ref = ray.put(ek_arr)
 
-    def score(t: pa.Table, _ref=ek_ref) -> pa.Table:
-        keys = _pair_key(t.column("node_a"), t.column("node_b"))
-        t = t.filter(pc.invert(pc.is_in(keys, value_set=ray.get(_ref))))
+        def drop_adjacent(t: pa.Table, _ref=ek_ref) -> pa.Table:
+            keys = _pair_key(t.column("node_a"), t.column("node_b"))
+            return t.filter(
+                pc.invert(pc.is_in(keys, value_set=ray.get(_ref)))
+            )
+
+        pairs = pairs.map_batches(
+            drop_adjacent, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        pairs = safe_join(
+            pairs,
+            e.map_batches(
+                lambda t: pa.table(
+                    {"node_a": t.column("a"), "node_b": t.column("b")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            join_type="left_anti",
+            num_partitions=parts,
+            on=("node_a", "node_b"),
+        )
+
+    def score(t: pa.Table) -> pa.Table:
         cn = t.column("common_neighbors").to_numpy(zero_copy_only=False)
         da = t.column("deg_a").to_numpy(zero_copy_only=False)
         db = t.column("deg_b").to_numpy(zero_copy_only=False)
@@ -2809,6 +2844,7 @@ def rich_club(
     ks: list[int] | None = None,
     src: str = "subj_uuid",
     dst: str = "obj_uuid",
+    rich_broadcast_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """Rich-club coefficient (Zhou & Mondragón 2004) over the undirected
     distinct edge set: for each threshold k, the subgraph on nodes with
@@ -2816,33 +2852,71 @@ def rich_club(
     hubs wire to EACH OTHER, the web/internet-topology census statistic.
     Exact integer lattice: phi_e6 = (2·E_k·10⁶) // (N_k·(N_k−1)).
 
-    One degree pass + per-k two membership semi-joins via a BROADCAST
-    rich-node set (`pc.is_in`; the rich set shrinks with k — at web scale
-    it is exactly the vocabulary-sized side the broadcast convention
-    covers). Output: (k, n_nodes, n_edges, phi_e6); degenerate club
-    (N_k < 2) → phi_e6 = 0.
+    One degree pass + per-k membership test, two-path (the adamic_adar
+    convention): the rich-node set ships ONCE via ``ray.put`` and each
+    batch filters with ``pc.is_in`` while it fits
+    ``rich_broadcast_limit``; above that (small k ≈ the whole node
+    vocabulary) two hash-partitioned semi-joins on the edge endpoints
+    count E_k without any driver-side node set. Output: (k, n_nodes,
+    n_edges, phi_e6); degenerate club (N_k < 2) → phi_e6 = 0.
     """
+    import ray
+
+    from graphiti_ray.stages.link import (
+        _cached_lut,
+        default_join_partitions,
+        safe_join,
+    )
+
     ks = list(ks) if ks is not None else [1, 2, 3, 4, 5]
     e = _undirected_distinct_edges(edges, src, dst).materialize()
     deg = _undirected_degrees(e).materialize()
     rows = []
     for k in sorted(set(ks)):
-        rich = deg.map_batches(
-            lambda t, _k=k: t.filter(pc.greater(t.column("deg"), _k)),
-            batch_format="pyarrow",
-        ).select_columns(["node"])
-        rich_arr = pa.array(
-            sorted(r["node"] for r in rich.take_all()), pa.string()
-        )
-        n_nodes = len(rich_arr)
-
-        def in_club(t: pa.Table, _a=rich_arr) -> pa.Table:
-            keep = pc.and_(
-                pc.is_in(t.column("a"), _a), pc.is_in(t.column("b"), _a)
+        rich = (
+            deg.map_batches(
+                lambda t, _k=k: t.filter(pc.greater(t.column("deg"), _k)),
+                batch_format="pyarrow",
             )
-            return t.filter(keep)
+            .select_columns(["node"])
+            .materialize()
+        )
+        n_nodes = rich.count()
+        if n_nodes <= rich_broadcast_limit:
+            rich_arr = pa.concat_arrays(
+                [
+                    b.column("node").combine_chunks()
+                    for b in rich.iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                ]
+            ) if n_nodes else pa.array([], pa.string())
+            rref = ray.put(rich_arr)
 
-        n_edges = e.map_batches(in_club, batch_format="pyarrow").count()
+            def in_club(t: pa.Table, _ref=rref) -> pa.Table:
+                arr = _cached_lut(_ref)
+                keep = pc.and_(
+                    pc.is_in(t.column("a"), value_set=arr),
+                    pc.is_in(t.column("b"), value_set=arr),
+                )
+                return t.filter(keep)
+
+            n_edges = e.map_batches(in_club, batch_format="pyarrow").count()
+        else:
+            parts = default_join_partitions()
+            club = e.select_columns(["a", "b"])
+            for side in ("a", "b"):
+                club = safe_join(
+                    club,
+                    rich.map_batches(
+                        lambda t, _s=side: t.rename_columns([_s]),
+                        batch_format="pyarrow",
+                    ),
+                    join_type="inner",
+                    num_partitions=parts,
+                    on=(side,),
+                )
+            n_edges = club.count()
         denom = n_nodes * (n_nodes - 1)
         phi = (2 * n_edges * 1_000_000) // denom if denom > 0 else 0
         rows.append((k, n_nodes, n_edges, phi))
@@ -2865,6 +2939,7 @@ def negative_samples(
     src: str = "subj_uuid",
     pred_col: str = "pred",
     dst: str = "obj_uuid",
+    triple_key_broadcast_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """Filtered negative sampling for KG link-prediction training
     (Bordes et al. 2013, TransE): every positive (subj, pred, obj) edge
@@ -2875,10 +2950,12 @@ def negative_samples(
     keeping a candidate only if it differs from the true object and the
     corrupted triple is not itself a real edge (the 'filtered' setting).
 
-    Scale shape: one streaming pass; the entity vocabulary and the
-    true-triple key set are broadcast once via ``ray.put`` (vocabulary-
-    resp. edge-count-sized — same bound class as adamic_adar's edge-key
-    broadcast; anti-join instead above it).
+    Scale shape: one streaming pass; the entity vocabulary is broadcast
+    once via ``ray.put`` (vocabulary-sized). The true-triple key set is
+    edge-count-sized, so its 'filtered' check is two-path (the
+    adamic_adar convention): broadcast + ``pc.is_in`` under
+    ``triple_key_broadcast_limit`` edges, hash-partitioned ``left_anti``
+    join of the candidate triples against the edge table above it.
 
     Output: (uuid, attempt, neg_obj_uuid).
     """
@@ -2891,8 +2968,9 @@ def negative_samples(
     from graphiti_ray.stages.link import _cached_lut
     from graphiti_ray.stages.ops import distinct_by_key
 
+    narrow = edges.select_columns([id_col, src, pred_col, dst]).materialize()
     ents_ds = distinct_by_key(
-        _symmetric(edges, src, dst).map_batches(
+        _symmetric(narrow, src, dst).map_batches(
             lambda t: pa.table({"e": t.column("x")}),
             batch_format="pyarrow",
             zero_copy_batch=True,
@@ -2916,15 +2994,19 @@ def negative_samples(
     def triple_key(s, p, o) -> pa.Array:
         return pc.binary_join_element_wise(s, p, o, "|")
 
-    keys = pa.concat_arrays(
-        [
-            triple_key(b.column(src), b.column(pred_col), b.column(dst))
-            .combine_chunks()
-            for b in edges.select_columns([src, pred_col, dst]).iter_batches(
-                batch_format="pyarrow", batch_size=None
-            )
-        ]
-    )
+    broadcast_ok = narrow.count() <= triple_key_broadcast_limit
+    if broadcast_ok:
+        keys = pa.concat_arrays(
+            [
+                triple_key(b.column(src), b.column(pred_col), b.column(dst))
+                .combine_chunks()
+                for b in narrow.select_columns(
+                    [src, pred_col, dst]
+                ).iter_batches(batch_format="pyarrow", batch_size=None)
+            ]
+        )
+    else:
+        keys = None  # filtered check moves to a left_anti join below
     ref = ray.put((ents, keys))
 
     def corrupt(batch: pa.Table, _ref=ref) -> pa.Table:
@@ -2946,7 +3028,9 @@ def negative_samples(
                 o_s.append(s)
                 o_p.append(p)
         if not o_u:
-            return empty
+            return empty if keys_ is not None else empty.append_column(
+                "_tk", pa.array([], pa.string())
+            )
         tbl = pa.table(
             {
                 "uuid": pa.array(o_u, pa.string()),
@@ -2956,17 +3040,40 @@ def negative_samples(
                 "_p": pa.array(o_p, pa.string()),
             }
         )
-        real = pc.is_in(
-            triple_key(tbl.column("_s"), tbl.column("_p"), tbl.column("neg_obj_uuid")),
-            value_set=keys_,
+        tk = triple_key(
+            tbl.column("_s"), tbl.column("_p"), tbl.column("neg_obj_uuid")
         )
-        return tbl.filter(pc.invert(real)).select(
-            ["uuid", "attempt", "neg_obj_uuid"]
+        if keys_ is not None:
+            real = pc.is_in(tk, value_set=keys_)
+            return tbl.filter(pc.invert(real)).select(
+                ["uuid", "attempt", "neg_obj_uuid"]
+            )
+        return tbl.append_column("_tk", tk).select(
+            ["uuid", "attempt", "neg_obj_uuid", "_tk"]
         )
 
-    return edges.select_columns([id_col, src, pred_col, dst]).map_batches(
+    cands = narrow.map_batches(
         corrupt, batch_format="pyarrow", zero_copy_batch=True
     )
+    if broadcast_ok:
+        return cands
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    true_keys = narrow.map_batches(
+        lambda t: pa.table(
+            {"_tk": triple_key(t.column(src), t.column(pred_col), t.column(dst))}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return safe_join(
+        cands,
+        true_keys,
+        join_type="left_anti",
+        num_partitions=default_join_partitions(),
+        on=("_tk",),
+    ).select_columns(["uuid", "attempt", "neg_obj_uuid"])
 
 
 def common_neighbor_counts(
