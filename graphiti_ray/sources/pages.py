@@ -101,9 +101,18 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
         urls.append(u)
         htmls.append(h)
         goldens.append(g)
-    # warc_ts = TS0 + doc_id hours, computed vectorized as int64 microseconds
+    # warc_ts = TS0 + (doc_id % 100_000) hours + (doc_id // 100_000) ms —
+    # identical to the original ``TS0 + doc_id hours`` for every REAL
+    # doc_id (< 100_000 by generator contract; the oracle SQL twin is
+    # unchanged), while bench replicas (replicate_documents: replica r
+    # gets doc_id d + r·100_000) shift by r MILLISECONDS instead of
+    # r·100_000 hours. The old formula overflowed datetime past
+    # replicate≈640 (3.2M docs), capping the scaling-input protocol;
+    # this one stays in-range and collision-free to r = 3.6M replicas.
     base_us = np.datetime64(TS0, "us").astype("int64")
-    warc_us = base_us + doc_ids.astype("int64") * int(timedelta(hours=1).total_seconds() * 1e6)
+    ids64 = doc_ids.astype("int64")
+    hour_us = int(timedelta(hours=1).total_seconds() * 1e6)
+    warc_us = base_us + (ids64 % 100_000) * hour_us + (ids64 // 100_000) * 1_000
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
@@ -132,9 +141,11 @@ def replicate_documents(docs: rd.Dataset, factor: int) -> rd.Dataset:
     """Deterministic ×factor corpus scale-up for benchmarking: replica r of
     doc d gets doc_id d + r·100_000 — the pg1 arithmetic then derives
     *different* facts/aliases per replica (modular), and warc_ts shifts by
-    ~11 years per replica. Correctness queries never replicate; this is the
-    bench path only (documents.parquet is a single small file, so compute
-    must be scaled to measure scheduling, not constant overheads)."""
+    r milliseconds (pg2 wrap — see documents_to_pages; the pg1 r·100_000
+    hours overflowed datetime at replicate≈640). Correctness queries never
+    replicate; this is the bench path only (documents.parquet is a single
+    small file, so compute must be scaled to measure scheduling, not
+    constant overheads)."""
     if factor <= 1:
         return docs
 

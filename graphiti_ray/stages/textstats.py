@@ -1157,6 +1157,7 @@ def naive_bayes_lang(
     id_col: str = "doc_id",
     label_col: str = "lang",
     test_mod: int = NB_TEST_MOD,
+    vocab_broadcast_limit: int = 5_000_000,
 ) -> rd.Dataset:
     """Multinomial Naive Bayes with Laplace smoothing (the fastText-shape
     linear text classifier; McCallum & Nigam 1998) trained distributed
@@ -1186,6 +1187,15 @@ def naive_bayes_lang(
 
     (unseen tokens contribute −L(c) each, folded into the n_d term).
     Prediction: argmax score, ties broken by label ascending.
+
+    Two-path fit (the adamic_adar broadcast-bound convention): with at
+    most ``vocab_broadcast_limit`` distinct (label, token) count rows the
+    model fits on the driver and ships once via ``ray.put``; above it
+    (raw 100-TB web vocabulary) the model STAYS a dataset — per-class A
+    rows keyed by token — and scoring is a hash join of the test-split
+    token occurrences against it plus a per-doc keyed sum and a top-1
+    head (``ops.top_k_per_group``). Only class-sized statistics (priors,
+    class totals, V) ever reach the driver on that path.
 
     Output: (id, pred_lang, score) for the test split.
     """
@@ -1229,12 +1239,15 @@ def naive_bayes_lang(
             {"k": pa.array(keys, pa.string()), "n": pa.array(vals, pa.int64())}
         )
 
-    counts = (
+    counts_ds = (
         train.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("k")
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
+        .materialize()
     )
+    if counts_ds.count() > vocab_broadcast_limit:
+        return _nb_dataset_resident(test, counts_ds, ws, id_col, text_col)
+    counts = counts_ds.take_all()
 
     # fit the parameter-sized model on the driver (vocab × classes rows)
     tok_cnt: dict[str, dict[str, int]] = {}
@@ -1289,6 +1302,215 @@ def naive_bayes_lang(
         )
 
     return test.map_batches(predict, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _nb_dataset_resident(
+    test: rd.Dataset,
+    counts_ds: rd.Dataset,
+    ws,
+    id_col: str,
+    text_col: str,
+) -> rd.Dataset:
+    """Above-the-vocab-bound Naive-Bayes scoring: the fitted (label,
+    token) → A table stays a DATASET (the BM25 dataset-resident-stats
+    pattern, pipelines/search.py::build_bm25_index); only class-sized
+    statistics reach the driver. Score = base rows (prior − n_d·L per
+    class) unioned with the token-contribution rows from one hash join
+    of test occurrences against the model table, keyed-summed per
+    (doc, class), then a per-doc top-1 head. Value-identical to the
+    broadcast path (tests pin the bound to 0 and compare)."""
+    from collections import Counter
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import distinct_by_key, top_k_per_group
+
+    def split_k(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t.column("k"), "\x00", max_splits=1)
+        return pa.table(
+            {
+                "lab": pc.list_element(parts, 0),
+                "tok": pc.list_element(parts, 1),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        )
+
+    kt = counts_ds.map_batches(
+        split_k, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # class-sized statistics (|labels| rows each) — driver-safe at any scale
+    doc_cnt: dict[str, int] = {}
+    sentinels = kt.map_batches(
+        # sentinel rows (token = "") carry per-class doc counts
+        lambda t: t.filter(pc.equal(t.column("tok"), "")).select(["lab", "n"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    for r in sentinels.take_all():
+        doc_cnt[r["lab"]] = int(r["n"])
+    n_c_rows = (
+        kt.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("tok"), "")).select(
+                ["lab", "n"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("lab")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    v_size = distinct_by_key(
+        kt.map_batches(
+            lambda t: pa.table(
+                {"tok": t.filter(pc.not_equal(t.column("tok"), "")).column("tok")}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "tok",
+    ).count()
+
+    labels = sorted(doc_cnt)
+    lab_ix = {lab: i for i, lab in enumerate(labels)}
+    n_c = np.zeros(len(labels), dtype=np.int64)
+    for r in n_c_rows:
+        n_c[lab_ix[r["lab"]]] = int(r["n"])
+    n_docs_total = sum(doc_cnt.values())
+    big_l = np.rint(np.log(n_c + v_size) * NB_LN_SCALE).astype(np.int64)
+    prior = np.rint(
+        np.log(np.array([doc_cnt[lab] for lab in labels], np.float64))
+        * NB_LN_SCALE
+    ).astype(np.int64) - np.int64(np.rint(np.log(n_docs_total) * NB_LN_SCALE))
+
+    # the model DATASET: (tok, lab, a) — vocab × classes rows, distributed
+    def to_a(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("tok"), ""))
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.rint(np.log(n + 1.0) * NB_LN_SCALE).astype(np.int64)
+        return pa.table(
+            {
+                "tok": t.column("tok"),
+                "lab": t.column("lab"),
+                "a": pa.array(a, pa.int64()),
+            }
+        )
+
+    model_ds = kt.map_batches(to_a, batch_format="pyarrow", zero_copy_batch=True)
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        ids, toks, ms = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            for tok, m in Counter(
+                x for x in ws.split(t or "") if x
+            ).items():
+                ids.append(i)
+                toks.append(tok)
+                ms.append(m)
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "tok": pa.array(toks, pa.string()),
+                "m": pa.array(ms, pa.int64()),
+            }
+        )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        ids, labs, ss = [], [], []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            n_d = sum(1 for x in ws.split(t or "") if x)
+            for ci, lab in enumerate(labels):
+                ids.append(i)
+                labs.append(lab)
+                ss.append(int(prior[ci]) - n_d * int(big_l[ci]))
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "lab": pa.array(labs, pa.string()),
+                "s": pa.array(ss, pa.int64()),
+            }
+        )
+
+    occ = test.map_batches(
+        occurrences, batch_format="pyarrow", zero_copy_batch=True
+    )
+    base = test.map_batches(
+        base_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    joined = safe_join(
+        occ,
+        model_ds,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("tok",),
+    )
+
+    def contrib_partial(t: pa.Table) -> pa.Table:
+        part = (
+            pa.table(
+                {
+                    id_col: t.column(id_col),
+                    "lab": t.column("lab"),
+                    "s": pc.multiply(t.column("m"), t.column("a")),
+                }
+            )
+            .group_by([id_col, "lab"])
+            .aggregate([("s", "sum")])
+        )
+        return pa.table(
+            {
+                id_col: part.column(id_col),
+                "lab": part.column("lab"),
+                "s": pc.cast(part.column("s_sum"), pa.int64()),
+            }
+        )
+
+    scores = (
+        joined.map_batches(
+            contrib_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .union(base)
+        .groupby([id_col, "lab"])
+        .aggregate(Sum("s", alias_name="score"))
+    )
+
+    def neg(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "lab": t.column("lab"),
+                "score": pc.cast(t.column("score"), pa.int64()),
+                "neg_score": pc.negate_checked(
+                    pc.cast(t.column("score"), pa.int64())
+                ),
+            }
+        )
+
+    top = top_k_per_group(
+        scores.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True),
+        [id_col],
+        ["neg_score", "lab"],
+        k=1,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "pred_lang": pc.cast(t.column("lab"), pa.string()),
+                "score": pc.cast(t.column("score"), pa.int64()),
+            }
+        )
+
+    return top.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # --- trending / burst term detection ------------------------------------------

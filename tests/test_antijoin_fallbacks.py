@@ -72,6 +72,35 @@ def test_negative_samples_left_anti_matches_broadcast(ray_session):
     assert want == got and want
 
 
+def test_naive_bayes_dataset_resident_matches_broadcast(ray_session):
+    from graphiti_ray.stages.textstats import naive_bayes_lang
+
+    texts = [
+        "the cat sat on the mat", "le chat est sur le tapis",
+        "the dog ran fast", "le chien court vite",
+        "hello world the", "bonjour le monde",
+    ]
+    docs = rd.from_items(
+        [
+            {"doc_id": i, "lang": ["en", "fr"][i % 2], "text": texts[i % 6]}
+            for i in range(40)
+        ]
+    )
+    want = (
+        naive_bayes_lang(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        naive_bayes_lang(docs, vocab_broadcast_limit=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert want.equals(got) and len(want) == 8
+
+
 def test_rich_club_semi_join_matches_broadcast(ray_session):
     from graphiti_ray.stages.graph import rich_club
 
