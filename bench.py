@@ -301,8 +301,10 @@ def run_scaling() -> dict:
     # scaling needs compute to dominate constant per-stage overheads (the
     # ~5 s of driver orchestration + stage barriers is fixed, so on a small
     # input it alone caps measurable efficiency at ~0.7), so default to a
-    # larger deterministic replication than the plain bench
-    os.environ.setdefault("GRAFT_BENCH_REPLICATE", "640")
+    # larger deterministic replication than the plain bench. 2560 × the
+    # sf0.1 corpus = 12.8M docs — possible since the pg2 warc_ts wrap
+    # removed the old datetime overflow at replicate≈640.
+    os.environ.setdefault("GRAFT_BENCH_REPLICATE", "2560")
     # N vs 4N parallelism levels. Default 4 vs 16 rather than 8 vs 32: this
     # sandbox advertises 32 vCPUs but measured wall time INVERTS between 16
     # and 32 (hypervisor overcommit), so 8→32 would measure the hypervisor,

@@ -128,7 +128,9 @@ class KGDatasetSearcher:
             .limit(limit)
             .to_pandas()
         )
-        return top["uuid"].tolist()
+        # a zero-hit query yields an empty frame with NO columns — guard
+        # before the column lookup
+        return top["uuid"].tolist() if "uuid" in top.columns else []
 
     def _cosine_rank(
         self, kind, ds, emb_col, query_vec, group_ids, flt, limit, min_sim=0.0
@@ -165,7 +167,9 @@ class KGDatasetSearcher:
             .limit(limit)
             .to_pandas()
         )
-        return top["uuid"].tolist()
+        # a zero-hit query yields an empty frame with NO columns — guard
+        # before the column lookup
+        return top["uuid"].tolist() if "uuid" in top.columns else []
 
     def _bfs_rank(self, ds, origin_uuids, limit):
         import ray
@@ -189,7 +193,9 @@ class KGDatasetSearcher:
             .limit(limit)
             .to_pandas()
         )
-        return top["uuid"].tolist()
+        # a zero-hit query yields an empty frame with NO columns — guard
+        # before the column lookup
+        return top["uuid"].tolist() if "uuid" in top.columns else []
 
     # -- sub-search (union of methods → rerank → hydrate) --------------------
 

@@ -85,6 +85,20 @@ def add_pages(
     affected = frozenset(
         r["group_id"] for r in new_eps.select_columns(["group_id"]).take_all()
     )
+    from graphiti_ray.state.checkpoint import checkpointed_write, is_complete
+
+    if not is_complete(out_root, "episodes"):
+        # bootstrap an EMPTY root: the new episodes become the initial
+        # graph via the batch pipeline's resume path (run_kg skips the
+        # just-written episodes checkpoint and derives every other table)
+        from graphiti_ray.pipelines.kg import run_kg
+
+        checkpointed_write(new_eps, out_root, "episodes", {"note": "bootstrap"})
+        run_kg("unused", out_root, run_ts=run_ts, embeddings=embeddings)
+        return {
+            "episodes_added": new_eps.count(),
+            "affected_groups": sorted(affected),
+        }
     # uuid-level upsert: drop episodes already present (affected groups only
     # are scanned — the existing-uuid set is increment-sized, not graph-sized)
     existing = frozenset(

@@ -317,6 +317,96 @@ class GraphitiFacade:
             replace_table(self.out_root, name_map.get(key, key), ds)
         return _ok(f"episode {uuid} deleted")
 
+    def save_entity_node(
+        self,
+        name: str,
+        group_id: str | None = None,
+        uuid: str | None = None,
+        summary: str = "",
+    ) -> dict:
+        """Upsert one entity node (REST POST /entity-node,
+        server/graph_service/routers/ingest.py:103-115): deterministic
+        uuid unless given, last-write-wins on collision."""
+        from graphiti_ray.functions.text import entity_uuid
+        from graphiti_ray.state.checkpoint import read_table, replace_table
+
+        group = group_id or DEFAULT_GROUP
+        node_uuid = uuid or entity_uuid(group, name)
+        t = self._tables()
+        if "nodes" not in t:
+            return _err("graph not built")
+        nodes = t["nodes"]
+        sch = nodes.schema().base_schema
+        row = {
+            "uuid": node_uuid,
+            "name": name,
+            "group_id": group,
+            "labels": ["Entity"],
+            "summary": summary or f"Entity {name}",
+            "mention_count": 0,
+        }
+        new_row = rd.from_arrow(
+            pa.table(
+                {
+                    f.name: pa.array([row.get(f.name)], f.type)
+                    for f in sch
+                }
+            )
+        )
+
+        def drop(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(
+                pc.not_equal(batch.column("uuid"), node_uuid)
+            )
+
+        replace_table(
+            self.out_root,
+            "nodes",
+            read_table(self.out_root, "nodes")
+            .map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+            .union(new_row),
+        )
+        return {k: row[k] for k in ("uuid", "name", "group_id", "summary")}
+
+    def delete_group(self, group_id: str) -> dict:
+        """Wipe one graph partition (REST DELETE /group/{group_id},
+        ingest.py:124-127): anti-filter every table on group_id."""
+        from graphiti_ray.pipelines.maintenance import clear_groups
+        from graphiti_ray.state.checkpoint import replace_table
+
+        t = self._tables()
+        if not t:
+            return _err("graph not built")
+        new_tables = clear_groups(t, [group_id])
+        name_map = {"mentions": "mention_edges"}
+        for key, ds in new_tables.items():
+            replace_table(self.out_root, name_map.get(key, key), ds)
+        return _ok(f"group {group_id} deleted")
+
+    def get_groups(self) -> dict:
+        """Distinct group_ids across the graph (admin GET /get-all-groups,
+        graph_admin_routes.py:48-66)."""
+        from graphiti_ray.stages.ops import distinct_by_key
+
+        t = self._tables()
+        if not t:
+            return {"groups": []}
+        parts = []
+        for ds in t.values():
+            if "group_id" in ds.schema().names:
+                parts.append(ds.select_columns(["group_id"]))
+        if not parts:
+            return {"groups": []}
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        groups = sorted(
+            r["group_id"] for r in distinct_by_key(ds, "group_id").take_all()
+        )
+        return {"groups": groups}
+
     def clear_graph(self) -> dict:
         """clear_data parity (:1066-1090): wipe every table under the root."""
         import shutil

@@ -69,6 +69,19 @@ def checkpointed_write(
     t0 = time.perf_counter()
     kwargs = {"partition_cols": partition_cols} if partition_cols else {}
     ds.write_parquet(out, **kwargs)
+    # an EMPTY dataset writes no files at all; persist one zero-row shard
+    # so the table stays schema'd and readable (a cascade delete can
+    # legitimately empty a table)
+    if not any(f.endswith(".parquet") for f in os.listdir(out)):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        pq.write_table(
+            base.empty_table() if base is not None else pa.table({}),
+            os.path.join(out, "empty-0.parquet"),
+        )
     wall = time.perf_counter() - t0
 
     rows = parquet_row_count(out) if not partition_cols else None
