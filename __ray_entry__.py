@@ -7635,7 +7635,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
-        "kg_edges_incremental": _q_kg_edges_incremental,
         "kg_point_in_time": _q_kg_point_in_time,
         "kg_node_attributes": _q_kg_node_attributes,
         "episode_windows": _q_episode_windows,
@@ -7679,7 +7678,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "media_wav_features": _q_media_wav,
         "kg_mentions_reflexion": _q_kg_mentions_reflexion,
-        "kg_edges_ingest_queue": _q_kg_edges_ingest_queue,
     }
 
 
@@ -8193,9 +8191,7 @@ SELECT episode_uuid, group_id, name, valid_at FROM ment
 """,
         # incremental build must converge to the SAME edges as the batch
         # build — one oracle, two engine paths
-        "kg_edges_incremental": _KG_EDGES_ORACLE,
         # ...and so must the S3 file-queue ingest (third engine path)
-        "kg_edges_ingest_queue": _KG_EDGES_ORACLE,
         # winnowing fingerprints: positional shingle hashes (same hugeint
         # Horner as the MinHash oracle), sliding-window min, adjacent dedup
         "docs_fingerprint": _winnow_oracle_sql(),

@@ -94,6 +94,57 @@ def test_with_model_embedding_raises_without_package():
         with_model_embedding(_docs(2), "text", "emb", model_name="any")
 
 
+def test_model_embedder_seam_with_stub_module(monkeypatch):
+    """The ST2 seam end-to-end WITHOUT the real package: a stub
+    ``sentence_transformers`` module injected into sys.modules drives
+    ModelEmbedder's actual code path — load once in __init__, batch
+    encode in __call__, FixedSizeList float64 output. Proves the seam
+    wiring the real-weights test (below) exercises when weights exist."""
+    import sys
+    import types
+
+    import pyarrow as pa
+
+    from graphiti_ray.stages.models import ModelEmbedder
+
+    class _StubModel:
+        def __init__(self, name):
+            self.name = name
+
+        def encode(self, texts, normalize_embeddings=True):
+            # deterministic per-text vectors, L2-normalized like the real
+            # encoder's normalize_embeddings=True
+            out = np.stack(
+                [
+                    np.frombuffer(
+                        __import__("hashlib").md5(t.encode()).digest(), np.uint8
+                    ).astype(np.float64)
+                    for t in texts
+                ]
+            )
+            n = np.linalg.norm(out, axis=1, keepdims=True)
+            n[n == 0] = 1
+            return out / n
+
+    stub = types.ModuleType("sentence_transformers")
+    stub.SentenceTransformer = _StubModel
+    monkeypatch.setitem(sys.modules, "sentence_transformers", stub)
+
+    ModelEmbedder.LOAD_COUNTS.clear()
+    emb = ModelEmbedder("text", "emb", model_name="stub-model")
+    assert ModelEmbedder.LOAD_COUNTS == {"stub-model": 1}
+
+    batch = pa.table({"text": pa.array(["alpha beta", "gamma", ""])})
+    out1 = emb(batch)
+    out2 = emb(batch)  # second batch: no re-load
+    assert ModelEmbedder.LOAD_COUNTS == {"stub-model": 1}
+    assert out1.column("emb").type == pa.list_(pa.float64(), 16)
+    mat = np.stack(out1.column("emb").to_pylist())
+    assert mat.shape == (3, 16)
+    assert np.allclose(np.linalg.norm(mat, axis=1), 1.0)
+    assert out1.column("emb").equals(out2.column("emb"))  # deterministic
+
+
 @pytest.mark.skipif(not HAVE_ST, reason="sentence-transformers not installed")
 def test_real_model_embedding_shape(ray_session, monkeypatch):
     """With the package installed: real encoder loads once per actor and
