@@ -803,3 +803,80 @@ def training_mix(
         return t.append_column("split", pa.array(splits, pa.string()))
 
     return balanced.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ccnet_buckets(
+    docs: rd.Dataset,
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> rd.Dataset:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2019
+    §4.3 — the quality tiers Common Crawl corpora actually ship in): score
+    every doc with the corpus-trained bigram LM
+    (:func:`~graphiti_ray.stages.textstats.bigram_lm_scores`), then split
+    the corpus into ``n_buckets`` equal tiles by average log-prob — head
+    = best (highest avg logp / lowest perplexity), tail = worst.
+
+    Exactness: the per-doc ordering key is the INTEGER round-half-away
+    lattice ``avg_lp6 = rha(sum_lp6 / n_bigrams)`` (the docs_lm_score
+    convention), so the (avg_lp6 desc, doc_id) total order — and hence
+    every tile boundary — is bit-identical to the SQL twin's
+    ``NTILE(n) OVER (ORDER BY avg_lp6 DESC, doc_id)``. One extra range
+    sort on top of the LM scoring; docs with < 2 tokens emit nothing
+    (no bigrams, no score), exactly like the scorer.
+
+    Output: (doc_id, n_bigrams, avg_lp6, tile, bucket) with bucket in
+    head/middle/tail for n_buckets=3, "b<tile>" otherwise.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.ops import window_ntile
+    from graphiti_ray.stages.textstats import bigram_lm_scores
+
+    scores = bigram_lm_scores(docs, text_col=text_col, id_col=id_col)
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t.column("sum_lp6").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
+        # round-half-away-from-zero of sum/n in exact integer arithmetic
+        m6 = np.where(
+            s < 0, -((-2 * s + n) // (2 * n)), (2 * s + n) // (2 * n)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(len(s), np.int64)),
+                id_col: t.column(id_col),
+                "n_bigrams": t.column("n_bigrams"),
+                "avg_lp6": pa.array(m6, pa.int64()),
+                "neg_lp6": pa.array(-m6, pa.int64()),
+            }
+        )
+
+    tiled = window_ntile(
+        scores.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["_g"],
+        ["neg_lp6", id_col],
+        n_buckets,
+    )
+
+    names = (
+        {1: "head", 2: "middle", 3: "tail"}
+        if n_buckets == 3
+        else {i: f"b{i}" for i in range(1, n_buckets + 1)}
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        tiles = t.column("tile").to_pylist()
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_bigrams": pc.cast(t.column("n_bigrams"), pa.int64()),
+                "avg_lp6": t.column("avg_lp6"),
+                "tile": pc.cast(t.column("tile"), pa.int64()),
+                "bucket": pa.array([names[x] for x in tiles], pa.string()),
+            }
+        )
+
+    return tiled.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

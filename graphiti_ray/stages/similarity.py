@@ -113,6 +113,78 @@ def knn_brute_force(
     )
 
 
+def hard_negatives(
+    emb: rd.Dataset,
+    n_queries: int = 32,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> rd.Dataset:
+    """Contrastive hard-negative mining (the in-batch-negatives upgrade
+    every embedding-model trainer runs — Karpukhin et al. 2020, DPR): for
+    each of the first ``n_queries`` vectors, the top-k most COSINE-similar
+    vectors whose ``label`` DIFFERS from the query's — the confusable
+    cross-class examples worth training against.
+
+    Same scale shape as :func:`knn_brute_force`: queries (ids, labels,
+    matrix) broadcast once via ``ray.put``, per-batch vectorized top-k
+    with the cross-label mask applied BEFORE selection, then a tiny
+    per-query reduce. round(6) before selection keeps the (cosine desc,
+    vec_id) total order identical to the SQL twin.
+
+    Output: (query_id, vec_id, cosine, rank), rank 1..k per query.
+    """
+    import ray
+
+    head = emb.sort(id_col).limit(n_queries).to_pandas()
+    q_ids = head[id_col].to_numpy()
+    q_labels = head[label_col].to_numpy()
+    qmat = np.array([np.asarray(v, dtype=np.float32) for v in head[vec_col]])
+    qref = ray.put((q_ids, q_labels, qmat))
+
+    class _BatchTopKCrossLabel:
+        def __init__(self):
+            self.q_ids, self.q_labels, qm = ray.get(qref)
+            self.qmat = _normalize(qm.astype(np.float64)).T  # (dim, nq)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from graphiti_ray.stages.embed import column_to_matrix
+
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            labels = batch.column(label_col).to_numpy(zero_copy_only=False)
+            mat = column_to_matrix(batch.column(vec_col), np.float64)
+            sims = np.round(_normalize(mat) @ self.qmat, 6)  # (n, nq)
+            o_q, o_v, o_s = [], [], []
+            for qi in range(sims.shape[1]):
+                keep = labels != self.q_labels[qi]  # cross-label only
+                if not keep.any():
+                    continue
+                cand_ids = ids[keep]
+                cand = sims[keep, qi]
+                order = np.lexsort((cand_ids, -cand))[: min(k, len(cand_ids))]
+                o_q.extend([int(self.q_ids[qi])] * len(order))
+                o_v.extend(int(cand_ids[r]) for r in order)
+                o_s.extend(float(cand[r]) for r in order)
+            return pa.table(
+                {
+                    "query_id": pa.array(o_q, pa.int64()),
+                    "vec_id": pa.array(o_v, pa.int64()),
+                    "cosine": pa.array(o_s, pa.float64()),
+                }
+            )
+
+    candidates = emb.map_batches(
+        _BatchTopKCrossLabel,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return candidates.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pandas"
+    )
+
+
 def _kmeans_fit(sample: np.ndarray, k: int, iters: int = 10, seed: int = 42):
     """Tiny deterministic spherical k-means (numpy): sample-sized, runs on
     the driver once; centroids are broadcast. Empty clusters re-seed to the

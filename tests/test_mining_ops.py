@@ -1,0 +1,71 @@
+"""Round-5 training-data mining operators: CCNet perplexity buckets and
+contrastive hard-negative mining."""
+
+import numpy as np
+
+import ray.data as rd
+
+
+def test_ccnet_buckets_tiles_and_order(ray_session):
+    from graphiti_ray.pipelines.corpus import ccnet_buckets
+
+    docs = rd.from_items(
+        [
+            # repeated fluent docs score high; the noise doc scores low
+            {"doc_id": 1, "text": "the cat sat on the mat"},
+            {"doc_id": 2, "text": "the cat sat on the mat"},
+            {"doc_id": 3, "text": "the cat sat on the mat again"},
+            {"doc_id": 4, "text": "zq xv qj kz wq vx jq"},
+            {"doc_id": 5, "text": "the dog sat on the mat"},
+            {"doc_id": 6, "text": "one"},  # < 2 tokens → no score row
+        ]
+    )
+    out = ccnet_buckets(docs).to_pandas().set_index("doc_id")
+    assert 6 not in out.index and len(out) == 5
+    # 5 rows, 3 tiles → sizes 2/2/1 (remainder to the first buckets)
+    assert sorted(out.tile) == [1, 1, 2, 2, 3]
+    assert set(out.bucket) == {"head", "middle", "tail"}
+    # ordering: the junk doc has the worst avg logp → tail
+    assert out.loc[4, "bucket"] == "tail"
+    # tiles follow the (avg_lp6 desc, doc_id) order exactly
+    ordered = out.sort_values(["avg_lp6", "doc_id"], ascending=[False, True])
+    assert list(ordered.tile) == sorted(ordered.tile)
+
+
+def test_hard_negatives_cross_label_only(ray_session):
+    from graphiti_ray.stages.similarity import hard_negatives
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(24):
+        v = rng.randn(8)
+        rows.append(
+            {
+                "vec_id": i,
+                "embedding": (v / np.linalg.norm(v)).tolist(),
+                "label": i % 3,
+            }
+        )
+    emb = rd.from_items(rows)
+    out = hard_negatives(emb, n_queries=6, k=4).to_pandas()
+    assert set(out.columns) == {"query_id", "vec_id", "cosine", "rank"}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    for r in out.itertuples():
+        assert labels[r.vec_id] != labels[r.query_id]  # cross-label only
+        assert 1 <= r.rank <= 4
+    # per query: ranks are 1..k and cosine non-increasing
+    for _, g in out.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (np.diff(g["cosine"]) <= 1e-12).all()
+    # exhaustive check for one query against numpy
+    q = next(iter(sorted(out.query_id)))
+    qv = np.asarray(rows[q]["embedding"])
+    sims = {
+        r["vec_id"]: round(float(np.dot(qv, np.asarray(r["embedding"]))), 6)
+        for r in rows
+        if r["label"] != rows[q]["label"]
+    }
+    want = sorted(sims, key=lambda i: (-sims[i], i))[:4]
+    got = out[out.query_id == q].sort_values("rank")["vec_id"].tolist()
+    assert got == want
