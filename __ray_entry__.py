@@ -7460,6 +7460,38 @@ FROM summed
 
 
 
+def _q_docs_source_epochs(sf_dir: str):
+    """LLaMA-style mixture epoch planning: per-source token census, sqrt
+    weights, budget split and implied epochs — all on the integer ppm/1e6
+    lattice so SQL replays every division."""
+    import ray.data as rd
+
+    from graphiti_ray.pipelines.corpus import source_epochs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text", "source"]
+    )
+    return source_epochs(docs)
+
+
+_SOURCE_EPOCHS_ORACLE = r"""
+WITH t AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(string_split_regex(text, '\s+'),
+                             x -> x <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+),
+s AS (SELECT *, round(sqrt(n_tokens) * 1000000)::BIGINT AS sqrt6 FROM t),
+tot AS (SELECT sum(sqrt6)::BIGINT AS ss, sum(n_tokens)::BIGINT AS tt FROM s)
+SELECT source, n_docs, n_tokens, sqrt6,
+       (sqrt6 * 1000000) // ss AS weight_ppm,
+       (2 * tt * ((sqrt6 * 1000000) // ss)) // 1000000 AS budget_tokens,
+       (((2 * tt * ((sqrt6 * 1000000) // ss)) // 1000000) * 1000000)
+         // n_tokens AS epochs_e6
+FROM s CROSS JOIN tot
+"""
+
+
 def _q_docs_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail perplexity tiers (Wenzek 2019 §4.3): corpus-
     trained bigram-LM score per doc, then NTILE(3) over the exact integer
@@ -7554,6 +7586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "docs_source_epochs": _q_docs_source_epochs,
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
         "knn_hard_negatives": _q_knn_hard_negatives,
         "docs_blocklist": _q_docs_blocklist,
@@ -7772,6 +7805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "docs_source_epochs": _SOURCE_EPOCHS_ORACLE,
         "docs_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "knn_hard_negatives": _HARD_NEGATIVES_ORACLE,
         "docs_blocklist": _DOCS_BLOCKLIST_ORACLE,

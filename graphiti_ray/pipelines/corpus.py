@@ -880,3 +880,87 @@ def ccnet_buckets(
         )
 
     return tiled.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_epochs(
+    docs: rd.Dataset,
+    budget_multiplier: int = 2,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> rd.Dataset:
+    """Training-mix epoch planning per source (the LLaMA-1 Table-1 /
+    DoReMi-lite question: given a total token budget, how many EPOCHS of
+    each source does its mixture weight imply?). Weights follow the
+    sqrt-of-size heuristic — up-weights small high-value sources less
+    brutally than uniform, on the exact integer lattice so the SQL twin
+    replays every division:
+
+        sqrt6        = rint(sqrt(n_tokens) · 1e6)
+        weight_ppm   = (sqrt6 · 1e6) // Σ sqrt6
+        budget       = budget_multiplier · Σ n_tokens   (total tokens)
+        budget_tokens= (budget · weight_ppm) // 1e6     (per source)
+        epochs_e6    = (budget_tokens · 1e6) // n_tokens
+
+    Shape: one per-batch (source, docs, whitespace-token) combiner → one
+    |sources|-row keyed sum; the finish arithmetic runs over that
+    parameter-sized table. Output: (source, n_docs, n_tokens, sqrt6,
+    weight_ppm, budget_tokens, epochs_e6) sorted by source.
+    """
+    import re as _re
+
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    ws = _re.compile(r"\s+")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs = batch.column(source_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        agg: dict[str, list[int]] = {}
+        for s, t in zip(srcs, texts):
+            n_tok = sum(1 for x in ws.split(t or "") if x)
+            row = agg.setdefault(s, [0, 0])
+            row[0] += 1
+            row[1] += n_tok
+        keys = sorted(agg)
+        return pa.table(
+            {
+                source_col: pa.array(keys, pa.string()),
+                "n_docs": pa.array([agg[k][0] for k in keys], pa.int64()),
+                "n_tokens": pa.array([agg[k][1] for k in keys], pa.int64()),
+            }
+        )
+
+    per_source = (
+        docs.select_columns([source_col, text_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(source_col)
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .take_all()  # |sources| rows — parameter-sized by definition
+    )
+    rows = sorted(per_source, key=lambda r: r[source_col])
+    n_tok = np.array([int(r["n_tokens"]) for r in rows], dtype=np.int64)
+    sqrt6 = np.rint(np.sqrt(n_tok.astype(np.float64)) * 1e6).astype(np.int64)
+    ss = int(sqrt6.sum())
+    budget = budget_multiplier * int(n_tok.sum())
+    w_ppm = (sqrt6 * 1_000_000) // ss
+    b_tok = (budget * w_ppm) // 1_000_000
+    epochs = (b_tok * 1_000_000) // n_tok
+    return rd.from_arrow(
+        pa.table(
+            {
+                source_col: pa.array([r[source_col] for r in rows], pa.string()),
+                "n_docs": pa.array(
+                    [int(r["n_docs"]) for r in rows], pa.int64()
+                ),
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "sqrt6": pa.array(sqrt6, pa.int64()),
+                "weight_ppm": pa.array(w_ppm, pa.int64()),
+                "budget_tokens": pa.array(b_tok, pa.int64()),
+                "epochs_e6": pa.array(epochs, pa.int64()),
+            }
+        )
+    )

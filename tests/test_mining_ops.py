@@ -69,3 +69,25 @@ def test_hard_negatives_cross_label_only(ray_session):
     want = sorted(sims, key=lambda i: (-sims[i], i))[:4]
     got = out[out.query_id == q].sort_values("rank")["vec_id"].tolist()
     assert got == want
+
+
+def test_source_epochs_lattice_and_budget(ray_session):
+    from graphiti_ray.pipelines.corpus import source_epochs
+
+    docs = rd.from_items(
+        [{"source": "a", "text": "one two three four"}] * 3
+        + [{"source": "b", "text": "five six"}] * 2
+    )
+    out = source_epochs(docs).to_pandas().set_index("source")
+    assert out.loc["a", "n_tokens"] == 12 and out.loc["b", "n_tokens"] == 4
+    s6a = round((12**0.5) * 1e6)
+    s6b = round((4**0.5) * 1e6)
+    ss = s6a + s6b
+    assert out.loc["a", "sqrt6"] == s6a
+    assert out.loc["a", "weight_ppm"] == (s6a * 1_000_000) // ss
+    budget = 2 * 16
+    ba = (budget * out.loc["a", "weight_ppm"]) // 1_000_000
+    assert out.loc["a", "budget_tokens"] == ba
+    assert out.loc["a", "epochs_e6"] == (ba * 1_000_000) // 12
+    # weights sum to ~1e6 (floor rounding loses at most |sources|-1 ppm)
+    assert 1_000_000 - 2 < out.weight_ppm.sum() <= 1_000_000
