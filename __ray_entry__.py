@@ -7589,56 +7589,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_source_epochs": _q_docs_source_epochs,
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
         "knn_hard_negatives": _q_knn_hard_negatives,
-        "docs_blocklist": _q_docs_blocklist,
-        "docs_nb_lang": _q_docs_nb_lang,
-        "dedup_containment": _q_dedup_containment,
-        "graph_jaccard_links": _q_graph_jaccard_links,
-        "embeddings_dbscan": _q_embeddings_dbscan,
-        "graph_salsa": _q_graph_salsa,
-        "docs_trending": _q_docs_trending,
-        "docs_proximity": _q_docs_proximity,
-        "events_markov": _q_events_markov,
-        "docs_len_quantiles_by_lang": _q_docs_len_quantiles_by_lang,
-        "kg_negative_samples": _q_kg_negative_samples,
-        "kg_validity_islands": _q_kg_validity_islands,
-        "tokens_mg": _q_tokens_mg,
-        "web_cocitation": _q_web_cocitation,
-        "web_coupling": _q_web_coupling,
-        "web_page_meta": _q_web_page_meta,
-        "search_classifier": _q_search_classifier,
-        "docs_nb_confusion": _q_docs_nb_confusion,
-        "docs_rank_tau": _q_docs_rank_tau,
-        "docs_psi": _q_docs_psi,
-        "docs_snippet": _q_docs_snippet,
-        "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
-        "docs_partition_prune": _q_docs_partition_prune,
-        "docs_csv_roundtrip": _q_docs_csv_roundtrip,
-        "docs_balanced": _q_docs_balanced,
-        "kg_node_summaries": _q_kg_node_summaries,
-        "web_distance_histogram": _q_web_distance_histogram,
-        "kg_pred_pairs": _q_kg_pred_pairs,
-        "events_gaps": _q_events_gaps,
-        "docs_training_mix": _q_docs_training_mix,
-        "graph_transitivity": _q_graph_transitivity,
-        "docs_vocab_growth": _q_docs_vocab_growth,
-        "docs_zipf_alpha": _q_docs_zipf_alpha,
-        "docs_gini": _q_docs_gini,
-        "events_streaks": _q_events_streaks,
-        "kg_entity_pmi": _q_kg_entity_pmi,
-        "docs_diversity": _q_docs_diversity,
-        "docs_mi": _q_docs_mi,
-        "docs_bm25_batch": _q_docs_bm25_batch,
-        "dedup_incremental": _q_dedup_incremental,
-        "events_baskets": _q_events_baskets,
-        "docs_coverage": _q_docs_coverage,
-        "embeddings_pq": _q_embeddings_pq,
-        "knn_pq": _q_knn_pq,
-        "docs_len_quantiles": _q_docs_len_quantiles,
-        "events_regression": _q_events_regression,
-        "dedup_snm": _q_dedup_snm,
-        "docs_minimizers": _q_docs_minimizers,
-        "dedup_minimizer": _q_dedup_minimizer,
-        "graph_ktruss": _q_graph_ktruss,
         "crawl_budget": _q_crawl_budget,
         "web_core_rank": _q_web_core_rank,
         "web_degree_alpha": _q_web_degree_alpha,
@@ -7749,6 +7699,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges_messages": _q_kg_edges_messages,
         "kg_mentions_messages": _q_kg_mentions_messages,
         "dedup_embedding_lsh_full": _q_dedup_embedding_lsh_full,
+        "docs_blocklist": _q_docs_blocklist,
+        "docs_nb_lang": _q_docs_nb_lang,
+        "dedup_containment": _q_dedup_containment,
+        "graph_jaccard_links": _q_graph_jaccard_links,
+        "embeddings_dbscan": _q_embeddings_dbscan,
+        "graph_salsa": _q_graph_salsa,
+        "docs_trending": _q_docs_trending,
+        "docs_proximity": _q_docs_proximity,
+        "events_markov": _q_events_markov,
+        "docs_len_quantiles_by_lang": _q_docs_len_quantiles_by_lang,
+        "kg_negative_samples": _q_kg_negative_samples,
+        "kg_validity_islands": _q_kg_validity_islands,
+        "tokens_mg": _q_tokens_mg,
+        "web_cocitation": _q_web_cocitation,
+        "web_coupling": _q_web_coupling,
+        "web_page_meta": _q_web_page_meta,
+        "search_classifier": _q_search_classifier,
+        "docs_nb_confusion": _q_docs_nb_confusion,
+        "docs_rank_tau": _q_docs_rank_tau,
+        "docs_psi": _q_docs_psi,
+        "docs_snippet": _q_docs_snippet,
+        "docs_jsonl_roundtrip": _q_docs_jsonl_roundtrip,
+        "docs_partition_prune": _q_docs_partition_prune,
+        "docs_csv_roundtrip": _q_docs_csv_roundtrip,
+        "docs_balanced": _q_docs_balanced,
+        "kg_node_summaries": _q_kg_node_summaries,
+        "web_distance_histogram": _q_web_distance_histogram,
+        "kg_pred_pairs": _q_kg_pred_pairs,
+        "events_gaps": _q_events_gaps,
+        "docs_training_mix": _q_docs_training_mix,
+        "graph_transitivity": _q_graph_transitivity,
+        "docs_vocab_growth": _q_docs_vocab_growth,
+        "docs_zipf_alpha": _q_docs_zipf_alpha,
+        "docs_gini": _q_docs_gini,
+        "events_streaks": _q_events_streaks,
+        "kg_entity_pmi": _q_kg_entity_pmi,
+        "docs_diversity": _q_docs_diversity,
+        "docs_mi": _q_docs_mi,
+        "docs_bm25_batch": _q_docs_bm25_batch,
+        "dedup_incremental": _q_dedup_incremental,
+        "events_baskets": _q_events_baskets,
+        "docs_coverage": _q_docs_coverage,
+        "embeddings_pq": _q_embeddings_pq,
+        "knn_pq": _q_knn_pq,
+        "docs_len_quantiles": _q_docs_len_quantiles,
+        "events_regression": _q_events_regression,
+        "dedup_snm": _q_dedup_snm,
+        "docs_minimizers": _q_docs_minimizers,
+        "dedup_minimizer": _q_dedup_minimizer,
+        "graph_ktruss": _q_graph_ktruss,
         "kg_communities": _q_kg_communities,
         "search_hybrid": _q_search_hybrid,
         "docs_bm25": _q_docs_bm25,
