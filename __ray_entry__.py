@@ -7460,6 +7460,36 @@ FROM summed
 
 
 
+def _q_events_watermark(sf_dir: str):
+    """Streaming watermark / late-event census (bounded out-of-orderness,
+    Flink-style): arrival order = event_id, watermark = strict-prefix
+    max(ts) − 1h; one sort + per-block exclusive running max with an
+    int64 carry between blocks."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.windows import watermark_late_events
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    return watermark_late_events(ev, delay_s=3600)
+
+
+_EVENTS_WATERMARK_ORACLE = """
+WITH wm AS (
+  SELECT event_id, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prefix_max
+  FROM events
+)
+SELECT event_id, ts,
+       prefix_max - INTERVAL 3600 SECOND AS watermark,
+       (CASE WHEN prefix_max IS NOT NULL
+              AND ts < prefix_max - INTERVAL 3600 SECOND
+             THEN 1 ELSE 0 END)::BIGINT AS late
+FROM wm
+"""
+
+
 def _q_docs_source_epochs(sf_dir: str):
     """LLaMA-style mixture epoch planning: per-source token census, sqrt
     weights, budget split and implied epochs — all on the integer ppm/1e6
@@ -7586,6 +7616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "events_watermark": _q_events_watermark,
         "docs_source_epochs": _q_docs_source_epochs,
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
         "knn_hard_negatives": _q_knn_hard_negatives,
@@ -7805,6 +7836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "events_watermark": _EVENTS_WATERMARK_ORACLE,
         "docs_source_epochs": _SOURCE_EPOCHS_ORACLE,
         "docs_ccnet_buckets": _CCNET_BUCKETS_ORACLE,
         "knn_hard_negatives": _HARD_NEGATIVES_ORACLE,

@@ -1502,3 +1502,100 @@ def user_streaks(
         )
 
     return sorted_run_map(ud, key_cols=[key_col], order_cols=["day"], block_fn=kernel)
+
+
+def watermark_late_events(
+    events: rd.Dataset,
+    delay_s: int = 3600,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+) -> rd.Dataset:
+    """Streaming watermark / late-data census (T5 made first-class — the
+    Flink/Beam bounded-out-of-orderness watermark replayed over the
+    batch log): events are processed in ARRIVAL order (``order_col``);
+    at each event the watermark is ``max(ts) over the strict arrival
+    prefix − delay``, and the event is LATE if its own ts is below that
+    watermark — exactly the rows a streaming engine would drop or
+    side-output.
+
+    Scale shape: one global range sort by arrival order, per-block
+    vectorized exclusive running max, ONE int64 carried between
+    neighbouring blocks (the ``sorted_prefix_sum`` boundary protocol with
+    max instead of sum) — no per-key grouping, no driver loop over rows.
+
+    Output: (event_id, ts, watermark, late) — watermark NULL for the
+    first arrival, late 0/1 int64.
+    """
+    import numpy as np
+
+    import ray
+
+    from graphiti_ray.stages.ops import _as_arrow, _sort_coalesced
+
+    US_ = 1_000_000
+    delay_us = delay_s * US_
+    SENTINEL = np.iinfo(np.int64).min
+
+    narrow = events.select_columns([order_col, ts_col]).map_batches(
+        lambda t: t, batch_format="pyarrow"
+    )
+    mat = _sort_coalesced(narrow, [order_col])
+
+    @ray.remote
+    def block_max(block) -> int:
+        block = _as_arrow(block)
+        if block.num_rows == 0:
+            return SENTINEL
+        import pyarrow.compute as pc
+
+        us = pc.cast(pc.cast(block.column(ts_col), pa.timestamp("us")), pa.int64())
+        return int(pc.max(us).as_py())
+
+    @ray.remote
+    def late_block(block, carry_in: int) -> pa.Table:
+        block = _as_arrow(block)
+        n = block.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    order_col: pa.array([], pa.int64()),
+                    ts_col: pa.array([], pa.timestamp("us")),
+                    "watermark": pa.array([], pa.timestamp("us")),
+                    "late": pa.array([], pa.int64()),
+                }
+            )
+        import pyarrow.compute as pc
+
+        us = pc.cast(
+            pc.cast(block.column(ts_col), pa.timestamp("us")), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        inc = np.maximum.accumulate(us)
+        excl = np.concatenate(([SENTINEL], inc[:-1]))
+        excl = np.maximum(excl, carry_in)
+        has_wm = excl != SENTINEL
+        wm = np.where(has_wm, excl - delay_us, 0)
+        late = (has_wm & (us < wm)).astype(np.int64)
+        return pa.table(
+            {
+                order_col: block.column(order_col),
+                ts_col: pc.cast(block.column(ts_col), pa.timestamp("us")),
+                "watermark": pa.Array.from_pandas(
+                    np.where(has_wm, wm, None), type=pa.timestamp("us")
+                ),
+                "late": pa.array(late, pa.int64()),
+            }
+        )
+
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        return mat.limit(0)
+    maxes = ray.get([block_max.remote(r) for r in refs])
+    out_refs = []
+    cur = SENTINEL
+    for r, m in zip(refs, maxes):
+        out_refs.append(late_block.remote(r, cur))
+        if m != SENTINEL:
+            cur = max(cur, m)
+    return rd.from_arrow_refs(out_refs)

@@ -91,3 +91,38 @@ def test_source_epochs_lattice_and_budget(ray_session):
     assert out.loc["a", "epochs_e6"] == (ba * 1_000_000) // 12
     # weights sum to ~1e6 (floor rounding loses at most |sources|-1 ppm)
     assert 1_000_000 - 2 < out.weight_ppm.sum() <= 1_000_000
+
+
+def test_watermark_late_events_hand_case(ray_session):
+    from datetime import datetime
+
+    from graphiti_ray.stages.windows import watermark_late_events
+
+    T0 = datetime(2024, 1, 1)
+
+    def ts(minutes):
+        from datetime import timedelta
+
+        return T0 + timedelta(minutes=minutes)
+
+    # arrival order 1..5; event 3 arrives 2h behind the running max → late
+    ev = rd.from_items(
+        [
+            {"event_id": 1, "ts": ts(0)},
+            {"event_id": 2, "ts": ts(180)},
+            {"event_id": 3, "ts": ts(30)},   # wm = 180m - 60m = 120m > 30m → late
+            {"event_id": 4, "ts": ts(130)},  # wm = 120m ≤ 130m → on time
+            {"event_id": 5, "ts": ts(200)},
+        ]
+    )
+    out = (
+        watermark_late_events(ev, delay_s=3600)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert out.loc[1].isna()["watermark"] and out.loc[1, "late"] == 0
+    assert out.loc[2, "watermark"] == ts(-60) and out.loc[2, "late"] == 0
+    assert out.loc[3, "watermark"] == ts(120) and out.loc[3, "late"] == 1
+    assert out.loc[4, "watermark"] == ts(120) and out.loc[4, "late"] == 0
+    assert out.loc[5, "late"] == 0
