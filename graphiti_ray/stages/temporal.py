@@ -186,10 +186,50 @@ def merged_edges(
     from graphiti_ray.stages.ops import sorted_run_map
 
     def combiner(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        return pa.Table.from_pandas(
-            _combine_partial(df), preserve_index=False
-        ).replace_schema_metadata(None)
+        # Arrow-native combiner: one in-batch sort, run detection, a
+        # second lexsort for the episode lists, ListArray + binary_join —
+        # zero per-key Python (the former pandas groupby paid a Python
+        # lambda per distinct edge key per batch)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from graphiti_ray.stages.ops import _table_run_starts
+
+        names = list(batch.column_names)
+        out_names = ["first_episode" if c == "episode_uuid" else c for c in names]
+        if batch.num_rows == 0:
+            empty = batch.rename_columns(out_names)
+            return empty.append_column("episodes", pa.array([], pa.string()))
+
+        srt = batch.sort_by(
+            [(c, "ascending") for c in EDGE_KEY]
+            + [("valid_at", "ascending"), ("episode_uuid", "ascending")]
+        )
+        starts = _table_run_starts(srt, EDGE_KEY)
+        firsts = starts[:-1]
+        n = srt.num_rows
+        run_id = np.zeros(n, dtype=np.int64)
+        run_id[firsts] = 1
+        run_id = np.cumsum(run_id) - 1
+        eps = srt.column("episode_uuid").to_numpy(zero_copy_only=False)
+
+        # per-run distinct episodes: lexsort by (run, episode), adjacent
+        # dedupe, list offsets from the kept counts per run
+        order = np.lexsort((eps, run_id))
+        r_o, e_o = run_id[order], eps[order]
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = (r_o[1:] != r_o[:-1]) | (e_o[1:] != e_o[:-1])
+        vals = e_o[keep]
+        runs_kept = r_o[keep]
+        counts = np.bincount(runs_kept, minlength=len(firsts))
+        offsets = np.concatenate(([0], np.cumsum(counts)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(vals, pa.string())
+        )
+        episodes = pc.binary_join(lists, ",")
+
+        head = srt.take(pa.array(firsts, pa.int64())).rename_columns(out_names)
+        return head.append_column("episodes", episodes)
 
     partial = resolved.map_batches(combiner, batch_format="pyarrow")
     return sorted_run_map(
