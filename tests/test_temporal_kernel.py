@@ -134,3 +134,70 @@ def test_coalesce_intervals_islands(ray_session):
         ("k1", 9, None, 1),
         ("k2", 1, None, 2),
     ]
+
+
+def test_arrow_combiner_matches_pandas_witness(ray_session):
+    """The Arrow-native merged_edges combiner (sort + run detection +
+    binary_join) must agree with the pandas `_combine_partial` witness on
+    winner rows and per-key episode sets — including duplicate
+    (key, episode) assertions and ties on valid_at."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+    from graphiti_ray.stages.temporal import (
+        EDGE_KEY,
+        _combine_partial,
+        merged_edges,
+    )
+
+    T0 = datetime(2024, 1, 1)
+    rows = []
+    for i, (g, s, p, o, ep, dt) in enumerate(
+        [
+            ("g1", "a", "WORKS_AT", "x", "ep2", 2),
+            ("g1", "a", "WORKS_AT", "x", "ep1", 1),
+            ("g1", "a", "WORKS_AT", "x", "ep1", 1),   # dup (key, episode)
+            ("g1", "a", "WORKS_AT", "x", "ep3", 1),   # tie on valid_at
+            ("g1", "b", "LIKES", "y", "ep9", 5),
+            ("g2", "a", "WORKS_AT", "x", "ep4", 0),
+        ]
+    ):
+        rows.append(
+            {
+                "uuid": f"u{i}",
+                "group_id": g,
+                "subj_uuid": s,
+                "pred": p,
+                "obj_uuid": o,
+                "subj_canonical": s.upper(),
+                "obj_canonical": o.upper(),
+                "fact": f"fact {i}",
+                "valid_at": T0 + timedelta(hours=dt),
+                "episode_uuid": ep,
+            }
+        )
+    out = (
+        merged_edges(rd.from_items(rows))
+        .to_pandas()
+        .sort_values(EDGE_KEY)
+        .reset_index(drop=True)
+    )
+    # the pandas witness, finalized by hand: winner = min (valid_at,
+    # episode); episodes = sorted distinct union
+    w = _combine_partial(pd.DataFrame(rows))
+    w = (
+        w.sort_values(["valid_at", "first_episode"], kind="mergesort")
+        .groupby(EDGE_KEY, sort=True, as_index=False)
+        .agg(
+            fact=("fact", "first"),
+            valid_at=("valid_at", "first"),
+            episodes=("episodes", lambda s: sorted(set(",".join(s).split(",")))),
+        )
+    )
+    assert len(out) == len(w) == 4
+    for got, want in zip(out.itertuples(), w.itertuples()):
+        assert got.fact == want.fact and got.valid_at == want.valid_at
+        assert sorted(got.episodes) == want.episodes
