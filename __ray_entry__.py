@@ -7460,6 +7460,18 @@ FROM summed
 
 
 
+def _q_dedup_ppjoin(sf_dir: str):
+    """Exact n-gram Jaccard pairs via PPJoin prefix filtering (Xiao 2008)
+    — a provably-complete second algorithm value-pinned to the SAME SQL
+    twin as the bottom-k blocking (dedup_ngram)."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.dedup import ngram_jaccard_ppjoin
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_ppjoin(docs, threshold=0.8)
+
+
 def _q_events_watermark(sf_dir: str):
     """Streaming watermark / late-event census (bounded out-of-orderness,
     Flink-style): arrival order = event_id, watermark = strict-prefix
@@ -7616,6 +7628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "dedup_ppjoin": _q_dedup_ppjoin,
         "events_watermark": _q_events_watermark,
         "docs_source_epochs": _q_docs_source_epochs,
         "docs_ccnet_buckets": _q_docs_ccnet_buckets,
@@ -7836,6 +7849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dedup_ppjoin": _ngram_oracle_sql("jaccard", 0.8),
         "events_watermark": _EVENTS_WATERMARK_ORACLE,
         "docs_source_epochs": _SOURCE_EPOCHS_ORACLE,
         "docs_ccnet_buckets": _CCNET_BUCKETS_ORACLE,

@@ -2284,3 +2284,221 @@ def incremental_near_dup(
             batch_format="pyarrow",
         )
     )
+
+
+# --- PPJoin-style prefix-filtered set-similarity join -------------------------
+
+
+def _ppjoin_block_pairs(
+    tbl: pa.Table, threshold: float, hub_sorted: np.ndarray
+) -> pa.Table:
+    """Pair kernel over prefix-key runs (sorted_run_map contract): a pair
+    is emitted only from the bucket of the SMALLEST hash shared by both
+    docs' hub-filtered PREFIXES (globally distinct without a shuffle),
+    then verified with the exact Jaccard over the full shingle blobs.
+    Prefixes are recomputed from the blobs (first |S| − ⌈t·|S|⌉ + 1
+    sorted hashes), so no ragged key matrix ships through the sort."""
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    n = tbl.num_rows
+    if n < 2:
+        return empty
+    hcol = tbl.column("h").to_numpy(zero_copy_only=False)
+    doc = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    px, py = _run_pair_indices(_run_starts(hcol))
+    if len(px) == 0:
+        return empty
+    blobs = tbl.column("sh").to_pylist()
+    sets = [np.frombuffer(b_, dtype="<i8") for b_ in blobs]
+    n_sh = tbl.column("n_sh").to_numpy(zero_copy_only=False)
+    pref_len = n_sh - np.ceil(threshold * n_sh).astype(np.int64) + 1
+    prefixes = []
+    for s_, L in zip(sets, pref_len):
+        p = s_[: max(int(L), 0)]
+        if len(hub_sorted):
+            p = p[~np.isin(p, hub_sorted)]
+        prefixes.append(p)
+    keep_a, keep_b = [], []
+    for i, j in zip(px, py):
+        shared = np.intersect1d(prefixes[i], prefixes[j], assume_unique=True)
+        if len(shared) and shared[0] == hcol[i]:
+            keep_a.append(i)
+            keep_b.append(j)
+    if not keep_a:
+        return empty
+    ia = np.array(keep_a, dtype=np.int64)
+    ib = np.array(keep_b, dtype=np.int64)
+    inter = np.fromiter(
+        (
+            len(np.intersect1d(sets[i], sets[j], assume_unique=True))
+            for i, j in zip(ia, ib)
+        ),
+        dtype=np.int64,
+        count=len(ia),
+    )
+    union = n_sh[ia] + n_sh[ib] - inter
+    jacc = np.round(inter / np.maximum(union, 1), 6)
+    ok = jacc >= threshold
+    a_ids = np.minimum(doc[ia], doc[ib])[ok]
+    b_ids = np.maximum(doc[ia], doc[ib])[ok]
+    return pa.table(
+        {
+            "a": pa.array(a_ids, pa.int64()),
+            "b": pa.array(b_ids, pa.int64()),
+            "jaccard": pa.array(jacc[ok], pa.float64()),
+        }
+    )
+
+
+def ngram_jaccard_ppjoin(
+    docs: rd.Dataset,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_df: int = NGRAM_HOT_DF,
+) -> rd.Dataset:
+    """Exact char-n-gram Jaccard pairs via PPJoin-style PREFIX FILTERING
+    (Xiao et al. 2008) — the provably-complete blocking: under any fixed
+    global token order, two sets with J ≥ t MUST share a token among
+    each one's first |S| − ⌈t·|S|⌉ + 1 tokens, so blocking on exactly
+    those prefixes loses nothing (the bottom-k blocking of
+    :func:`ngram_jaccard_pairs` is the heuristic cousin; both are
+    value-pinned to the same SQL twin). The global order here is hash
+    order — free, already materialized by the sorted blobs.
+
+    Same scale shape: narrow (prefix-hash, doc) rows → one collision
+    count (hub keys with df > hot_df dropped AND LOGGED — the one
+    departure from the formal guarantee, same engineering contract as
+    the bottom-k path) → blob re-attach for colliding docs → one
+    ``sorted_run_map`` pair kernel with smallest-shared-prefix-key
+    dedup + exact verify.
+
+    Output: (a, b, jaccard) with a < b, jaccard ≥ threshold.
+    """
+    import functools
+
+    import ray
+
+    from graphiti_ray.stages.ops import sorted_run_map
+
+    def make_sets(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sets = [shingle_hashes(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column(id_col),
+                "sh": pa.array(
+                    [s.astype("<i8").tobytes() for s in sets], pa.binary()
+                ),
+                "n_sh": pa.array([len(s) for s in sets], pa.int64()),
+            }
+        )
+
+    sets = docs.map_batches(
+        make_sets, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def explode_prefix(batch: pa.Table) -> pa.Table:
+        blobs = batch.column("sh").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        n_sh = batch.column("n_sh").to_numpy(zero_copy_only=False)
+        pref_len = n_sh - np.ceil(threshold * n_sh).astype(np.int64) + 1
+        o_h, o_d = [], []
+        for b_, i, L in zip(blobs, ids, pref_len):
+            s_ = np.frombuffer(b_, dtype="<i8")[: max(int(L), 0)]
+            o_h.append(s_)
+            o_d.append(np.full(len(s_), i, dtype=np.int64))
+        if not o_h:
+            return pa.table(
+                {"h": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(o_h), pa.int64()),
+                "doc_id": pa.array(np.concatenate(o_d), pa.int64()),
+            }
+        )
+
+    key_rows = sets.map_batches(
+        explode_prefix, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # prefix rows per doc ≈ (1−t)·|S|+1 — the n_rows bound scales the same
+    avg_prefix = max(1, int((1 - threshold) * 256) + 1)
+    counts = _colliding_counts(key_rows, ["h"], sets.count() * avg_prefix)
+    hubs = counts[counts["c"] > hot_df]
+    TRUNCATION_STATS["ngram_ppjoin"] = {
+        "hub_keys": int(len(hubs)),
+        "hub_key_rows": int(hubs["c"].sum()) if len(hubs) else 0,
+    }
+    if len(hubs):
+        logger.info(
+            "ngram_ppjoin: %d hub prefix key(s) (df > %d) dropped from "
+            "blocking (%d key rows) — completeness now relies on the "
+            "remaining prefix keys",
+            len(hubs),
+            hot_df,
+            int(hubs["c"].sum()),
+        )
+    col = counts[counts["c"] <= hot_df]
+    empty = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if col.empty:
+        return rd.from_arrow(empty)
+    hub_sorted = np.sort(hubs["h"].to_numpy(dtype=np.int64))
+    ref = ray.put(np.sort(col["h"].to_numpy(dtype=np.int64)))
+
+    def explode_hot(batch: pa.Table, _ref=ref) -> pa.Table:
+        from graphiti_ray.stages.link import _cached_lut
+
+        col_keys = _cached_lut(_ref)
+        blobs = batch.column("sh").to_pylist()
+        ids = np.arange(batch.num_rows)
+        n_sh = batch.column("n_sh").to_numpy(zero_copy_only=False)
+        pref_len = n_sh - np.ceil(threshold * n_sh).astype(np.int64) + 1
+        o_h, o_row = [], []
+        for r, (b_, L) in enumerate(zip(blobs, pref_len)):
+            s_ = np.frombuffer(b_, dtype="<i8")[: max(int(L), 0)]
+            hit = s_[np.isin(s_, col_keys)]
+            o_h.append(hit)
+            o_row.append(np.full(len(hit), r, dtype=np.int64))
+        if not o_h:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.binary()),
+                    "n_sh": pa.array([], pa.int64()),
+                }
+            )
+        rows = np.concatenate(o_row)
+        idx = pa.array(rows, pa.int64())
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(o_h), pa.int64()),
+                "doc_id": batch.column("doc_id").take(idx),
+                "sh": batch.column("sh").take(idx),
+                "n_sh": batch.column("n_sh").take(idx),
+            }
+        )
+
+    colliding = sets.map_batches(
+        explode_hot, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sorted_run_map(
+        colliding,
+        key_cols=["h"],
+        order_cols=["doc_id"],
+        block_fn=functools.partial(
+            _ppjoin_block_pairs, threshold=threshold, hub_sorted=hub_sorted
+        ),
+    )

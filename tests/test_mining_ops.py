@@ -126,3 +126,30 @@ def test_watermark_late_events_hand_case(ray_session):
     assert out.loc[3, "watermark"] == ts(120) and out.loc[3, "late"] == 1
     assert out.loc[4, "watermark"] == ts(120) and out.loc[4, "late"] == 0
     assert out.loc[5, "late"] == 0
+
+
+def test_ppjoin_matches_bottomk_blocking(ray_session):
+    """PPJoin prefix filtering and the bottom-k heuristic blocking must
+    produce the IDENTICAL exact-Jaccard pair set."""
+    from graphiti_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_ppjoin,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base},                       # exact dup
+            {"doc_id": 3, "text": base + " tonight"},          # near dup
+            {"doc_id": 4, "text": "completely different words here entirely"},
+            {"doc_id": 5, "text": base.replace("fox", "cat")}, # near dup
+        ]
+    )
+    key = lambda ds: sorted(
+        (r["a"], r["b"], r["jaccard"]) for r in ds.take_all()
+    )
+    want = key(ngram_jaccard_pairs(docs, threshold=0.5))
+    got = key(ngram_jaccard_ppjoin(docs, threshold=0.5))
+    assert got == want and len(got) >= 3  # (1,2) exact + the near dups
+    assert any(a == 1 and b == 2 and j == 1.0 for a, b, j in got)
