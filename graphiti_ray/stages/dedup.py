@@ -2342,7 +2342,7 @@ def _ppjoin_block_pairs(
         count=len(ia),
     )
     union = n_sh[ia] + n_sh[ib] - inter
-    jacc = np.round(inter / np.maximum(union, 1), 6)
+    jacc = inter / np.maximum(union, 1)  # unrounded, like the bottom-k kernel
     ok = jacc >= threshold
     a_ids = np.minimum(doc[ia], doc[ib])[ok]
     b_ids = np.maximum(doc[ia], doc[ib])[ok]
