@@ -7460,6 +7460,16 @@ FROM summed
 
 
 
+def _q_kg_integrity(sf_dir: str):
+    """Referential-integrity audit of the built KG: row totals + dangling
+    FK counts via left_anti joins; the danglings are structurally 0 for
+    this engine and the SQL twin recomputes every count from the raw-doc
+    oracles."""
+    from graphiti_ray.pipelines.maintenance import integrity_counts
+
+    return integrity_counts(_kg_tables(sf_dir, embeddings=False))
+
+
 def _q_dedup_ppjoin(sf_dir: str):
     """Exact n-gram Jaccard pairs via PPJoin prefix filtering (Xiao 2008)
     — a provably-complete second algorithm value-pinned to the SAME SQL
@@ -7628,6 +7638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "kg_integrity": _q_kg_integrity,
         "dedup_ppjoin": _q_dedup_ppjoin,
         "events_watermark": _q_events_watermark,
         "docs_source_epochs": _q_docs_source_epochs,
@@ -7848,6 +7859,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    uid = "md5(group_id || '|' || lower({c}))"
+    su, ou = uid.format(c="subj_canonical"), uid.format(c="obj_canonical")
+    d["kg_integrity"] = f"""
+SELECT
+  (SELECT count(*) FROM ({d['kg_episodes']}) ) AS n_episodes,
+  (SELECT count(*) FROM ({d['kg_nodes']}) ) AS n_nodes,
+  (SELECT count(*) FROM ({d['kg_edges']}) ) AS n_edges,
+  (SELECT count(*) FROM ({d['kg_edges']}) e
+     LEFT JOIN ({d['kg_nodes']}) n
+       ON md5(e.group_id || '|' || lower(e.subj_canonical)) = n.uuid
+     WHERE n.uuid IS NULL) AS edges_dangling_subj,
+  (SELECT count(*) FROM ({d['kg_edges']}) e
+     LEFT JOIN ({d['kg_nodes']}) n
+       ON md5(e.group_id || '|' || lower(e.obj_canonical)) = n.uuid
+     WHERE n.uuid IS NULL) AS edges_dangling_obj,
+  (SELECT count(*) FROM ({d['kg_nodes']}) n
+     LEFT JOIN (
+       SELECT {su} AS u FROM ({d['kg_edges']})
+       UNION
+       SELECT {ou} AS u FROM ({d['kg_edges']})
+     ) r ON n.uuid = r.u
+     WHERE r.u IS NULL) AS nodes_without_edges
+"""
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "dedup_ppjoin": _ngram_oracle_sql("jaccard", 0.8),
         "events_watermark": _EVENTS_WATERMARK_ORACLE,

@@ -279,3 +279,56 @@ def remove_episode(
     )
     out["nodes"] = _broadcast_filter(tables["nodes"], "uuid", orphan_entities, negate=True)
     return out
+
+
+def integrity_counts(tables: dict[str, rd.Dataset]) -> rd.Dataset:
+    """Referential-integrity audit over the KG tables — the data-quality
+    gate a production graph pipeline runs after every build (reference
+    analogue: Neo4j's FK-by-construction via MERGE; a parquet-table graph
+    must CHECK instead): table row totals plus dangling-FK counts, all
+    dataset-side via hash-partitioned ``left_anti`` joins (never a driver
+    set).
+
+    Output (one row, int64): n_episodes, n_nodes, n_edges,
+    edges_dangling_subj, edges_dangling_obj, nodes_without_edges.
+    The dangling counts are structurally 0 for this engine (edges are
+    built FROM the canonical map that builds nodes) — the audit proves
+    that invariant end-to-end, and reports honest nonzero counts for
+    externally-loaded tables.
+    """
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    parts = default_join_partitions()
+    nodes_u = tables["nodes"].select_columns(["uuid"])
+
+    def anti_count(left: rd.Dataset, right: rd.Dataset) -> int:
+        return safe_join(
+            left, right, join_type="left_anti", num_partitions=parts, on=("uuid",)
+        ).count()
+
+    def ref_col(col: str) -> rd.Dataset:
+        return tables["edges"].select_columns([col]).map_batches(
+            lambda t, _c=col: pa.table({"uuid": t.column(_c)}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    dang_subj = anti_count(ref_col("subj_uuid"), nodes_u)
+    dang_obj = anti_count(ref_col("obj_uuid"), nodes_u)
+    refs = ref_col("subj_uuid").union(ref_col("obj_uuid"))
+    from graphiti_ray.stages.ops import distinct_by_key
+
+    no_edges = anti_count(nodes_u, distinct_by_key(refs, "uuid"))
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "n_episodes": pa.array([tables["episodes"].count()], pa.int64()),
+                "n_nodes": pa.array([tables["nodes"].count()], pa.int64()),
+                "n_edges": pa.array([tables["edges"].count()], pa.int64()),
+                "edges_dangling_subj": pa.array([dang_subj], pa.int64()),
+                "edges_dangling_obj": pa.array([dang_obj], pa.int64()),
+                "nodes_without_edges": pa.array([no_edges], pa.int64()),
+            }
+        )
+    )

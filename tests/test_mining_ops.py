@@ -153,3 +153,25 @@ def test_ppjoin_matches_bottomk_blocking(ray_session):
     got = key(ngram_jaccard_ppjoin(docs, threshold=0.5))
     assert got == want and len(got) >= 3  # (1,2) exact + the near dups
     assert any(a == 1 and b == 2 and j == 1.0 for a, b, j in got)
+
+
+def test_integrity_counts_detects_dangling(ray_session):
+    from graphiti_ray.pipelines.maintenance import integrity_counts
+
+    tables = {
+        "episodes": rd.from_items([{"uuid": "e1"}, {"uuid": "e2"}]),
+        "nodes": rd.from_items(
+            [{"uuid": "n1"}, {"uuid": "n2"}, {"uuid": "n3"}]
+        ),
+        "edges": rd.from_items(
+            [
+                {"uuid": "f1", "subj_uuid": "n1", "obj_uuid": "n2"},
+                {"uuid": "f2", "subj_uuid": "n1", "obj_uuid": "MISSING"},
+            ]
+        ),
+    }
+    out = integrity_counts(tables).to_pandas().iloc[0]
+    assert out.n_episodes == 2 and out.n_nodes == 3 and out.n_edges == 2
+    assert out.edges_dangling_subj == 0
+    assert out.edges_dangling_obj == 1  # the MISSING obj
+    assert out.nodes_without_edges == 1  # n3 unreferenced
