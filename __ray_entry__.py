@@ -7460,6 +7460,112 @@ FROM summed
 
 
 
+def _q_embeddings_ood(sf_dir: str):
+    """Per-vector OOD margin vs label centroids (mislabel filter):
+    centroids from exact integer moment sums (the lang_centroids
+    convention), cosines rounded 1e-6, margin = own − best-other."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import ood_margin
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding", "label"]
+    )
+    return ood_margin(emb)
+
+
+_EMBEDDINGS_OOD_ORACLE = """
+WITH x AS (
+  SELECT label::BIGINT AS label, (u.i - 1)::BIGINT AS j,
+         CAST(floor(embedding[u.i]::DOUBLE * 1000000) AS BIGINT) AS q
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+m AS (
+  SELECT label, j, sum(q)::BIGINT AS sum_q, count(*)::BIGINT AS n
+  FROM x GROUP BY 1, 2
+),
+cent AS (
+  SELECT label, list(sum_q::DOUBLE / (n * 1000000) ORDER BY j) AS c
+  FROM m GROUP BY label
+),
+s AS (
+  SELECT e.vec_id, e.label::BIGINT AS label, c.label AS clabel,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], c.c), 6) AS cos
+  FROM embeddings e CROSS JOIN cent c
+)
+SELECT vec_id, label,
+       max(CASE WHEN clabel = label THEN cos END) AS own_cos,
+       max(CASE WHEN clabel <> label THEN cos END) AS best_other_cos,
+       round(max(CASE WHEN clabel = label THEN cos END)
+             - max(CASE WHEN clabel <> label THEN cos END), 6) AS margin
+FROM s GROUP BY 1, 2
+"""
+
+
+def _q_kg_edge_churn(sf_dir: str):
+    """Bi-temporal churn census: per (group, month) how many edges were
+    CREATED (valid_at) and how many INVALIDATED (invalid_at) — the
+    temporal-KG health dashboard row. Combiner per batch, one small
+    keyed sum, outer-merged on the (group, month) lattice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    edges = tables["edges"].select_columns(["group_id", "valid_at", "invalid_at"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = []
+        for col, flag in (("valid_at", 1), ("invalid_at", 0)):
+            sub = t.filter(pc.is_valid(t.column(col)))
+            if sub.num_rows == 0:
+                continue
+            m = pc.floor_temporal(
+                pc.cast(sub.column(col), pa.timestamp("us")), unit="month"
+            )
+            g = (
+                pa.table({"group_id": sub.column("group_id"), "month": m})
+                .group_by(["group_id", "month"])
+                .aggregate([([], "count_all")])
+            )
+            out.append(
+                pa.table(
+                    {
+                        "group_id": g.column("group_id"),
+                        "month": g.column("month"),
+                        "c": pc.multiply(
+                            pc.cast(g.column("count_all"), pa.int64()),
+                            pa.scalar(flag, pa.int64()),
+                        ),
+                        "i": pc.multiply(
+                            pc.cast(g.column("count_all"), pa.int64()),
+                            pa.scalar(1 - flag, pa.int64()),
+                        ),
+                    }
+                )
+            )
+        if not out:
+            return pa.table(
+                {
+                    "group_id": pa.array([], pa.string()),
+                    "month": pa.array([], pa.timestamp("us")),
+                    "c": pa.array([], pa.int64()),
+                    "i": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(out)
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["group_id", "month"])
+        .aggregate(
+            Sum("c", alias_name="n_created"),
+            Sum("i", alias_name="n_invalidated"),
+        )
+    )
+
+
 def _q_kg_integrity(sf_dir: str):
     """Referential-integrity audit of the built KG: row totals + dangling
     FK counts via left_anti joins; the danglings are structurally 0 for
@@ -7638,6 +7744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "embeddings_ood": _q_embeddings_ood,
+        "kg_edge_churn": _q_kg_edge_churn,
         "kg_integrity": _q_kg_integrity,
         "dedup_ppjoin": _q_dedup_ppjoin,
         "events_watermark": _q_events_watermark,
@@ -7862,6 +7970,25 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     uid = "md5(group_id || '|' || lower({c}))"
     su, ou = uid.format(c="subj_canonical"), uid.format(c="obj_canonical")
+    d["kg_edge_churn"] = f"""
+WITH e AS ({d['kg_edges']}),
+c AS (
+  SELECT group_id, date_trunc('month', valid_at) AS month,
+         count(*)::BIGINT AS n
+  FROM e WHERE valid_at IS NOT NULL GROUP BY 1, 2
+),
+i AS (
+  SELECT group_id, date_trunc('month', invalid_at) AS month,
+         count(*)::BIGINT AS n
+  FROM e WHERE invalid_at IS NOT NULL GROUP BY 1, 2
+)
+SELECT coalesce(c.group_id, i.group_id) AS group_id,
+       coalesce(c.month, i.month)::TIMESTAMP AS month,
+       coalesce(c.n, 0)::BIGINT AS n_created,
+       coalesce(i.n, 0)::BIGINT AS n_invalidated
+FROM c FULL OUTER JOIN i
+  ON c.group_id = i.group_id AND c.month = i.month
+"""
     d["kg_integrity"] = f"""
 SELECT
   (SELECT count(*) FROM ({d['kg_episodes']}) ) AS n_episodes,
@@ -7889,6 +8016,7 @@ SELECT
 def _oracle_sql_base() -> dict[str, str]:
     return {
         "dedup_ppjoin": _ngram_oracle_sql("jaccard", 0.8),
+        "embeddings_ood": _EMBEDDINGS_OOD_ORACLE,
         "events_watermark": _EVENTS_WATERMARK_ORACLE,
         "docs_source_epochs": _SOURCE_EPOCHS_ORACLE,
         "docs_ccnet_buckets": _CCNET_BUCKETS_ORACLE,

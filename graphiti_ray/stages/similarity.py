@@ -1039,3 +1039,99 @@ def dbscan_cosine(
         )
 
     return emb.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ood_margin(
+    emb: rd.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> rd.Dataset:
+    """Per-vector out-of-distribution margin for labeled embeddings — the
+    mislabel/outlier filter a curation pipeline runs before training
+    (confident-learning-lite): cosine to the OWN label's centroid minus
+    the best cosine to any OTHER label's centroid; negative margin ⇒ the
+    vector sits closer to a foreign class.
+
+    Exactness: centroids are derived from EXACT integer moment sums
+    (n, Σ floor(e_j·1e6)) per (label, dim) — the lang_centroids
+    convention — so both engines divide identical integers; per-vector
+    cosines are rounded to 1e-6 before the margin subtraction.
+
+    Scale shape: dense per-batch ``np.add.at`` partials → one
+    |labels|·dim keyed sum (parameter-sized to the driver) → centroid
+    matrix broadcast once via ``ray.put`` → one streamed scoring pass.
+
+    Output: (vec_id, label, own_cos, best_other_cos, margin).
+    """
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.embed import column_to_matrix
+    from graphiti_ray.stages.link import _cached_lut
+
+    def moments(batch: pa.Table) -> pa.Table:
+        mat = column_to_matrix(batch.column(vec_col), np.float64)
+        labs = batch.column(label_col).to_numpy(zero_copy_only=False)
+        q = np.floor(mat * 1e6).astype(np.int64)
+        out_l, out_j, out_s, out_n = [], [], [], []
+        for lab in np.unique(labs):
+            sel = q[labs == lab]
+            s = sel.sum(axis=0)
+            out_l.extend([int(lab)] * q.shape[1])
+            out_j.extend(range(q.shape[1]))
+            out_s.extend(int(v) for v in s)
+            out_n.extend([sel.shape[0]] * q.shape[1])
+        return pa.table(
+            {
+                "label": pa.array(out_l, pa.int64()),
+                "j": pa.array(out_j, pa.int64()),
+                "sum_q": pa.array(out_s, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    stats = (
+        emb.select_columns([vec_col, label_col])
+        .map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["label", "j"])
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))
+        .take_all()  # |labels|·dim rows — parameter-sized
+    )
+    labels = sorted({int(r["label"]) for r in stats})
+    lab_ix = {l: i for i, l in enumerate(labels)}
+    dim = max(int(r["j"]) for r in stats) + 1
+    cent = np.zeros((len(labels), dim), np.float64)
+    for r in stats:
+        cent[lab_ix[int(r["label"])], int(r["j"])] = r["sum_q"] / (
+            r["n"] * 1e6
+        )
+    cnorm = np.linalg.norm(cent, axis=1, keepdims=True)
+    cnorm[cnorm == 0] = 1
+    ref = ray.put((np.array(labels, np.int64), (cent / cnorm).T))
+
+    def score(batch: pa.Table, _ref=ref) -> pa.Table:
+        labels_, centT = _cached_lut(_ref)
+        mat = column_to_matrix(batch.column(vec_col), np.float64)
+        n = np.linalg.norm(mat, axis=1, keepdims=True)
+        n[n == 0] = 1
+        cos = np.round((mat / n) @ centT, 6)  # (rows, L)
+        labs = batch.column(label_col).to_numpy(zero_copy_only=False)
+        own_ix = np.searchsorted(labels_, labs)
+        rows = np.arange(len(labs))
+        own = cos[rows, own_ix]
+        masked = cos.copy()
+        masked[rows, own_ix] = -np.inf
+        best = masked.max(axis=1)
+        return pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                "label": pa.array(labs.astype(np.int64), pa.int64()),
+                "own_cos": pa.array(own, pa.float64()),
+                "best_other_cos": pa.array(best, pa.float64()),
+                "margin": pa.array(np.round(own - best, 6), pa.float64()),
+            }
+        )
+
+    return emb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -175,3 +175,27 @@ def test_integrity_counts_detects_dangling(ray_session):
     assert out.edges_dangling_subj == 0
     assert out.edges_dangling_obj == 1  # the MISSING obj
     assert out.nodes_without_edges == 1  # n3 unreferenced
+
+
+def test_ood_margin_flags_mislabels(ray_session):
+    from graphiti_ray.stages.similarity import ood_margin
+
+    rng = np.random.RandomState(3)
+    c0 = np.array([1.0, 0, 0, 0])
+    c1 = np.array([0, 1.0, 0, 0])
+    rows = []
+    for i in range(20):
+        base = c0 if i % 2 == 0 else c1
+        v = base + rng.randn(4) * 0.05
+        rows.append(
+            {"vec_id": i, "embedding": v.tolist(), "label": i % 2}
+        )
+    # one mislabeled vector: looks like class 0, labeled 1
+    rows.append(
+        {"vec_id": 99, "embedding": (c0 + rng.randn(4) * 0.05).tolist(),
+         "label": 1}
+    )
+    out = ood_margin(rd.from_items(rows)).to_pandas().set_index("vec_id")
+    assert (out.drop(99).margin > 0).mean() > 0.9  # clean points: own wins
+    assert out.loc[99, "margin"] < 0  # the mislabel is flagged
+    assert out.loc[99, "best_other_cos"] > out.loc[99, "own_cos"]
