@@ -7460,6 +7460,23 @@ FROM summed
 
 
 
+def _q_customer_orders_hist(sf_dir: str):
+    """TPC-H Q13 shape: order-count distribution per customer including
+    the zero-order customers a LEFT OUTER join preserves."""
+    from graphiti_ray.pipelines.relational import customer_orders_histogram
+
+    return customer_orders_histogram(sf_dir)
+
+
+_CUSTOMER_ORDERS_HIST_ORACLE = """
+SELECT c_count, count(*)::BIGINT AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_custkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+) GROUP BY 1
+"""
+
+
 def _q_embeddings_ood(sf_dir: str):
     """Per-vector OOD margin vs label centroids (mislabel filter):
     centroids from exact integer moment sums (the lang_centroids
@@ -7744,6 +7761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "customer_orders_hist": _q_customer_orders_hist,
         "embeddings_ood": _q_embeddings_ood,
         "kg_edge_churn": _q_kg_edge_churn,
         "kg_integrity": _q_kg_integrity,
@@ -8016,6 +8034,7 @@ SELECT
 def _oracle_sql_base() -> dict[str, str]:
     return {
         "dedup_ppjoin": _ngram_oracle_sql("jaccard", 0.8),
+        "customer_orders_hist": _CUSTOMER_ORDERS_HIST_ORACLE,
         "embeddings_ood": _EMBEDDINGS_OOD_ORACLE,
         "events_watermark": _EVENTS_WATERMARK_ORACLE,
         "docs_source_epochs": _SOURCE_EPOCHS_ORACLE,

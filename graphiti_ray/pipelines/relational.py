@@ -263,3 +263,61 @@ def regional_supplier_volume(sf_dir: str, region_name: str = "ASIA") -> rd.Datas
         )
 
     return agg.map_batches(name, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def customer_orders_histogram(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q13 shape — the customer-order-count distribution INCLUDING
+    zero-order customers (the left-outer-join census: an inner join would
+    silently drop the inactive majority). Per-batch order-count combiner
+    → one keyed sum → LEFT join customers ← counts (customer side
+    preserved, null → 0) → one tiny histogram groupby.
+
+    Output: (c_count, custdist) — how many customers placed exactly
+    c_count orders."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    parts = default_join_partitions()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        t = (
+            batch.select(["o_custkey"])
+            .group_by(["o_custkey"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "c_custkey": t.column("o_custkey"),
+                "p_n": pc.cast(t.column("count_all"), pa.int64()),
+            }
+        )
+
+    per_cust = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+        .map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_custkey")
+        .aggregate(Sum("p_n", alias_name="n_orders"))
+    )
+    custs = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    joined = safe_join(
+        custs,
+        per_cust,
+        join_type="left_outer",
+        num_partitions=parts,
+        on=("c_custkey",),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        n = pc.coalesce(
+            pc.cast(batch.column("n_orders"), pa.int64()),
+            pa.scalar(0, pa.int64()),
+        )
+        return pa.table({"c_count": n})
+
+    return (
+        joined.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_count")
+        .aggregate(Count(alias_name="custdist"))
+    )
