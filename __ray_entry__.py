@@ -7460,6 +7460,28 @@ FROM summed
 
 
 
+def _q_orders_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 revenue orders for the BUILDING segment via
+    customers ⋈ orders ⋈ lineitem on the exact cent lattice."""
+    from graphiti_ray.pipelines.relational import shipping_priority
+
+    return shipping_priority(sf_dir)
+
+
+_ORDERS_PRIORITY_ORACLE = """
+SELECT o.o_orderkey::BIGINT AS o_orderkey, o.o_orderdate,
+       sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT))::BIGINT AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, o_orderkey
+LIMIT 10
+"""
+
+
 def _q_customer_orders_hist(sf_dir: str):
     """TPC-H Q13 shape: order-count distribution per customer including
     the zero-order customers a LEFT OUTER join preserves."""
@@ -7761,6 +7783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "orders_priority": _q_orders_priority,
         "customer_orders_hist": _q_customer_orders_hist,
         "embeddings_ood": _q_embeddings_ood,
         "kg_edge_churn": _q_kg_edge_churn,
@@ -8034,6 +8057,7 @@ SELECT
 def _oracle_sql_base() -> dict[str, str]:
     return {
         "dedup_ppjoin": _ngram_oracle_sql("jaccard", 0.8),
+        "orders_priority": _ORDERS_PRIORITY_ORACLE,
         "customer_orders_hist": _CUSTOMER_ORDERS_HIST_ORACLE,
         "embeddings_ood": _EMBEDDINGS_OOD_ORACLE,
         "events_watermark": _EVENTS_WATERMARK_ORACLE,

@@ -321,3 +321,89 @@ def customer_orders_histogram(sf_dir: str) -> rd.Dataset:
         .groupby("c_count")
         .aggregate(Count(alias_name="custdist"))
     )
+
+
+def shipping_priority(
+    sf_dir: str, segment: str = "BUILDING", k: int = 10
+) -> rd.Dataset:
+    """TPC-H Q3 shape — top-k unshipped-revenue orders for one market
+    segment: segment-filtered customers ⋈ orders ⋈ lineitem, revenue on
+    the exact cent lattice, per-batch combiner before the keyed sum, one
+    sort-limit head (Q3's date predicates are omitted — the synthetic
+    tables have no ship/order date correlation worth slicing).
+
+    Output: (o_orderkey, o_orderdate, revenue_cents) — top k by
+    (revenue desc, orderkey asc)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    parts = default_join_partitions()
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_custkey": t.filter(
+                    pc.equal(t.column("c_mktsegment"), segment)
+                ).column("c_custkey")
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    oc = safe_join(
+        orders, cust, join_type="inner", num_partitions=parts, on=("o_custkey",)
+    ).select_columns(["o_orderkey", "o_orderdate"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(
+            pc.multiply(
+                batch.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+            )
+        )
+        t = (
+            pa.table({"o_orderkey": batch.column("l_orderkey"), "c": cents})
+            .group_by(["o_orderkey"])
+            .aggregate([("c", "sum")])
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "p_rev": pc.cast(t.column("c_sum"), pa.int64()),
+            }
+        )
+
+    rev = (
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .aggregate(Sum("p_rev", alias_name="revenue_cents"))
+    )
+    joined = safe_join(
+        rev, oc, join_type="inner", num_partitions=parts, on=("o_orderkey",)
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+                "o_orderdate": t.column("o_orderdate"),
+                "revenue_cents": pc.cast(t.column("revenue_cents"), pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
