@@ -19,7 +19,10 @@ __version__ = "0.1.0"
 
 # Pinned stage versions: bump on any behavior change (resumability contract).
 TEXT_EXTRACT_VERSION = "tx1"
-PAGEGEN_VERSION = "pg1"
+# pg2: warc_ts wraps for bench replicas (doc_id % 100_000 hours +
+# doc_id // 100_000 ms) — identical to pg1 for every real doc_id < 100_000,
+# so goldens/oracles are unchanged; only replicated bench inputs differ.
+PAGEGEN_VERSION = "pg2"
 EMBED_VERSION = "he1"
 
 

@@ -105,6 +105,24 @@ def cmd_eval(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    _ensure_ray(args.num_cpus)
+    if args.transport == "mcp-stdio":
+        from graphiti_ray.serving.mcp_stdio import main as stdio_main
+
+        stdio_main(["--root", args.kg])
+        return 0
+    if args.transport == "mcp-http":
+        from graphiti_ray.serving.mcp_http import main as http_main
+
+        http_main(["--root", args.kg, "--host", args.host, "--port", str(args.port)])
+        return 0
+    from graphiti_ray.serving.rest_http import main as rest_main
+
+    rest_main(["--root", args.kg, "--host", args.host, "--port", str(args.port)])
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser(prog="graphiti_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -131,6 +149,18 @@ def main() -> int:
     e = sub.add_parser("eval", help="triple P/R vs ground truth")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     e.set_defaults(fn=cmd_eval)
+
+    v = sub.add_parser(
+        "serve", help="serve a built KG (rest | mcp-stdio | mcp-http)"
+    )
+    v.add_argument("--kg", required=True)
+    v.add_argument(
+        "--transport", choices=["rest", "mcp-stdio", "mcp-http"], default="rest"
+    )
+    v.add_argument("--host", default="127.0.0.1")
+    v.add_argument("--port", type=int, default=8809)
+    v.add_argument("--num-cpus", type=int, default=None)
+    v.set_defaults(fn=cmd_serve)
 
     args = p.parse_args()
     return args.fn(args)
