@@ -199,3 +199,35 @@ def test_ood_margin_flags_mislabels(ray_session):
     assert (out.drop(99).margin > 0).mean() > 0.9  # clean points: own wins
     assert out.loc[99, "margin"] < 0  # the mislabel is flagged
     assert out.loc[99, "best_other_cos"] > out.loc[99, "own_cos"]
+
+
+def test_training_shards_partition_and_determinism(ray_session):
+    from graphiti_ray.pipelines.training import epoch_stream, training_shards
+
+    docs = rd.from_items([{"doc_id": i, "x": i * i} for i in range(101)])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    def drain(it):
+        out = []
+        for b in it.iter_batches(batch_format="pyarrow"):
+            out.extend(b.column("doc_id").to_pylist())
+        return out
+
+    def drain_all(iters):
+        # streaming_split consumers share ONE execution — they must be
+        # drained concurrently, not sequentially
+        with ThreadPoolExecutor(len(iters)) as pool:
+            return [f.result() for f in [pool.submit(drain, i) for i in iters]]
+
+    ra, rb = drain_all(training_shards(docs, 2))
+    assert len(ra) == len(rb) == 50  # equal split drops the remainder
+    assert not (set(ra) & set(rb))   # disjoint
+    assert set(ra) | set(rb) <= set(range(101))
+
+    # same epoch + seed → identical global order; next epoch differs
+    e0 = drain_all(epoch_stream(docs, 2, epoch=0))
+    e0_again = drain_all(epoch_stream(docs, 2, epoch=0))
+    assert e0 == e0_again
+    e1 = drain_all(epoch_stream(docs, 2, epoch=1))
+    assert e1 != e0
