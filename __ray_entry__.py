@@ -7460,6 +7460,98 @@ FROM summed
 
 
 
+def _q_docs_corr(sf_dir: str):
+    """Pearson correlation census between doc length (chars) and
+    whitespace-token count: exact int64 moment sums, one tiny reduce,
+    r on the 1e-6 lattice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import corr_census
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def lens(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = pd.Series(t.column("text").to_pylist()).fillna("")
+        return pa.table(
+            {
+                "n_chars": pa.array(
+                    texts.str.len().to_numpy(), pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    texts.str.split().str.len().to_numpy(), pa.int64()
+                ),
+            }
+        )
+
+    return corr_census(
+        docs.map_batches(lens, batch_format="pyarrow", zero_copy_batch=True),
+        "n_chars",
+        "n_tokens",
+    )
+
+
+_DOCS_CORR_ORACLE = r"""
+WITH v AS (
+  SELECT length(text)::BIGINT AS x,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         t -> t <> ''))::BIGINT AS y
+  FROM documents
+),
+m AS (
+  SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sum_x,
+         sum(y)::BIGINT AS sum_y, sum(x * x)::BIGINT AS sum_xx,
+         sum(y * y)::BIGINT AS sum_yy, sum(x * y)::BIGINT AS sum_xy
+  FROM v
+)
+SELECT n, sum_x, sum_y, sum_xx, sum_yy, sum_xy,
+       round((n * sum_xy - sum_x * sum_y)
+             / sqrt(((n * sum_xx - sum_x * sum_x)
+                     * (n * sum_yy - sum_y * sum_y))::DOUBLE)
+             * 1000000)::BIGINT AS r_e6
+FROM m
+"""
+
+
+def _q_docs_ks_drift(sf_dir: str):
+    """Two-sample KS drift between src0's and src1's doc-length
+    distributions on the exact integer cross lattice — the
+    distribution-shift QA gate."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.ops import ks_drift
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["n_chars", "source"]
+    )
+    return ks_drift(docs, "n_chars", "source", "src0", "src1")
+
+
+_DOCS_KS_ORACLE = """
+WITH f AS (
+  SELECT n_chars::BIGINT AS v,
+         CASE WHEN source = 'src0' THEN 1 ELSE 0 END::BIGINT AS a,
+         CASE WHEN source = 'src1' THEN 1 ELSE 0 END::BIGINT AS b
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+c AS (SELECT v, sum(a)::BIGINT AS na, sum(b)::BIGINT AS nb FROM f GROUP BY v),
+cum AS (
+  SELECT v, sum(na) OVER (ORDER BY v)::BIGINT AS ca,
+         sum(nb) OVER (ORDER BY v)::BIGINT AS cb
+  FROM c
+),
+tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM c)
+SELECT ta AS n_a, tb AS n_b,
+       max(abs(ca * tb - cb * ta))::BIGINT AS d_num,
+       ((max(abs(ca * tb - cb * ta)) * 1000000) // (ta * tb))::BIGINT AS ks_e6
+FROM cum CROSS JOIN tot GROUP BY ta, tb
+"""
+
+
 def _q_orders_priority(sf_dir: str):
     """TPC-H Q3 shape: top-10 revenue orders for the BUILDING segment via
     customers ⋈ orders ⋈ lineitem on the exact cent lattice."""
@@ -7783,6 +7875,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "docs_corr": _q_docs_corr,
+        "docs_ks_drift": _q_docs_ks_drift,
         "orders_priority": _q_orders_priority,
         "customer_orders_hist": _q_customer_orders_hist,
         "embeddings_ood": _q_embeddings_ood,
@@ -8057,6 +8151,8 @@ SELECT
 def _oracle_sql_base() -> dict[str, str]:
     return {
         "dedup_ppjoin": _ngram_oracle_sql("jaccard", 0.8),
+        "docs_corr": _DOCS_CORR_ORACLE,
+        "docs_ks_drift": _DOCS_KS_ORACLE,
         "orders_priority": _ORDERS_PRIORITY_ORACLE,
         "customer_orders_hist": _CUSTOMER_ORDERS_HIST_ORACLE,
         "embeddings_ood": _EMBEDDINGS_OOD_ORACLE,

@@ -1848,3 +1848,188 @@ def head_k_per_key(
         carry_cap=max(carry_cap, k),
         on_carry_overflow="truncate",
     )
+
+
+def corr_census(
+    ds: rd.Dataset, x_col: str, y_col: str
+) -> rd.Dataset:
+    """Exact Pearson-correlation census between two integer columns — the
+    data-QA primitive behind "does quality correlate with length?"
+    dashboards: per-batch int64 moment partials (n, Σx, Σy, Σx², Σy²,
+    Σxy) → ONE tiny reduce — associativity-proof because every sum is
+    exact integer arithmetic; r is derived from the closed moments at
+    the end and quantized to the 1e-6 lattice.
+
+    Output (one row): n, sum_x, sum_y, sum_xx, sum_yy, sum_xy, r_e6.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(x_col), pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(t.column(y_col), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sum_x": pa.array([int(x.sum())], pa.int64()),
+                "sum_y": pa.array([int(y.sum())], pa.int64()),
+                "sum_xx": pa.array([int((x * x).sum())], pa.int64()),
+                "sum_yy": pa.array([int((y * y).sum())], pa.int64()),
+                "sum_xy": pa.array([int((x * y).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.select_columns([x_col, y_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(None)
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_x", alias_name="sum_x"),
+            Sum("sum_y", alias_name="sum_y"),
+            Sum("sum_xx", alias_name="sum_xx"),
+            Sum("sum_yy", alias_name="sum_yy"),
+            Sum("sum_xy", alias_name="sum_xy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n")[0].as_py()
+        sx, sy = t.column("sum_x")[0].as_py(), t.column("sum_y")[0].as_py()
+        sxx = t.column("sum_xx")[0].as_py()
+        syy = t.column("sum_yy")[0].as_py()
+        sxy = t.column("sum_xy")[0].as_py()
+        num = n * sxy - sx * sy  # exact ints throughout
+        den2 = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        r = float(num) / np.sqrt(float(den2)) if den2 > 0 else 0.0
+        return pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "sum_x": pa.array([sx], pa.int64()),
+                "sum_y": pa.array([sy], pa.int64()),
+                "sum_xx": pa.array([sxx], pa.int64()),
+                "sum_yy": pa.array([syy], pa.int64()),
+                "sum_xy": pa.array([sxy], pa.int64()),
+                "r_e6": pa.array(
+                    [int(np.rint(r * 1e6))], pa.int64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ks_drift(
+    ds: rd.Dataset,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> rd.Dataset:
+    """Two-sample Kolmogorov-Smirnov distribution-drift census over an
+    integer column — the data-QA test behind "did this source's length
+    distribution shift?": D = max_v |F_a(v) − F_b(v)| evaluated exactly
+    on the integer cross lattice (d_num = max |cum_a·N_b − cum_b·N_a|,
+    ks_e6 = d_num·10⁶ // (N_a·N_b)) so both engines agree bit-for-bit.
+
+    Shape: per-batch (v, n_a, n_b) combiner → one value-keyed sum → one
+    range sort + :func:`sorted_prefix_sum` ×2 (block-carry running
+    counts, no window shuffle) → one global max reduce. Output (one
+    row): n_a, n_b, d_num, ks_e6.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.column(group_col)
+        keep = pc.or_(pc.equal(g, group_a), pc.equal(g, group_b))
+        t = t.filter(keep)
+        va = pc.cast(t.column(value_col), pa.int64())
+        is_a = pc.cast(
+            pc.equal(t.column(group_col), group_a), pa.int64()
+        )
+        part = (
+            pa.table(
+                {
+                    "v": va,
+                    "n_a": is_a,
+                    "n_b": pc.subtract(pa.scalar(1, pa.int64()), is_a),
+                }
+            )
+            .group_by(["v"])
+            .aggregate([("n_a", "sum"), ("n_b", "sum")])
+        )
+        return pa.table(
+            {
+                "v": part.column("v"),
+                "_g": pa.array(np.zeros(part.num_rows, np.int64)),
+                "n_a": pc.cast(part.column("n_a_sum"), pa.int64()),
+                "n_b": pc.cast(part.column("n_b_sum"), pa.int64()),
+            }
+        )
+
+    per_v = (
+        ds.select_columns([value_col, group_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(
+            Sum("n_a", alias_name="n_a"),
+            Sum("n_b", alias_name="n_b"),
+        )
+    )
+
+    def regroup(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(t.num_rows, np.int64)),
+                "v": t.column("v"),
+                "n_a": pc.cast(t.column("n_a"), pa.int64()),
+                "n_b": pc.cast(t.column("n_b"), pa.int64()),
+            }
+        )
+
+    per_v = per_v.map_batches(
+        regroup, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    cum = sorted_prefix_sum(per_v, ["_g"], ["v"], "n_a", out_col="c_a")
+    cum = sorted_prefix_sum(cum, ["_g"], ["v"], "n_b", out_col="c_b")
+
+    totals = per_v.groupby("_g").aggregate(
+        Sum("n_a", alias_name="t_a"), Sum("n_b", alias_name="t_b")
+    ).take_all()
+    n_a_tot = int(totals[0]["t_a"]) if totals else 0
+    n_b_tot = int(totals[0]["t_b"]) if totals else 0
+
+    def diff(t: pa.Table) -> pa.Table:
+        ca = t.column("c_a").to_numpy(zero_copy_only=False)
+        cb = t.column("c_b").to_numpy(zero_copy_only=False)
+        d = np.abs(ca * n_b_tot - cb * n_a_tot)
+        return pa.table({"d": pa.array(d, pa.int64())})
+
+    dmax = (
+        cum.map_batches(diff, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(None)
+        .aggregate(Max("d", alias_name="d_num"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        d_num = int(t.column("d_num")[0].as_py()) if t.num_rows else 0
+        denom = n_a_tot * n_b_tot
+        return pa.table(
+            {
+                "n_a": pa.array([n_a_tot], pa.int64()),
+                "n_b": pa.array([n_b_tot], pa.int64()),
+                "d_num": pa.array([d_num], pa.int64()),
+                "ks_e6": pa.array(
+                    [(d_num * 1_000_000) // denom if denom else 0], pa.int64()
+                ),
+            }
+        )
+
+    return dmax.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

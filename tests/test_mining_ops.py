@@ -231,3 +231,34 @@ def test_training_shards_partition_and_determinism(ray_session):
     assert e0 == e0_again
     e1 = drain_all(epoch_stream(docs, 2, epoch=1))
     assert e1 != e0
+
+
+def test_corr_census_exact_moments(ray_session):
+    from graphiti_ray.stages.ops import corr_census
+
+    ds = rd.from_items([{"x": i, "y": 3 * i} for i in range(50)])
+    out = corr_census(ds, "x", "y").to_pandas().iloc[0]
+    assert out.n == 50 and out.sum_x == 1225 and out.sum_y == 3675
+    assert out.r_e6 == 1_000_000  # perfectly linear → r = 1
+    anti = corr_census(
+        rd.from_items([{"x": i, "y": -i} for i in range(50)]), "x", "y"
+    ).to_pandas().iloc[0]
+    assert anti.r_e6 == -1_000_000
+
+
+def test_ks_drift_identical_and_shifted(ray_session):
+    from graphiti_ray.stages.ops import ks_drift
+
+    same = rd.from_items(
+        [{"v": i % 7, "g": "a"} for i in range(70)]
+        + [{"v": i % 7, "g": "b"} for i in range(70)]
+    )
+    out = ks_drift(same, "v", "g", "a", "b").to_pandas().iloc[0]
+    assert out.ks_e6 == 0  # identical distributions
+
+    shifted = rd.from_items(
+        [{"v": i % 7, "g": "a"} for i in range(70)]
+        + [{"v": i % 7 + 100, "g": "b"} for i in range(70)]
+    )
+    out = ks_drift(shifted, "v", "g", "a", "b").to_pandas().iloc[0]
+    assert out.ks_e6 == 1_000_000  # disjoint supports → D = 1
