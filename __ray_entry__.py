@@ -7460,6 +7460,62 @@ FROM summed
 
 
 
+def _q_lineitem_benford(sf_dir: str):
+    """Benford first-digit census over lineitem extended prices (the
+    accounting-QA classic): digits from the INTEGER cent lattice via
+    string heads (engine-stable, no float log10 boundaries)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(pc.multiply(t.column("l_extendedprice"), 100.0), 0.5)
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        cents = cents[cents > 0]
+        # np.char.mod gives full strings; astype('S1') keeps the first
+        # byte, and astype(int64) PARSES that digit
+        first = (
+            np.char.mod("%d", cents).astype("S1").astype(np.int64)
+            if len(cents)
+            else np.zeros(0, np.int64)
+        )
+        d, c = np.unique(first, return_counts=True)
+        return pa.table(
+            {
+                "digit": pa.array(d, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+_LINEITEM_BENFORD_ORACLE = """
+SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       count(*)::BIGINT AS n
+FROM (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+) WHERE cents > 0
+GROUP BY 1
+"""
+
+
 def _q_docs_corr(sf_dir: str):
     """Pearson correlation census between doc length (chars) and
     whitespace-token count: exact int64 moment sums, one tiny reduce,
@@ -7875,6 +7931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
         "docs_ks_drift": _q_docs_ks_drift,
         "orders_priority": _q_orders_priority,
@@ -8151,6 +8208,7 @@ SELECT
 def _oracle_sql_base() -> dict[str, str]:
     return {
         "dedup_ppjoin": _ngram_oracle_sql("jaccard", 0.8),
+        "lineitem_benford": _LINEITEM_BENFORD_ORACLE,
         "docs_corr": _DOCS_CORR_ORACLE,
         "docs_ks_drift": _DOCS_KS_ORACLE,
         "orders_priority": _ORDERS_PRIORITY_ORACLE,
