@@ -7460,6 +7460,74 @@ FROM summed
 
 
 
+def _q_events_seasonality(sf_dir: str):
+    """Day-of-week activity profile + exact chi-square uniformity
+    statistic (chi2_e6 = Σ(7·o_d − n)²·1e6 // (7n) — single-denominator
+    integer lattice, no float expected counts)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        # ISO day of week 1..7 (DuckDB isodow parity)
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        days = _entry_floor_div(us, 86400 * 1_000_000).to_numpy(
+            zero_copy_only=False
+        )
+        # 1970-01-01 is a Thursday = isodow 4
+        dow = ((days + 3) % 7) + 1
+        d, c = np.unique(dow, return_counts=True)
+        return pa.table(
+            {
+                "isodow": pa.array(d, pa.int64()),
+                "n": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_dow = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("isodow")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()  # ≤ 7 rows
+    )
+    total = sum(int(r["n"]) for r in per_dow)
+    rows = sorted(per_dow, key=lambda r: r["isodow"])
+    chi_num = sum((7 * int(r["n"]) - total) ** 2 for r in rows)
+    # days with zero events still contribute (0·7 − n)²
+    chi_num += (7 - len(rows)) * total**2
+    chi2_e6 = (chi_num * 1_000_000) // (7 * total) if total else 0
+    return rd.from_arrow(
+        pa.table(
+            {
+                "isodow": pa.array([int(r["isodow"]) for r in rows], pa.int64()),
+                "n": pa.array([int(r["n"]) for r in rows], pa.int64()),
+                "chi2_e6": pa.array([chi2_e6] * len(rows), pa.int64()),
+            }
+        )
+    )
+
+
+_EVENTS_SEASONALITY_ORACLE = """
+WITH d AS (
+  SELECT isodow(ts)::BIGINT AS isodow, count(*)::BIGINT AS n
+  FROM events GROUP BY 1
+),
+tot AS (SELECT sum(n)::BIGINT AS total FROM d),
+chi AS (
+  SELECT (sum((7 * n - total) * (7 * n - total))
+          + (7 - count(*)) * total * total)::BIGINT AS num, total
+  FROM d CROSS JOIN tot GROUP BY total
+)
+SELECT d.isodow, d.n, ((chi.num * 1000000) // (7 * chi.total))::BIGINT AS chi2_e6
+FROM d CROSS JOIN chi
+"""
+
+
 def _q_lineitem_benford(sf_dir: str):
     """Benford first-digit census over lineitem extended prices (the
     accounting-QA classic): digits from the INTEGER cent lattice via
@@ -7931,6 +7999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
         "docs_ks_drift": _q_docs_ks_drift,
@@ -8208,6 +8277,7 @@ SELECT
 def _oracle_sql_base() -> dict[str, str]:
     return {
         "dedup_ppjoin": _ngram_oracle_sql("jaccard", 0.8),
+        "events_seasonality": _EVENTS_SEASONALITY_ORACLE,
         "lineitem_benford": _LINEITEM_BENFORD_ORACLE,
         "docs_corr": _DOCS_CORR_ORACLE,
         "docs_ks_drift": _DOCS_KS_ORACLE,
