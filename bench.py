@@ -199,6 +199,27 @@ def _extras(sf_dir: str) -> dict[str, float]:
         pass
 
     try:
+        from graphiti_ray.stages.dedup import ngram_jaccard_ppjoin
+        from graphiti_ray.stages.similarity import hard_negatives, ood_margin
+        from graphiti_ray.stages.windows import watermark_late_events
+        import ray.data as rd
+
+        docs7 = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        timed("dedup_ppjoin", lambda: ngram_jaccard_ppjoin(docs7).count())
+        emb4 = rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding", "label"],
+        )
+        timed("hard_negatives", lambda: hard_negatives(emb4).count())
+        timed("ood_margin", lambda: ood_margin(emb4).count())
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+        timed("watermark", lambda: watermark_late_events(ev).count())
+    except ImportError:
+        pass
+
+    try:
         from graphiti_ray.pipelines.web import clean_web_corpus
         from graphiti_ray.sources.pages import pages_dataset, read_documents
         from graphiti_ray.stages.urls import synthesize_robots
