@@ -6476,6 +6476,39 @@ def _q_web_host_harmonic(sf_dir: str):
     )
 
 
+def _q_docs_readability(sf_dir: str):
+    """Flesch–Kincaid grade-level readability per doc (the standard
+    curriculum/difficulty feature): one stateless vectorized map_batches
+    pass; the grade rides the exact integer lattice fk_micro =
+    (1e6·(39·W² + 1180·Syl·S − 1559·S·W)) // (100·S·W), so no float
+    leaves either engine."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import readability_fk
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return readability_fk(docs)
+
+
+def _q_web_host_stress(sf_dir: str):
+    """Stress centrality (Shimbel 1953) over the host link graph: count of
+    shortest directed s→t paths through each host — the integer-exact
+    sibling of betweenness. All-sources layered BFS with Brandes σ
+    counting (frontier⋈edges, groupby-sum σ, left_anti vs visited), then
+    midpoint join + shortest-only filter, all dataset-side. Oracle:
+    bounded recursive-CTE distances + unrolled aggregated matrix powers
+    (a walk of length exactly d(s,t) is necessarily a shortest path)."""
+    from graphiti_ray.stages.graph import stress_centrality
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return stress_centrality(lg, src="src_host", dst="dst_host", max_depth=6)
+
+
 def _q_web_quality(sf_dir: str):
     """Per-page crawl-quality signals off the raw bytes: REAL tx1 extraction
     length, anchor-tag count, integer link density. The oracle re-derives
@@ -7999,6 +8032,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # value-proven in an earlier round's CORRECTNESS file rotate to the
     # tail.
     return {
+        "web_host_stress": _q_web_host_stress,
+        "docs_readability": _q_docs_readability,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -9882,6 +9917,78 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        "docs_readability": r"""
+WITH toks AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '\w+') AS tk
+  FROM documents
+),
+syl AS (
+  SELECT doc_id,
+         sum(greatest(len(regexp_extract_all(u.w, '[aeiouy]+')), 1))::BIGINT
+           AS n_syllables
+  FROM toks, LATERAL unnest(tk) AS u(w)
+  GROUP BY 1
+),
+base AS (
+  SELECT t.doc_id, len(t.tk)::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(t.text, '[.!?]+')), 1)::BIGINT
+           AS n_sentences,
+         s.n_syllables
+  FROM toks t JOIN syl s USING (doc_id)
+  WHERE len(t.tk) >= 1
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ((1000000 * (39*n_words*n_words + 1180*n_syllables*n_sentences
+                    - 1559*n_sentences*n_words))
+         // (100*n_sentences*n_words))::BIGINT AS fk_micro
+FROM base
+""",
+        # σ via aggregated matrix powers: a walk of length exactly d(s,t)
+        # cannot revisit a node, so the level-d walk count equals the
+        # shortest-path count; stress = Σ σ_sv·σ_vt over splits whose
+        # lengths sum to d(s,t) — all integers, no float lattice needed
+        "web_host_stress": f"""
+WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
+he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),
+vx AS (SELECT s AS node FROM he UNION SELECT t FROM he),
+walk(s, node, d) AS (
+  SELECT node, node, 0 FROM vx
+  UNION
+  SELECT w.s, e.t, w.d + 1 FROM walk w JOIN he e ON e.s = w.node
+  WHERE w.d < 6
+),
+dist AS (SELECT s, node AS t, min(d) AS d FROM walk GROUP BY 1, 2),
+p1 AS (SELECT s, t, 1::BIGINT AS c FROM he),
+p2 AS (SELECT p.s, e.t, sum(p.c)::BIGINT AS c FROM p1 p
+       JOIN he e ON e.s = p.t GROUP BY 1, 2),
+p3 AS (SELECT p.s, e.t, sum(p.c)::BIGINT AS c FROM p2 p
+       JOIN he e ON e.s = p.t GROUP BY 1, 2),
+p4 AS (SELECT p.s, e.t, sum(p.c)::BIGINT AS c FROM p3 p
+       JOIN he e ON e.s = p.t GROUP BY 1, 2),
+p5 AS (SELECT p.s, e.t, sum(p.c)::BIGINT AS c FROM p4 p
+       JOIN he e ON e.s = p.t GROUP BY 1, 2),
+p6 AS (SELECT p.s, e.t, sum(p.c)::BIGINT AS c FROM p5 p
+       JOIN he e ON e.s = p.t GROUP BY 1, 2),
+paths AS (
+  SELECT 1 AS d, * FROM p1 UNION ALL SELECT 2, * FROM p2
+  UNION ALL SELECT 3, * FROM p3 UNION ALL SELECT 4, * FROM p4
+  UNION ALL SELECT 5, * FROM p5 UNION ALL SELECT 6, * FROM p6
+),
+sig AS (
+  SELECT d.s, d.t, d.d, p.c AS sigma
+  FROM dist d JOIN paths p ON p.s = d.s AND p.t = d.t AND p.d = d.d
+  WHERE d.d > 0
+),
+mid AS (
+  SELECT a.s AS s, b.t AS t, a.t AS v, a.d + b.d AS dsum,
+         a.sigma * b.sigma AS sp
+  FROM sig a JOIN sig b ON b.s = a.t
+  WHERE a.s <> b.t
+)
+SELECT m.v AS host, sum(m.sp)::BIGINT AS stress
+FROM mid m JOIN dist dd ON dd.s = m.s AND dd.t = m.t AND dd.d = m.dsum
+GROUP BY 1
 """,
         "pages_url_normalize": """
 SELECT

@@ -3234,3 +3234,216 @@ def distance_histogram(
             )
         )
     return rd.from_items(rows)
+
+
+def stress_centrality(
+    edges: rd.Dataset,
+    src: str = "src_host",
+    dst: str = "dst_host",
+    max_depth: int = 6,
+) -> rd.Dataset:
+    """Stress centrality (Shimbel 1953): ``stress(v) = Σ_{s≠t≠v} σ_st(v)``
+    — the number of shortest directed s→t paths passing through v. The
+    integer-exact sibling of betweenness (which divides by σ_st and would
+    leave the exact lattice), so the SQL twin hashes bit-for-bit.
+
+    Three dataset-side phases, never a driver-resident graph (extends the
+    layered-BFS shape of ``harmonic_centrality`` / reference BFS
+    search_utils.py:272-324 with Brandes-style path counting):
+
+    1. **all-sources BFS with σ counting** — frontier rows ``(s, node,
+       sigma)``; per round one hash join frontier⋈edges, a ``groupby(s,
+       node)`` summing σ (the Brandes recurrence σ(s,v) = Σ_{u∈pred}
+       σ(s,u) — only last-layer nodes are in the frontier, so every
+       contribution is from depth d−1), then a ``left_anti`` join against
+       the visited set so only first-reached (= shortest-distance) layers
+       survive. Bounded by ``max_depth``.
+    2. **midpoint join** — AP(s,v) ⋈ AP(v,t) on v gives candidate routes
+       with length d1+d2 and path product σ1·σ2 (s≠t filtered; v≠s and
+       v≠t hold automatically since layers have d ≥ 1).
+    3. **shortest-only filter** — join candidates back to AP on (s,t) and
+       keep d1+d2 = d(s,t); ``groupby(v)`` sums σ1·σ2.
+
+    The all-sources phase is |S|·|V| pairs: run it on a vocabulary-sized
+    graph (the per-host graph after the distributed page-level link
+    extraction) or pass a seed-restricted edge set — same contract as
+    harmonic_centrality. The SQL twin computes σ as bounded aggregated
+    matrix powers: a walk of length exactly d(s,t) cannot revisit a node,
+    so the level-d(s,t) walk count equals σ_st."""
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    nparts = default_join_partitions()
+
+    def as_edge(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "node": t.column(src).cast(pa.string()),
+                "nxt": t.column(dst).cast(pa.string()),
+            }
+        )
+        g = tt.group_by(["node", "nxt"]).aggregate([([], "count_all")])
+        return g.drop_columns([g.column_names[-1]])
+
+    e = (
+        edges.select_columns([src, dst])
+        .map_batches(as_edge, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["node", "nxt"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .materialize()
+    )
+
+    def node_sides(t: pa.Table) -> pa.Table:
+        arr = pa.concat_arrays(
+            [t.column("node").combine_chunks(), t.column("nxt").combine_chunks()]
+        )
+        return pa.table({"node": pc.unique(arr)})
+
+    nodes = (
+        e.map_batches(node_sides, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    frontier = nodes.map_batches(
+        lambda t: pa.table(
+            {
+                "s": t.column("node"),
+                "node": t.column("node"),
+                "sigma": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    visited = frontier.select_columns(["s", "node"]).materialize()
+    layers: list[rd.Dataset] = []
+    for depth in range(1, max_depth + 1):
+        stepped = safe_join(
+            frontier, e, join_type="inner", num_partitions=nparts, on=("node",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "s": t.column("s"),
+                    "node": t.column("nxt"),
+                    "sigma": t.column("sigma"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        agg = stepped.groupby(["s", "node"]).aggregate(
+            Sum("sigma", alias_name="sigma")
+        ).materialize()
+        # ray 2.49 landmine: an ALL-empty join input crashes the hash
+        # shuffle (the empty block early-returns before the schema
+        # broadcast — hash_shuffle.py:223 — leaving the aggregators
+        # schema-less); a frontier of pure sinks produces exactly that,
+        # so stop before the anti-join, not after it.
+        if agg.count() == 0:
+            break
+        fresh = safe_join(
+            agg,
+            visited,
+            join_type="left_anti",
+            num_partitions=nparts,
+            on=("s", "node"),
+        ).materialize()
+        if fresh.count() == 0:
+            break
+        layers.append(
+            fresh.map_batches(
+                lambda t, _d=depth: t.append_column(
+                    "d", pa.array([_d] * t.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        visited = visited.union(fresh.select_columns(["s", "node"])).materialize()
+        frontier = fresh
+    if not layers:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "stress": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ap = layers[0]
+    for layer in layers[1:]:
+        ap = ap.union(layer)
+    ap = ap.materialize()
+
+    left = ap.map_batches(
+        lambda t: pa.table(
+            {
+                "s": t.column("s"),
+                "v": t.column("node"),
+                "d1": t.column("d"),
+                "sig1": t.column("sigma"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    right = ap.map_batches(
+        lambda t: pa.table(
+            {
+                "v": t.column("s"),
+                "t2": t.column("node"),
+                "d2": t.column("d"),
+                "sig2": t.column("sigma"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def route(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t.column("s"), t.column("t2"))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "s": t.column("s"),
+                "t2": t.column("t2"),
+                "v": t.column("v"),
+                "dsum": pc.add(t.column("d1"), t.column("d2")),
+                "sp": pc.multiply(t.column("sig1"), t.column("sig2")),
+            }
+        )
+
+    mid = safe_join(
+        left, right, join_type="inner", num_partitions=nparts, on=("v",)
+    ).map_batches(route, batch_format="pyarrow").materialize()
+    if mid.count() == 0:  # e.g. single-edge graphs: no 2-hop routes at all
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "host": pa.array([], pa.string()),
+                    "stress": pa.array([], pa.int64()),
+                }
+            )
+        )
+    dist = ap.map_batches(
+        lambda t: pa.table(
+            {
+                "s": t.column("s"),
+                "t2": t.column("node"),
+                "dmin": t.column("d"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    on_path = safe_join(
+        mid, dist, join_type="inner", num_partitions=nparts, on=("s", "t2")
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("dsum"), t.column("dmin"))),
+        batch_format="pyarrow",
+    )
+    return (
+        on_path.groupby("v")
+        .aggregate(Sum("sp", alias_name="stress"))
+        .map_batches(
+            lambda t: pa.table(
+                {"host": t.column("v"), "stress": t.column("stress")}
+            ),
+            batch_format="pyarrow",
+        )
+    )

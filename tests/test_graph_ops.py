@@ -744,3 +744,37 @@ def test_transitivity_stats_triangle_plus_tail(ray_session):
     ).take_all()
     wedges = sum(int(r["deg"]) * (int(r["deg"]) - 1) // 2 for r in deg)
     assert (t3, wedges) == (3, 5)
+
+
+def test_stress_centrality_hand_graph(ray_session):
+    """Diamond c→s→{a,b}→t: hand-counted shortest-path transits.
+    σ_ct = 2 (via a / via b); s carries (c,a),(c,b) and both (c,t)
+    paths; a and b each carry one (s,t) and one (c,t) path."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import stress_centrality
+
+    pairs = [("c", "s"), ("s", "a"), ("s", "b"), ("a", "t"), ("b", "t")]
+    edges = rd_.from_items(
+        [{"src_host": u, "dst_host": v} for u, v in pairs]
+    )
+    got = {
+        r["host"]: r["stress"]
+        for r in stress_centrality(edges, max_depth=6).take_all()
+    }
+    assert got == {"s": 4, "a": 2, "b": 2}
+
+
+def test_stress_centrality_shortest_only(ray_session):
+    """A longer alternative route contributes nothing: s→t direct edge
+    plus s→v→t detour — v lies on no SHORTEST path, so no output rows."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.graph import stress_centrality
+
+    pairs = [("s", "t"), ("s", "v"), ("v", "t")]
+    edges = rd_.from_items(
+        [{"src_host": u, "dst_host": v} for u, v in pairs]
+    )
+    got = stress_centrality(edges, max_depth=6).take_all()
+    assert got == []

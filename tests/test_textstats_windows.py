@@ -1987,3 +1987,23 @@ def test_docs_mi_independence_zero(ray_session):
     # MI total is >= 0 up to per-cell rounding; each cell count positive
     assert (out.n_ls > 0).all()
     assert out.mi_term_e6.sum() >= -out.n_ls.sum()  # rounding slack only
+
+
+def test_readability_fk_hand(ray_session):
+    """Hand-counted Flesch–Kincaid lattice: 'Hello world. It is big!' →
+    W=5, S=2, Syl=6, grade −0.455 → fk_micro −455000; empty docs drop."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.textstats import readability_fk
+
+    docs = rd_.from_items(
+        [
+            {"doc_id": 1, "text": "Hello world. It is big!"},
+            {"doc_id": 2, "text": "   "},
+        ]
+    )
+    rows = readability_fk(docs).take_all()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 6)
+    assert r["fk_micro"] == -455_000
