@@ -6492,6 +6492,21 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_docs_skipgrams(sf_dir: str):
+    """word2vec-style skip-gram pair stream: top-200 directed (center,
+    context) co-occurrences within ±2 token positions — vectorized window
+    explode + in-block combiner + one type-table groupby; the oracle is a
+    positional self-join gated on |Δpos| ≤ 2."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import skipgram_pairs
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return skipgram_pairs(docs, window=2, top_k=200)
+
+
 def _q_web_host_stress(sf_dir: str):
     """Stress centrality (Shimbel 1953) over the host link graph: count of
     shortest directed s→t paths through each host — the integer-exact
@@ -8034,6 +8049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "web_host_stress": _q_web_host_stress,
         "docs_readability": _q_docs_readability,
+        "docs_skipgrams": _q_docs_skipgrams,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -9917,6 +9933,28 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        "docs_skipgrams": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(tk) AS w, generate_subscripts(tk, 1) AS i
+  FROM toks
+),
+counted AS (
+  SELECT a.w AS center, b.w AS context, count(*)::BIGINT AS n_pair
+  FROM pos a JOIN pos b
+    ON b.doc_id = a.doc_id AND b.i <> a.i AND abs(b.i - a.i) <= 2
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT center, context, n_pair,
+         row_number() OVER (ORDER BY n_pair DESC, center, context) AS rank
+  FROM counted
+)
+SELECT rank, center, context, n_pair FROM ranked WHERE rank <= 200
 """,
         "docs_readability": r"""
 WITH toks AS (

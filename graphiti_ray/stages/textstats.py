@@ -1826,3 +1826,72 @@ def readability_fk(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def skipgram_pairs(
+    docs: rd.Dataset,
+    window: int = 2,
+    top_k: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Skip-gram training-pair extraction (Mikolov et al. 2013): directed
+    (center, context) co-occurrences within ``±window`` token positions —
+    the pair stream a word2vec/GloVe-style embedding trainer consumes.
+    Returns the ``top_k`` pairs by corpus count (rank, center, context,
+    n_pair), ties → (center, context) order.
+
+    Distributed shape mirrors ``pmi_collocations``: the window explode is
+    vectorized per block (for offset d, zip(t[:-d], t[d:]) in both
+    directions — no per-position Python), an in-block ``group_by``
+    combiner collapses duplicates before the ONE corpus-scale
+    ``groupby(center, context).sum`` to the type table, and only the
+    type table (types ≪ occurrences) rides the final sort+limit. The SQL
+    twin is a positional self-join gated on |Δpos| ≤ window."""
+    import pandas as pd
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        toks = texts.str.lower().str.findall(r"\w+")
+        c_: list[str] = []
+        x_: list[str] = []
+        for t in toks:
+            n = len(t)
+            for d in range(1, window + 1):
+                if d >= n:
+                    break
+                c_.extend(t[:-d])
+                x_.extend(t[d:])
+                c_.extend(t[d:])
+                x_.extend(t[:-d])
+        tbl = pa.table(
+            {
+                "center": pa.array(c_, pa.string()),
+                "context": pa.array(x_, pa.string()),
+            }
+        )
+        return (
+            tbl.group_by(["center", "context"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["center", "context", "c"])
+        )
+
+    types = (
+        docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["center", "context"])
+        .sum("c")
+        .map_batches(
+            lambda t: t.rename_columns(["center", "context", "n_pair"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    top = (
+        types.sort(
+            ["n_pair", "center", "context"], descending=[True, False, False]
+        )
+        .limit(top_k)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["rank", "center", "context", "n_pair"]]

@@ -2007,3 +2007,20 @@ def test_readability_fk_hand(ray_session):
     r = rows[0]
     assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (5, 2, 6)
     assert r["fk_micro"] == -455_000
+
+
+def test_skipgram_pairs_hand(ray_session):
+    """'a b c' with window 2 → all 6 directed pairs once; count ties
+    break alphabetically on (center, context)."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.textstats import skipgram_pairs
+
+    docs = rd_.from_items([{"doc_id": 1, "text": "a b c"}])
+    out = skipgram_pairs(docs, window=2, top_k=10)
+    assert list(out.n_pair) == [1] * 6
+    assert list(zip(out.center, out.context)) == [
+        ("a", "b"), ("a", "c"), ("b", "a"),
+        ("b", "c"), ("c", "a"), ("c", "b"),
+    ]
+    assert list(out["rank"]) == [1, 2, 3, 4, 5, 6]
