@@ -6492,6 +6492,19 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_kg_allen_census(sf_dir: str):
+    """Allen interval-algebra census over the bi-temporal edge table:
+    every unordered pair of facts about the same (group, subj, obj) is
+    classified into one of the 13 Allen relations between their
+    [valid_at, invalid_at) validity windows (open → 9999-12-31 sentinel)
+    — one bounded hash self-join + vectorized ordered rule chain whose
+    evaluation order matches the SQL CASE twin exactly."""
+    from graphiti_ray.stages.temporal import allen_census
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    return allen_census(tables["edges"])
+
+
 def _q_docs_skipgrams(sf_dir: str):
     """word2vec-style skip-gram pair stream: top-200 directed (center,
     context) co-occurrences within ±2 token positions — vectorized window
@@ -8050,6 +8063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_stress": _q_web_host_stress,
         "docs_readability": _q_docs_readability,
         "docs_skipgrams": _q_docs_skipgrams,
+        "kg_allen_census": _q_kg_allen_census,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -9933,6 +9947,47 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        # CASE order IS the contract: the Ray side evaluates the same
+        # rule chain via np.select, so degenerate zero-length intervals
+        # (two assertions sharing valid_at) classify identically
+        "kg_allen_census": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+ed AS (
+  SELECT m.uuid, m.group_id, m.subj_uuid, m.obj_uuid, m.valid_at AS s,
+         coalesce(p.inv, s2.inv, TIMESTAMP '9999-12-31 00:00:00') AS e
+  FROM merged_id m
+  LEFT JOIN pair_inv p USING (uuid)
+  LEFT JOIN subj_inv s2 USING (uuid)
+),
+pr AS (
+  SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+  FROM ed a JOIN ed b
+    ON b.group_id = a.group_id AND b.subj_uuid = a.subj_uuid
+   AND b.obj_uuid = a.obj_uuid AND a.uuid < b.uuid
+),
+cls AS (
+  SELECT CASE
+    WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+    WHEN e1 < s2 THEN 'before'
+    WHEN e2 < s1 THEN 'before_i'
+    WHEN e1 = s2 THEN 'meets'
+    WHEN e2 = s1 THEN 'meets_i'
+    WHEN s1 < s2 AND s2 < e1 AND e1 < e2 THEN 'overlaps'
+    WHEN s2 < s1 AND s1 < e2 AND e2 < e1 THEN 'overlaps_i'
+    WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+    WHEN s1 = s2 AND e2 < e1 THEN 'starts_i'
+    WHEN s2 < s1 AND e1 < e2 THEN 'during'
+    WHEN s1 < s2 AND e2 < e1 THEN 'during_i'
+    WHEN e1 = e2 AND s2 < s1 THEN 'finishes'
+    WHEN e1 = e2 AND s1 < s2 THEN 'finishes_i'
+    ELSE 'other' END AS relation
+  FROM pr
+)
+SELECT relation, count(*)::BIGINT AS n_pairs FROM cls GROUP BY 1
 """,
         "docs_skipgrams": r"""
 WITH toks AS (

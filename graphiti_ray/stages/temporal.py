@@ -577,3 +577,115 @@ def coalesce_intervals(
     return sorted_run_map(
         narrow, key_cols=key_cols, order_cols=["s_us", "e_us"], block_fn=kernel
     )
+
+
+ALLEN_SENTINEL_US = 253_370_764_800_000_000  # 9999-12-31T00:00:00 in µs
+
+
+def allen_census(
+    edges: rd.Dataset,
+    key_cols: tuple = ("group_id", "subj_uuid", "obj_uuid"),
+    id_col: str = "uuid",
+    start_col: str = "valid_at",
+    end_col: str = "invalid_at",
+) -> rd.Dataset:
+    """Allen interval-algebra census (Allen 1983) over the bi-temporal
+    edge table → ``(relation, n_pairs)``: every unordered pair of facts
+    about the same ``key_cols`` (default: same subject–object pair) is
+    classified into one of the 13 Allen relations between their
+    ``[valid_at, invalid_at)`` validity windows — the temporal-consistency
+    profile of the graph (how often do co-asserted facts about a pair
+    overlap vs abut vs nest). Open intervals take the 9999-12-31 sentinel,
+    same convention as ``coalesce_intervals``.
+
+    Shape: one hash self-join on ``key_cols`` (group sizes are bounded by
+    the predicate vocabulary per node pair, so the join output is
+    O(edges·preds), not quadratic in the corpus), then a vectorized
+    ordered rule chain (``np.select`` — evaluation order matches the SQL
+    CASE twin exactly, so degenerate zero-length intervals classify
+    identically) and a 13-row groupby-sum. ``uuid_a < uuid_b`` orders each
+    pair once."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    keys = list(key_cols)
+    narrow = edges.select_columns(keys + [id_col, start_col, end_col])
+
+    def side(suffix: str):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {k: t.column(k) for k in keys}
+            cols[f"u{suffix}"] = t.column(id_col)
+            cols[f"s{suffix}"] = t.column(start_col)
+            cols[f"e{suffix}"] = t.column(end_col)
+            return pa.table(cols)
+
+        return fn
+
+    left = narrow.map_batches(side("1"), batch_format="pyarrow")
+    right = narrow.map_batches(side("2"), batch_format="pyarrow")
+    joined = safe_join(
+        left,
+        right,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=tuple(keys),
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("u1"), t.column("u2")))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "relation": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+
+        def us(col, fill=None):
+            a = t.column(col).cast(pa.timestamp("us")).cast(pa.int64())
+            if fill is not None:
+                a = pc.fill_null(a, fill)
+            return a.to_numpy(zero_copy_only=False).astype(np.int64)
+
+        s1, s2 = us("s1"), us("s2")
+        e1 = us("e1", ALLEN_SENTINEL_US)
+        e2 = us("e2", ALLEN_SENTINEL_US)
+        conds = [
+            (s1 == s2) & (e1 == e2),
+            e1 < s2,
+            e2 < s1,
+            e1 == s2,
+            e2 == s1,
+            (s1 < s2) & (s2 < e1) & (e1 < e2),
+            (s2 < s1) & (s1 < e2) & (e2 < e1),
+            (s1 == s2) & (e1 < e2),
+            (s1 == s2) & (e2 < e1),
+            (s2 < s1) & (e1 < e2),
+            (s1 < s2) & (e2 < e1),
+            (e1 == e2) & (s2 < s1),
+            (e1 == e2) & (s1 < s2),
+        ]
+        names = [
+            "equals", "before", "before_i", "meets", "meets_i",
+            "overlaps", "overlaps_i", "starts", "starts_i",
+            "during", "during_i", "finishes", "finishes_i",
+        ]
+        rel = np.select(conds, names, default="other")
+        tbl = pa.table({"relation": pa.array(rel.tolist(), pa.string())})
+        return (
+            tbl.group_by(["relation"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["relation", "c"])
+        )
+
+    return (
+        joined.map_batches(classify, batch_format="pyarrow")
+        .groupby("relation")
+        .sum("c")
+        .map_batches(
+            lambda t: t.rename_columns(["relation", "n_pairs"]),
+            batch_format="pyarrow",
+        )
+    )

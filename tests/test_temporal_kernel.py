@@ -203,3 +203,49 @@ def test_arrow_combiner_matches_pandas_witness(ray_session):
         # merged_edges carries provenance as the ','-joined internal string
         # (episodes_to_list splits it in the final schema)
         assert sorted(got.episodes.split(",")) == want.episodes
+
+
+def test_allen_census_hand(ray_session):
+    """Five intervals on one (g,s,o) key: equals, meets×3, during_i×2,
+    overlaps×2, before_i, during — all 10 unordered pairs classified,
+    open interval takes the sentinel end."""
+    from datetime import datetime
+
+    import ray.data as rd_
+
+    from graphiti_ray.stages.temporal import allen_census
+
+    def ts(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        ("a", ts(0), ts(10)),
+        ("b", ts(0), ts(10)),
+        ("c", ts(10), ts(20)),
+        ("d", ts(2), ts(5)),
+        ("e", ts(5), None),
+    ]
+    edges = rd_.from_items(
+        [
+            {
+                "group_id": "g",
+                "subj_uuid": "s",
+                "obj_uuid": "o",
+                "uuid": u,
+                "valid_at": s,
+                "invalid_at": e,
+            }
+            for u, s, e in rows
+        ]
+    )
+    got = {
+        r["relation"]: r["n_pairs"] for r in allen_census(edges).take_all()
+    }
+    assert got == {
+        "equals": 1,
+        "meets": 3,
+        "during_i": 2,
+        "overlaps": 2,
+        "before_i": 1,
+        "during": 1,
+    }
