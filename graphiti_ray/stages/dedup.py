@@ -1733,14 +1733,27 @@ def levenshtein_distance(a: str, b: str) -> int:
     la, lb = len(a), len(b)
     if la == 0 or lb == 0:
         return la or lb
-    if lb > la:  # iterate over the longer string, vectorize the shorter
-        a, b, la, lb = b, a, lb, la
+    av = np.fromiter(map(ord, a), dtype=np.int64, count=la)
     bv = np.fromiter(map(ord, b), dtype=np.int64, count=lb)
-    idx = np.arange(lb + 1, dtype=np.int64)
+    # strip the common prefix and suffix — exact (some optimal alignment
+    # maps them 1:1), and the LSH candidates this kernel verifies are
+    # near-clones, so the surviving DP core is usually a fraction of the
+    # full strings
+    m = min(la, lb)
+    neq = av[:m] != bv[:m]
+    p = int(neq.argmax()) if neq.any() else m
+    neqs = av[::-1][:m] != bv[::-1][:m]
+    s = int(neqs.argmax()) if neqs.any() else m
+    s = min(s, m - p)
+    av, bv = av[p : la - s], bv[p : lb - s]
+    if av.size == 0 or bv.size == 0:
+        return int(av.size or bv.size)
+    if av.size > bv.size:  # loop the SHORTER string: fewer Python rows,
+        av, bv = bv, av  # each row one longer vectorized kernel
+    idx = np.arange(bv.size + 1, dtype=np.int64)
     prev = idx.copy()
-    t = np.empty(lb + 1, np.int64)
-    for i, ca in enumerate(a):
-        oa = ord(ca)
+    t = np.empty(bv.size + 1, np.int64)
+    for i, oa in enumerate(av):
         t[0] = i + 1
         np.minimum(prev[1:] + 1, prev[:-1] + (bv != oa), out=t[1:])
         prev = np.minimum.accumulate(t - idx) + idx
