@@ -6492,6 +6492,22 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_docs_llr(sf_dir: str):
+    """Dunning log-likelihood-ratio collocations: top-50 adjacent bigrams
+    by G² over the 2×2 contingency table, support ≥ 5 — the
+    rare-pair-robust sibling of docs_pmi, same combiner → type-table →
+    marginal-join shape, score on the int 1e-6 lattice with a
+    bit-identical xlogx chain in the SQL twin."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import llr_collocations
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return llr_collocations(docs, top_k=50, min_count=5)
+
+
 def _q_kg_allen_census(sf_dir: str):
     """Allen interval-algebra census over the bi-temporal edge table:
     every unordered pair of facts about the same (group, subj, obj) is
@@ -8064,6 +8080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_readability": _q_docs_readability,
         "docs_skipgrams": _q_docs_skipgrams,
         "kg_allen_census": _q_kg_allen_census,
+        "docs_llr": _q_docs_llr,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -9947,6 +9964,54 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        # the xlx CASE chain mirrors the numpy expression left-to-right,
+        # so the float result is bit-identical before the 1e-6 rounding
+        "docs_llr": r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS tk FROM documents
+),
+bi AS (
+  SELECT tk[i] AS w1, tk[i + 1] AS w2
+  FROM toks, LATERAL unnest(range(1, len(tk))) AS u(i)
+),
+types AS (SELECT w1, w2, count(*)::BIGINT AS n_pair FROM bi GROUP BY 1, 2),
+tot AS (SELECT sum(n_pair)::DOUBLE AS n FROM types),
+lm AS (SELECT w1, sum(n_pair)::DOUBLE AS a FROM types GROUP BY 1),
+rm AS (SELECT w2, sum(n_pair)::DOUBLE AS b FROM types GROUP BY 1),
+cells AS (
+  SELECT t.w1, t.w2, t.n_pair,
+         t.n_pair::DOUBLE AS k11,
+         lm.a - t.n_pair::DOUBLE AS k12,
+         rm.b - t.n_pair::DOUBLE AS k21,
+         tot.n - lm.a - rm.b + t.n_pair::DOUBLE AS k22,
+         lm.a AS ra, rm.b AS ca, tot.n AS nn
+  FROM types t JOIN lm USING (w1) JOIN rm USING (w2) CROSS JOIN tot
+  WHERE t.n_pair >= 5
+),
+scored AS (
+  SELECT w1, w2, n_pair,
+         round((2 * (
+             (CASE WHEN k11 > 0 THEN k11 * ln(k11) ELSE 0 END)
+           + (CASE WHEN k12 > 0 THEN k12 * ln(k12) ELSE 0 END)
+           + (CASE WHEN k21 > 0 THEN k21 * ln(k21) ELSE 0 END)
+           + (CASE WHEN k22 > 0 THEN k22 * ln(k22) ELSE 0 END)
+           - (CASE WHEN ra > 0 THEN ra * ln(ra) ELSE 0 END)
+           - (CASE WHEN nn - ra > 0 THEN (nn - ra) * ln(nn - ra) ELSE 0 END)
+           - (CASE WHEN ca > 0 THEN ca * ln(ca) ELSE 0 END)
+           - (CASE WHEN nn - ca > 0 THEN (nn - ca) * ln(nn - ca) ELSE 0 END)
+           + (CASE WHEN nn > 0 THEN nn * ln(nn) ELSE 0 END)
+         )) * 1000000)::BIGINT AS llr6
+  FROM cells
+),
+ranked AS (
+  SELECT w1, w2, n_pair, llr6,
+         row_number() OVER (ORDER BY llr6 DESC, w1, w2) AS rank
+  FROM scored
+)
+SELECT rank::BIGINT AS rank, w1, w2, n_pair,
+       llr6::DOUBLE / 1000000 AS llr
+FROM ranked WHERE rank <= 50
 """,
         # CASE order IS the contract: the Ray side evaluates the same
         # rule chain via np.select, so degenerate zero-length intervals

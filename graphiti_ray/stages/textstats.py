@@ -1895,3 +1895,121 @@ def skipgram_pairs(
     )
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[["rank", "center", "context", "n_pair"]]
+
+
+def llr_collocations(
+    docs: rd.Dataset,
+    top_k: int = 50,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Log-likelihood-ratio collocation mining (Dunning 1993): the
+    ``top_k`` adjacent token pairs by the G² statistic over the 2×2
+    bigram contingency table — the scorer Mahout/NLTK phrase miners use
+    where PMI over-rewards rare pairs. Same distributed shape as
+    :func:`pmi_collocations` (per-block combiner → one type-table groupby
+    → marginals over the type table joined back); the score is quantized
+    to the int 1e-6 lattice (``llr6``) with the SQL twin evaluating the
+    bit-identical xlogx expression chain.
+
+    G² = 2·(Σ xlx(k_ij) − Σ xlx(row/col sums) + xlx(N)), xlx(x)=x·ln x.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    def explode_pairs(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        toks = texts.str.lower().str.findall(r"\w+")
+        w1: list[str] = []
+        w2: list[str] = []
+        for t in toks:
+            if len(t) > 1:
+                w1.extend(t[:-1])
+                w2.extend(t[1:])
+        tbl = pa.table(
+            {"w1": pa.array(w1, pa.string()), "w2": pa.array(w2, pa.string())}
+        )
+        return (
+            tbl.group_by(["w1", "w2"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["w1", "w2", "c"])
+        )
+
+    types = (
+        docs.map_batches(explode_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .sum("c")
+        .map_batches(
+            lambda t: t.rename_columns(["w1", "w2", "n_pair"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    n_total = int(types.sum("n_pair"))
+    left_marg = types.groupby("w1").sum("n_pair").map_batches(
+        lambda t: t.rename_columns(["w1", "n_left"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    right_marg = types.groupby("w2").sum("n_pair").map_batches(
+        lambda t: t.rename_columns(["w2", "n_right"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    gated = types.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n_pair"), min_count)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nparts = default_join_partitions()
+    joined = safe_join(
+        safe_join(
+            gated, left_marg, join_type="inner", num_partitions=nparts, on=("w1",)
+        ),
+        right_marg,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("w2",),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_pair").to_numpy(zero_copy_only=False).astype(np.float64)
+        ra = batch.column("n_left").to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = batch.column("n_right").to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = float(n_total)
+
+        def xlx(x):
+            return np.where(x > 0, x * np.log(np.where(x > 0, x, 1.0)), 0.0)
+
+        k11 = c
+        k12 = ra - c
+        k21 = ca - c
+        k22 = nn - ra - ca + c
+        s = (
+            xlx(k11) + xlx(k12) + xlx(k21) + xlx(k22)
+            - xlx(ra) - xlx(nn - ra) - xlx(ca) - xlx(nn - ca)
+            + xlx(nn)
+        )
+        llr6 = np.rint((2.0 * s) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n_pair": batch.column("n_pair"),
+                "llr6": pa.array(llr6, pa.int64()),
+            }
+        )
+
+    top = (
+        joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["llr6", "w1", "w2"], descending=[True, False, False])
+        .limit(top_k)
+        .to_pandas()
+    )
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    top["llr"] = top.pop("llr6").astype(np.float64) / 1e6
+    return top[["rank", "w1", "w2", "n_pair", "llr"]]

@@ -2024,3 +2024,35 @@ def test_skipgram_pairs_hand(ray_session):
         ("b", "c"), ("c", "a"), ("c", "b"),
     ]
     assert list(out["rank"]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_llr_collocations_hand(ray_session):
+    """Perfectly-associated pair ranks first with the hand-computed G²:
+    corpus of 10 'x y' docs + 10 'x z' docs → bigrams (x,y)×10, (x,z)×10;
+    each pair's 2×2 table is [[10,10],[0,0]] vs marginals, G² =
+    2·(10ln10+10ln10 − 20ln20 − 10ln10 − 10ln10 + 20ln20) = 0 for
+    (x,y) vs (x,z) symmetry — both score equally, ties break on (w1,w2)."""
+    import math
+
+    import ray.data as rd_
+
+    from graphiti_ray.stages.textstats import llr_collocations
+
+    rows = [{"doc_id": i, "text": "x y"} for i in range(10)]
+    rows += [{"doc_id": 100 + i, "text": "x z"} for i in range(10)]
+    out = llr_collocations(rd_.from_items(rows), top_k=10, min_count=5)
+    assert list(zip(out.w1, out.w2)) == [("x", "y"), ("x", "z")]
+    assert list(out.n_pair) == [10, 10]
+
+    # hand G²: k11=10 k12=10 k21=0 k22=0, ra=20 ca=10 nn=20
+    def xlx(v):
+        return v * math.log(v) if v > 0 else 0.0
+
+    s = (
+        xlx(10) + xlx(10) + xlx(0) + xlx(0)
+        - xlx(20) - xlx(0) - xlx(10) - xlx(10)
+        + xlx(20)
+    )
+    want = round((2 * s) * 1e6) / 1e6
+    assert abs(out.llr.iloc[0] - want) < 1e-6
+    assert out.llr.iloc[0] == out.llr.iloc[1]
