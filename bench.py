@@ -220,6 +220,23 @@ def _extras(sf_dir: str) -> dict[str, float]:
         pass
 
     try:
+        from graphiti_ray.stages.textstats import (
+            llr_collocations,
+            readability_fk,
+            skipgram_pairs,
+        )
+        import ray.data as rd
+
+        docs8 = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        timed("readability", lambda: readability_fk(docs8).count())
+        timed("skipgrams", lambda: len(skipgram_pairs(docs8)))
+        timed("llr_colloc", lambda: len(llr_collocations(docs8)))
+    except ImportError:
+        pass
+
+    try:
         from graphiti_ray.pipelines.web import clean_web_corpus
         from graphiti_ray.sources.pages import pages_dataset, read_documents
         from graphiti_ray.stages.urls import synthesize_robots

@@ -3349,15 +3349,18 @@ def stress_centrality(
         ).materialize()
         if fresh.count() == 0:
             break
+        # fresh is already materialized: the depth-stamp map and the
+        # visited union stay lazy (metadata-only over materialized
+        # blocks) — 2 fewer barriers per BFS round
         layers.append(
             fresh.map_batches(
                 lambda t, _d=depth: t.append_column(
                     "d", pa.array([_d] * t.num_rows, pa.int64())
                 ),
                 batch_format="pyarrow",
-            ).materialize()
+            )
         )
-        visited = visited.union(fresh.select_columns(["s", "node"])).materialize()
+        visited = visited.union(fresh.select_columns(["s", "node"]))
         frontier = fresh
     if not layers:
         return rd.from_arrow(
