@@ -249,3 +249,75 @@ def test_allen_census_hand(ray_session):
         "before_i": 1,
         "during": 1,
     }
+
+
+def test_allen_census_random_vs_bruteforce(ray_session):
+    """60 random intervals across 3 keys vs a pure-Python brute-force
+    classifier with the same ordered rule chain — and exhaustiveness:
+    no pair may fall to 'other' when every interval has s < e."""
+    import random
+    from datetime import datetime, timedelta
+
+    import ray.data as rd_
+
+    from graphiti_ray.stages.temporal import allen_census
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    items, recs = [], []
+    for i in range(60):
+        key = f"k{i % 3}"
+        s = rng.randrange(0, 50)
+        e = s + rng.randrange(1, 20)
+        open_iv = rng.random() < 0.2
+        items.append(
+            {
+                "group_id": "g",
+                "subj_uuid": key,
+                "obj_uuid": "o",
+                "uuid": f"u{i:03d}",
+                "valid_at": base + timedelta(hours=s),
+                "invalid_at": None if open_iv else base + timedelta(hours=e),
+            }
+        )
+        recs.append((key, f"u{i:03d}", s, 10**6 if open_iv else e))
+
+    def classify(s1, e1, s2, e2):
+        rules = [
+            (s1 == s2 and e1 == e2, "equals"),
+            (e1 < s2, "before"),
+            (e2 < s1, "before_i"),
+            (e1 == s2, "meets"),
+            (e2 == s1, "meets_i"),
+            (s1 < s2 < e1 < e2, "overlaps"),
+            (s2 < s1 < e2 < e1, "overlaps_i"),
+            (s1 == s2 and e1 < e2, "starts"),
+            (s1 == s2 and e2 < e1, "starts_i"),
+            (s2 < s1 and e1 < e2, "during"),
+            (s1 < s2 and e2 < e1, "during_i"),
+            (e1 == e2 and s2 < s1, "finishes"),
+            (e1 == e2 and s1 < s2, "finishes_i"),
+        ]
+        for cond, name in rules:
+            if cond:
+                return name
+        return "other"
+
+    from collections import Counter
+
+    want: Counter = Counter()
+    for i in range(len(recs)):
+        for j in range(i + 1, len(recs)):
+            (ka, ua, sa, ea), (kb, ub, sb, eb) = recs[i], recs[j]
+            if ka != kb:
+                continue
+            if ua > ub:
+                sa, ea, sb, eb = sb, eb, sa, ea
+            want[classify(sa, ea, sb, eb)] += 1
+    assert "other" not in want  # the 13 relations are exhaustive for s<e
+
+    got = {
+        r["relation"]: r["n_pairs"]
+        for r in allen_census(rd_.from_items(items)).take_all()
+    }
+    assert got == dict(want)
