@@ -6492,6 +6492,23 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_embeddings_pca(sf_dir: str):
+    """Top principal component via exact-integer power iteration over the
+    e3-lattice covariance Gram: two streaming combiner passes (per-pos
+    means, then partial centered Gram — a dim×dim int64 matmul per
+    block), dim² rows folded on the driver, 4 power rounds with
+    floor-division renormalization. The oracle unrolls the identical
+    integer recurrence."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import pca_top_component
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_top_component(emb, rounds=4)
+
+
 def _q_docs_llr(sf_dir: str):
     """Dunning log-likelihood-ratio collocations: top-50 adjacent bigrams
     by G² over the 2×2 contingency table, support ≥ 5 — the
@@ -8081,6 +8098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_skipgrams": _q_docs_skipgrams,
         "kg_allen_census": _q_kg_allen_census,
         "docs_llr": _q_docs_llr,
+        "embeddings_pca": _q_embeddings_pca,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -9964,6 +9982,47 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        # exact-integer power iteration: after floor(v*1000) everything
+        # is int arithmetic (sums promote to HUGEINT), so 4 unrolled
+        # rounds of y=G·x, x=(y*1000)//max|y| match the Python fold
+        # bit-for-bit; Gram is PSD so no sign convention is needed
+        "embeddings_pca": """
+WITH vx AS (
+  SELECT vec_id, i AS pos,
+         floor(embedding[i]::DOUBLE * 1000)::BIGINT AS x
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+mu AS (SELECT pos, sum(x) // count(*) AS m FROM vx GROUP BY 1),
+cx AS (SELECT v.vec_id, v.pos, v.x - mu.m AS x FROM vx v JOIN mu USING (pos)),
+gram AS (
+  SELECT a.pos AS i, b.pos AS j, sum(a.x * b.x) AS g
+  FROM cx a JOIN cx b USING (vec_id) GROUP BY 1, 2
+),
+x0 AS (SELECT DISTINCT i AS pos, 1000::HUGEINT AS x FROM gram),
+y1 AS (SELECT g.i AS pos, sum(g.g * x.x) AS y
+       FROM gram g JOIN x0 x ON x.pos = g.j GROUP BY 1),
+x1 AS (SELECT y1.pos, (y1.y * 1000) // m.m AS x
+       FROM y1 CROSS JOIN (SELECT max(abs(y)) AS m FROM y1) m),
+y2 AS (SELECT g.i AS pos, sum(g.g * x.x) AS y
+       FROM gram g JOIN x1 x ON x.pos = g.j GROUP BY 1),
+x2 AS (SELECT y2.pos, (y2.y * 1000) // m.m AS x
+       FROM y2 CROSS JOIN (SELECT max(abs(y)) AS m FROM y2) m),
+y3 AS (SELECT g.i AS pos, sum(g.g * x.x) AS y
+       FROM gram g JOIN x2 x ON x.pos = g.j GROUP BY 1),
+x3 AS (SELECT y3.pos, (y3.y * 1000) // m.m AS x
+       FROM y3 CROSS JOIN (SELECT max(abs(y)) AS m FROM y3) m),
+y4 AS (SELECT g.i AS pos, sum(g.g * x.x) AS y
+       FROM gram g JOIN x3 x ON x.pos = g.j GROUP BY 1),
+x4 AS (SELECT y4.pos, (y4.y * 1000) // m.m AS x
+       FROM y4 CROSS JOIN (SELECT max(abs(y)) AS m FROM y4) m),
+yf AS (SELECT g.i AS pos, sum(g.g * x.x) AS y
+       FROM gram g JOIN x4 x ON x.pos = g.j GROUP BY 1),
+ray AS (SELECT sum(x4.x * yf.y) AS num, sum(x4.x * x4.x) AS den
+        FROM x4 JOIN yf USING (pos))
+SELECT x4.pos::BIGINT AS pos, x4.x::BIGINT AS x_e3,
+       (ray.num // ray.den)::BIGINT AS lam
+FROM x4 CROSS JOIN ray
 """,
         # the xlx CASE chain mirrors the numpy expression left-to-right,
         # so the float result is bit-identical before the 1e-6 rounding

@@ -1135,3 +1135,116 @@ def ood_margin(
         )
 
     return emb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pca_top_component(
+    emb: rd.Dataset,
+    rounds: int = 4,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Top principal component of the embedding corpus by exact-integer
+    power iteration over the e3-lattice covariance Gram — the direction a
+    data-mixing/dedup pipeline projects onto for diversity scoring, and
+    the one distributed linear-algebra primitive (Gram reduce) the
+    similarity family didn't yet expose.
+
+    Fully distributed, parameter-sized driver state:
+      1. per-position sums (one combiner pass) → dim rows → floor-div
+         means ``mu`` on the driver,
+      2. per-block partial centered Gram ``(V−μ)ᵀ(V−μ)`` (one int64
+         matmul per block, emitted long) → ``groupby(i,j).sum`` →
+         dim² rows folded on the driver — never a vector-count-sized
+         materialization,
+      3. power iteration in exact Python ints: x₀ = 1000·𝟙, per round
+         y = G·x then renormalize x ← trunc((y·1000) / max|y|) —
+         TRUNCATION toward zero, DuckDB's ``//`` semantics on negatives
+         (Python's ``//`` floors; ``_tdiv`` bridges) — eigenvalue =
+         Rayleigh quotient trunc((xᵀGx) / (xᵀx)).
+
+    Everything after the floor(v·1000) quantization (the kmeans_assign
+    convention) is exact integer arithmetic, so the unrolled SQL twin
+    hashes bit-for-bit. Gram is PSD, so iterates keep their sign and no
+    sign convention is needed. Assumes dim² is parameter-sized (dim ≲
+    2k); rows scale freely. → (pos 1-based, x_e3, lam)."""
+    from ray.data.aggregate import Sum
+
+    quant = KMEANS_QUANT
+
+    def q3(t: pa.Table) -> np.ndarray:
+        import numpy as _np
+
+        vs = t.column(col).to_pylist()
+        return _np.floor(_np.asarray(vs, _np.float64) * quant).astype(_np.int64)
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        v3 = q3(t)
+        s = v3.sum(axis=0)
+        d = v3.shape[1]
+        return pa.table(
+            {
+                "pos": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "s": pa.array(s, pa.int64()),
+                "n": pa.array(np.full(d, v3.shape[0], np.int64)),
+            }
+        )
+
+    sums = (
+        emb.map_batches(pos_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pos")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .take_all()
+    )
+    sums.sort(key=lambda r: r["pos"])
+
+    def _tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a < 0) == (b < 0) else -q
+
+    mu = np.array([_tdiv(int(r["s"]), int(r["n"])) for r in sums], np.int64)
+    dim = len(mu)
+
+    def gram_partial(t: pa.Table, _mu=mu) -> pa.Table:
+        v3 = q3(t) - _mu
+        g = v3.T @ v3
+        ii, jj = np.meshgrid(
+            np.arange(1, dim + 1, dtype=np.int64),
+            np.arange(1, dim + 1, dtype=np.int64),
+            indexing="ij",
+        )
+        return pa.table(
+            {
+                "i": pa.array(ii.ravel(), pa.int64()),
+                "j": pa.array(jj.ravel(), pa.int64()),
+                "g": pa.array(g.ravel(), pa.int64()),
+            }
+        )
+
+    gram_rows = (
+        emb.map_batches(gram_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .sum("g")
+        .take_all()
+    )
+    G = [[0] * dim for _ in range(dim)]
+    for r in gram_rows:
+        G[int(r["i"]) - 1][int(r["j"]) - 1] = int(r["sum(g)"])
+
+    x = [int(quant)] * dim
+    for _ in range(rounds):
+        y = [sum(G[i][j] * x[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(v) for v in y)
+        if m == 0:
+            break
+        x = [_tdiv(v * quant, m) for v in y]
+    yf = [sum(G[i][j] * x[j] for j in range(dim)) for i in range(dim)]
+    num = sum(x[i] * yf[i] for i in range(dim))
+    den = sum(v * v for v in x)
+    lam = _tdiv(num, den) if den else 0
+    return pa.table(
+        {
+            "pos": pa.array(range(1, dim + 1), pa.int64()),
+            "x_e3": pa.array(x, pa.int64()),
+            "lam": pa.array([lam] * dim, pa.int64()),
+        }
+    )

@@ -183,3 +183,36 @@ def test_distinct_by_key_cross_block(ray_session):
     out = distinct_by_key(ds, "k").to_pandas()
     assert len(out) == 50
     assert out.k.is_unique
+
+
+def test_pca_top_component_matches_numpy(ray_session):
+    """On a corpus with a planted dominant direction, the integer power
+    iterate aligns with numpy's top eigenvector of the e3 covariance
+    Gram (|cos| > 0.999), and lam approximates its eigenvalue."""
+    import numpy as np
+    import ray.data as rd_
+
+    from graphiti_ray.stages.similarity import pca_top_component
+
+    rng = np.random.default_rng(3)
+    d = 8
+    direction = np.ones(d) / np.sqrt(d)
+    pts = (
+        rng.normal(size=(200, 1)) * 5.0 * direction
+        + rng.normal(size=(200, d)) * 0.3
+    )
+    ds = rd_.from_items(
+        [{"vec_id": i, "embedding": list(map(float, v))} for i, v in enumerate(pts)]
+    )
+    out = pca_top_component(ds, rounds=6).to_pydict()
+    x = np.array(out["x_e3"], np.float64)
+
+    v3 = np.floor(pts * 1000).astype(np.int64)
+    mu = np.array([int(s) // 200 if s >= 0 else -((-int(s)) // 200) for s in v3.sum(0)])
+    c = (v3 - mu).astype(np.float64)
+    w, vecs = np.linalg.eigh(c.T @ c)
+    top = vecs[:, -1]
+    cos = abs(x @ top) / (np.linalg.norm(x) * np.linalg.norm(top))
+    assert cos > 0.999
+    lam = out["lam"][0]
+    assert abs(lam - w[-1]) / w[-1] < 0.01
