@@ -28,14 +28,16 @@ from graphiti_ray.sources import synth_spec as spec
 
 
 def _entry_floor_div(us, div):
-    """Floor division for int64 Arrow arrays (SQL // semantics; pc.divide
-    truncates toward zero, wrong for pre-epoch timestamps)."""
-    import numpy as np
+    """Integer division matching DuckDB ``//`` for int64 Arrow arrays.
+
+    Measured on this DuckDB: ``(-7) // 2 = -3`` — ``//`` TRUNCATES toward
+    zero (it is not floor division), which is also ``pc.divide``'s
+    behavior. np.floor_divide would floor (−4) and put pre-epoch
+    timestamps one day-bucket earlier than the oracle."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    vals = pc.cast(us, pa.int64()).to_numpy(zero_copy_only=False)
-    return pa.array(np.floor_divide(vals, div), pa.int64())
+    return pc.divide(pc.cast(us, pa.int64()), div)
 
 
 def _sql_str_list(items) -> str:
@@ -7570,8 +7572,11 @@ def _q_events_seasonality(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         # ISO day of week 1..7 (DuckDB isodow parity)
         us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
-        days = _entry_floor_div(us, 86400 * 1_000_000).to_numpy(
-            zero_copy_only=False
+        # CALENDAR day index: isodow is calendar-defined, so pre-epoch
+        # must FLOOR (the day containing the instant), unlike the
+        # //-twin sites which truncate with DuckDB ``//``
+        days = np.floor_divide(
+            us.to_numpy(zero_copy_only=False), 86400 * 1_000_000
         )
         # 1970-01-01 is a Thursday = isodow 4
         dow = ((days + 3) % 7) + 1

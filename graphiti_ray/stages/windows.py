@@ -29,16 +29,17 @@ US = 1_000_000
 
 
 def _floor_div(us: pa.Array, div: int) -> pa.Array:
-    """Floor division of an int64 Arrow array by a positive int.
+    """Integer division of an int64 Arrow array matching DuckDB ``//``.
 
-    ``pc.divide`` on int64 truncates toward zero, which diverges from
-    SQL ``//`` (floor) for negative values — pre-epoch timestamps would
-    land in the wrong day bucket. numpy ``floor_divide`` matches SQL.
-    """
+    Measured on this DuckDB: ``(-7) // 2 = -3`` — SQL ``//`` TRUNCATES
+    toward zero (not floor), same as ``pc.divide`` on int64. A
+    floor-division kernel (np.floor_divide) would bucket pre-epoch
+    timestamps one day earlier than the oracle. Keeping the name for the
+    call sites; the semantic contract is "whatever the oracle's ``//``
+    does", pinned by the probe in tests/test_textstats_windows.py."""
     import pyarrow.compute as pc
 
-    vals = pc.cast(us, pa.int64()).to_numpy(zero_copy_only=False)
-    return pa.array(np.floor_divide(vals, div), pa.int64())
+    return pc.divide(pc.cast(us, pa.int64()), div)
 
 
 def _bucket_col(batch: pa.Table, ts_col: str, size_s: int, offset_s: int = 0) -> pa.Array:

@@ -2056,3 +2056,28 @@ def test_llr_collocations_hand(ray_session):
     want = round((2 * s) * 1e6) / 1e6
     assert abs(out.llr.iloc[0] - want) < 1e-6
     assert out.llr.iloc[0] == out.llr.iloc[1]
+
+
+def test_duckdb_intdiv_semantics_probe():
+    """Pins the oracle's ``//`` semantics: DuckDB TRUNCATES toward zero
+    on negatives (−7//2 = −3), matching pc.divide — NOT floor division.
+    The windows/_entry day-bucket helpers rely on this; if a DuckDB
+    upgrade flips it, this probe fails before any oracle does."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    con = duckdb.connect()
+    got = con.sql(
+        "SELECT (-7) // 2, epoch_us(TIMESTAMP '1969-12-30 13:00:00') "
+        "// 86400000000"
+    ).fetchone()
+    assert got == (-3, -1)
+    arrow = pc.divide(pa.array([-7], pa.int64()), 2)[0].as_py()
+    assert arrow == -3
+
+    from graphiti_ray.stages.windows import _floor_div
+
+    vals = pa.array([-7, 7, -126000000000], pa.int64())
+    assert _floor_div(vals, 2).to_pylist()[:2] == [-3, 3]
+    assert _floor_div(vals, 86400000000).to_pylist()[2] == -1
