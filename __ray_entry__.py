@@ -6494,6 +6494,74 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_kg_path_query(sf_dir: str):
+    """Conjunctive 2-hop triple-pattern query (SPARQL-style BGP) over the
+    CURRENTLY-VALID slice of the bi-temporal graph: (?person WORKS_AT
+    ?org) ⋈ (?org LOCATED_IN ?place) with invalid_at IS NULL on both
+    legs — the canonical KG join a user of the reference would run in
+    Cypher. One predicate-pruned pass per leg, one hash join on
+    (group_id, org_uuid), distinct output."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    edges = tables["edges"].select_columns(
+        ["group_id", "pred", "subj_uuid", "obj_uuid",
+         "subj_canonical", "obj_canonical", "invalid_at"]
+    )
+
+    def leg(pred: str, out_cols):
+        def fn(t: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.equal(t.column("pred"), pred),
+                pc.is_null(t.column("invalid_at")),
+            )
+            t = t.filter(keep)
+            return pa.table({new: t.column(old) for new, old in out_cols})
+
+        return fn
+
+    works = edges.map_batches(
+        leg(
+            "WORKS_AT",
+            [("group_id", "group_id"), ("person", "subj_canonical"),
+             ("org_uuid", "obj_uuid"), ("org", "obj_canonical")],
+        ),
+        batch_format="pyarrow",
+    )
+    located = edges.map_batches(
+        leg(
+            "LOCATED_IN",
+            [("group_id", "group_id"), ("org_uuid", "subj_uuid"),
+             ("place", "obj_canonical")],
+        ),
+        batch_format="pyarrow",
+    )
+    joined = safe_join(
+        works,
+        located,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("group_id", "org_uuid"),
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        t = t.select(["person", "org", "place"])
+        g = t.group_by(["person", "org", "place"]).aggregate([([], "count_all")])
+        return g.drop_columns([g.column_names[-1]])
+
+    from ray.data.aggregate import Count
+
+    return (
+        joined.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["person", "org", "place"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
 def _q_embeddings_pca(sf_dir: str):
     """Top principal component via exact-integer power iteration over the
     e3-lattice covariance Gram: two streaming combiner passes (per-pos
@@ -8104,6 +8172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_allen_census": _q_kg_allen_census,
         "docs_llr": _q_docs_llr,
         "embeddings_pca": _q_embeddings_pca,
+        "kg_path_query": _q_kg_path_query,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -9987,6 +10056,28 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        "kg_path_query": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+ed AS (
+  SELECT m.*, coalesce(p.inv, s2.inv) AS invalid_at
+  FROM merged_id m
+  LEFT JOIN pair_inv p USING (uuid)
+  LEFT JOIN subj_inv s2 USING (uuid)
+),
+w AS (
+  SELECT group_id, subj_canonical AS person, obj_uuid, obj_canonical AS org
+  FROM ed WHERE pred = 'WORKS_AT' AND invalid_at IS NULL
+),
+l AS (
+  SELECT group_id, subj_uuid, obj_canonical AS place
+  FROM ed WHERE pred = 'LOCATED_IN' AND invalid_at IS NULL
+)
+SELECT DISTINCT w.person, w.org, l.place
+FROM w JOIN l ON l.group_id = w.group_id AND l.subj_uuid = w.obj_uuid
 """,
         # exact-integer power iteration: after floor(v*1000) everything
         # is int arithmetic (sums promote to HUGEINT), so 4 unrolled
