@@ -6494,6 +6494,67 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_orders_late(sf_dir: str):
+    """TPC-H Q4-shape late-shipment census (EXISTS semi-join): orders
+    placed in 1995 with at least one lineitem shipped more than 90 days
+    after the order date, counted per priority. Predicate pushed into
+    the orders read, narrow 2-column lineitem side, hash join → in-block
+    distinct combiner → one vocabulary-sized groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(
+            (pc.field("o_orderdate") >= pa.scalar(__import__("datetime").datetime(1995, 1, 1)))
+            & (pc.field("o_orderdate") < pa.scalar(__import__("datetime").datetime(1996, 1, 1)))
+        ),
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_shipdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = safe_join(
+        orders,
+        li,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("o_orderkey",),
+    )
+    late_us = 90 * 86400 * 1_000_000
+
+    def late_distinct(t: pa.Table) -> pa.Table:
+        ship = pc.cast(pc.cast(t.column("l_shipdate"), pa.timestamp("us")), pa.int64())
+        od = pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")), pa.int64())
+        t = t.filter(pc.greater(ship, pc.add(od, late_us)))
+        g = (
+            t.select(["o_orderkey", "o_orderpriority"])
+            .group_by(["o_orderkey", "o_orderpriority"])
+            .aggregate([([], "count_all")])
+        )
+        return g.drop_columns([g.column_names[-1]])
+
+    distinct = (
+        joined.map_batches(late_distinct, batch_format="pyarrow")
+        .groupby(["o_orderkey", "o_orderpriority"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    return (
+        distinct.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="order_count"))
+    )
+
+
 def _q_kg_path_query(sf_dir: str):
     """Conjunctive 2-hop triple-pattern query (SPARQL-style BGP) over the
     CURRENTLY-VALID slice of the bi-temporal graph: (?person WORKS_AT
@@ -8173,6 +8234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_llr": _q_docs_llr,
         "embeddings_pca": _q_embeddings_pca,
         "kg_path_query": _q_kg_path_query,
+        "orders_late": _q_orders_late,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -10056,6 +10118,15 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        "orders_late": """
+SELECT o.o_orderpriority, count(DISTINCT o.o_orderkey)::BIGINT AS order_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY 1
 """,
         "kg_path_query": f"""
 WITH {_BASE_CTE.lstrip()},
