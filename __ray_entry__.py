@@ -6494,6 +6494,18 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_kg_invalidations(sf_dir: str):
+    """Contradiction provenance report: WHICH newer fact invalidated each
+    edge — (uuid, invalidated_by, invalid_at). Plain-lead over the
+    exclusion-class invalidation partitions realized as window_rank (one
+    hub-safe range sort) + a (partition, rank+1) self-join; the oracle is
+    lead(uuid)/lead(valid_at) over the same windows."""
+    from graphiti_ray.stages.temporal import invalidation_report
+
+    tables = _kg_tables(sf_dir, embeddings=False)
+    return invalidation_report(tables["edges"])
+
+
 def _q_orders_late(sf_dir: str):
     """TPC-H Q4-shape late-shipment census (EXISTS semi-join): orders
     placed in 1995 with at least one lineitem shipped more than 90 days
@@ -8235,6 +8247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_pca": _q_embeddings_pca,
         "kg_path_query": _q_kg_path_query,
         "orders_late": _q_orders_late,
+        "kg_invalidations": _q_kg_invalidations,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -10118,6 +10131,31 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        "kg_invalidations": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+pl AS (
+  SELECT uuid, lead(valid_at) OVER w AS invalid_at,
+         lead(uuid) OVER w AS invalidated_by
+  FROM merged_id WHERE pred IN ('LIKES', 'DISLIKES')
+  WINDOW w AS (PARTITION BY group_id, subj_uuid, obj_uuid
+               ORDER BY valid_at, uuid)
+),
+sl AS (
+  SELECT uuid, lead(valid_at) OVER w AS invalid_at,
+         lead(uuid) OVER w AS invalidated_by
+  FROM merged_id WHERE pred IN ('WORKS_AT', 'CEO_OF', 'LOCATED_IN')
+  WINDOW w AS (PARTITION BY group_id, subj_uuid, pred
+               ORDER BY valid_at, uuid)
+)
+SELECT uuid, invalidated_by, invalid_at FROM pl
+WHERE invalidated_by IS NOT NULL
+UNION ALL
+SELECT uuid, invalidated_by, invalid_at FROM sl
+WHERE invalidated_by IS NOT NULL
 """,
         "orders_late": """
 SELECT o.o_orderpriority, count(DISTINCT o.o_orderkey)::BIGINT AS order_count

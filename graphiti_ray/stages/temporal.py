@@ -689,3 +689,71 @@ def allen_census(
             batch_format="pyarrow",
         )
     )
+
+
+def invalidation_report(edges: rd.Dataset) -> rd.Dataset:
+    """Contradiction provenance: WHICH newer fact invalidated each edge →
+    ``(uuid, invalidated_by, invalid_at)`` — the per-edge audit trail the
+    reference logs when ``resolve_edge_contradictions`` expires an edge
+    (edge_operations.py:364-394); the sweep itself only keeps the
+    timestamp, this op recovers the invalidator's identity.
+
+    Plain-lead semantics (next row in the invalidation partition ordered
+    by (valid_at, uuid)) realized scale-safely as ``window_rank`` (one
+    range sort, hub-safe index arithmetic) + a self-join on (partition,
+    rank+1) — no per-key dispatch. Singleton no-op partitions are dropped
+    before the sort. The SQL twin is lead(uuid)/lead(valid_at) over the
+    same exclusion-class windows."""
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+    from graphiti_ray.stages.ops import window_rank
+
+    keyed = (
+        edges.select_columns(
+            ["uuid", "group_id", "subj_uuid", "pred", "obj_uuid", "valid_at"]
+        )
+        .map_batches(
+            lambda b: _add_inval_key(b, with_mode=False), batch_format="pyarrow"
+        )
+        .map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.starts_with(t.column("inval_key"), "none|"))
+            ).select(["inval_key", "uuid", "valid_at"]),
+            batch_format="pyarrow",
+        )
+    )
+    ranked = window_rank(
+        keyed, ["inval_key"], ["valid_at", "uuid"], rank_col="rn"
+    )
+    cur = ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "inval_key": t.column("inval_key"),
+                "rn": t.column("rn"),
+                "uuid": t.column("uuid"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    nxt = ranked.map_batches(
+        lambda t: pa.table(
+            {
+                "inval_key": t.column("inval_key"),
+                "rn": pc.subtract(t.column("rn"), 1),
+                "invalidated_by": t.column("uuid"),
+                "invalid_at": t.column("valid_at"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    return safe_join(
+        cur,
+        nxt,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("inval_key", "rn"),
+    ).map_batches(
+        lambda t: t.select(["uuid", "invalidated_by", "invalid_at"]),
+        batch_format="pyarrow",
+    )

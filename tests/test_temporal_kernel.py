@@ -321,3 +321,26 @@ def test_allen_census_random_vs_bruteforce(ray_session):
         for r in allen_census(rd_.from_items(items)).take_all()
     }
     assert got == dict(want)
+
+
+def test_invalidation_report_consistent_with_sweep(ray_session):
+    """Every edge the sweep invalidated appears in the report with the
+    SAME invalid_at (plain lead == strict lead holds on merged edges:
+    (valid_at, uuid) is unique within an invalidation partition), and
+    each invalidator is a real edge uuid."""
+    from graphiti_ray.pipelines.kg import build_kg
+    from graphiti_ray.sources.pages import pages_dataset
+    from graphiti_ray.stages.temporal import invalidation_report
+
+    tables = build_kg(
+        pages_dataset("/root/testdata/sf0.001"), embeddings=False
+    )
+    edges = tables["edges"].to_pandas()
+    rep = invalidation_report(tables["edges"]).to_pandas()
+
+    swept = edges[edges.invalid_at.notna()]
+    assert len(rep) == len(swept)
+    merged = rep.merge(edges[["uuid", "invalid_at"]], on="uuid", suffixes=("_rep", "_tbl"))
+    assert len(merged) == len(rep)
+    assert (merged.invalid_at_rep == merged.invalid_at_tbl).all()
+    assert rep.invalidated_by.isin(set(edges.uuid)).all()
