@@ -6494,6 +6494,21 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_embeddings_cos_hist(sf_dir: str):
+    """Pairwise cosine-similarity histogram (the distribution you inspect
+    to pick a dedup/ANN threshold): 128 broadcast probes × streamed
+    corpus, exact e3-lattice integer dots + one IEEE sqrt/divide per
+    pair, floor(cos·10) buckets."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.similarity import cosine_histogram
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return cosine_histogram(emb, n_probes=128)
+
+
 def _q_kg_invalidations(sf_dir: str):
     """Contradiction provenance report: WHICH newer fact invalidated each
     edge — (uuid, invalidated_by, invalid_at). Plain-lead over the
@@ -8248,6 +8263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_path_query": _q_kg_path_query,
         "orders_late": _q_orders_late,
         "kg_invalidations": _q_kg_invalidations,
+        "embeddings_cos_hist": _q_embeddings_cos_hist,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -10131,6 +10147,32 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        # exact integer dots/norms on the e3 lattice; the one float op per
+        # pair (dot / sqrt(na²·nb²) · 10, then floor) is IEEE-identical on
+        # identical integer inputs in both engines
+        "embeddings_cos_hist": """
+WITH vx AS (
+  SELECT vec_id, i AS pos,
+         floor(embedding[i]::DOUBLE * 1000)::BIGINT AS x
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+pr AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 128),
+n2 AS (SELECT vec_id, sum(x * x)::BIGINT AS nn FROM vx GROUP BY 1),
+dots AS (
+  SELECT a.vec_id AS qa, b.vec_id AS qb, sum(a.x * b.x)::BIGINT AS dot
+  FROM vx a JOIN vx b ON b.pos = a.pos AND b.vec_id <> a.vec_id
+  WHERE a.vec_id IN (SELECT vec_id FROM pr)
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT floor(dot / sqrt((na.nn * nb.nn)::DOUBLE) * 10)::BIGINT AS bucket
+  FROM dots
+  JOIN n2 na ON na.vec_id = dots.qa
+  JOIN n2 nb ON nb.vec_id = dots.qb
+  WHERE na.nn > 0 AND nb.nn > 0
+)
+SELECT bucket, count(*)::BIGINT AS n_pairs FROM sc GROUP BY 1
 """,
         "kg_invalidations": f"""
 WITH {_BASE_CTE.lstrip()},

@@ -1248,3 +1248,72 @@ def pca_top_component(
             "lam": pa.array([lam] * dim, pa.int64()),
         }
     )
+
+
+def cosine_histogram(
+    emb: rd.Dataset,
+    n_probes: int = 128,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """Pairwise cosine-similarity histogram census → ``(bucket,
+    n_pairs)`` with bucket = floor(cos·10) ∈ [−10, 10] — the distribution
+    a pipeline inspects to pick an embedding-dedup / ANN threshold before
+    committing to one.
+
+    Probe-vs-corpus shape (the knn_brute_force contract): the ``n_probes``
+    lowest-id vectors are collected once (driver-small) and broadcast;
+    the corpus streams through one ``map_batches`` doing an int64 matmul
+    per block on the e3 lattice. At 100-TB scale the probe set IS the
+    sample — the census needs distributional, not exhaustive, coverage.
+    Determinism: dot products and squared norms are exact lattice
+    integers; the single ``dot / sqrt(na²·nb²) · 10`` per pair is one
+    IEEE-correctly-rounded sqrt + divide + multiply on identical inputs,
+    then floor — bit-stable across both engines. Zero vectors are
+    excluded on both sides."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    quant = KMEANS_QUANT
+    probes = emb.sort(id_col).limit(n_probes).take_all()
+    pid = np.array([int(r[id_col]) for r in probes], np.int64)
+    pmat = np.floor(
+        np.asarray([r[col] for r in probes], np.float64) * quant
+    ).astype(np.int64)
+    pn2 = (pmat * pmat).sum(axis=1)
+    keep_p = pn2 > 0
+    pid, pmat, pn2 = pid[keep_p], pmat[keep_p], pn2[keep_p]
+    ref = ray.put((pid, pmat, pn2))
+
+    def score(batch: pa.Table, _ref=ref) -> pa.Table:
+        qid, qmat, qn2 = ray.get(_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        v3 = np.floor(
+            np.asarray(batch.column(col).to_pylist(), np.float64) * quant
+        ).astype(np.int64)
+        n2 = (v3 * v3).sum(axis=1)
+        ok = n2 > 0
+        ids, v3, n2 = ids[ok], v3[ok], n2[ok]
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        dot = v3 @ qmat.T  # (n, n_probes) exact int64
+        prod = (n2[:, None] * qn2[None, :]).astype(np.float64)
+        cos = dot / np.sqrt(prod)
+        bucket = np.floor(cos * 10).astype(np.int64)
+        mask = ids[:, None] != qid[None, :]  # exclude self-pairs
+        b, c = np.unique(bucket[mask], return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(b, pa.int64()), "c": pa.array(c, pa.int64())}
+        )
+
+    return (
+        emb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("c", alias_name="n_pairs"))
+    )
