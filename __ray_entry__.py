@@ -6494,6 +6494,72 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_customer_rfm(sf_dir: str):
+    """RFM segmentation census (recency / frequency / monetary
+    quintiles): per-customer aggregates on exact lattices (µs recency,
+    order count, integer cents), three hub-safe window_rank passes over
+    the CUSTOMER-sized table (≪ orders), quintile = ((rank−1)·5)//n + 1
+    — the same arithmetic written in both engines instead of NTILE's
+    remainder rule."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from graphiti_ray.stages.ops import window_rank
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        d_us = pc.cast(pc.cast(t.column("o_orderdate"), pa.timestamp("us")), pa.int64())
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"o_custkey": t.column("o_custkey"), "d_us": d_us, "cents": cents}
+        )
+
+    base = (
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(
+            Max("d_us", alias_name="last_us"),
+            Count(alias_name="freq"),
+            Sum("cents", alias_name="cents"),
+        )
+        .map_batches(
+            lambda t: t.append_column(
+                "k", pa.array([0] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    r1 = window_rank(base, ["k"], ["last_us", "o_custkey"], rank_col="rr", count_col="n")
+    r2 = window_rank(r1, ["k"], ["freq", "o_custkey"], rank_col="fr", count_col="n2")
+    r3 = window_rank(r2, ["k"], ["cents", "o_custkey"], rank_col="mr", count_col="n3")
+
+    def quintiles(t: pa.Table) -> pa.Table:
+        n = t.column("n")
+
+        def q(col):
+            return pc.add(
+                pc.divide(pc.multiply(pc.subtract(t.column(col), 1), 5), n), 1
+            )
+
+        return pa.table({"r_q": q("rr"), "f_q": q("fr"), "m_q": q("mr")})
+
+    return (
+        r3.map_batches(quintiles, batch_format="pyarrow")
+        .groupby(["r_q", "f_q", "m_q"])
+        .aggregate(Count(alias_name="n_customers"))
+    )
+
+
 def _q_embeddings_cos_hist(sf_dir: str):
     """Pairwise cosine-similarity histogram (the distribution you inspect
     to pick a dedup/ANN threshold): 128 broadcast probes × streamed
@@ -8264,6 +8330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_late": _q_orders_late,
         "kg_invalidations": _q_kg_invalidations,
         "embeddings_cos_hist": _q_embeddings_cos_hist,
+        "customer_rfm": _q_customer_rfm,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -10147,6 +10214,28 @@ walk(seed, node, d) AS (
 md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
+""",
+        "customer_rfm": """
+WITH base AS (
+  SELECT o_custkey,
+         epoch_us(max(o_orderdate)) AS last_us,
+         count(*)::BIGINT AS freq,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT
+           AS cents
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY last_us, o_custkey) AS rr,
+         count(*) OVER () AS n
+  FROM base
+),
+f AS (SELECT *, row_number() OVER (ORDER BY freq, o_custkey) AS fr FROM r),
+m AS (SELECT *, row_number() OVER (ORDER BY cents, o_custkey) AS mr FROM f)
+SELECT (((rr - 1) * 5) // n + 1)::BIGINT AS r_q,
+       (((fr - 1) * 5) // n + 1)::BIGINT AS f_q,
+       (((mr - 1) * 5) // n + 1)::BIGINT AS m_q,
+       count(*)::BIGINT AS n_customers
+FROM m GROUP BY 1, 2, 3
 """,
         # exact integer dots/norms on the e3 lattice; the one float op per
         # pair (dot / sqrt(na²·nb²) · 10, then floor) is IEEE-identical on
