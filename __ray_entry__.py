@@ -6494,6 +6494,61 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_docs_bpe_train(sf_dir: str):
+    """Full BPE tokenizer-training loop (10 greedy merges over the
+    word-type histogram — the artifact a tokenizer ships, beyond
+    docs_bpe_pairs' single pair census). Each round: vocabulary-sized
+    pair-count pass → driver top-1 (one row of state) → corpus-wide
+    merge via str.replace on '|'-delimited symbol strings — Python and
+    DuckDB replace() share non-overlapping left-to-right semantics, so
+    the 10-round unrolled SQL twin is identical by construction."""
+    import ray.data as rd
+
+    from graphiti_ray.stages.textstats import bpe_train
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bpe_train(docs, n_merges=10)
+
+
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    parts = [
+        r"""
+WITH toks AS (
+  SELECT regexp_extract_all(lower(text), '\w+') AS tk FROM documents
+),
+wt AS (
+  SELECT u.w AS w, count(*)::BIGINT AS c
+  FROM toks, LATERAL unnest(tk) AS u(w) GROUP BY 1
+),
+s0 AS (
+  SELECT '|' || regexp_replace(w, '(.)', '\1|', 'g') AS seq, c FROM wt
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT sy[i] AS l, sy[i + 1] AS r, sum(c)::BIGINT AS n
+  FROM (SELECT string_split(trim(seq, '|'), '|') AS sy, c FROM s{k - 1}),
+       LATERAL unnest(range(1, len(sy))) AS u(i)
+  GROUP BY 1, 2
+),
+t{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+s{k} AS (
+  SELECT replace(seq, '|' || t.l || '|' || t.r || '|',
+                 '|' || t.l || t.r || '|') AS seq, c
+  FROM s{k - 1} CROSS JOIN t{k} t
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT {k}::BIGINT AS rank, l AS lhs, r AS rhs, n AS pair_count FROM t{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "".join(parts) + "\n" + union
+
+
 def _q_customer_rfm(sf_dir: str):
     """RFM segmentation census (recency / frequency / monetary
     quintiles): per-customer aggregates on exact lattices (µs recency,
@@ -8331,6 +8386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_invalidations": _q_kg_invalidations,
         "embeddings_cos_hist": _q_embeddings_cos_hist,
         "customer_rfm": _q_customer_rfm,
+        "docs_bpe_train": _q_docs_bpe_train,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -10215,6 +10271,7 @@ md AS (SELECT seed, node, min(d) AS d FROM walk GROUP BY 1, 2)
 SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
 """,
+        "docs_bpe_train": _bpe_oracle_sql(10),
         "customer_rfm": """
 WITH base AS (
   SELECT o_custkey,

@@ -2013,3 +2013,129 @@ def llr_collocations(
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     top["llr"] = top.pop("llr6").astype(np.float64) / 1e6
     return top[["rank", "w1", "w2", "n_pair", "llr"]]
+
+
+def bpe_train(
+    docs: rd.Dataset,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) — not just the pair
+    statistics (docs_bpe_pairs) but the full greedy merge loop: n_merges
+    rounds of (count weighted adjacent symbol pairs over the word-type
+    table → pick the most frequent pair, ties → (left, right) lexicographic
+    → apply the merge corpus-wide). Returns the learned merge list
+    (rank, lhs, rhs, pair_count) — the artifact a tokenizer ships.
+
+    Scale shape: the corpus collapses ONCE to the word-TYPE histogram
+    (the standard BPE reduction — passes thereafter are vocabulary-sized,
+    not corpus-sized). Each round is one vectorized pair-count pass with
+    an in-block combiner → one groupby → a driver top-1 (a single row of
+    state), then one map applying the merge. Sequences are
+    '|'-delimited symbol strings with leading/trailing separators, and
+    the merge is literally ``str.replace('|l|r|', '|lr|')`` — Python and
+    DuckDB replace() share non-overlapping left-to-right semantics, so
+    the unrolled SQL twin is identical by construction."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def word_types(batch: pa.Table) -> pa.Table:
+        texts = pd.Series(batch.column(text_col).to_pylist()).fillna("")
+        toks = texts.str.lower().str.findall(r"\w+")
+        words: list[str] = []
+        for t in toks:
+            words.extend(t)
+        tbl = pa.table({"w": pa.array(words, pa.string())})
+        return (
+            tbl.group_by(["w"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["w", "c"])
+        )
+
+    types = (
+        docs.map_batches(word_types, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w")
+        .sum("c")
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "seq": pa.array(
+                        ["|" + "|".join(w) + "|" for w in t.column("w").to_pylist()],
+                        pa.string(),
+                    ),
+                    "c": t.column("sum(c)"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+
+        def pair_partial(t: pa.Table) -> pa.Table:
+            seqs = t.column("seq").to_pylist()
+            cnts = t.column("c").to_numpy(zero_copy_only=False)
+            ls: list[str] = []
+            rs: list[str] = []
+            ws: list[int] = []
+            for s, c in zip(seqs, cnts):
+                syms = s.strip("|").split("|")
+                for a, b in zip(syms[:-1], syms[1:]):
+                    ls.append(a)
+                    rs.append(b)
+                    ws.append(int(c))
+            tbl = pa.table(
+                {
+                    "l": pa.array(ls, pa.string()),
+                    "r": pa.array(rs, pa.string()),
+                    "n": pa.array(ws, pa.int64()),
+                }
+            )
+            return (
+                tbl.group_by(["l", "r"])
+                .aggregate([("n", "sum")])
+                .rename_columns(["l", "r", "n"])
+            )
+
+        top = (
+            types.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["l", "r"])
+            .sum("n")
+            .map_batches(
+                lambda t: t.rename_columns(["l", "r", "n"]),
+                batch_format="pyarrow",
+            )
+            .sort(["n", "l", "r"], descending=[True, False, False])
+            .limit(1)
+            .take_all()
+        )
+        if not top:
+            break
+        l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+        merges.append((l, r, n))
+
+        def apply_merge(t: pa.Table, _l=l, _r=r) -> pa.Table:
+            seqs = [
+                s.replace(f"|{_l}|{_r}|", f"|{_l}{_r}|")
+                for s in t.column("seq").to_pylist()
+            ]
+            return pa.table(
+                {"seq": pa.array(seqs, pa.string()), "c": t.column("c")}
+            )
+
+        types = types.map_batches(
+            apply_merge, batch_format="pyarrow"
+        ).materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+            "lhs": pa.array([m[0] for m in merges], pa.string()),
+            "rhs": pa.array([m[1] for m in merges], pa.string()),
+            "pair_count": pa.array([m[2] for m in merges], pa.int64()),
+        }
+    )

@@ -2081,3 +2081,24 @@ def test_duckdb_intdiv_semantics_probe():
     vals = pa.array([-7, 7, -126000000000], pa.int64())
     assert _floor_div(vals, 2).to_pylist()[:2] == [-3, 3]
     assert _floor_div(vals, 86400000000).to_pylist()[2] == -1
+
+
+def test_bpe_train_hand(ray_session):
+    """'aaab aaab ab' → merge1 (a,a) n=2+2=4 greedy-left (runs of three
+    count ONE non-overlapping pair each), merge2 (a,b) n=3... verify the
+    greedy replace semantics on symbol runs."""
+    import ray.data as rd_
+
+    from graphiti_ray.stages.textstats import bpe_train
+
+    docs = rd_.from_items([{"doc_id": 1, "text": "aaab aaab ab"}])
+    out = bpe_train(docs, n_merges=3).to_pydict()
+    # word types: aaab×2, ab×1
+    # round1 pairs: (a,a)×2·2? per 'aaab': a-a,a-a,a-b → weighted by 2:
+    #   (a,a)=4, (a,b)=2+1=3 → merge1 (a,a)
+    assert (out["lhs"][0], out["rhs"][0], out["pair_count"][0]) == ("a", "a", 4)
+    # after merge: 'aaab' → |aa|a|b| (greedy-left leaves a lone 'a')
+    # round2 pairs: (aa,a)=2, (a,b)=2+1=3 → merge2 (a,b) n=3
+    assert (out["lhs"][1], out["rhs"][1], out["pair_count"][1]) == ("a", "b", 3)
+    # round3: 'aaab'→|aa|ab|: (aa,ab)=2; 'ab'→|ab|: none → merge3 (aa,ab)
+    assert (out["lhs"][2], out["rhs"][2], out["pair_count"][2]) == ("aa", "ab", 2)
