@@ -93,17 +93,76 @@ def safe_join(
     on: tuple,
     **kw,
 ) -> rd.Dataset:
-    """Dataset.join with both 2.49 landmines defused: empty schema-less
-    blocks dropped from both sides, and identical key names required on
-    both sides (right_on name resolution is broken upstream)."""
+    """Dataset.join with the 2.49 landmines defused: empty schema-less
+    blocks dropped from both sides, identical key names required on both
+    sides (right_on name resolution is broken upstream), and an
+    ENTIRELY-empty input side short-circuited — the hash shuffle's
+    schema broadcast rides the first non-empty block
+    (hash_shuffle.py:223), so a 0-row side leaves the join aggregators
+    schema-less and pyarrow dies with "No match for key field". The
+    short-circuit synthesizes the join's result from schemas alone
+    (inner/left_semi → empty; left_anti/left_outer with empty right →
+    left, padded with null right columns for outer); when a needed
+    schema is unavailable it falls through to the real join (no behavior
+    change vs before)."""
     assert "right_on" not in kw, "rename the right key to match `on` instead"
-    return _drop_empty_blocks(left).join(
-        _drop_empty_blocks(right),
+    L, R = _drop_empty_blocks(left), _drop_empty_blocks(right)
+    if not kw:
+        try:
+            ln, rn = L.count(), R.count()
+        except Exception:
+            ln = rn = None
+        if ln == 0 or rn == 0:
+            out = _empty_side_join(L, R, ln, rn, join_type, on)
+            if out is not None:
+                return out
+    return L.join(
+        R,
         join_type=join_type,
         num_partitions=num_partitions,
         on=on,
         **kw,
     )
+
+
+def _arrow_schema(ds: rd.Dataset):
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+        base = getattr(sch, "base_schema", None)
+        return base if isinstance(base, pa.Schema) else None
+    except Exception:
+        return None
+
+
+def _empty_side_join(L, R, ln, rn, join_type: str, on: tuple):
+    """Synthesized result for a join with a 0-row side; None = punt to
+    the real join (caller falls through, preserving old behavior)."""
+    lsch, rsch = _arrow_schema(L), _arrow_schema(R)
+    if join_type == "left_anti" and rn == 0 and ln:
+        return L
+    if join_type in ("left_anti", "left_semi") and ln == 0:
+        return L
+    if join_type == "left_outer" and rn == 0 and ln:
+        if lsch is None or rsch is None:
+            return None
+
+        def pad(t: pa.Table, _r=rsch, _on=tuple(on)) -> pa.Table:
+            for f in _r:
+                if f.name not in t.column_names and f.name not in _on:
+                    t = t.append_column(f.name, pa.nulls(t.num_rows, f.type))
+            return t
+
+        return L.map_batches(pad, batch_format="pyarrow")
+    if lsch is None or rsch is None:
+        return None
+    if join_type in ("inner", "left_semi", "left_outer", "left_anti"):
+        cols: dict = {f.name: pa.array([], f.type) for f in lsch}
+        if join_type in ("inner", "left_outer"):
+            for f in rsch:
+                if f.name not in cols:
+                    cols[f.name] = pa.array([], f.type)
+        return rd.from_arrow(pa.table(cols))
+    return None
 
 
 _INITIAL_RE = re.compile(r"^[A-Z]\. ")

@@ -87,3 +87,36 @@ def test_lazy_top_level_api():
     assert gr.KGSearcher is not None
     with pytest.raises(AttributeError):
         gr.nope
+
+
+def test_safe_join_empty_sides(ray_session):
+    """A 0-row join input crashes ray 2.49's hash shuffle (schema
+    broadcast rides the first non-empty block); safe_join now
+    synthesizes the result from schemas instead, per join type."""
+    import pyarrow as pa
+    import ray.data as rd_
+
+    from graphiti_ray.stages.link import safe_join
+
+    full = rd_.from_arrow(
+        pa.table({"k": ["a", "b"], "v": pa.array([1, 2], pa.int64())})
+    )
+    empty = rd_.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "w": pa.array([], pa.int64())})
+    )
+
+    inner = safe_join(full, empty, join_type="inner", num_partitions=2, on=("k",))
+    assert inner.count() == 0
+    assert set(inner.schema().names) == {"k", "v", "w"}
+
+    anti = safe_join(full, empty, join_type="left_anti", num_partitions=2, on=("k",))
+    rows = sorted(anti.take_all(), key=lambda r: r["k"])
+    assert [r["k"] for r in rows] == ["a", "b"]
+
+    outer = safe_join(full, empty, join_type="left_outer", num_partitions=2, on=("k",))
+    orows = sorted(outer.take_all(), key=lambda r: r["k"])
+    assert [r["w"] for r in orows] == [None, None]
+
+    inner2 = safe_join(empty, full, join_type="inner", num_partitions=2, on=("k",))
+    assert inner2.count() == 0
+    assert set(inner2.schema().names) == {"k", "v", "w"}
