@@ -6494,6 +6494,63 @@ def _q_docs_readability(sf_dir: str):
     return readability_fk(docs)
 
 
+def _q_web_host_triads(sf_dir: str):
+    """Directed triad census (Holland–Leinhardt 16 classes — the motif
+    fingerprint) over the host link graph: distinct-edge reduce →
+    broadcast vocab-sized edge set → distributed O(V³) triple
+    enumeration partitioned by smallest node. The oracle embeds the
+    identical 64-config canonical table as VALUES rows and classifies
+    via six LEFT JOINs per triple."""
+    from graphiti_ray.stages.graph import triad_census
+    from graphiti_ray.stages.urls import extract_link_graph
+
+    lg = extract_link_graph(_pages(sf_dir)).select_columns(
+        ["src_host", "dst_host"]
+    )
+    return triad_census(lg)
+
+
+def _triads_oracle_sql() -> str:
+    from graphiti_ray.stages.graph import TRIAD_CANON, TRIAD_NAMES
+
+    rows = ", ".join(
+        f"({idx}, '{TRIAD_NAMES[canon]}')" for idx, canon in sorted(TRIAD_CANON.items())
+    )
+    return f"""
+WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
+he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),
+-- DuckDB quirk: inside a WITH RECURSIVE block, UNION in a
+-- non-recursive CTE does NOT dedup — DISTINCT must be explicit
+vx AS (SELECT DISTINCT node FROM
+       (SELECT s AS node FROM he UNION ALL SELECT t FROM he)),
+tri AS (
+  SELECT n1.node AS a, n2.node AS b, n3.node AS c
+  FROM vx n1 JOIN vx n2 ON n2.node > n1.node
+  JOIN vx n3 ON n3.node > n2.node
+),
+st AS (
+  SELECT
+    ((CASE WHEN ab.s IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN ba.s IS NOT NULL THEN 2 ELSE 0 END)) * 16
+    + ((CASE WHEN ac.s IS NOT NULL THEN 1 ELSE 0 END)
+     + (CASE WHEN ca.s IS NOT NULL THEN 2 ELSE 0 END)) * 4
+    + (CASE WHEN bc.s IS NOT NULL THEN 1 ELSE 0 END)
+    + (CASE WHEN cb.s IS NOT NULL THEN 2 ELSE 0 END) AS idx
+  FROM tri t
+  LEFT JOIN he ab ON ab.s = t.a AND ab.t = t.b
+  LEFT JOIN he ba ON ba.s = t.b AND ba.t = t.a
+  LEFT JOIN he ac ON ac.s = t.a AND ac.t = t.c
+  LEFT JOIN he ca ON ca.s = t.c AND ca.t = t.a
+  LEFT JOIN he bc ON bc.s = t.b AND bc.t = t.c
+  LEFT JOIN he cb ON cb.s = t.c AND cb.t = t.b
+),
+mp AS (SELECT * FROM (VALUES {rows}) AS v(idx, nm))
+SELECT mp.nm AS triad, count(*)::BIGINT AS n
+FROM st JOIN mp ON mp.idx = st.idx
+GROUP BY 1
+"""
+
+
 def _q_docs_bpe_train(sf_dir: str):
     """Full BPE tokenizer-training loop (10 greedy merges over the
     word-type histogram — the artifact a tokenizer ships, beyond
@@ -8387,6 +8444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embeddings_cos_hist": _q_embeddings_cos_hist,
         "customer_rfm": _q_customer_rfm,
         "docs_bpe_train": _q_docs_bpe_train,
+        "web_host_triads": _q_web_host_triads,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -10272,6 +10330,7 @@ SELECT node AS host, sum(1000000 // d)::BIGINT AS hc_e6
 FROM md WHERE d > 0 GROUP BY 1
 """,
         "docs_bpe_train": _bpe_oracle_sql(10),
+        "web_host_triads": _triads_oracle_sql(),
         "customer_rfm": """
 WITH base AS (
   SELECT o_custkey,
@@ -10561,7 +10620,9 @@ FROM base
         "web_host_stress": f"""
 WITH RECURSIVE {_LINK_GRAPH_CTE.lstrip()},
 he AS (SELECT DISTINCT src_host AS s, dst_host AS t FROM lk),
-vx AS (SELECT s AS node FROM he UNION SELECT t FROM he),
+-- explicit DISTINCT: UNION inside a WITH RECURSIVE block does not dedup
+vx AS (SELECT DISTINCT node FROM
+       (SELECT s AS node FROM he UNION ALL SELECT t FROM he)),
 walk(s, node, d) AS (
   SELECT node, node, 0 FROM vx
   UNION

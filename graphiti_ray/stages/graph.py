@@ -3450,3 +3450,128 @@ def stress_centrality(
             batch_format="pyarrow",
         )
     )
+
+
+def _triad_tables():
+    """(canon, names): canon maps each of the 64 directed pair-state
+    configs (s_ab·16 + s_ac·4 + s_bc; s = bit0 fwd | bit1 back) to its
+    canonical orbit representative under the 6 node permutations; names
+    maps the 16 orbits to the standard Holland–Leinhardt MAN labels.
+    Brute-forced at import (64·6 tiny ops) so both engines share the
+    identical literal table — the SQL twin embeds it as VALUES rows."""
+    from itertools import permutations, product
+
+    def edges_of(cfg):
+        s_ab, s_ac, s_bc = cfg
+        e = set()
+        if s_ab & 1:
+            e.add((0, 1))
+        if s_ab & 2:
+            e.add((1, 0))
+        if s_ac & 1:
+            e.add((0, 2))
+        if s_ac & 2:
+            e.add((2, 0))
+        if s_bc & 1:
+            e.add((1, 2))
+        if s_bc & 2:
+            e.add((2, 1))
+        return e
+
+    def idx_of(e):
+        def st(x, y):
+            return (1 if (x, y) in e else 0) | (2 if (y, x) in e else 0)
+
+        return st(0, 1) * 16 + st(0, 2) * 4 + st(1, 2)
+
+    canon = {}
+    for cfg in product(range(4), repeat=3):
+        e = edges_of(cfg)
+        best = min(
+            idx_of({(p[u], p[v]) for u, v in e})
+            for p in permutations(range(3))
+        )
+        canon[cfg[0] * 16 + cfg[1] * 4 + cfg[2]] = best
+    names = {
+        0: "003", 1: "012", 3: "102", 5: "021U", 6: "021C", 10: "021D",
+        7: "111D", 11: "111U", 21: "030T", 25: "030C", 15: "201",
+        23: "120D", 27: "120C", 30: "120U", 31: "210", 63: "300",
+    }
+    return canon, names
+
+
+TRIAD_CANON, TRIAD_NAMES = _triad_tables()
+
+
+def triad_census(
+    edges: rd.Dataset, src: str = "src_host", dst: str = "dst_host"
+) -> rd.Dataset:
+    """Directed triad census (Holland & Leinhardt 1976; the motif
+    fingerprint of Milo et al. 2002) → ``(triad, n)`` over all unordered
+    node triples, classified into the 16 isomorphism classes (003 … 300).
+
+    Scale contract (same as stress/ego): the distributed work is the
+    page-level edge extraction feeding this; the HOST graph itself is
+    vocabulary-sized, so the distinct edge set and sorted node array are
+    broadcast once and the O(V³) triple enumeration fans out over node
+    batches (each node a owns the triples where it is the smallest
+    element). For graphs where V³ is not tractable, sample the node set
+    upstream — the census is distribution-shaped, not row-exact, at that
+    point. Self-loops are ignored (they belong to no pair state)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    e = (
+        edges.select_columns([src, dst])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "s": t.column(src).cast(pa.string()),
+                    "t": t.column(dst).cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["s", "t"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .take_all()
+    )
+    edge_set = {(r["s"], r["t"]) for r in e}
+    nodes = sorted({x for p in edge_set for x in p})
+    ref = ray.put((edge_set, nodes))
+    nodes_ds = rd.from_arrow(pa.table({"node": pa.array(nodes, pa.string())}))
+
+    def census(batch: pa.Table, _ref=ref) -> pa.Table:
+        import ray as _ray
+
+        es, nd = _ray.get(_ref)
+        pos = {v: i for i, v in enumerate(nd)}
+
+        def st(x, y):
+            return (1 if (x, y) in es else 0) | (2 if (y, x) in es else 0)
+
+        counts: dict[str, int] = {}
+        for a in batch.column("node").to_pylist():
+            ia = pos[a]
+            for ib in range(ia + 1, len(nd)):
+                b = nd[ib]
+                sab = st(a, b)
+                for ic in range(ib + 1, len(nd)):
+                    c = nd[ic]
+                    idx = sab * 16 + st(a, c) * 4 + st(b, c)
+                    name = TRIAD_NAMES[TRIAD_CANON[idx]]
+                    counts[name] = counts.get(name, 0) + 1
+        return pa.table(
+            {
+                "triad": pa.array(list(counts), pa.string()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    return (
+        nodes_ds.map_batches(census, batch_format="pyarrow")
+        .groupby("triad")
+        .aggregate(Sum("c", alias_name="n"))
+    )
