@@ -6672,6 +6672,36 @@ def _q_customer_rfm(sf_dir: str):
     )
 
 
+def _q_kg_workforce_by_place(sf_dir: str):
+    """Aggregate over the 2-hop BGP: for each place, how many distinct
+    people CURRENTLY work at an org located there — the path query's
+    join feeding a distinct-count rollup (the Cypher
+    ``MATCH (p)-[:WORKS_AT]->(o)-[:LOCATED_IN]->(pl) RETURN pl,
+    count(DISTINCT p)`` a reference user would run)."""
+    import pyarrow as pa
+
+    from ray.data.aggregate import Count
+
+    joined = _q_kg_path_query(sf_dir)
+
+    def distinct_pp(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["place", "person"])
+            .group_by(["place", "person"])
+            .aggregate([([], "count_all")])
+        )
+        return g.drop_columns([g.column_names[-1]])
+
+    return (
+        joined.map_batches(distinct_pp, batch_format="pyarrow")
+        .groupby(["place", "person"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .groupby("place")
+        .aggregate(Count(alias_name="n_people"))
+    )
+
+
 def _q_embeddings_cos_hist(sf_dir: str):
     """Pairwise cosine-similarity histogram (the distribution you inspect
     to pick a dedup/ANN threshold): 128 broadcast probes × streamed
@@ -8445,6 +8475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_rfm": _q_customer_rfm,
         "docs_bpe_train": _q_docs_bpe_train,
         "web_host_triads": _q_web_host_triads,
+        "kg_workforce_by_place": _q_kg_workforce_by_place,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -10434,6 +10465,29 @@ l AS (
 )
 SELECT DISTINCT w.person, w.org, l.place
 FROM w JOIN l ON l.group_id = w.group_id AND l.subj_uuid = w.obj_uuid
+""",
+        "kg_workforce_by_place": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+ed AS (
+  SELECT m.*, coalesce(p.inv, s2.inv) AS invalid_at
+  FROM merged_id m
+  LEFT JOIN pair_inv p USING (uuid)
+  LEFT JOIN subj_inv s2 USING (uuid)
+),
+w AS (
+  SELECT group_id, subj_canonical AS person, obj_uuid
+  FROM ed WHERE pred = 'WORKS_AT' AND invalid_at IS NULL
+),
+l AS (
+  SELECT group_id, subj_uuid, obj_canonical AS place
+  FROM ed WHERE pred = 'LOCATED_IN' AND invalid_at IS NULL
+)
+SELECT l.place, count(DISTINCT w.person)::BIGINT AS n_people
+FROM w JOIN l ON l.group_id = w.group_id AND l.subj_uuid = w.obj_uuid
+GROUP BY 1
 """,
         # exact-integer power iteration: after floor(v*1000) everything
         # is int arithmetic (sums promote to HUGEINT), so 4 unrolled
