@@ -123,6 +123,38 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run one registered pipeline by name (the __ray_entry__ surface)
+    and print row count + the first rows as JSON lines."""
+    _ensure_ray(args.num_cpus)
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    if args.name == "list" or args.name not in qs:
+        for n in qs:
+            print(n)
+        return 0 if args.name == "list" else 1
+    res = qs[args.name](args.sf_dir)
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        df = res.limit(args.head).to_pandas()
+        n = res.count()
+    elif isinstance(res, pa.Table):
+        df, n = res.to_pandas().head(args.head), res.num_rows
+    else:
+        df, n = pd.DataFrame(res).head(args.head), len(res)
+    print(json.dumps({"query": args.name, "rows": int(n)}))
+    print(df.to_string())
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser(prog="graphiti_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -149,6 +181,15 @@ def main() -> int:
     e = sub.add_parser("eval", help="triple P/R vs ground truth")
     e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     e.set_defaults(fn=cmd_eval)
+
+    q = sub.add_parser(
+        "query", help="run one registered pipeline by name ('list' to list)"
+    )
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--head", type=int, default=10)
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
 
     v = sub.add_parser(
         "serve", help="serve a built KG (rest | mcp-stdio | mcp-http)"
