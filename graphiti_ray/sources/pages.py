@@ -88,19 +88,61 @@ def render_page(doc_id: int, text: str, source: str) -> tuple[str, bytes, str]:
     return page_url(source, doc_id), html_doc.encode("utf-8"), golden
 
 
+_POOL_CACHE: dict = {}
+
+
+def _render_pools():
+    """Periodic piece pools for the batch renderer: fact1 is a pure
+    function of doc_id mod 96 (lcm of its index periods), fact2 of mod
+    30, the footer link block of mod 3000 — each pool entry is built by
+    the SAME pure functions render_page uses, so the assembled bytes are
+    identical by construction (goldens + the warc_roundtrip oracle pin
+    it). Cached per process."""
+    if not _POOL_CACHE:
+        f1 = [fact_sentences(i)[0] for i in range(96)]
+        f2 = [fact_sentences(i)[1] for i in range(30)]
+        _POOL_CACHE.update(
+            f1=f1,
+            f2=f2,
+            p1=[f"<p>{_html.escape(p, quote=False)}</p>" for p in f1],
+            p2=[f"<p>{_html.escape(p, quote=False)}</p>" for p in f2],
+            links=[
+                "".join(f'<a href="{u}"></a>' for u in outlinks(i))
+                for i in range(3000)
+            ],
+        )
+    return _POOL_CACHE
+
+
 def documents_to_pages(batch: pa.Table) -> pa.Table:
-    """map_batches stage: documents batch → pages batch (Arrow in/out)."""
+    """map_batches stage: documents batch → pages batch (Arrow in/out).
+    Per-doc work is three pool lookups plus two C-speed string passes
+    (translate + escape) and one template format — the periodic fact /
+    link pieces are precomputed once per process (_render_pools)."""
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     texts = batch.column("text").to_pylist()
     sources = batch.column("source").to_pylist()
     langs = batch.column("lang")
 
+    pool = _render_pools()
+    f1, f2, p1, p2, links = (
+        pool["f1"], pool["f2"], pool["p1"], pool["p2"], pool["links"]
+    )
+    esc = _html.escape
     urls, htmls, goldens = [], [], []
     for doc_id, text, source in zip(doc_ids, texts, sources):
-        u, h, g = render_page(int(doc_id), text, source)
-        urls.append(u)
-        htmls.append(h)
-        goldens.append(g)
+        doc_id = int(doc_id)
+        host = page_host(source)
+        body_text = clean_text(text).strip()
+        i96, i30, i3k = doc_id % 96, doc_id % 30, doc_id % 3000
+        goldens.append(f"{f1[i96]}\n{f2[i30]}\n{body_text}")
+        body = f"{p1[i96]}{p2[i30]}<p>{esc(body_text, quote=False)}</p>"
+        htmls.append(
+            _HTML_TMPL.format(
+                doc_id=doc_id, host=host, paragraphs=body, outlinks=links[i3k]
+            ).encode("utf-8")
+        )
+        urls.append(page_url(source, doc_id))
     # warc_ts = TS0 + (doc_id % 100_000) hours + (doc_id // 100_000) ms —
     # identical to the original ``TS0 + doc_id hours`` for every REAL
     # doc_id (< 100_000 by generator contract; the oracle SQL twin is
