@@ -6672,6 +6672,17 @@ def _q_customer_rfm(sf_dir: str):
     )
 
 
+def _q_nation_trade(sf_dir: str):
+    """TPC-H Q7-shape bilateral trade matrix: revenue per (customer
+    nation, supplier nation) across the 4-table join chain — dimension
+    dict for nation names, keyed hash joins for every large side,
+    cent-lattice revenue with per-batch combiners before the 25×25
+    groupby."""
+    from graphiti_ray.pipelines.relational import nation_trade_matrix
+
+    return nation_trade_matrix(sf_dir)
+
+
 def _q_kg_workforce_by_place(sf_dir: str):
     """Aggregate over the 2-hop BGP: for each place, how many distinct
     people CURRENTLY work at an org located there — the path query's
@@ -8476,6 +8487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_train": _q_docs_bpe_train,
         "web_host_triads": _q_web_host_triads,
         "kg_workforce_by_place": _q_kg_workforce_by_place,
+        "nation_trade": _q_nation_trade,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -10465,6 +10477,19 @@ l AS (
 )
 SELECT DISTINCT w.person, w.org, l.place
 FROM w JOIN l ON l.group_id = w.group_id AND l.subj_uuid = w.obj_uuid
+""",
+        "nation_trade": """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                      + 0.5) AS BIGINT))::BIGINT AS revenue_cents,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
 """,
         "kg_workforce_by_place": f"""
 WITH {_BASE_CTE.lstrip()},

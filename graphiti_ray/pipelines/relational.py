@@ -407,3 +407,96 @@ def shipping_priority(
         .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def nation_trade_matrix(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q7 shape — the full bilateral trade matrix: revenue per
+    (customer nation, supplier nation) pair across ALL nations, the
+    cross-border flow census Q7 restricts to one nation pair. Same join
+    plan as Q5 (nation names are a ≤25-row driver dict; every large side
+    is a keyed hash join) with the per-batch cent-lattice revenue
+    combiner emitting (cust_nation, supp_nation, cents, items) partials
+    before the 25×25-sized final groupby.
+
+    Output: (cust_nation, supp_nation, revenue_cents, n_items)."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    nations = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    nat_name = {
+        int(k): str(n) for k, n in zip(nations.n_nationkey, nations.n_name)
+    }
+    parts = default_join_partitions()
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    oc = safe_join(
+        orders,
+        cust.rename_columns({"c_custkey": "o_custkey"}),
+        join_type="inner",
+        num_partitions=parts,
+        on=("o_custkey",),
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    lo = safe_join(
+        li.rename_columns({"l_orderkey": "o_orderkey"}),
+        oc,
+        join_type="inner",
+        num_partitions=parts,
+        on=("o_orderkey",),
+    )
+    ls = safe_join(
+        lo.rename_columns({"l_suppkey": "s_suppkey"}),
+        supp,
+        join_type="inner",
+        num_partitions=parts,
+        on=("s_suppkey",),
+    )
+
+    def partial(batch: pa.Table, _names=nat_name) -> pa.Table:
+        price = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False)
+        sn = batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+        key = cn.astype(np.int64) * 1000 + sn.astype(np.int64)
+        uk, inv = np.unique(key, return_inverse=True)
+        csum = np.zeros(len(uk), np.int64)
+        cnum = np.zeros(len(uk), np.int64)
+        np.add.at(csum, inv, cents)
+        np.add.at(cnum, inv, 1)
+        return pa.table(
+            {
+                "cust_nation": pa.array(
+                    [_names[int(k // 1000)] for k in uk], pa.string()
+                ),
+                "supp_nation": pa.array(
+                    [_names[int(k % 1000)] for k in uk], pa.string()
+                ),
+                "revenue_cents": pa.array(csum, pa.int64()),
+                "n_items": pa.array(cnum, pa.int64()),
+            }
+        )
+
+    return (
+        ls.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["cust_nation", "supp_nation"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
