@@ -6672,6 +6672,88 @@ def _q_customer_rfm(sf_dir: str):
     )
 
 
+_ASOF_T = "2024-01-02 00:00:00"  # TS0 + 24h: mid-corpus time-travel point
+
+
+def _q_kg_path_query_asof(sf_dir: str):
+    """The 2-hop BGP AS OF a past instant (valid_at ≤ T < invalid_at or
+    open) — time-travel querying over the bi-temporal graph, the query a
+    reference user runs to reconstruct 'who worked where' at T. Same
+    join plan as kg_path_query with the point-in-time filter on both
+    legs."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from graphiti_ray.stages.link import default_join_partitions, safe_join
+
+    t_us = pa.scalar(
+        datetime.fromisoformat(_ASOF_T), pa.timestamp("us")
+    )
+    tables = _kg_tables(sf_dir, embeddings=False)
+    edges = tables["edges"].select_columns(
+        ["group_id", "pred", "subj_uuid", "obj_uuid",
+         "subj_canonical", "obj_canonical", "valid_at", "invalid_at"]
+    )
+
+    def leg(pred: str, out_cols):
+        def fn(t: pa.Table) -> pa.Table:
+            va = t.column("valid_at").cast(pa.timestamp("us"))
+            iv = t.column("invalid_at").cast(pa.timestamp("us"))
+            # or_kleene: plain pc.or_ NULL-propagates, so open intervals
+            # (null invalid_at) would evaluate to null and be dropped
+            keep = pc.and_(
+                pc.and_(
+                    pc.equal(t.column("pred"), pred),
+                    pc.less_equal(va, t_us),
+                ),
+                pc.or_kleene(pc.is_null(iv), pc.greater(iv, t_us)),
+            )
+            t = t.filter(keep)
+            return pa.table({new: t.column(old) for new, old in out_cols})
+
+        return fn
+
+    works = edges.map_batches(
+        leg(
+            "WORKS_AT",
+            [("group_id", "group_id"), ("person", "subj_canonical"),
+             ("org_uuid", "obj_uuid"), ("org", "obj_canonical")],
+        ),
+        batch_format="pyarrow",
+    )
+    located = edges.map_batches(
+        leg(
+            "LOCATED_IN",
+            [("group_id", "group_id"), ("org_uuid", "subj_uuid"),
+             ("place", "obj_canonical")],
+        ),
+        batch_format="pyarrow",
+    )
+    joined = safe_join(
+        works,
+        located,
+        join_type="inner",
+        num_partitions=default_join_partitions(),
+        on=("group_id", "org_uuid"),
+    )
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        t = t.select(["person", "org", "place"])
+        g = t.group_by(["person", "org", "place"]).aggregate([([], "count_all")])
+        return g.drop_columns([g.column_names[-1]])
+
+    from ray.data.aggregate import Count
+
+    return (
+        joined.map_batches(distinct_partial, batch_format="pyarrow")
+        .groupby(["person", "org", "place"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
 def _q_nation_trade(sf_dir: str):
     """TPC-H Q7-shape bilateral trade matrix: revenue per (customer
     nation, supplier nation) across the 4-table join chain — dimension
@@ -8488,6 +8570,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_host_triads": _q_web_host_triads,
         "kg_workforce_by_place": _q_kg_workforce_by_place,
         "nation_trade": _q_nation_trade,
+        "kg_path_query_asof": _q_kg_path_query_asof,
         "events_seasonality": _q_events_seasonality,
         "lineitem_benford": _q_lineitem_benford,
         "docs_corr": _q_docs_corr,
@@ -10474,6 +10557,32 @@ w AS (
 l AS (
   SELECT group_id, subj_uuid, obj_canonical AS place
   FROM ed WHERE pred = 'LOCATED_IN' AND invalid_at IS NULL
+)
+SELECT DISTINCT w.person, w.org, l.place
+FROM w JOIN l ON l.group_id = w.group_id AND l.subj_uuid = w.obj_uuid
+""",
+        "kg_path_query_asof": f"""
+WITH {_BASE_CTE.lstrip()},
+{_MENTIONS_CTE.lstrip()},
+{_CANON_CTE.lstrip()},
+{_RESOLVED_CTE.lstrip()},
+ed AS (
+  SELECT m.*, coalesce(p.inv, s2.inv) AS invalid_at
+  FROM merged_id m
+  LEFT JOIN pair_inv p USING (uuid)
+  LEFT JOIN subj_inv s2 USING (uuid)
+),
+w AS (
+  SELECT group_id, subj_canonical AS person, obj_uuid, obj_canonical AS org
+  FROM ed WHERE pred = 'WORKS_AT'
+    AND valid_at <= TIMESTAMP '{_ASOF_T}'
+    AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '{_ASOF_T}')
+),
+l AS (
+  SELECT group_id, subj_uuid, obj_canonical AS place
+  FROM ed WHERE pred = 'LOCATED_IN'
+    AND valid_at <= TIMESTAMP '{_ASOF_T}'
+    AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '{_ASOF_T}')
 )
 SELECT DISTINCT w.person, w.org, l.place
 FROM w JOIN l ON l.group_id = w.group_id AND l.subj_uuid = w.obj_uuid
